@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core time-series operators over a DataFrame with columns
+  * `timestamp: Long` (epoch time units — nanos in the engine, micros in
+  * oracle-facing queries) and `value: Double`.
+  *
+  * Semantics mirror the reference engine ops (reference
+  * src/timeseries.c): BETWEEN is closed on both ends
+  * (src/partition.c:203-212, src/timeseries.c:811-815); min/max return
+  * the full record, i.e. argmin/argmax (src/timeseries.c:1217-1263);
+  * results are timestamp-ordered regardless of insert order
+  * (src/timeseries.c:357-395).
+  *
+  * Scale notes: every op here is a single distributed scan with partial
+  * aggregation or a TakeOrderedAndProject — no wide shuffle except the
+  * grouped sample-by, which shuffles on the (low-cardinality) bucket key
+  * with map-side partial aggregation. Range filters are simple
+  * comparisons on a Long column, so they push down to the parquet scan
+  * (row-group min/max pruning).
+  */
+object SeriesOps {
+
+  /** Closed-interval range scan [t0, t1] (reference src/timeseries.c:905-979). */
+  def range(df: DataFrame, t0: Long, t1: Long): DataFrame =
+    df.filter(col("timestamp") >= t0 && col("timestamp") <= t1)
+
+  /** Full scan in timestamp order (reference ts_stream, src/timeseries.c:1031-1137). */
+  def scan(df: DataFrame): DataFrame =
+    df.select(col("timestamp"), col("value")).orderBy("timestamp")
+
+  /** Argmin record: the (timestamp, value) of the minimum value; ties
+    * broken by earliest timestamp (reference ts_min returns the record,
+    * src/timeseries.c:1217-1239). Single-pass partial aggregation on a
+    * struct — no sort, no wide shuffle.
+    */
+  def minRecord(df: DataFrame): DataFrame =
+    df.agg(min(struct(col("value"), col("timestamp"))).as("r"))
+      .select(col("r.timestamp").as("timestamp"), col("r.value").as("value"))
+
+  /** Argmax record (reference ts_max, src/timeseries.c:1241-1263).
+    * Ties: max value with the earliest timestamp, so the struct carries
+    * a negated timestamp for the comparison.
+    */
+  def maxRecord(df: DataFrame): DataFrame =
+    df.agg(max(struct(col("value"), (-col("timestamp")).as("nts"))).as("r"))
+      .select((-col("r.nts")).as("timestamp"), col("r.value").as("value"))
+
+  /** Scalar mean (declared in the reference grammar, exec stubbed —
+    * reference src/statement_execute.c:236-238; implemented for real here).
+    */
+  def avgValue(df: DataFrame): DataFrame =
+    df.agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+
+  /** Most-recent record (reference ts_last, src/timeseries.c:1180-1215).
+    * TakeOrderedAndProject — per-partition top-1, no global sort.
+    */
+  def latest(df: DataFrame): DataFrame =
+    df.select(col("timestamp"), col("value"))
+      .orderBy(col("timestamp").desc).limit(1)
+
+  /** Oldest n records (earliest(value, n) — declared-only in the
+    * reference grammar doc, src/statement_parse.h:103).
+    */
+  def earliest(df: DataFrame, n: Int): DataFrame =
+    df.select(col("timestamp"), col("value"))
+      .orderBy(col("timestamp").asc).limit(n)
+
+  /** Oldest record (reference ts_first, src/timeseries.c:1139-1178). */
+  def first(df: DataFrame): DataFrame = earliest(df, 1)
+
+  /** Exact-timestamp point lookup (reference ts_find,
+    * src/timeseries.c:729-780). Equality predicate pushes to the scan.
+    */
+  def pointLookup(df: DataFrame, t: Long): DataFrame =
+    df.filter(col("timestamp") === t).select(col("timestamp"), col("value"))
+
+  /** SAMPLE BY: tumbling-window average (reference ts_avg_sample,
+    * src/timeseries.c:1265-1308). Buckets are arithmetic on the Long
+    * timestamp (exact, no TimestampType truncation); each window is
+    * labeled with its END timestamp, a multiple of the interval
+    * (reference :1285-1298); empty windows are skipped (a groupBy never
+    * emits them). Map-side partial avg then a shuffle on the bucket key.
+    */
+  def sampleBy(df: DataFrame, intervalUnits: Long): DataFrame =
+    df.groupBy(((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
+        + lit(intervalUnits)).as("sample_ts"))
+      .agg(round(avg(col("value")), 4).as("avg_value"),
+           count(lit(1)).as("n_points"))
+
+  /** WHERE-clause conjunction over (timestamp, value) — the 6 comparators
+    * of the reference grammar (src/statement_parse.h:150-158); execution
+    * was stubbed in the reference (src/statement_execute.c:390-394).
+    */
+  def whereChain(df: DataFrame, preds: Seq[Column]): DataFrame =
+    preds.foldLeft(df)((d, p) => d.filter(p))
+
+  /** Timestamp-ordered LIMIT n (parsed-but-unapplied in the reference,
+    * src/statement_parse.c:1116-1128).
+    */
+  def limitOrdered(df: DataFrame, n: Int): DataFrame =
+    df.select(col("timestamp"), col("value"))
+      .orderBy(col("timestamp").asc).limit(n)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.engine.SeriesOps
+
+/** The reference query surface (SURVEY.md §2.1 rows 6-17) expressed over
+  * the driver's `events` table as the canonical (timestamp, value)
+  * series, each paired with DuckDB oracle SQL.
+  *
+  * Oracle parity note: these queries operate on epoch-MICROS longs
+  * (`ts div 1000`) because DuckDB reads parquet TIMESTAMP(NANOS) at
+  * micro precision; the tsql engine itself (graft.engine/tsql) keeps the
+  * reference's full nanos semantics and is locked by ScalaTest instead.
+  */
+object RefSurface {
+
+  // Fixed range inside the events data span (2024-01-01 .. 2024-01-31).
+  private val T0 = 1704500000000000L // epoch-micros
+  private val T1 = 1705500000000000L
+  private val HOUR_US = 3600000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.eventSeries(s, dir)
+
+  // DuckDB view of the same series, shared by every oracle below.
+  private val EV =
+    "WITH ev AS (SELECT epoch_us(ts) AS timestamp, value, event_id, user_id, event_type FROM events) "
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_scan_full" -> ((s, dir) => SeriesOps.scan(ev(s, dir))),
+    "ts_range" -> ((s, dir) =>
+      SeriesOps.scan(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_range_min" -> ((s, dir) =>
+      SeriesOps.minRecord(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_range_max" -> ((s, dir) =>
+      SeriesOps.maxRecord(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_range_avg" -> ((s, dir) =>
+      SeriesOps.avgValue(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_latest" -> ((s, dir) =>
+      SeriesOps.latest(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_earliest" -> ((s, dir) => SeriesOps.earliest(ev(s, dir), 20)),
+    "ts_first" -> ((s, dir) => SeriesOps.first(ev(s, dir))),
+    "ts_point_lookup" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val pt = e.filter(col("event_id") === 123)
+        .select(col("timestamp").as("t_pt"))
+      e.join(broadcast(pt), col("timestamp") === col("t_pt"))
+        .select(col("timestamp"), col("value"))
+    }),
+    "ts_sample_by" -> ((s, dir) =>
+      SeriesOps.sampleBy(SeriesOps.range(ev(s, dir), T0, T1), HOUR_US)),
+    "ts_where" -> ((s, dir) =>
+      SeriesOps.scan(SeriesOps.whereChain(ev(s, dir), Seq(
+        col("value") > 50.0, col("value") <= 150.0,
+        col("timestamp") > T0)))),
+    "ts_limit" -> ((s, dir) => SeriesOps.limitOrdered(ev(s, dir), 100)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_scan_full" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp"),
+    "ts_range" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp"),
+    "ts_range_min" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value ASC, timestamp ASC LIMIT 1"),
+    "ts_range_max" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value DESC, timestamp ASC LIMIT 1"),
+    "ts_range_avg" ->
+      (EV + s"SELECT round(avg(value), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+    "ts_latest" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp DESC LIMIT 1"),
+    "ts_earliest" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 20"),
+    "ts_first" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 1"),
+    "ts_point_lookup" ->
+      (EV + "SELECT e.timestamp, e.value FROM ev e JOIN (SELECT timestamp FROM ev WHERE event_id = 123) p USING (timestamp)"),
+    "ts_sample_by" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(avg(value), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "ts_where" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
+    "ts_limit" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 100"),
+  )
+}
