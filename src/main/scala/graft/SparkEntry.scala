@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RefSurface
+import graft.queries.{RefSurface, TsqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def modules = Seq(
     (RefSurface.queries, RefSurface.oracleSql),
+    (TsqlSurface.queries, TsqlSurface.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,248 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-series options (reference ts_opts_t, src/timeseries.h:88-92).
+  * Both duplication policies are real write options here (the reference
+  * parses but never applies them, src/statement_execute.c:102):
+  * "insert" appends duplicates, "ignore" drops points whose timestamp
+  * already exists (reference DP_IGNORE/DP_INSERT, src/timeseries.h:43).
+  * Retention is enforced by [[TsCatalog.enforceRetention]] (parsed but
+  * never enforced in the reference — no reaper exists there).
+  */
+final case class SeriesMeta(
+    retentionNs: Option[Long],
+    dupPolicy: String = "insert")
+
+/** Filesystem-backed database/series catalog.
+  *
+  * Layout — the Spark-native analog of the reference's storage plane
+  * (db dir + per-series chunk/partition files, src/timeseries.c:82-123,
+  * src/partition.h:9-15):
+  *
+  * {{{
+  * <root>/<db>/<series>/_series.json          series options
+  * <root>/<db>/<series>/data/bucket=<n>/part-....parquet
+  * }}}
+  *
+  * `bucket = timestamp div bucketNs` is the analog of the reference's
+  * 900-second in-memory chunk window (TS_CHUNK_SIZE,
+  * src/timeseries.h:13) promoted to a parquet partition column: range
+  * queries prune whole buckets (partition pruning) and parquet
+  * row-group min/max stats prune within a bucket — the same two-level
+  * seek as the reference's chunk window + sparse index
+  * (src/index.c:65-109) but handled entirely by Spark's scan planning.
+  * At 100 TB the bucket width is the knob that keeps partition counts
+  * sane; it is stored per-series so ingest jobs agree on it.
+  */
+final class TsCatalog(spark: SparkSession, val root: String,
+    val bucketNs: Long = TsCatalog.DefaultBucketNs) {
+
+  import TsCatalog._
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Session-scoped active database (reference `USE`,
+    * src/dbcontext.c:153-167). */
+  @volatile var activeDb: Option[String] = None
+
+  // ---- database ops (reference src/dbcontext.c:85-167) ----
+
+  def createDb(name: String): Boolean = {
+    val created = fs.mkdirs(new Path(root, name))
+    // first database created becomes active (reference src/dbcontext.c:112-118)
+    if (activeDb.isEmpty) activeDb = Some(name)
+    created
+  }
+
+  def dbExists(name: String): Boolean = fs.exists(new Path(root, name))
+
+  def useDb(name: String): Boolean =
+    dbExists(name) && { activeDb = Some(name); true }
+
+  def listDbs(): Seq[String] =
+    if (!fs.exists(new Path(root))) Nil
+    else fs.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+
+  def dropDb(name: String): Boolean = {
+    val p = new Path(root, name)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  // ---- series ops (reference src/timeseries.c:173-208) ----
+
+  private def seriesPath(db: String, name: String) = new Path(new Path(root, db), name)
+  private def dataPath(db: String, name: String) = new Path(seriesPath(db, name), "data")
+
+  def createSeries(db: String, name: String, meta: SeriesMeta): Boolean = {
+    if (!dbExists(db)) return false
+    val sp = seriesPath(db, name)
+    if (fs.exists(sp)) return false
+    fs.mkdirs(sp)
+    writeMeta(db, name, meta)
+    true
+  }
+
+  def seriesExists(db: String, name: String): Boolean =
+    fs.exists(seriesPath(db, name))
+
+  def listSeries(db: String): Seq[String] =
+    if (!dbExists(db)) Nil
+    else fs.listStatus(new Path(root, db)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+
+  def dropSeries(db: String, name: String): Boolean = {
+    val p = seriesPath(db, name)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  def seriesMeta(db: String, name: String): Option[SeriesMeta] = {
+    val p = new Path(seriesPath(db, name), "_series.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // minimal JSON of our own writing: {"retentionNs":N|null,"dupPolicy":"s"}
+    val ret = "\"retentionNs\"\\s*:\\s*(null|-?\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1)).filter(_ != "null").map(_.toLong)
+    val pol = "\"dupPolicy\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("insert")
+    Some(SeriesMeta(ret, pol))
+  }
+
+  private def writeMeta(db: String, name: String, meta: SeriesMeta): Unit = {
+    val p = new Path(seriesPath(db, name), "_series.json")
+    val out = fs.create(p, true)
+    val retJson = meta.retentionNs.map(_.toString).getOrElse("null")
+    try out.write(
+      s"""{"retentionNs":$retJson,"dupPolicy":"${meta.dupPolicy}","bucketNs":$bucketNs}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- read / write (reference ts_insert src/timeseries.c:621-682) ----
+
+  /** All points of a series as (timestamp: Long nanos, value: Double).
+    *
+    * When a closed time range is given, a derived predicate on the
+    * `bucket` PARTITION column is applied alongside the precise
+    * timestamp filter: partition pruning skips whole buckets at plan
+    * time (the analog of the reference's chunk-window skip,
+    * src/timeseries.c:882-891), and parquet min/max stats prune row
+    * groups within the surviving buckets (the sparse-index analog,
+    * src/index.c:65-109). Without the bucket predicate Spark would list
+    * and scan every partition.
+    */
+  def readSeries(db: String, name: String,
+      range: Option[(Long, Long)] = None): DataFrame = {
+    val dp = dataPath(db, name)
+    if (!fs.exists(dp) || fs.listStatus(dp).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PointSchema)
+    val full = spark.read.schema(PointSchemaWithBucket).parquet(dp.toString)
+    val pruned = range match {
+      case Some((t0, t1)) =>
+        full.filter(col("bucket") >= Math.floorDiv(t0, bucketNs) &&
+            col("bucket") <= Math.floorDiv(t1, bucketNs) &&
+            col("timestamp") >= t0 && col("timestamp") <= t1)
+      case None => full
+    }
+    pruned.select(col("timestamp"), col("value"))
+  }
+
+  /** Append a batch of points, honoring the series' duplication policy.
+    *
+    * "ignore": drop batch rows whose timestamp already exists — the
+    * existing-side lookup reads ONLY the buckets the batch touches
+    * (partition pruning via an IN filter on the partition column), so
+    * the cost scales with the batch's time span, not series size.
+    */
+  def insert(db: String, name: String, points: DataFrame): Long = {
+    val meta = seriesMeta(db, name).getOrElse(SeriesMeta(None))
+    val batch = points.select(
+      col("timestamp").cast(LongType).as("timestamp"),
+      col("value").cast(DoubleType).as("value"))
+    val deduped =
+      if (meta.dupPolicy == "ignore") {
+        val b = batch.dropDuplicates("timestamp")
+        val dp = dataPath(db, name)
+        if (fs.exists(dp) && fs.listStatus(dp).nonEmpty) {
+          val buckets = b.select((col("timestamp") / lit(bucketNs))
+            .cast(LongType).as("b")).distinct()
+            .collect().map(_.getLong(0))
+          val existing = spark.read.schema(PointSchemaWithBucket)
+            .parquet(dp.toString)
+            .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+            .select(col("timestamp"))
+          b.join(existing, Seq("timestamp"), "left_anti")
+        } else b
+      } else batch
+    val withBucket = deduped.withColumn(
+      "bucket", (col("timestamp") / lit(bucketNs)).cast(LongType))
+    val n = withBucket.count()
+    withBucket.write.mode("append").partitionBy("bucket")
+      .parquet(dataPath(db, name).toString)
+    n
+  }
+
+  /** Retention reaper: physically drops whole bucket partitions whose
+    * entire window is older than `now - retention` — a metadata-only
+    * delete (no rewrite), the scalable analog of retention enforcement
+    * the reference declares but never runs (src/timeseries.h:88-92).
+    */
+  def enforceRetention(db: String, name: String, nowNs: Long): Int = {
+    val meta = seriesMeta(db, name).getOrElse(return 0)
+    val cutoff = meta.retentionNs match {
+      case Some(r) => nowNs - r
+      case None => return 0
+    }
+    val dp = dataPath(db, name)
+    if (!fs.exists(dp)) return 0
+    val dropped = fs.listStatus(dp).toSeq
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .filter { st =>
+        val b = st.getPath.getName.stripPrefix("bucket=").toLong
+        (b + 1) * bucketNs <= cutoff // entire bucket window expired
+      }
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.size
+  }
+
+  /** Compact small files within each bucket (the analog of the
+    * reference's chunk flush/merge, src/partition.c:62-125): rewrite
+    * buckets whose file count exceeds `maxFilesPerBucket`. */
+  def compact(db: String, name: String, maxFilesPerBucket: Int = 8): Int = {
+    val dp = dataPath(db, name)
+    if (!fs.exists(dp)) return 0
+    val toCompact = fs.listStatus(dp).toSeq
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+    toCompact.foreach { st =>
+      val bucketDir = st.getPath
+      val tmp = new Path(bucketDir.getParent, "._compact_" + bucketDir.getName)
+      val df = spark.read.schema(PointSchema).parquet(bucketDir.toString)
+      df.sort("timestamp").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(bucketDir, true)
+      fs.rename(tmp, bucketDir)
+    }
+    toCompact.size
+  }
+}
+
+object TsCatalog {
+  /** 900 s in nanos — mirrors the reference's in-memory chunk window
+    * (TS_CHUNK_SIZE, src/timeseries.h:13). */
+  val DefaultBucketNs: Long = 900L * 1000000000L
+
+  val PointSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val PointSchemaWithBucket: StructType = PointSchema.add(
+    StructField("bucket", LongType, nullable = true))
+}

@@ -48,11 +48,23 @@ object SeriesOps {
     df.agg(max(struct(col("value"), (-col("timestamp")).as("nts"))).as("r"))
       .select((-col("r.nts")).as("timestamp"), col("r.value").as("value"))
 
+  /** Order-independent mean: double FP summation order varies with
+    * partitioning (and across engines), which flips round-half
+    * boundaries; summing as exact DECIMAL(27,6) then doing ONE double
+    * division makes the result bit-identical regardless of plan or
+    * engine — required for differential testing against the DuckDB
+    * oracle, and a determinism win at any scale. Still a single-pass
+    * partial aggregation.
+    */
+  private[graft] def exactAvg(c: Column, n: Column): Column =
+    round(sum(c.cast("decimal(27,6)")).cast("double") / n, 4)
+
   /** Scalar mean (declared in the reference grammar, exec stubbed —
     * reference src/statement_execute.c:236-238; implemented for real here).
     */
   def avgValue(df: DataFrame): DataFrame =
-    df.agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+    df.agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
+           count(lit(1)).as("n"))
 
   /** Most-recent record (reference ts_last, src/timeseries.c:1180-1215).
     * TakeOrderedAndProject — per-partition top-1, no global sort.
@@ -87,7 +99,7 @@ object SeriesOps {
   def sampleBy(df: DataFrame, intervalUnits: Long): DataFrame =
     df.groupBy(((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
         + lit(intervalUnits)).as("sample_ts"))
-      .agg(round(avg(col("value")), 4).as("avg_value"),
+      .agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
            count(lit(1)).as("n_points"))
 
   /** WHERE-clause conjunction over (timestamp, value) — the 6 comparators

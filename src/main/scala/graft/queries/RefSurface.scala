@@ -69,7 +69,7 @@ object RefSurface {
     "ts_range_max" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value DESC, timestamp ASC LIMIT 1"),
     "ts_range_avg" ->
-      (EV + s"SELECT round(avg(value), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
     "ts_latest" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp DESC LIMIT 1"),
     "ts_earliest" ->
@@ -79,7 +79,7 @@ object RefSurface {
     "ts_point_lookup" ->
       (EV + "SELECT e.timestamp, e.value FROM ev e JOIN (SELECT timestamp FROM ev WHERE event_id = 123) p USING (timestamp)"),
     "ts_sample_by" ->
-      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(avg(value), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "ts_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->

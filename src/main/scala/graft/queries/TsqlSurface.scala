@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.TsCatalog
+import graft.engine.{ExecResult, StatementExecutor}
+import graft.core.Tables
+
+/** End-to-end dialect coverage for the correctness gate: each query is a
+  * dialect STRING that runs through Lexer → Parser → StatementExecutor →
+  * DataFrame plan against a series ingested from the driver's `events`
+  * table, then hash-compares against DuckDB oracle SQL. This locks the
+  * whole pipeline (grammar, plan building, catalog layout, bucket
+  * pruning), not just the operators.
+  *
+  * The series is ingested in epoch-MICROS (the engine is unit-agnostic
+  * over Long timestamps; micros is what the DuckDB oracle can see —
+  * see RefSurface). Timestamps appear as integer literals in the
+  * dialect text, which pass through raw (reference
+  * src/statement_execute.c:182-183). Nanos-specific surface (date
+  * literals, spans, now()) is locked by ExecutorSpec instead.
+  */
+object TsqlSurface {
+
+  private val T0 = 1704500000000000L // epoch-micros
+  private val T1 = 1705500000000000L
+  private val HOUR_US = 3600000000L
+
+  private val initialized = scala.collection.mutable.Set[String]()
+
+  /** Ingest events into a tsql-engine series once per (JVM, sfDir). */
+  private def executor(spark: SparkSession, sfDir: String): StatementExecutor = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = sys.props("java.io.tmpdir") + s"/graft_tsql_$safe"
+    // 900-second buckets in MICROS to match the ingested unit
+    val catalog = new TsCatalog(spark, root, bucketNs = 900L * 1000000L)
+    val exec = new StatementExecutor(spark, catalog)
+    if (!initialized.contains(root)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      exec.executeSql("CREATEDB metrics")
+      exec.executeSql("USE metrics")
+      exec.executeSql("CREATE ev")
+      catalog.insert("metrics", "ev",
+        Tables.eventSeries(spark, sfDir).select("timestamp", "value"))
+      initialized += root
+    } else {
+      exec.executeSql("USE metrics")
+    }
+    exec
+  }
+
+  private def run(spark: SparkSession, sfDir: String, sql: String): DataFrame =
+    executor(spark, sfDir).executeSql(sql) match {
+      case ExecResult.Rows(df) => df
+      case ExecResult.Scalar(df) => df
+      case other => throw new IllegalStateException(s"query '$sql' => $other")
+    }
+
+  private def q(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => run(s, dir, sql)
+
+  private val EV =
+    "WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events) "
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tsql_scan" -> q("SELECT value FROM ev"),
+    "tsql_range" -> q(s"SELECT value FROM ev BETWEEN $T0 AND $T1"),
+    "tsql_min" -> q(s"SELECT min(value) FROM ev BETWEEN $T0 AND $T1"),
+    "tsql_max" -> q(s"SELECT max(value) FROM ev BETWEEN $T0 AND $T1"),
+    "tsql_avg" -> q(s"SELECT avg(value) FROM ev BETWEEN $T0 AND $T1"),
+    "tsql_latest" -> q(s"SELECT latest(value) FROM ev BETWEEN $T0 AND $T1"),
+    "tsql_earliest" -> q("SELECT earliest(value, 20) FROM ev"),
+    "tsql_sample_by" -> q(
+      s"SELECT value FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    "tsql_where" -> q(
+      s"SELECT value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0"),
+    "tsql_limit" -> q("SELECT value FROM ev LIMIT 100"),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tsql_scan" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp"),
+    "tsql_range" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp"),
+    "tsql_min" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value ASC, timestamp ASC LIMIT 1"),
+    "tsql_max" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value DESC, timestamp ASC LIMIT 1"),
+    "tsql_avg" ->
+      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+    "tsql_latest" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp DESC LIMIT 1"),
+    "tsql_earliest" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 20"),
+    "tsql_sample_by" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "tsql_where" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0 ORDER BY timestamp"),
+    "tsql_limit" ->
+      (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 100"),
+  )
+}
