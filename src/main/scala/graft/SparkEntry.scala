@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RefSurface, TsqlSurface}
+import graft.queries.{RefSurface, SimilaritySurface, TextSurface, TsqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,8 @@ object SparkEntry {
   private def modules = Seq(
     (RefSurface.queries, RefSurface.oracleSql),
     (TsqlSurface.queries, TsqlSurface.oracleSql),
+    (TextSurface.queries, TextSurface.oracleSql),
+    (SimilaritySurface.queries, SimilaritySurface.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Four families, each a different cost/recall point (the reference
+  * engine has no analog — this is the training-data-pipeline extension
+  * surface; SURVEY.md §7.2 step 7):
+  *
+  *  - [[exact]]: hash-groupBy on a content fingerprint. One shuffle on
+  *    the 128-bit hash; scales linearly, no skew (hashes are uniform).
+  *  - [[ngramJaccardPairs]]: exact pairwise Jaccard over shingle sets,
+  *    with the shingle-equality join as candidate generation. Correct
+  *    but O(sum of per-shingle doc-frequency²) — the verification
+  *    baseline for the MinHash path at small scale.
+  *  - [[minhashLshPairs]]: MinHash signatures + banded LSH join — the
+  *    100 TB path. Candidates come from equality joins on band keys
+  *    (shuffle on band key, no cross product), then only candidates pay
+  *    the exact-Jaccard verification join.
+  *  - [[simhash]]: 32-bit SimHash per document; near-dup = small
+  *    Hamming distance. Signature computation is one explode + groupBy.
+  *
+  * All hashes derive from md5 (TextFns.h60/h32) so the DuckDB oracle
+  * reproduces results bit-for-bit.
+  */
+object Dedup {
+
+  /** (doc_id, sh) exploded distinct-shingle relation. */
+  def shingleRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.shingles3("text")).as("sh"))
+
+  /** Exact duplicate groups by md5 of normalized text.
+    * Output: (fp, n_dups, keeper) — keeper is the smallest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(TextFns.normText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keeper"))
+
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast("double") / (na + nb - inter), 4)
+
+  /** Exact n-gram Jaccard near-duplicate pairs (threshold on rounded
+    * Jaccard). Candidate pairs = docs sharing at least one shingle. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val s = shingleRelation(docs)
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns: min over the shingle set of k salted
+    * h60 hashes — computed in ONE groupBy pass (k parallel min
+    * aggregates, map-side partial). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val s = shingleRelation(docs)
+    val aggs = (0 until k).map(i =>
+      min(TextFns.h60(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+    s.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + banded-LSH near-dup pairs: k signatures in `bands` bands
+    * of rows = k/bands; docs colliding on any band become candidates;
+    * candidates are verified with exact Jaccard and thresholded.
+    *
+    * The band join is an equality shuffle join on
+    * (band_index, sig values) — at scale this is the only quadratic
+    * risk, and only within identical-band groups (true near-dups plus
+    * a tunable false-positive rate 1-(1-j^r)^b).
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification restricted to candidates
+    val s = shingleRelation(docs)
+    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(s.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(s.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document over raw-text tokens (with
+    * multiplicity): bit i of the signature is the sign of the vote sum
+    * over token hashes' bit i. One explode + one groupBy with 32
+    * parallel sums; ties (sum == 0) set the bit, matching the oracle.
+    * Output: (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
+      .withColumn("h", TextFns.h32(col("tok")))
+    val votes = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 32).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash values (popcount of xor). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 8-bit signature chunks (two docs
+    * within Hamming distance d<=4 of a 32-bit signature must agree on
+    * at least one of 4 chunks — pigeonhole), verify with popcount. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xffL)).as("k"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

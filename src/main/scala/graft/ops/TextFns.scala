@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline column functions (all codegen'd builtins — no
+  * UDFs in the hot path). Every function here has an exactly-equivalent
+  * DuckDB SQL form used by the oracle queries; determinism across
+  * engines is part of the contract:
+  *
+  *  - regexes stick to constructs with identical Java/RE2 semantics
+  *    (character classes, \S, \b alternations);
+  *  - the shared 60-bit hash is the first 15 hex chars of md5, so it is
+  *    reproducible in any engine with an md5() (DuckDB:
+  *    `('0x' || substr(md5(s),1,15))::BIGINT`);
+  *  - ratio arithmetic divides exact ints as doubles then rounds once.
+  */
+object TextFns {
+
+  /** Normalized text: lowercase, non-alphanumerics to spaces, collapsed. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Raw whitespace-delimited tokens (counts tokens of the ORIGINAL text). */
+  def rawTokens(c: Column): Column = expr(s"regexp_extract_all(${c.toString}, '\\\\S+', 0)")
+
+  /** Tokens of the normalized text (single-space separated by construction). */
+  def normTokens(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic 60-bit hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5 parsed base-16. Fits in a Long with room
+    * to spare; collision odds at 2^60 are irrelevant for candidate
+    * generation. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same hash computed driver-side (for generating constants that are
+    * inlined into both the Spark plan and the oracle SQL). */
+  def h60Scala(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Distinct word 3-gram shingles of the normalized text; empty array
+    * when fewer than 3 tokens. The shingle-set is the unit of Jaccard
+    * similarity for the dedup operators. */
+  def shingles3(textCol: String): Column = {
+    val toks = s"split(trim(regexp_replace(regexp_replace(lower($textCol), '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')"
+    expr(
+      s"""CASE WHEN size($toks) >= 3 THEN
+         |  array_distinct(transform(sequence(0, size($toks) - 3),
+         |    i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])))
+         |ELSE array() END""".stripMargin)
+  }
+
+  /** 32-bit token hash for SimHash (8 hex chars of md5 — small enough
+    * that bit arithmetic stays in safely-positive Long range in every
+    * engine). */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

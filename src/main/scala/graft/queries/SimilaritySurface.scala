@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Similarity
+
+/** Similarity-search surface over the `embeddings` table
+  * (array<float>, 64-dim): exact brute-force top-k, sign-LSH
+  * bucketed top-k (the 100 TB path), and embedding near-dup pairs.
+  * Dot products accumulate as exact DECIMAL in both engines, so
+  * similarity values are bit-identical.
+  */
+object SimilaritySurface {
+
+  private val K = 10
+  private val NPLANES = 6
+  private val DIM = 64
+  private val DUP_THRESHOLD = 0.35
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, K)),
+    "sim_topk_lsh" -> ((s, dir) =>
+      Similarity.lshBucketTopK(emb(s, dir), col("vec_id") < 5, K, NPLANES, DIM)),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
+  )
+
+  // ---- DuckDB oracles ----
+
+  /** Exact decimal dot product of two list<float> expressions. */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_aggregate(list_transform(list_zip($a, $b),
+       |  x -> CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)""".stripMargin
+
+  private def normSql(a: String): String =
+    s"sqrt(${dotSql(a, a)})"
+
+  /** Literal SQL for the deterministic LSH bucket id (planes inlined
+    * from the same h60-derived constants the Spark plan uses). */
+  private val bucketSql: String = {
+    val planes = Similarity.planes(NPLANES, DIM)
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = plane.mkString("[", ", ", "]")
+      val dot =
+        s"""CAST(list_aggregate(list_transform(list_zip(embedding, $planeLit),
+           |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(30,12))), 'sum') AS DOUBLE)""".stripMargin
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private val baseCte =
+    s"""base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH $baseCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM base WHERE vec_id < 5),
+         |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
+         |  FROM base b, q WHERE b.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH $baseCte,
+         |bb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM base),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb FROM bb WHERE vec_id < 5),
+         |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
+         |  FROM bb b, q WHERE b.bucket = q.qb AND b.vec_id != q.query_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS sim
+         |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $DUP_THRESHOLD""".stripMargin,
+  )
+}

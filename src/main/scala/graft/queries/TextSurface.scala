@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, TextFns}
+
+/** Text-analysis + deduplication surface over the `documents` table,
+  * each query paired with exactly-equivalent DuckDB oracle SQL
+  * (shared md5-derived hashes make results bit-identical).
+  */
+object TextSurface {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- Spark-side plans ----
+
+  /** Per-document stats: token counts, character-class ratios (integer
+    * basis points), and a composite quality score — ALL integer
+    * arithmetic. Ratios here are exact small rationals, which land on
+    * round-half boundaries constantly; float `round()` differs between
+    * engines within 1 ulp of a boundary, so the whole query stays in
+    * the integer domain (`floor(a*10000/b)` + weighted integer sums). */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_chars_raw", length(col("text")).cast("long"))
+      .withColumn("n_tokens",
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      .withColumn("alpha_bp", expr(
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT) * 10000 div greatest(n_chars_raw, 1)"))
+      .withColumn("digit_bp", expr(
+        "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT) * 10000 div greatest(n_chars_raw, 1)"))
+      .withColumn("stop_hits", size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b', 0)")).cast("long"))
+      .withColumn("stop_bp", expr(
+        "stop_hits * 10000 div greatest(n_tokens, 1)"))
+      // quality in [0, 100000]: 5*alpha + 3*(1 - min(2*digit,1)) + 2*min(4*stop,1)
+      .withColumn("quality_score",
+        (lit(5L) * col("alpha_bp") +
+          lit(3L) * (lit(10000L) - least(col("digit_bp") * 2, lit(10000L))) +
+          lit(2L) * least(col("stop_bp") * 4, lit(10000L))).cast("long"))
+      .select("doc_id", "n_chars_raw", "n_tokens", "alpha_bp",
+        "digit_bp", "stop_hits", "stop_bp", "quality_score")
+
+  /** Marker-token language id (n-gram-heuristic family): per-language
+    * stopword hit counts + CJK character count, argmax with a fixed
+    * priority order. Deterministic and exactly mirrored in SQL. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> "\\\\b(the|and|of|is)\\\\b",
+      "de" -> "\\\\b(der|die|das|und|ist)\\\\b",
+      "fr" -> "\\\\b(le|la|les|et|est)\\\\b",
+      "es" -> "\\\\b(el|los|las|es|y)\\\\b")
+    val withHits = markers.foldLeft(docs(s, dir)) { case (d, (lang, pat)) =>
+      d.withColumn(s"${lang}_hits",
+        size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")))
+    }.withColumn("zh_chars",
+      length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")))
+    withHits.withColumn("pred_lang",
+      when(col("zh_chars") > 0, "zh")
+        .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&
+          col("de_hits") >= col("es_hits"), "de")
+        .when(col("fr_hits") > col("en_hits") && col("fr_hits") > col("de_hits") &&
+          col("fr_hits") >= col("es_hits"), "fr")
+        .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits") &&
+          col("es_hits") > col("fr_hits"), "es")
+        .otherwise("en"))
+      .select(col("doc_id"), col("en_hits"), col("de_hits"), col("fr_hits"),
+        col("es_hits"), col("zh_chars"), col("pred_lang"), col("lang").as("actual_lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_langid" -> langId,
+    "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      md5(TextFns.normText(col("text"))).as("fp"))),
+    "text_token_count" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tokens"),
+      size(TextFns.shingles3("text")).as("n_shingles"))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), 0.8)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 4)),
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val NORM =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
+  private val SHINGLE_CTES =
+    s"""n AS (SELECT doc_id, $NORM AS t FROM documents),
+       |tk AS (SELECT doc_id, string_split(t, ' ') AS t2 FROM n),
+       |s AS (SELECT doc_id, unnest(list_distinct(
+       |  [t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] FOR i IN range(1, len(t2)-1)])) AS sh
+       |  FROM tk WHERE len(t2) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1)""".stripMargin
+
+  private def h60sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val minhashOracle: String = {
+    val sigCols = (0 until 8).map(i =>
+      s"min(${h60sql(s"'$i:' || sh")}) AS m$i").mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $SHINGLE_CTES,
+       |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY 1),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+    val sig = (0 until 32).map(i =>
+      s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1)
+       |SELECT doc_id, $sig AS simhash FROM v""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, n_chars_raw, n_tokens, alpha_bp, digit_bp, stop_hits, stop_bp,
+         |  CAST(5 * alpha_bp + 3 * (10000 - least(digit_bp * 2, 10000))
+         |       + 2 * least(stop_bp * 4, 10000) AS BIGINT) AS quality_score
+         |FROM (
+         |  SELECT doc_id, n_chars_raw, n_tokens, stop_hits,
+         |    CAST(alpha * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS alpha_bp,
+         |    CAST(digits * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS digit_bp,
+         |    CAST(stop_hits * 10000 // greatest(n_tokens, 1) AS BIGINT) AS stop_bp
+         |  FROM (
+         |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         |      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         |      length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         |      CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS stop_hits
+         |    FROM documents))""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
+         |  CASE WHEN zh_chars > 0 THEN 'zh'
+         |       WHEN de_hits > en_hits AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |       WHEN fr_hits > en_hits AND fr_hits > de_hits AND fr_hits >= es_hits THEN 'fr'
+         |       WHEN es_hits > en_hits AND es_hits > de_hits AND es_hits > fr_hits THEN 'es'
+         |       ELSE 'en' END AS pred_lang,
+         |  lang AS actual_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b')) AS en_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS de_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS fr_hits,
+         |    len(regexp_extract_all(lower(text), '\\b(el|los|las|es|y)\\b')) AS es_hits,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh_chars
+         |  FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "text_token_count" ->
+      s"""WITH $SHINGLE_CTES
+         |SELECT d.doc_id, len(regexp_extract_all(d.text, '\\S+')) AS n_tokens,
+         |  coalesce(sz.n, 0) AS n_shingles
+         |FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT md5($NORM) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH $SHINGLE_CTES,
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin,
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    // dedup_simhash_pairs: no oracle (blocked pair generation is
+    // plan-shaped, locked by DedupSpec instead) → rows-only check.
+  )
+}

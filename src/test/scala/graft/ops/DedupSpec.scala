@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators on a fixture with planted duplicates. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // doc 0/1: exact dups (modulo case/punctuation); doc 2: near-dup of 0
+  // (one token changed); doc 3/4: unrelated
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "The quick brown fox jumps over the lazy dog, again and again today!"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "yet another unrelated document mentioning parquet row groups and stats")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/punctuation-normalized duplicates") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 4) // 0+1 merged
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 0L) // keeper = min doc_id
+  }
+
+  test("ngram Jaccard finds the planted near-dup pair with high similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exact dups: jaccard 1.0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // near-dup (one token of 13 changed): high but < 1
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 > 0.5 && p._3 < 1.0))
+    // unrelated docs never pair
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the same high-similarity pairs as the exact path") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded LSH with j>=0.5 and r=2: collision prob >= 1-(1-0.25)^4 ≈ 0.68
+    // per pair; on this fixture all three true pairs collide.
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts get identical signatures; near-dups are close") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // docs 0 and 2 share 12 of 13 raw tokens → close signatures
+    assert(ham(sig(0L), sig(2L)) <= 6)
+    // unrelated docs are farther apart than the near-dups
+    assert(ham(sig(0L), sig(3L)) > ham(sig(0L), sig(2L)))
+    assert(sig.values.forall(s => s >= 0 && s <= 0xffffffffL))
+  }
+
+  test("simhashPairs blocks on 8-bit chunks and returns hamming distances") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs((0L, 2L)) <= 8)
+  }
+}
