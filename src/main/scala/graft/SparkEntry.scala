@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RefSurface, SimilaritySurface, TextSurface, TsqlSurface}
+import graft.queries.{AnalyticsSurface, RefSurface, SimilaritySurface, StreamSurface, TextSurface, TsqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,8 @@ object SparkEntry {
     (TsqlSurface.queries, TsqlSurface.oracleSql),
     (TextSurface.queries, TextSurface.oracleSql),
     (SimilaritySurface.queries, SimilaritySurface.oracleSql),
+    (AnalyticsSurface.queries, AnalyticsSurface.oracleSql),
+    (StreamSurface.queries, StreamSurface.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,7 +29,8 @@ object Dedup {
 
   /** (doc_id, sh) exploded distinct-shingle relation. */
   def shingleRelation(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextFns.shingles3("text")).as("sh"))
+    TextFns.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
 
   /** Exact duplicate groups by md5 of normalized text.
     * Output: (fp, n_dups, keeper) — keeper is the smallest doc_id. */

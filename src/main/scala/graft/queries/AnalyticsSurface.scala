@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational analytics over the TPC-H-ish star schema — the extension
+  * surface the reference's single-table language lacks entirely
+  * (SURVEY.md §2.6: "joins: none", "window functions: none"), designed
+  * Spark-first:
+  *
+  *  - dimension joins are explicit `broadcast()` (region/nation/
+  *    supplier/customer are tiny next to lineitem at any SF — at 100 TB
+  *    a 1000-executor cluster still broadcasts dims and shuffles only
+  *    facts);
+  *  - aggregates sum as exact DECIMAL (order-independent → oracle-
+  *    stable) with map-side partial aggregation;
+  *  - top-k uses rounded sort keys with explicit tie-breaks so results
+  *    are total-ordered and engine-independent.
+  */
+object AnalyticsSurface {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** round(sum(expr) as DECIMAL, 4) — order-independent, engine-stable. */
+  private def sumDec(c: Column): Column =
+    round(sum(c.cast("decimal(30,6)")).cast("double"), 4)
+
+  private def avgDec(c: Column): Column =
+    round(sum(c.cast("decimal(30,6)")).cast("double") / count(lit(1)), 4)
+
+  /** TPC-H Q1-style pricing summary (scan + single shuffle on a
+    * 6-value grouping key; everything else is map-side). */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        avgDec(col("l_quantity")).as("avg_qty"),
+        avgDec(col("l_extendedprice")).as("avg_price"),
+        avgDec(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: top-10 unshipped-order revenue. Customer filter is
+    * broadcast into the orders⋈lineitem shuffle join. */
+  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region+year, the
+    * all-dims-broadcast multi-join (only lineitem⋈orders shuffles). */
+  private def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supplier = t(s, dir, "supplier")
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Top-3 events per user by value (ranking window function — absent
+    * from the reference surface; shuffle on user_id only). */
+  private def top3PerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventSeries(s, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("timestamp").asc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "timestamp", "value", "rn")
+  }
+
+  /** Sessionization: a session break is a >30 min gap between a user's
+    * consecutive events (lag + running sum of breaks — two analytic
+    * functions over one user_id shuffle). The foundation for
+    * session-window analytics the reference cannot express. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventSeries(s, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("timestamp")
+    val gapUs = 30L * 60 * 1000000 // 30 min in micros
+    ev.withColumn("prev_ts", lag("timestamp", 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull || col("timestamp") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Per-event-type hourly rollup with distinct users —
+    * count-distinct over a composite time+category key. */
+  private def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventSeries(s, dir)
+    val hourUs = 3600000000L
+    ev.groupBy(
+        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumDec(col("value")).as("sum_value"))
+      .filter(col("n") >= 2)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_region_volume" -> q5RegionVolume,
+    "win_top3_per_user" -> top3PerUser,
+    "win_sessionize" -> sessionize,
+    "agg_hourly_rollup" -> hourlyRollup,
+  )
+
+  private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
+  private def sumSql(e: String) = SUM.format(e)
+  private def avgSql(e: String) =
+    s"round(CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4)"
+
+  private val EV =
+    "WITH ev AS (SELECT epoch_us(ts) AS timestamp, value, event_id, user_id, event_type FROM events) "
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumSql("l_quantity")} AS sum_qty,
+         |  ${sumSql("l_extendedprice")} AS sum_base_price,
+         |  ${sumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${avgSql("l_quantity")} AS avg_qty,
+         |  ${avgSql("l_extendedprice")} AS avg_price,
+         |  ${avgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         |  ${sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_date
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT n_name, ${sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "win_top3_per_user" ->
+      (EV + """SELECT user_id, timestamp, value, rn FROM (
+        |  SELECT user_id, timestamp, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
+        |  FROM ev) WHERE rn <= 3""".stripMargin),
+    "win_sessionize" ->
+      (EV + """SELECT user_id, sum(is_break) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM (SELECT user_id, timestamp,
+        |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
+        |        FROM ev)) GROUP BY user_id""".stripMargin),
+    "agg_hourly_rollup" ->
+      (EV + s"""SELECT (timestamp - timestamp % 3600000000) AS hour_ts, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+  )
+}

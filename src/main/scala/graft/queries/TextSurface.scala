@@ -76,9 +76,10 @@ object TextSurface {
     "text_langid" -> langId,
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       md5(TextFns.normText(col("text"))).as("fp"))),
-    "text_token_count" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
-      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tokens"),
-      size(TextFns.shingles3("text")).as("n_shingles"))),
+    "text_token_count" -> ((s, dir) =>
+      TextFns.withShingles(docs(s, dir)).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tokens"),
+        size(col("shingles")).as("n_shingles"))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.catalog.TsCatalog
+
+/** Structured Streaming ingest — the Spark-native analog of the
+  * reference's write path (WAL + head/prev chunk buffering,
+  * src/timeseries.c:621-682): the micro-batch checkpoint plays the WAL
+  * role (exactly-once restart), and watermark-bounded out-of-orderness
+  * replaces the prev-chunk window (SURVEY.md §2.6 streaming row).
+  *
+  * Scale: each micro-batch append is a normal bucket-partitioned write
+  * (same layout as batch ingest), so readers and the retention/compact
+  * maintenance jobs are oblivious to which path wrote the data.
+  */
+object StreamingIngest {
+
+  /** Schema of a streaming point source: (timestamp nanos, value). */
+  val PointSourceSchema: StructType = TsCatalog.PointSchema
+
+  /** Continuously append a parquet-file stream into a series table.
+    * Each micro-batch goes through TsCatalog.insert so duplication
+    * policy and bucket layout match the batch path. */
+  def ingest(spark: SparkSession, sourceDir: String, catalog: TsCatalog,
+      db: String, series: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(PointSourceSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.insert(db, series, batch); ()
+      }
+      .start()
+  }
+
+  /** Tumbling-window average over a live stream — SAMPLE BY as a
+    * continuous query (reference ts_avg_sample semantics,
+    * src/timeseries.c:1265-1308, window labeled at its end).
+    * `timeUnitPerSec` adapts to the stream's timestamp unit
+    * (1e9 = nanos, 1e6 = micros).
+    */
+  def sampleByStream(points: DataFrame, intervalUnits: Long): DataFrame =
+    points
+      .groupBy(((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
+        + lit(intervalUnits)).as("sample_ts"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_points"))
+
+  /** Watermarked per-type hourly counts over an event stream with a
+    * real event-time column: late data beyond the watermark is dropped,
+    * closed windows emit append-only — the standard production shape.
+    */
+  def watermarkedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+}

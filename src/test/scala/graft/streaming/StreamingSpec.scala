@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.TsCatalog
+
+/** Structured Streaming ingest: micro-batch appends into the series
+  * catalog (WAL/chunk analog, SURVEY.md §2.6) and stream/batch parity
+  * of the windowed aggregation. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val tmp = Files.createTempDirectory("graft-stream-spec").toString
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    super.afterAll()
+  }
+
+  test("file-stream ingest appends micro-batches into the series catalog incrementally") {
+    import spark.implicits._
+    val src = s"$tmp/src"
+    val catalog = new TsCatalog(spark, s"$tmp/cat")
+    catalog.createDb("sdb")
+    catalog.createSeries("sdb", "s1", graft.catalog.SeriesMeta(None))
+
+    val base = 1700000000000000000L
+    (0 until 50).map(i => (base + i * 1000000000L, i.toDouble))
+      .toDF("timestamp", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val q = StreamingIngest.ingest(spark, src, catalog, "sdb", "s1", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(catalog.readSeries("sdb", "s1").count() == 50)
+
+      // second file arrives → incremental micro-batch, no reprocessing
+      (50 until 80).map(i => (base + i * 1000000000L, i.toDouble))
+        .toDF("timestamp", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(catalog.readSeries("sdb", "s1").count() == 80)
+    } finally q.stop()
+
+    // points are queryable through the normal batch path, in order
+    val got = catalog.readSeries("sdb", "s1").orderBy("timestamp")
+      .collect().map(_.getDouble(1))
+    assert(got.toSeq == (0 until 80).map(_.toDouble))
+  }
+
+  test("windowed stream aggregation matches the batch computation (complete mode)") {
+    import spark.implicits._
+    val src = s"$tmp/src2"
+    val base = 1700000000000000000L
+    val pts = (0 until 300).map(i => (base + i * 777000000L, (i % 7).toDouble))
+    pts.toDF("timestamp", "value").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema(StreamingIngest.PointSourceSchema).parquet(src)
+    val agg = StreamingIngest.sampleByStream(stream, 60L * 1000000000L)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_test")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val batch = StreamingIngest.sampleByStream(
+        pts.toDF("timestamp", "value"), 60L * 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.forall(_._1 % 60000000000L == 0)) // end-labeled windows
+  }
+
+  test("watermarked append-mode counts emit only closed windows, all correct") {
+    import spark.implicits._
+    val src = s"$tmp/src3"
+    val baseUs = 1700000000000000L
+    val rows = (0 until 240).map(i =>
+      (baseUs + i.toLong * 60 * 1000000, if (i % 2 == 0) "click" else "view", i.toDouble))
+    rows.map { case (t, et, v) => (t, v, et) }
+      .toDF("timestamp", "value", "event_type")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val counts = StreamingIngest.watermarkedCounts(stream, "1 hour")
+    val q = counts.writeStream.outputMode("append").format("memory")
+      .queryName("wm_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = spark.table("wm_test").collect()
+      .map(r => ((r.getTimestamp(0).getTime * 1000, r.getString(1)), r.getLong(2)))
+      .toMap
+    // ground truth: per (hour-window-start, type) counts of the fixture
+    val hourUs = 3600L * 1000000
+    val truth = rows.groupBy(r => (r._1 - r._1 % hourUs, r._2))
+      .map { case (k, v) => k -> v.size.toLong }
+    // 240 events over 4 hours; watermark = maxEvent - 1h → only closed
+    // windows emit, every emitted count must match the ground truth
+    assert(emitted.nonEmpty)
+    assert(emitted.size < truth.size) // open windows withheld
+    emitted.foreach { case (k, n) => assert(truth(k) == n, s"window $k") }
+  }
+}
