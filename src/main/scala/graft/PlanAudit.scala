@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans for representative queries — the evidence that
+  * layout/pushdown/broadcast decisions hold (run: sbt "runMain
+  * graft.PlanAudit [sfDir]"; output reviewed into docs/PLANS.md). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "ts_range",          // parquet filter pushdown on the Long column
+      "tsql_range",        // bucket partition pruning in the catalog
+      "q5_region_volume",  // broadcast dims, single fact shuffle
+      "dedup_minhash",     // band equality join, no cross product
+      "sim_topk_brute")    // broadcast query set + windowed top-k
+    interesting.foreach { name =>
+      println(s"\n######## $name ########")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -37,4 +37,24 @@ object Tables {
       col("value"),
       col("event_id"), col("user_id"), col("event_type"))
   }
+
+  /** [[eventSeries]] pre-filtered to a closed MICROS range `[t0, t1]`.
+    *
+    * The range predicate is applied to the RAW `ts` column (nanos)
+    * before the micros projection: a filter on the derived
+    * `ts div 1000` cannot reach the parquet scan (observed
+    * `PushedFilters: [IsNotNull(ts)]` only), while the equivalent
+    * raw-column predicate `ts ∈ [t0*1000, (t1+1)*1000)` pushes down to
+    * row-group min/max pruning — the difference between scanning the
+    * range and scanning the table. */
+  def eventSeriesRanged(spark: SparkSession, sfDir: String,
+      t0Us: Long, t1Us: Long): DataFrame = {
+    val ev = load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    ev.filter(col("ts") >= t0Us * 1000 && col("ts") < (t1Us + 1) * 1000)
+      .select(
+        expr("ts div 1000").as("timestamp"),
+        col("value"),
+        col("event_id"), col("user_id"), col("event_type"))
+  }
 }

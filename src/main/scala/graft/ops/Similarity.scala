@@ -54,7 +54,8 @@ object Similarity {
         cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic hyperplanes: component d of plane p is
@@ -98,7 +99,8 @@ object Similarity {
         cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Embedding near-duplicate pairs within label blocks: all same-label

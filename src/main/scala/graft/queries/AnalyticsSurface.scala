@@ -96,7 +96,7 @@ object AnalyticsSurface {
     val ev = Tables.eventSeries(s, dir)
     val w = Window.partitionBy("user_id")
       .orderBy(col("value").desc, col("timestamp").asc)
-    ev.withColumn("rn", row_number().over(w))
+    ev.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("user_id", "timestamp", "value", "rn")
   }

@@ -25,22 +25,23 @@ object RefSurface {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.eventSeries(s, dir)
 
+  /** Range-scoped series with the predicate pushed to the raw ts column
+    * (see Tables.eventSeriesRanged); SeriesOps.range is still applied
+    * on the micros column for closed-interval exactness. */
+  private def evRanged(s: SparkSession, dir: String): DataFrame =
+    SeriesOps.range(Tables.eventSeriesRanged(s, dir, T0, T1), T0, T1)
+
   // DuckDB view of the same series, shared by every oracle below.
   private val EV =
     "WITH ev AS (SELECT epoch_us(ts) AS timestamp, value, event_id, user_id, event_type FROM events) "
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_scan_full" -> ((s, dir) => SeriesOps.scan(ev(s, dir))),
-    "ts_range" -> ((s, dir) =>
-      SeriesOps.scan(SeriesOps.range(ev(s, dir), T0, T1))),
-    "ts_range_min" -> ((s, dir) =>
-      SeriesOps.minRecord(SeriesOps.range(ev(s, dir), T0, T1))),
-    "ts_range_max" -> ((s, dir) =>
-      SeriesOps.maxRecord(SeriesOps.range(ev(s, dir), T0, T1))),
-    "ts_range_avg" -> ((s, dir) =>
-      SeriesOps.avgValue(SeriesOps.range(ev(s, dir), T0, T1))),
-    "ts_latest" -> ((s, dir) =>
-      SeriesOps.latest(SeriesOps.range(ev(s, dir), T0, T1))),
+    "ts_range" -> ((s, dir) => SeriesOps.scan(evRanged(s, dir))),
+    "ts_range_min" -> ((s, dir) => SeriesOps.minRecord(evRanged(s, dir))),
+    "ts_range_max" -> ((s, dir) => SeriesOps.maxRecord(evRanged(s, dir))),
+    "ts_range_avg" -> ((s, dir) => SeriesOps.avgValue(evRanged(s, dir))),
+    "ts_latest" -> ((s, dir) => SeriesOps.latest(evRanged(s, dir))),
     "ts_earliest" -> ((s, dir) => SeriesOps.earliest(ev(s, dir), 20)),
     "ts_first" -> ((s, dir) => SeriesOps.first(ev(s, dir))),
     "ts_point_lookup" -> ((s, dir) => {
@@ -51,11 +52,15 @@ object RefSurface {
         .select(col("timestamp"), col("value"))
     }),
     "ts_sample_by" -> ((s, dir) =>
-      SeriesOps.sampleBy(SeriesOps.range(ev(s, dir), T0, T1), HOUR_US)),
+      SeriesOps.sampleBy(evRanged(s, dir), HOUR_US)),
     "ts_where" -> ((s, dir) =>
-      SeriesOps.scan(SeriesOps.whereChain(ev(s, dir), Seq(
-        col("value") > 50.0, col("value") <= 150.0,
-        col("timestamp") > T0)))),
+      // lower bound pushed on raw ts (micros > T0 ⟺ nanos >= (T0+1)*1000)
+      SeriesOps.scan(SeriesOps.whereChain(
+        Tables.load(s, dir, "events")
+          .filter(col("ts") >= (T0 + 1) * 1000)
+          .select(expr("ts div 1000").as("timestamp"), col("value")),
+        Seq(col("value") > 50.0, col("value") <= 150.0,
+          col("timestamp") > T0)))),
     "ts_limit" -> ((s, dir) => SeriesOps.limitOrdered(ev(s, dir), 100)),
   )
 

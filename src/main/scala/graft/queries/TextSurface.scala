@@ -55,9 +55,9 @@ object TextSurface {
       "es" -> "\\\\b(el|los|las|es|y)\\\\b")
     val withHits = markers.foldLeft(docs(s, dir)) { case (d, (lang, pat)) =>
       d.withColumn(s"${lang}_hits",
-        size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")))
+        size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")).cast("long"))
     }.withColumn("zh_chars",
-      length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")))
+      length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long"))
     withHits.withColumn("pred_lang",
       when(col("zh_chars") > 0, "zh")
         .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&
@@ -78,8 +78,8 @@ object TextSurface {
       md5(TextFns.normText(col("text"))).as("fp"))),
     "text_token_count" -> ((s, dir) =>
       TextFns.withShingles(docs(s, dir)).select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_tokens"),
-        size(col("shingles")).as("n_shingles"))),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"),
+        size(col("shingles")).cast("long").as("n_shingles"))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),

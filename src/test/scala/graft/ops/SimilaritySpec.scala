@@ -34,7 +34,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(0).getLong(1) == 1L)     // neighbor_id
     assert(top(0).getDouble(2) == 1.0)  // sim
     // ranks are 1..5, sims non-increasing
-    assert(top.map(_.getInt(3)).toSeq == (1 to 5))
+    assert(top.map(_.getLong(3)).toSeq == (1L to 5L))
     val sims = top.map(_.getDouble(2)).toSeq
     assert(sims == sims.sorted.reverse)
   }
