@@ -103,6 +103,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact decimal dot product of an array<float> column against an
+    * inlined constant double vector. */
+  private def dotLit(embCol: String, v: Array[Double]): Column = {
+    val litArr = v.mkString("array(", "D,", "D)")
+    expr(
+      s"""CAST(aggregate(zip_with($embCol, $litArr,
+         |  (x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(30,12))),
+         |  CAST(0 AS DECIMAL(30,12)),
+         |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)
+  }
+
+  /** IVF-flat approximate top-k — the codebook-quantization scale path:
+    *
+    *  1. codebook: the first `nCentroids` vectors (a fixed-sample
+    *     codebook; production IVF would k-means-train it — the plan
+    *     shape is identical, the codebook is a driver-side model
+    *     parameter either way);
+    *  2. assignment: every vector goes to its max-cosine centroid
+    *     (rounded cosine + centroid-id tie-break → deterministic);
+    *  3. search: each query probes its `nProbe` best cells; only
+    *     vectors in probed cells pay the exact cosine.
+    *
+    * Collecting the codebook to the driver is deliberate (it is tiny
+    * model state, inlined into the plan like the LSH planes); the
+    * corpus itself never leaves the executors.
+    * Output: (query_id, neighbor_id, sim, rank).
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normDec("embedding"))
+    val cents: Array[(Long, Array[Double], Double)] =
+      base.filter(col("vec_id") < nCentroids).collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))
+      }.sortBy(_._1)
+
+    // per-row array of (cosine-to-centroid, -cid) structs
+    val centStructs = array(cents.map { case (cid, ce, cn) =>
+      struct(round(dotLit("embedding", ce) / (lit(cn) * col("nrm")), 4).as("cs"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = base.withColumn("cell",
+      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
+
+    // queries probe their nProbe best cells (sorted desc by (cs, -cid))
+    val sortedCents = sort_array(centStructs, asc = false)
+    val probes = assigned.filter(queryPred)
+      .withColumn("probe_cells",
+        array((0 until nProbe).map(i =>
+          -sortedCents.getItem(i).getField("ncid")): _*))
+
+    probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(col("probe_cells")).as("pcell"))
+      .join(assigned.as("c"), col("c.cell") === col("pcell") &&
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine("qe", "c.embedding", col("qn"), col("c.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs within label blocks: all same-label
     * pairs with rounded cosine >= threshold. Blocking keys bound the
     * quadratic term; at 100 TB the label would be an LSH bucket id

@@ -42,41 +42,21 @@ object TextFns {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** Distinct word 3-gram shingles of the normalized text; empty when
-    * fewer than 3 tokens (semantics identical to the SQL oracle form:
-    * lower → non-alnum to space → collapse → split → sliding trigrams →
-    * distinct).
+  /** Adds a `shingles` column: distinct word 3-gram shingles of the
+    * normalized text; empty when fewer than 3 tokens (semantics
+    * identical to the SQL oracle form — see
+    * graft.functions.ShingleCodec).
     *
-    * Deliberately a Scala UDF, not builtin array functions: expressing
-    * the sliding window as `transform(sequence(...), i -> ...)` over a
-    * staged tokens column looks right but Catalyst's CollapseProject
-    * inlines the tokenizing subtree into the lambda, and codegen's
-    * subexpression elimination cannot reach inside higher-order-function
-    * lambdas — so tokenization re-ran once per PRODUCED SHINGLE
-    * (measured 30-60x slowdown at sf0.1). A UDF evaluates once per row
-    * in a tight loop — the same reason Spark ML's NGram transformer is
-    * UDF-based. */
-  private val shingleFn: String => Array[String] = { text =>
-    val norm = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
-    val toks = norm.split(" ")
-    if (toks.length < 3) Array.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i <= toks.length - 3) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-        i += 1
-      }
-      seen.toArray(Array.empty[String])
-    }
-  }
-
-  private lazy val shinglesUdf = udf(shingleFn)
-
-  /** Adds a `shingles` column (see [[shingleFn]]). */
+    * Uses the native Catalyst expression `shingles3` (codegen-friendly
+    * row-at-a-time computation). The obvious builtin composition —
+    * `transform(sequence(...), i -> ...)` over a tokens column — is a
+    * trap: Catalyst inlines the tokenizing subtree into the lambda and
+    * codegen's subexpression elimination cannot reach inside
+    * higher-order-function lambdas, so tokenization re-ran once per
+    * PRODUCED SHINGLE (measured 30-60x slowdown at sf0.1). */
   def withShingles(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.withColumn("shingles", shinglesUdf(col("text")))
+    df.withColumn("shingles",
+      graft.functions.GraftFunctions.shingles3(df.sparkSession, "text"))
 
   /** 32-bit token hash for SimHash (8 hex chars of md5 — small enough
     * that bit arithmetic stays in safely-positive Long range in every

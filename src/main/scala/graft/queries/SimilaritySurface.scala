@@ -27,9 +27,14 @@ object SimilaritySurface {
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, K)),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshBucketTopK(emb(s, dir), col("vec_id") < 5, K, NPLANES, DIM)),
+    "sim_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
   )
+
+  private val NCENTROIDS = 8
+  private val NPROBE = 2
 
   // ---- DuckDB oracles ----
 
@@ -75,6 +80,25 @@ object SimilaritySurface {
          |  FROM bb b, q WHERE b.bucket = q.qb AND b.vec_id != q.query_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH $baseCte,
+         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM base WHERE vec_id < $NCENTROIDS),
+         |sims AS (SELECT b.vec_id, c.cid,
+         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+         |  FROM base b, cents c),
+         |ranked_cells AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims),
+         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+         |  WHERE rn <= $NPROBE AND vec_id < 5),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |pairs AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+         |  FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base b ON b.vec_id = c.neighbor_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM rr WHERE rank <= $K""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -73,6 +73,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall")
   }
 
+  test("IVF: planted duplicate shares its twin's cell and is found at rank 1") {
+    // vec 1 is an exact copy of vec 0 → same cell assignment, cosine 1.0
+    val top = Similarity.ivfTopK(emb, col("vec_id") === 0, 5,
+      nCentroids = 4, nProbe = 2).orderBy("rank").collect()
+    assert(top.nonEmpty)
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+    // every result's rank is consistent and sims non-increasing
+    assert(top.map(_.getLong(3)).toSeq == (1L to top.length))
+    val sims = top.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("IVF recall vs brute force is reasonable with 2 probes of 4 cells") {
+    val queries = col("vec_id") < 10
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nCentroids = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("embedding dup pairs: the planted duplicate pair is found at threshold 0.99") {
     val pairs = Similarity.embeddingDupPairs(emb, 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
