@@ -111,6 +111,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Materialize the deduplicated corpus: documents minus near-dup
+    * "losers". Keep-first policy: in every near-dup pair (a < b), b is
+    * dropped — each duplicate cluster keeps its smallest doc_id (plus
+    * possibly chain representatives; exact clustering would need
+    * connected components, overkill for corpus cleaning). One
+    * left_anti join against the loser set — the actual end-user
+    * operation of a training-data pipeline. */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val losers = minhashLshPairs(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** 32-bit SimHash per document over raw-text tokens (with
     * multiplicity): bit i of the signature is the sign of the vote sum
     * over token hashes' bit i. One explode + one groupBy with 32

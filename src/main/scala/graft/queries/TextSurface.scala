@@ -87,6 +87,9 @@ object TextSurface {
       Dedup.minhashLshPairs(docs(s, dir), 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 4)),
+    "dedup_materialize" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir), 0.8)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
   )
 
   // ---- DuckDB oracles ----
@@ -187,6 +190,9 @@ object TextSurface {
          |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_materialize" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
     // dedup_simhash_pairs: no oracle (blocked pair generation is
     // plan-shaped, locked by DedupSpec instead) → rows-only check.
   )

@@ -61,4 +61,34 @@ object StreamingIngest {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
+  final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+      sum_value: Double, last_ts: Long)
+
+  /** Arbitrary stateful streaming: per-user running aggregates kept in
+    * `GroupState` across micro-batches (`flatMapGroupsWithState`,
+    * update mode) — the custom-state API a pipeline uses when windowed
+    * aggs can't express the logic. State is partitioned by user_id so
+    * it scales horizontally with the key space; each batch emits a
+    * snapshot per user seen in that batch. */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          val evs = batch.toSeq
+          val next = UserState(
+            prev.nEvents + evs.size,
+            prev.sum + evs.map(_.value).sum,
+            math.max(prev.lastTs, if (evs.isEmpty) Long.MinValue else evs.map(_.timestamp).max))
+          state.update(next)
+          Iterator.single(UserSnapshot(uid, next.nEvents, next.sum, next.lastTs))
+      }
+  }
 }

@@ -63,6 +63,13 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s <= 0xffffffffL))
   }
 
+  test("dropNearDuplicates keeps one representative per duplicate cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // pairs at >=0.5: (0,1), (0,2), (1,2) → 1 and 2 dropped, 0 kept
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("simhashPairs blocks on 8-bit chunks and returns hamming distances") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

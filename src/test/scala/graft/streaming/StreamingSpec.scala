@@ -80,6 +80,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.forall(_._1 % 60000000000L == 0)) // end-labeled windows
   }
 
+  test("flatMapGroupsWithState keeps per-user running aggregates across micro-batches") {
+    import spark.implicits._
+    val src = s"$tmp/src_state"
+    def writeBatch(events: Seq[StreamingIngest.UserEvent]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(src)
+
+    writeBatch(Seq(
+      StreamingIngest.UserEvent(1L, 100L, 1.0),
+      StreamingIngest.UserEvent(1L, 200L, 2.0),
+      StreamingIngest.UserEvent(2L, 150L, 5.0)))
+
+    val schema = org.apache.spark.sql.Encoders.product[StreamingIngest.UserEvent].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[StreamingIngest.UserEvent]
+    val q = StreamingIngest.runningUserStats(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_test").start()
+    try {
+      q.processAllAvailable()
+      // second batch updates existing state
+      writeBatch(Seq(
+        StreamingIngest.UserEvent(1L, 300L, 4.0),
+        StreamingIngest.UserEvent(3L, 50L, 9.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // memory sink in update mode appends each emitted snapshot; the
+    // LAST snapshot per user is the current state
+    val snaps = spark.table("state_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val last = snaps.groupBy(_._1).map { case (u, v) => u -> v.maxBy(_._2) }
+    assert(last(1L) == ((1L, 3L, 7.0, 300L))) // 3 events, sum 7, last ts 300
+    assert(last(2L) == ((2L, 1L, 5.0, 150L)))
+    assert(last(3L) == ((3L, 1L, 9.0, 50L)))
+  }
+
   test("watermarked append-mode counts emit only closed windows, all correct") {
     import spark.implicits._
     val src = s"$tmp/src3"
