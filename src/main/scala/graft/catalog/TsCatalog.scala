@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -171,8 +171,7 @@ final class TsCatalog(spark: SparkSession, val root: String,
         val b = batch.dropDuplicates("timestamp")
         val dp = dataPath(db, name)
         if (fs.exists(dp) && fs.listStatus(dp).nonEmpty) {
-          val buckets = b.select((col("timestamp") / lit(bucketNs))
-            .cast(LongType).as("b")).distinct()
+          val buckets = b.select(bucketExpr.as("b")).distinct()
             .collect().map(_.getLong(0))
           val existing = spark.read.schema(PointSchemaWithBucket)
             .parquet(dp.toString)
@@ -181,13 +180,31 @@ final class TsCatalog(spark: SparkSession, val root: String,
           b.join(existing, Seq("timestamp"), "left_anti")
         } else b
       } else batch
-    val withBucket = deduped.withColumn(
-      "bucket", (col("timestamp") / lit(bucketNs)).cast(LongType))
-    val n = withBucket.count()
-    withBucket.write.mode("append").partitionBy("bucket")
-      .parquet(dataPath(db, name).toString)
-    n
+    val withBucket = deduped.withColumn("bucket", bucketExpr)
+    // persist so the count and the write share one evaluation of the
+    // (possibly anti-joined) batch plan instead of running it twice
+    withBucket.persist()
+    try {
+      val n = withBucket.count()
+      withBucket.write.mode("append").partitionBy("bucket")
+        .parquet(dataPath(db, name).toString)
+      n
+    } finally withBucket.unpersist()
   }
+
+  /** Exact floor-division bucket of a timestamp column — MUST agree
+    * with the Math.floorDiv pruning bounds in readSeries. Double
+    * division + cast is wrong twice over: epoch-nanos exceed 2^53 (the
+    * quotient can round UP across a bucket boundary, landing a point in
+    * a bucket the pruner will skip — silent data loss), and the cast
+    * truncates toward zero rather than flooring for negatives. `div`
+    * truncates too, so correct it by one when a negative division has a
+    * remainder. */
+  private def bucketExpr: Column =
+    // pmod(a, b) >= 0 for b > 0, so (a - pmod(a, b)) is an exact
+    // multiple of b and integer `div` of exact multiples == floorDiv;
+    // every step stays in Long arithmetic (no double rounding).
+    expr(s"(timestamp - pmod(timestamp, ${bucketNs}L)) div ${bucketNs}L")
 
   /** Retention reaper: physically drops whole bucket partitions whose
     * entire window is older than `now - retention` — a metadata-only
@@ -197,8 +214,11 @@ final class TsCatalog(spark: SparkSession, val root: String,
   def enforceRetention(db: String, name: String, nowNs: Long): Int = {
     val meta = seriesMeta(db, name).getOrElse(return 0)
     val cutoff = meta.retentionNs match {
-      case Some(r) => nowNs - r
-      case None => return 0
+      // retention <= 0 means "retention disabled", NOT "expire
+      // everything" — `CREATE ts 0 'policy'` is the conventional way to
+      // pass a duplication policy without retention
+      case Some(r) if r > 0 => nowNs - r
+      case _ => return 0
     }
     val dp = dataPath(db, name)
     if (!fs.exists(dp)) return 0
@@ -225,10 +245,20 @@ final class TsCatalog(spark: SparkSession, val root: String,
     toCompact.foreach { st =>
       val bucketDir = st.getPath
       val tmp = new Path(bucketDir.getParent, "._compact_" + bucketDir.getName)
+      val old = new Path(bucketDir.getParent, "._old_" + bucketDir.getName)
       val df = spark.read.schema(PointSchema).parquet(bucketDir.toString)
       df.sort("timestamp").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(bucketDir, true)
-      fs.rename(tmp, bucketDir)
+      // swap via two renames so a crash at any point leaves the data
+      // recoverable (either the live dir or ._old_ still holds it);
+      // the live dir is never deleted before its replacement is in place
+      fs.delete(old, true)
+      if (!fs.rename(bucketDir, old))
+        throw new java.io.IOException(s"compact: cannot move $bucketDir aside")
+      if (!fs.rename(tmp, bucketDir)) {
+        fs.rename(old, bucketDir) // roll back
+        throw new java.io.IOException(s"compact: cannot install $tmp")
+      }
+      fs.delete(old, true)
     }
     toCompact.size
   }

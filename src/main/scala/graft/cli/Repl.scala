@@ -33,7 +33,9 @@ object Repl {
     println(s"graft repl — catalog at $root  (\\q to quit)")
     val in = scala.io.Source.stdin.getLines()
     print("> "); Console.flush()
-    for (line <- in if line.trim != "\\q") {
+    // takeWhile, not a filter: `\q` must TERMINATE the loop (a guard
+    // would silently skip the line and keep reading until EOF)
+    for (line <- in.takeWhile(_.trim != "\\q")) {
       val trimmed = line.trim
       if (trimmed.nonEmpty) run(exec, trimmed)
       print("> "); Console.flush()

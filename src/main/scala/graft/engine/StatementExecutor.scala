@@ -140,17 +140,33 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
                 Rows(limit.map(sampled.limit).getOrElse(sampled))
             }
           case None =>
+            // empty result sets from aggregate selectors are an ERROR in
+            // the reference's taxonomy (EXEC_ERROR_EMPTY_RESULTSET,
+            // src/statement_execute.h:11-26), not a null record; the
+            // emptiness probe is a limit-1 action, cheap next to the
+            // aggregate itself. Plain scans stay lazy (streaming path).
+            def nonEmpty(df: DataFrame): ExecResult =
+              if (df.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
+              else Rows(df)
             fn match {
               case None =>
                 val scan = SeriesOps.scan(filtered)
                 Rows(limit.map(scan.limit).getOrElse(scan))
-              case Some(SelectFn.Min) => Rows(SeriesOps.minRecord(filtered))
-              case Some(SelectFn.Max) => Rows(SeriesOps.maxRecord(filtered))
-              case Some(SelectFn.Avg) => Scalar(SeriesOps.avgValue(filtered))
+              case Some(SelectFn.Min) =>
+                nonEmpty(SeriesOps.minRecord(filtered)
+                  .filter(col("timestamp").isNotNull))
+              case Some(SelectFn.Max) =>
+                nonEmpty(SeriesOps.maxRecord(filtered)
+                  .filter(col("timestamp").isNotNull))
+              case Some(SelectFn.Avg) =>
+                val scalar = SeriesOps.avgValue(filtered)
+                if (scalar.filter(col("n") > 0).isEmpty)
+                  Err(ErrCode.EmptyResultset, "empty result set")
+                else Scalar(scalar)
               // latest respects the range (fixing the reference quirk where
               // BETWEEN was ignored, src/statement_execute.c:261-271)
-              case Some(SelectFn.Latest) => Rows(SeriesOps.latest(filtered))
-              case Some(SelectFn.Earliest(n)) => Rows(SeriesOps.earliest(filtered, n))
+              case Some(SelectFn.Latest) => nonEmpty(SeriesOps.latest(filtered))
+              case Some(SelectFn.Earliest(n)) => nonEmpty(SeriesOps.earliest(filtered, n))
             }
         }
       }

@@ -243,7 +243,11 @@ object Parser {
         for { _ <- expectSym("("); _ <- expectSym(")") } yield TimeExpr.Now
       case Some(SpanTok(ns)) => Right(TimeExpr.Span(ns))
       case Some(NumTok(text)) =>
-        if (text.forall(c => c.isDigit || c == '-')) Right(TimeExpr.Num(text.toLong))
+        if (text.forall(c => c.isDigit || c == '-'))
+          try Right(TimeExpr.Num(text.toLong))
+          catch { case _: NumberFormatException =>
+            Left(s"timestamp literal out of 64-bit range: '$text'")
+          }
         else Left(s"expected integer timestamp, got '$text'")
       case Some(StrLit(s)) => Right(TimeExpr.DateLit(s))
       case other => Left(s"expected time-unit expression, got $other")

@@ -213,6 +213,53 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucket assignment agrees with pruning at bucket boundaries (exact floorDiv)") {
+    // epoch-nanos exceed 2^53: double-division bucketing rounds a point
+    // 1 ns below a boundary UP into the next bucket, which range
+    // pruning then skips — this is the silent-data-loss regression case
+    exec.executeSql("CREATE boundary-ts")
+    val bucketNs = 900L * 1000000000L
+    val boundary = (Math.floorDiv(Base, bucketNs) + 1) * bucketNs
+    exec.executeSql(
+      s"INSERT INTO boundary-ts VALUES (${boundary - 1}, 1.0), ($boundary, 2.0)")
+    val below = rowsOf(exec.executeSql(
+      s"SELECT value FROM boundary-ts BETWEEN ${boundary - 10} AND ${boundary - 1}"))
+    assert(below == Seq((boundary - 1, 1.0)))
+    val at = rowsOf(exec.executeSql(
+      s"SELECT value FROM boundary-ts BETWEEN $boundary AND ${boundary + 10}"))
+    assert(at == Seq((boundary, 2.0)))
+  }
+
+  test("empty-range aggregates are EmptyResultset errors, not null records (statement_execute.h:11-26)") {
+    val beyond = ts(89) + 1000000L
+    for (q <- Seq(
+        s"SELECT min(value) FROM temperatures BETWEEN $beyond AND ${beyond + 10}",
+        s"SELECT max(value) FROM temperatures BETWEEN $beyond AND ${beyond + 10}",
+        s"SELECT avg(value) FROM temperatures BETWEEN $beyond AND ${beyond + 10}",
+        s"SELECT latest(value) FROM temperatures BETWEEN $beyond AND ${beyond + 10}")) {
+      exec.executeSql(q) match {
+        case ExecResult.Err(ErrCode.EmptyResultset, _) => ()
+        case other => fail(s"$q => expected EmptyResultset, got $other")
+      }
+    }
+  }
+
+  test("64-bit overflow literals are errors, not exceptions") {
+    assert(graft.tsql.Parser.parse(
+      "SELECT value FROM t BETWEEN 99999999999999999999999 AND 1").isLeft)
+    assert(graft.tsql.Parser.parse(
+      "SELECT value FROM t BETWEEN 99999999999999999999d AND 1").isLeft)
+    assert(graft.tsql.Parser.parse(
+      "SELECT value FROM t BETWEEN 9999999999999999999d AND 1").isLeft) // scale overflow
+  }
+
+  test("retention 0 means disabled, not expire-everything") {
+    exec.executeSql("CREATE ret-zero 0 'insert'")
+    exec.executeSql(s"INSERT INTO ret-zero VALUES (${FixedNow - 3600L * 1000000000L}, 1.0)")
+    assert(catalog.enforceRetention("testdb", "ret-zero", FixedNow) == 0)
+    assert(rowsOf(exec.executeSql("SELECT value FROM ret-zero")).size == 1)
+  }
+
   test("retention reaper drops expired whole buckets only") {
     exec.executeSql("CREATE short-lived 30m")
     val old = FixedNow - 3600L * 1000000000L // 1 h ago: beyond 30 m retention
