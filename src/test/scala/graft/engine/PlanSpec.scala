@@ -1,0 +1,65 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{SeriesMeta, TsCatalog}
+
+/** Physical-plan regression guards (see docs/PLANS.md): these lock the
+  * scan/join properties the 100 TB design depends on, so a refactor
+  * that silently turns a pruned scan into a full scan (or an equality
+  * join into a cross product) fails CI instead of only showing up as a
+  * cluster bill. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("ts_range pushes the range predicate to the parquet scan in the raw column's unit") {
+    val p = plan("ts_range")
+    assert(p.contains("GreaterThanOrEqual(ts,"), p.take(2000))
+    assert(p.contains("LessThan(ts,"), p.take(2000))
+  }
+
+  test("catalog range reads prune bucket partitions at plan time") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plan-spec").toString
+    try {
+      val cat = new TsCatalog(spark, root)
+      cat.createDb("p"); cat.createSeries("p", "s", SeriesMeta(None))
+      val base = 1700000000000000000L
+      cat.insert("p", "s", (0 until 100).map(i =>
+        (base + i * 60L * 1000000000L, i.toDouble)).toDF("timestamp", "value"))
+      val p = cat.readSeries("p", "s", Some((base, base + 900L * 1000000000L)))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("bucket"), p.take(2000))
+      assert(p.contains("GreaterThanOrEqual(timestamp,"), p.take(2000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("q5 star join broadcasts dimensions (no shuffle of dims, no cross product)") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("minhash LSH candidate generation never degrades to a nested-loop join") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+}
