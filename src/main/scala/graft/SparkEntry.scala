@@ -25,8 +25,13 @@ object SparkEntry {
     queries("ts_sample_by")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_._1).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_._1)
+    require(all.size == all.map(_._1).distinct.size,
+      "duplicate query keys across modules would silently drop gate queries: " +
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
