@@ -39,7 +39,7 @@ object Bench {
     // warm-up: session + codegen + parquet footers
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = headline.flatMap { name =>
+    val queryResults = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -49,6 +49,25 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+
+    // write-path throughput: bulk-append the events series into a fresh
+    // bucketed catalog (the reference's ts_insert analog)
+    val ingestResult = try {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
+      val cat = new graft.catalog.TsCatalog(spark, root, bucketNs = 86400L * 1000000L)
+      cat.createDb("b")
+      cat.createSeries("b", "ev", graft.catalog.SeriesMeta(None))
+      val pts = graft.core.Tables.eventSeries(spark, sfDir)
+        .select("timestamp", "value")
+      val t0 = System.nanoTime()
+      cat.insert("b", "ev", pts)
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      Seq("ingest_events" -> dt)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest failed: ${e.getMessage}"); Nil
+    }
+    val results = queryResults ++ ingestResult
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -97,10 +97,32 @@ object SeriesOps {
     * emits them). Map-side partial avg then a shuffle on the bucket key.
     */
   def sampleBy(df: DataFrame, intervalUnits: Long): DataFrame =
-    df.groupBy(((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
-        + lit(intervalUnits)).as("sample_ts"))
+    df.groupBy(sampleWindow(intervalUnits))
       .agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
            count(lit(1)).as("n_points"))
+
+  private def sampleWindow(intervalUnits: Long): Column =
+    ((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
+      + lit(intervalUnits)).as("sample_ts")
+
+  /** Downsampling with a selector other than the reference's implied
+    * avg (extension surface): per tumbling window, `min`/`max` of the
+    * value or the `latest` record's value (max_by timestamp). Same
+    * window labeling as [[sampleBy]]; one shuffle on the bucket key
+    * with map-side partial aggregation.
+    */
+  def sampleByFn(df: DataFrame, intervalUnits: Long, fn: String): DataFrame = {
+    val w = df.groupBy(sampleWindow(intervalUnits))
+    fn match {
+      case "min" => w.agg(min(col("value")).as("min_value"),
+        count(lit(1)).as("n_points"))
+      case "max" => w.agg(max(col("value")).as("max_value"),
+        count(lit(1)).as("n_points"))
+      case "latest" => w.agg(max_by(col("value"), col("timestamp")).as("last_value"),
+        count(lit(1)).as("n_points"))
+      case other => throw new IllegalArgumentException(s"sampleByFn: $other")
+    }
+  }
 
   /** WHERE-clause conjunction over (timestamp, value) — the 6 comparators
     * of the reference grammar (src/statement_parse.h:150-158); execution

@@ -135,8 +135,22 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
               case Right(interval) =>
                 if (interval <= 0)
                   return Err(ErrCode.InvalidRange, s"invalid sample interval $interval")
-                val sampled = SeriesOps.sampleBy(filtered, interval)
-                  .orderBy("sample_ts")
+                // the reference's SAMPLE BY implies avg (ts_avg_sample,
+                // src/timeseries.c:1265-1308); min/max/latest selectors
+                // extend the same windowing (extension surface)
+                val sampled = (fn match {
+                  case None | Some(SelectFn.Avg) =>
+                    SeriesOps.sampleBy(filtered, interval)
+                  case Some(SelectFn.Min) =>
+                    SeriesOps.sampleByFn(filtered, interval, "min")
+                  case Some(SelectFn.Max) =>
+                    SeriesOps.sampleByFn(filtered, interval, "max")
+                  case Some(SelectFn.Latest) =>
+                    SeriesOps.sampleByFn(filtered, interval, "latest")
+                  case Some(SelectFn.Earliest(_)) =>
+                    return Err(ErrCode.Unsupported,
+                      "earliest(n) cannot combine with SAMPLE BY")
+                }).orderBy("sample_ts")
                 Rows(limit.map(sampled.limit).getOrElse(sampled))
             }
           case None =>

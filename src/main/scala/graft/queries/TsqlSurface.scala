@@ -32,8 +32,12 @@ object TsqlSurface {
   private def executor(spark: SparkSession, sfDir: String): StatementExecutor = synchronized {
     val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val root = sys.props("java.io.tmpdir") + s"/graft_tsql_$safe"
-    // 900-second buckets in MICROS to match the ingested unit
-    val catalog = new TsCatalog(spark, root, bucketNs = 900L * 1000000L)
+    // 1-DAY buckets in MICROS: the events table is a month of sparse
+    // data (~3 points/900s), where chunk-width buckets would mean ~2900
+    // partition dirs and a commit-protocol-bound write (measured 37s vs
+    // ~2s for 100k rows). Bucket width is a per-series knob that must
+    // match data density; range pruning still skips whole days.
+    val catalog = new TsCatalog(spark, root, bucketNs = 86400L * 1000000L)
     val exec = new StatementExecutor(spark, catalog)
     if (!initialized.contains(root)) {
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -77,6 +81,10 @@ object TsqlSurface {
     "tsql_where" -> q(
       s"SELECT value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0"),
     "tsql_limit" -> q("SELECT value FROM ev LIMIT 100"),
+    "tsql_sample_min" -> q(
+      s"SELECT min(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    "tsql_sample_latest" -> q(
+      s"SELECT latest(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -100,5 +108,9 @@ object TsqlSurface {
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0 ORDER BY timestamp"),
     "tsql_limit" ->
       (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 100"),
+    "tsql_sample_min" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, min(value) AS min_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "tsql_sample_latest" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, arg_max(value, timestamp) AS last_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
   )
 }

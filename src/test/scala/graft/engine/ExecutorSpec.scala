@@ -122,6 +122,24 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SAMPLE BY with min/latest selectors (extension surface)") {
+    exec.executeSql("SELECT min(value) FROM temperatures SAMPLE BY 1s") match {
+      case ExecResult.Rows(df) =>
+        val got = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        assert(got.map(_._3).sum == 90)
+        // per-window min == first value of that window (values ascend)
+        got.foreach { case (t, mn, _) => assert(t % 1000000000L == 0 && mn >= 0) }
+      case other => fail(s"expected Rows, got $other")
+    }
+    exec.executeSql("SELECT latest(value) FROM temperatures SAMPLE BY 1s") match {
+      case ExecResult.Rows(df) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        // last window's latest value is the overall last point (89)
+        assert(rows.last._2 == 89.0)
+      case other => fail(s"expected Rows, got $other")
+    }
+  }
+
   test("WHERE chains filter on value and timestamp (stubbed in reference; statement_execute.c:390-394)") {
     val got = rowsOf(exec.executeSql(
       s"SELECT value FROM temperatures WHERE value >= 10 AND value < 13 AND timestamp > ${ts(10)}"))
