@@ -79,6 +79,12 @@ object TextSurface {
     "text_token_count" -> ((s, dir) =>
       TextFns.withShingles(docs(s, dir)).select(col("doc_id"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"),
+        // BPE-ish subword count: simplified GPT-2-style pattern (no
+        // lookahead — RE2/Java parity); apostrophe contractions,
+        // space-prefixed letter/number runs, punctuation runs
+        size(regexp_extract_all(col("text"),
+          lit("'[sdmt]|'ll|'ve|'re| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
+          lit(0))).cast("long").as("n_bpe_tokens"),
         size(col("shingles")).cast("long").as("n_shingles"))),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
@@ -176,6 +182,8 @@ object TextSurface {
     "text_token_count" ->
       s"""WITH $SHINGLE_CTES
          |SELECT d.doc_id, len(regexp_extract_all(d.text, '\\S+')) AS n_tokens,
+         |  len(regexp_extract_all(d.text,
+         |    '''[sdmt]|''ll|''ve|''re| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens,
          |  coalesce(sz.n, 0) AS n_shingles
          |FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id""".stripMargin,
     "dedup_exact" ->
