@@ -186,7 +186,13 @@ final class TsCatalog(spark: SparkSession, val root: String,
     withBucket.persist()
     try {
       val n = withBucket.count()
-      withBucket.write.mode("append").partitionBy("bucket")
+      // sort within partitions by timestamp before writing: parquet
+      // row-group min/max stats become tight, so intra-bucket range
+      // seeks prune row groups (the sparse-index analog only works on
+      // sorted data; the reference keeps chunks sorted for the same
+      // reason, src/timeseries.c:357-395)
+      withBucket.sortWithinPartitions("bucket", "timestamp")
+        .write.mode("append").partitionBy("bucket")
         .parquet(dataPath(db, name).toString)
       n
     } finally withBucket.unpersist()
