@@ -156,31 +156,36 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
           case None =>
             // empty result sets from aggregate selectors are an ERROR in
             // the reference's taxonomy (EXEC_ERROR_EMPTY_RESULTSET,
-            // src/statement_execute.h:11-26), not a null record; the
-            // emptiness probe is a limit-1 action, cheap next to the
-            // aggregate itself. Plain scans stay lazy (streaming path).
-            def nonEmpty(df: DataFrame): ExecResult =
-              if (df.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
-              else Rows(df)
+            // src/statement_execute.h:11-26), not a null record.
+            // Aggregates produce at most a handful of rows, so they are
+            // collected ONCE here (the statement's only Spark job) and
+            // re-wrapped as a LocalRelation — emptiness is read off the
+            // collected rows instead of a separate isEmpty pre-probe,
+            // which used to double the latency of every aggregate query.
+            // Plain scans stay lazy (streaming path).
+            def oneShot(df: DataFrame)(wrap: DataFrame => ExecResult): ExecResult = {
+              val rows = df.collect()
+              if (rows.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
+              else wrap(spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), df.schema))
+            }
             fn match {
               case None =>
                 val scan = SeriesOps.scan(filtered)
                 Rows(limit.map(scan.limit).getOrElse(scan))
               case Some(SelectFn.Min) =>
-                nonEmpty(SeriesOps.minRecord(filtered)
-                  .filter(col("timestamp").isNotNull))
+                oneShot(SeriesOps.minRecord(filtered)
+                  .filter(col("timestamp").isNotNull))(Rows)
               case Some(SelectFn.Max) =>
-                nonEmpty(SeriesOps.maxRecord(filtered)
-                  .filter(col("timestamp").isNotNull))
+                oneShot(SeriesOps.maxRecord(filtered)
+                  .filter(col("timestamp").isNotNull))(Rows)
               case Some(SelectFn.Avg) =>
-                val scalar = SeriesOps.avgValue(filtered)
-                if (scalar.filter(col("n") > 0).isEmpty)
-                  Err(ErrCode.EmptyResultset, "empty result set")
-                else Scalar(scalar)
+                oneShot(SeriesOps.avgValue(filtered)
+                  .filter(col("n") > 0))(Scalar)
               // latest respects the range (fixing the reference quirk where
               // BETWEEN was ignored, src/statement_execute.c:261-271)
-              case Some(SelectFn.Latest) => nonEmpty(SeriesOps.latest(filtered))
-              case Some(SelectFn.Earliest(n)) => nonEmpty(SeriesOps.earliest(filtered, n))
+              case Some(SelectFn.Latest) => oneShot(SeriesOps.latest(filtered))(Rows)
+              case Some(SelectFn.Earliest(n)) => oneShot(SeriesOps.earliest(filtered, n))(Rows)
             }
         }
       }

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    100 TB path. Candidates come from equality joins on band keys
   *    (shuffle on band key, no cross product), then only candidates pay
   *    the exact-Jaccard verification join.
-  *  - [[simhash]]: 32-bit SimHash per document; near-dup = small
-  *    Hamming distance. Signature computation is one explode + groupBy.
+  *  - [[simhash]]/[[simhash60]]: SimHash signatures per document;
+  *    near-dup = small Hamming distance. Signature computation is one
+  *    explode + groupBy; pair generation blocks on 15-bit chunks of
+  *    the 60-bit signature (exact recall for distance <= 3 by
+  *    pigeonhole).
   *
   * All hashes derive from md5 (TextFns.h60/h32) so the DuckDB oracle
   * reproduces results bit-for-bit.
@@ -124,44 +127,77 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** 32-bit SimHash per document over raw-text tokens (with
+  /** n-bit SimHash per document over raw-text tokens (with
     * multiplicity): bit i of the signature is the sign of the vote sum
-    * over token hashes' bit i. One explode + one groupBy with 32
-    * parallel sums; ties (sum == 0) set the bit, matching the oracle.
-    * Output: (doc_id, simhash).
+    * over token hashes' bit i. One explode + one groupBy with nBits
+    * parallel sums (map-side partial); ties (sum == 0) set the bit,
+    * matching the oracle. Output: (doc_id, simhash).
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  private def simhashN(docs: DataFrame, nBits: Int,
+      h: Column => Column): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("tok"))
-      .withColumn("h", TextFns.h32(col("tok")))
-    val votes = (0 until 32).map(i =>
+      .withColumn("h", h(col("tok")))
+    val votes = (0 until nBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$i"))
     val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 32).map(i =>
+    val sig = (0 until nBits).map(i =>
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** 32-bit SimHash (compact signature surface — `dedup_simhash`). */
+  def simhash(docs: DataFrame): DataFrame = simhashN(docs, 32, TextFns.h32)
+
+  /** 60-bit SimHash — the pair-generation signature. 60 bits (vs 32)
+    * is what makes chunk blocking scale: 15-bit chunks give 32768
+    * blocking buckets per chunk position instead of 256. */
+  def simhash60(docs: DataFrame): DataFrame = simhashN(docs, 60, TextFns.h60)
+
   /** Hamming distance between two SimHash values (popcount of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 8-bit signature chunks (two docs
-    * within Hamming distance d<=4 of a 32-bit signature must agree on
-    * at least one of 4 chunks — pigeonhole), verify with popcount. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
-    val sh = simhash(docs)
+  /** SimHash near-dup pairs over the 60-bit signature, blocked on
+    * maxHamming + 1 disjoint bit chunks.
+    *
+    * Pigeonhole bound: d <= maxHamming differing bits land in at most
+    * maxHamming of the maxHamming + 1 chunks, so at least one chunk is
+    * bit-identical and the pair collides on that chunk's equality key —
+    * recall is EXACT at the configured threshold (a fixed 4-chunk
+    * blocking would silently lose pairs at d = 4: one flipped bit per
+    * chunk leaves no chunk equal).
+    *
+    * Scale: candidates come from an equality join on (chunk position,
+    * chunk key). At the default maxHamming = 3 that is 4 chunks of 15
+    * bits — 32768 blocking buckets per position, so within-bucket work
+    * is ~4·n²/32768 candidate checks for n uniformly-hashed docs (128x
+    * fewer than 8-bit-chunk blocking over a 32-bit signature), and true
+    * near-dup clusters dominate the buckets long before that bound
+    * matters.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigBits = 60
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 1 && nChunks <= sigBits,
+      s"maxHamming must be in [1, ${sigBits - 1}]")
+    // chunk widths as equal as possible; wider chunks first
+    val widths = Array.tabulate(nChunks)(c =>
+      sigBits / nChunks + (if (c < sigBits % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sh = simhash60(docs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until nChunks).map(c =>
         struct(lit(c).as("c"),
-          shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xffL)).as("k"))): _*)).as("ck"))
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << widths(c)) - 1)).as("k"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.k").as("k"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming(col("x.simhash"), col("y.simhash")).as("dist"))
+        hamming(col("x.simhash"), col("y.simhash")).cast("long").as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
   }

@@ -192,7 +192,7 @@ object AnalyticsSurface {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
         |  FROM ev) WHERE rn <= 3""".stripMargin),
     "win_sessionize" ->
-      (EV + """SELECT user_id, sum(is_break) AS n_sessions, count(*) AS n_events FROM (
+      (EV + """SELECT user_id, CAST(sum(is_break) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
         |  FROM (SELECT user_id, timestamp,

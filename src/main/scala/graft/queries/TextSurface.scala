@@ -92,7 +92,7 @@ object TextSurface {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 4)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
     "dedup_materialize" -> ((s, dir) =>
       Dedup.dropNearDuplicates(docs(s, dir), 0.8)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
@@ -133,16 +133,34 @@ object TextSurface {
        |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
   }
 
-  private val simhashOracle: String = {
-    val votes = (0 until 32).map(i =>
+  /** n-bit SimHash signature CTE chain ending in sig(doc_id, simhash);
+    * nHex md5 hex chars = 4*nHex vote bits, mirroring Dedup.simhashN. */
+  private def simhashCtes(nBits: Int, nHex: Int): String = {
+    val votes = (0 until nBits).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
-    val sig = (0 until 32).map(i =>
+    val sig = (0 until nBits).map(i =>
       s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
-       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
-       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1)
-       |SELECT doc_id, $sig AS simhash FROM v""".stripMargin
+    s"""toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, $nHex))::BIGINT AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashOracle: String =
+    s"WITH ${simhashCtes(32, 8)}\nSELECT doc_id, simhash FROM sig"
+
+  /** Mirrors Dedup.simhashPairs: 60-bit signature, 4x15-bit chunk
+    * blocking self-join, popcount(xor) Hamming verify at distance 3. */
+  private val simhashPairsOracle: String =
+    s"""WITH ${simhashCtes(60, 15)},
+       |chunks AS (SELECT doc_id, simhash, c,
+       |    (simhash >> (c * 15)) & 32767 AS k
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.k = y.k AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -198,10 +216,9 @@ object TextSurface {
          |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_materialize" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
-    // dedup_simhash_pairs: no oracle (blocked pair generation is
-    // plan-shaped, locked by DedupSpec instead) → rows-only check.
   )
 }

@@ -295,4 +295,49 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = rowsOf(exec.executeSql("SELECT value FROM compact-me"))
     assert(got == (0 until 10).map(i => (Base + i, i.toDouble)))
   }
+
+  test("aggregate statements execute once (no emptiness pre-probe; local result)") {
+    // AQE legitimately splits one query into several jobs, so the guard
+    // is: ONE SQL execution inside executeSql (the old isEmpty pre-probe
+    // made it two), and ZERO jobs to consume the returned result (the
+    // executor collected once and rewrapped as a LocalRelation).
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      for (q <- Seq(
+          "SELECT min(value) FROM temperatures",
+          "SELECT max(value) FROM temperatures",
+          "SELECT avg(value) FROM temperatures",
+          "SELECT latest(value) FROM temperatures",
+          "SELECT earliest(value, 3) FROM temperatures")) {
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(sc)
+        execs.set(0)
+        val res = exec.executeSql(q)
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(sc)
+        assert(execs.get() == 1, s"$q ran ${execs.get()} SQL executions, want 1")
+        jobs.set(0)
+        res match {
+          case ExecResult.Rows(df) => assert(df.collect().nonEmpty)
+          case ExecResult.Scalar(df) => assert(df.collect().nonEmpty)
+          case other => fail(s"$q: expected rows, got $other")
+        }
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(sc)
+        assert(jobs.get() == 0, s"consuming $q launched ${jobs.get()} jobs, want 0")
+      }
+    } finally sc.removeSparkListener(listener)
+  }
 }

@@ -70,10 +70,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
-  test("simhashPairs blocks on 8-bit chunks and returns hamming distances") {
+  test("simhashPairs blocks on maxHamming+1 chunks and returns hamming distances") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs.contains((0L, 2L)))
     assert(pairs((0L, 2L)) <= 8)
+  }
+
+  test("simhashPairs recall is exact at the pigeonhole bound") {
+    // every pair within the threshold of the brute-force 60-bit
+    // signature distance must be produced by the blocked join
+    val sig = Dedup.simhash60(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sig.keys.toSeq.sorted
+    for (max <- Seq(3, 8)) {
+      val brute = (for {
+        a <- ids; b <- ids if a < b
+        if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= max
+      } yield (a, b)).toSet
+      val blocked = Dedup.simhashPairs(docs, maxHamming = max)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute, s"maxHamming=$max")
+    }
   }
 }

@@ -6,12 +6,14 @@ Usage: python3 tools/compare_local.py <outDir> <sfDir>
 
 For each <name>.parquet result + oracle_sql.json entry, runs the oracle
 SQL in DuckDB over views named after the testdata tables, then compares:
-columns sorted by name, rows sorted by all columns, values compared
-exactly (floats to 1e-9). NOT part of the shipped library — uses the
-driver-side python stack (duckdb/pandas/pyarrow) for pre-validation only.
+columns sorted by name, rows sorted by all columns, every cell
+canonicalized to a STRING and compared exactly — the same discipline as
+the driver's hash compare, so dtype drift (int64 12 vs float64 12.0,
+which a tolerance compare would hide — see VERDICT r1 on win_sessionize)
+fails here too. NOT part of the shipped library — uses the driver-side
+python stack (duckdb/pandas/pyarrow) for pre-validation only.
 """
 import json
-import math
 import sys
 from pathlib import Path
 
@@ -29,19 +31,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def cell_str(v) -> str:
+    """Canonical string form of a cell, driver-style: the materialized
+    pandas value's str(), with list-likes rendered element-wise."""
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()  # numpy arrays / scalars -> python
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(cell_str(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
 def cells_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
-        a, b = list(a), list(b)
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+    return cell_str(a) == cell_str(b)
 
 
 def main(out_dir: str, sf_dir: str) -> int:
