@@ -1,23 +1,31 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed
-  * metadata, processed per-partition in batches.
+/** Multimodal-column support: opaque `binary` payloads + typed
+  * metadata, decoded per-partition in batches.
   *
-  * The Spark side (schema, partition-parallel batch decode, feature
-  * extraction shape) is real and tested; the codec itself is a
-  * clearly-marked STUB (this container has no image/audio libraries) —
-  * `decodeStub` derives deterministic fake features from the bytes, and
-  * a production deployment swaps in a real decoder without touching the
-  * plan shape.
+  * The decoders are REAL zero-dependency header parsers for three
+  * self-describing uncompressed formats — BMP (BITMAPINFOHEADER),
+  * binary PPM (P6), and RIFF/WAV PCM: magic bytes are validated and
+  * width/height/sample-rate/sample-count are read from the actual
+  * payload bytes. (Compressed formats would need codec libraries this
+  * container doesn't ship; for these formats the header IS the decode.)
+  *
+  * The media fixture plants payloads whose geometry derives
+  * arithmetically from media_id, so the DuckDB oracle can verify every
+  * decoded feature — including the whole-payload byte checksum — in
+  * closed form without parsing binary (see StreamSurface.mmOracle).
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
-  * collect); `mapPartitions` amortizes per-batch codec setup (the same
-  * reason Python pipelines use mapInPandas); feature output is a flat
-  * struct so downstream ops are columnar again.
+  * collect); `mapPartitions` amortizes per-batch decoder setup (the
+  * same reason Python pipelines use mapInPandas); feature output is a
+  * flat struct so downstream ops are columnar again. A malformed
+  * payload decodes to format "unknown" instead of failing the job —
+  * row-level error tolerance, matching the INSERT path's per-record
+  * error counting philosophy.
   */
 object Multimodal {
 
@@ -28,54 +36,134 @@ object Multimodal {
     StructField("media_type", StringType, nullable = false),
     StructField("source", StringType, nullable = true)))
 
-  /** Build a media table from the documents fixture: the utf-8 bytes of
-    * `text` stand in for an encoded image payload. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("image/fake").as("media_type"),
-      col("source"))
+  // ---- deterministic fixture geometry (mirrored by the SQL oracle) ----
+  private[ops] def fillByte(id: Long): Int = (id % 251).toInt
+  private[ops] def imgW(id: Long): Int = (16 + id % 97).toInt
+  private[ops] def imgH(id: Long): Int = (16 + id % 53).toInt
+  private[ops] def wavRate(id: Long): Int = (8000 + (id % 5) * 4000).toInt
+  private[ops] def wavSamples(id: Long): Int = (64 + id % 129).toInt
 
-  final case class MediaFeatures(
-      media_id: Long,
-      n_bytes: Int,
-      first_byte: Int,
-      byte_checksum: Long,
-      width: Int,
-      height: Int)
+  private def le(x: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((x >> (8 * i)) & 0xff).toByte)
 
-  /** STUB decoder: a real implementation would hand `payload` to an
-    * image codec here. The fake derives deterministic pseudo-features
-    * (length, first byte, additive checksum, fake dimensions) so the
-    * surrounding distributed plumbing is fully exercisable. */
-  private def decodeStub(mediaId: Long, payload: Array[Byte]): MediaFeatures = {
-    // ??? <- real codec call site (e.g. ImageIO.read / ffmpeg bindings)
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    MediaFeatures(
-      media_id = mediaId,
-      n_bytes = payload.length,
-      first_byte = if (payload.nonEmpty) payload(0) & 0xff else -1,
-      byte_checksum = sum,
-      width = (sum % 640).toInt,
-      height = (sum % 480).toInt)
+  /** A real, well-formed payload for media_id: BMP / PPM / WAV by
+    * id % 3, pixel/sample body filled with the constant fill byte. */
+  private[ops] def buildPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id).toByte
+    (id % 3) match {
+      case 0 => // BMP: 54-byte BITMAPINFOHEADER, 24bpp, 4-byte-padded rows
+        val w = imgW(id); val h = imgH(id)
+        val row = ((w * 3 + 3) / 4) * 4
+        val body = row * h
+        val bb = java.nio.ByteBuffer.allocate(54 + body)
+        bb.put('B'.toByte).put('M'.toByte)
+        bb.put(le(54L + body, 4)).put(le(0, 4)).put(le(54, 4))
+        bb.put(le(40, 4)).put(le(w, 4)).put(le(h, 4))
+        bb.put(le(1, 2)).put(le(24, 2)).put(le(0, 4)).put(le(body, 4))
+        bb.put(le(2835, 4)).put(le(2835, 4)).put(le(0, 4)).put(le(0, 4))
+        java.util.Arrays.fill(bb.array(), 54, 54 + body, fill)
+        bb.array()
+      case 1 => // binary PPM: ASCII "P6\n<w> <h>\n255\n" + w*h*3 pixels
+        val w = imgW(id); val h = imgH(id)
+        val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](head.length + w * h * 3)
+        System.arraycopy(head, 0, out, 0, head.length)
+        java.util.Arrays.fill(out, head.length, out.length, fill)
+        out
+      case _ => // WAV: 44-byte RIFF header, 16-bit mono PCM
+        val rate = wavRate(id); val ns = wavSamples(id)
+        val data = ns * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + data)
+        bb.put("RIFF".getBytes("US-ASCII")).put(le(36L + data, 4))
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).put(le(16, 4))
+        bb.put(le(1, 2)).put(le(1, 2)) // PCM, mono
+        bb.put(le(rate, 4)).put(le(rate * 2L, 4)) // byte rate = rate*2
+        bb.put(le(2, 2)).put(le(16, 2)) // block align, bits/sample
+        bb.put("data".getBytes("US-ASCII")).put(le(data, 4))
+        java.util.Arrays.fill(bb.array(), 44, 44 + data, fill)
+        bb.array()
+    }
   }
 
-  /** Batch feature extraction: one decoder instantiation per partition,
-    * rows processed in a tight loop (the mapInPandas analog). */
+  /** Build the media table from the documents fixture: one planted
+    * BMP/PPM/WAV payload per document. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val mt = (id % 3) match {
+          case 0 => "image/bmp"
+          case 1 => "image/x-portable-pixmap"
+          case _ => "audio/wav"
+        }
+        (id, buildPayload(id), mt, source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  /** Decoded features; -1 marks not-applicable (audio has no
+    * width, images no sample rate) and unknown-format geometry. */
+  final case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      first_byte: Long,
+      byte_checksum: Long,
+      width: Long,
+      height: Long,
+      sample_rate: Long,
+      n_samples: Long)
+
+  /** Real header decode: validates magic bytes and reads geometry from
+    * the payload bytes. Malformed/short payloads yield "unknown" with
+    * -1 geometry rather than failing the task. */
+  private[ops] def decode(mediaId: Long, p: Array[Byte]): MediaFeatures = {
+    val n = p.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += p(i) & 0xff; i += 1 }
+    val first = if (n > 0) p(0) & 0xff else -1L
+    def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def base(fmt: String) =
+      MediaFeatures(mediaId, fmt, n, first, sum, -1, -1, -1, -1)
+    if (n >= 54 && p(0) == 'B' && p(1) == 'M')
+      base("bmp").copy(width = le32(18), height = le32(22))
+    else if (n >= 9 && p(0) == 'P' && p(1) == '6') {
+      var o = 2
+      def skipWs(): Unit =
+        while (o < n && (p(o) == ' ' || p(o) == '\n' || p(o) == '\t' || p(o) == '\r')) o += 1
+      def readInt(): Long = {
+        var v = 0L
+        while (o < n && p(o) >= '0' && p(o) <= '9') { v = v * 10 + (p(o) - '0'); o += 1 }
+        v
+      }
+      skipWs(); val w = readInt()
+      skipWs(); val h = readInt()
+      base("ppm").copy(width = w, height = h)
+    } else if (n >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      val channels = le16(22)
+      val rate = le32(24)
+      val bits = le16(34)
+      val dataBytes = le32(40)
+      val bytesPerSample = math.max(channels * bits / 8, 1)
+      base("wav").copy(sample_rate = rate, n_samples = dataBytes / bytesPerSample)
+    } else base("unknown")
+  }
+
+  /** Batch feature extraction: decoder runs per-partition in a tight
+    * loop over the payload bytes (the mapInPandas analog). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition decoder setup would go here (stub: none)
-        rows.map { case (id, payload) => decodeStub(id, payload) }
-      }
+      .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
   }
 
-  /** Frame sampling stub for video payloads: emits `n` deterministic
+  /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {

@@ -114,36 +114,92 @@ object Similarity {
          |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)
   }
 
+  /** L2 norm of an inlined constant vector, computed IN-PLAN with the
+    * same decimal accumulation as [[normDec]] — both engines derive the
+    * norm from the identical literal array, so no Scala-side float
+    * arithmetic can drift from the oracle. */
+  private def normLit(v: Array[Double]): Column = {
+    val litArr = v.mkString("array(", "D,", "D)")
+    sqrt(expr(
+      s"""CAST(aggregate($litArr,
+         |  CAST(0 AS DECIMAL(30,12)),
+         |  (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,12)) AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin))
+  }
+
+  /** Per-row array of (rounded cosine to centroid, -cid) structs for a
+    * literal codebook; `greatest` over it = deterministic max-cosine
+    * assignment with smallest-cid tie-break. */
+  private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
+    array(cents.map { case (cid, ce) =>
+      struct(round(dotLit("embedding", ce) / (normLit(ce) * col("nrm")), 4).as("cs"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
+  /** Lloyd-iteration k-means codebook trained with DataFrame ops over a
+    * deterministic training sample.
+    *
+    * Init: the first `nCentroids` vectors by vec_id. Each iteration:
+    * (1) assign every training vector to its max-rounded-cosine
+    * centroid (ties → smallest cid) — a narrow map against inlined
+    * centroid literals, no shuffle; (2) recompute each centroid as the
+    * per-dimension exact-DECIMAL mean rounded to 6 decimals — ONE
+    * shuffle on the tiny cell key with map-side partial aggregation.
+    * Rounding the means makes the trained constants bit-reproducible in
+    * the SQL oracle, which re-derives them with an identical CTE chain.
+    * Cells that lose all members keep their previous centroid.
+    *
+    * The returned codebook is tiny driver-side model state (like
+    * [[planes]]); the corpus never leaves the executors. At 100 TB the
+    * train sample is the only thing the iterations scan.
+    */
+  def trainCodebook(embeddings: DataFrame, nCentroids: Int, iters: Int,
+      trainPred: Column): Seq[(Long, Array[Double])] = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normDec("embedding"))
+    var cents: Seq[(Long, Array[Double])] =
+      base.filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
+        .collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+    val dim = cents.head._2.length
+    val train = base.filter(trainPred)
+    for (_ <- 0 until iters) {
+      val cs = centroidStructs(cents)
+      val assigned = train.withColumn("cell",
+        -greatest(cents.indices.map(i => cs.getItem(i)): _*).getField("ncid"))
+      val dimAggs = (1 to dim).map(d =>
+        round(sum(expr(
+          s"CAST(CAST(element_at(embedding, $d) AS DOUBLE) AS DECIMAL(30,12))"))
+          .cast("double") / count(lit(1)), 6).as(s"m$d"))
+      val means = assigned.groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(dim)(d => r.getDouble(d + 1)))
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF-flat approximate top-k — the codebook-quantization scale path:
     *
-    *  1. codebook: the first `nCentroids` vectors (a fixed-sample
-    *     codebook; production IVF would k-means-train it — the plan
-    *     shape is identical, the codebook is a driver-side model
-    *     parameter either way);
+    *  1. codebook: k-means-trained via [[trainCodebook]] (Lloyd
+    *     iterations as DataFrame ops over a deterministic sample);
     *  2. assignment: every vector goes to its max-cosine centroid
     *     (rounded cosine + centroid-id tie-break → deterministic);
     *  3. search: each query probes its `nProbe` best cells; only
     *     vectors in probed cells pay the exact cosine.
     *
-    * Collecting the codebook to the driver is deliberate (it is tiny
-    * model state, inlined into the plan like the LSH planes); the
-    * corpus itself never leaves the executors.
     * Output: (query_id, neighbor_id, sim, rank).
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
-      nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
-    val cents: Array[(Long, Array[Double], Double)] =
-      base.filter(col("vec_id") < nCentroids).collect().map { r =>
-        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))
-      }.sortBy(_._1)
+    val cents = trainCodebook(embeddings, nCentroids, kmeansIters, trainPred)
 
     // per-row array of (cosine-to-centroid, -cid) structs
-    val centStructs = array(cents.map { case (cid, ce, cn) =>
-      struct(round(dotLit("embedding", ce) / (lit(cn) * col("nrm")), 4).as("cs"),
-        lit(-cid).as("ncid"))
-    }: _*)
+    val centStructs = centroidStructs(cents)
     val assigned = base.withColumn("cell",
       -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
 
@@ -167,14 +223,37 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs within label blocks: all same-label
-    * pairs with rounded cosine >= threshold. Blocking keys bound the
-    * quadratic term; at 100 TB the label would be an LSH bucket id
-    * instead (same plan shape). Output: (vec_a, vec_b, sim). */
+    * pairs with rounded cosine >= threshold. A frequent label is a
+    * quadratic bomb at corpus scale — this variant is the small-scale
+    * verification baseline; [[embeddingDupPairsLsh]] is the 100 TB
+    * path. Output: (vec_a, vec_b, sim). */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
     base.as("a").join(base.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine("a.embedding", "b.embedding",
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs blocked on the sign-LSH bucket id —
+    * the scale path: bucket population is data-independent (2^nPlanes
+    * uniform-ish buckets from random hyperplanes), so the within-block
+    * quadratic term stays bounded no matter how skewed labels are, and
+    * near-identical vectors land in the same bucket with high
+    * probability (they agree on every hyperplane sign unless one sits
+    * within the angular gap). Candidate generation is an equality join
+    * on the bucket id. Output: (vec_a, vec_b, sim). */
+  def embeddingDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normDec("embedding"))
+      .withColumn("bucket", bucketId("embedding", ps))
+    base.as("a").join(base.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine("a.embedding", "b.embedding",
           col("a.nrm"), col("b.nrm")).as("sim"))

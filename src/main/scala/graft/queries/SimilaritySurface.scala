@@ -28,13 +28,18 @@ object SimilaritySurface {
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshBucketTopK(emb(s, dir), col("vec_id") < 5, K, NPLANES, DIM)),
     "sim_topk_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE)),
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
+        KMEANS_ITERS, expr(TRAIN_SQL))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.embeddingDupPairsLsh(emb(s, dir), DUP_THRESHOLD, NPLANES, DIM)),
   )
 
   private val NCENTROIDS = 8
   private val NPROBE = 2
+  private val KMEANS_ITERS = 2
+  private val TRAIN_SQL = "vec_id % 2 = 0"
 
   // ---- DuckDB oracles ----
 
@@ -62,6 +67,35 @@ object SimilaritySurface {
   private val baseCte =
     s"""base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)"""
 
+  /** k-means CTE chain mirroring Similarity.trainCodebook exactly:
+    * init = first NCENTROIDS vectors (floats cast to double); per
+    * iteration, assignment by rounded cosine (ties → smallest cid)
+    * then per-dimension exact-DECIMAL means rounded to 6 decimals;
+    * empty cells keep the old centroid. Ends in
+    * cents{KMEANS_ITERS}(cid, ce, cn). */
+  private def kmeansCtes: String = {
+    val meanCols = (1 to DIM).map(d =>
+      s"round(CAST(sum(CAST(CAST(embedding[$d] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS m$d")
+      .mkString(", ")
+    val meanList = (1 to DIM).map(d => s"m.m$d").mkString(", ")
+    val init =
+      s"""train AS (SELECT * FROM base WHERE $TRAIN_SQL),
+         |cents0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce, nrm AS cn
+         |  FROM base WHERE vec_id < $NCENTROIDS)""".stripMargin
+    val iters = (0 until KMEANS_ITERS).map { i =>
+      s"""tsims$i AS (SELECT t.vec_id, t.embedding, c.cid,
+         |    round(${dotSql("t.embedding", "c.ce")} / (t.nrm * c.cn), 4) AS cs
+         |  FROM train t, cents$i c),
+         |asg$i AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM tsims$i),
+         |mean$i AS (SELECT cid, $meanCols FROM asg$i WHERE rn = 1 GROUP BY cid),
+         |cents${i + 1} AS (SELECT cid, ce, ${normSql("ce")} AS cn FROM (
+         |  SELECT o.cid, CASE WHEN m.cid IS NULL THEN o.ce ELSE [$meanList] END AS ce
+         |  FROM cents$i o LEFT JOIN mean$i m ON m.cid = o.cid))""".stripMargin
+    }
+    (Seq(init) ++ iters).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH $baseCte,
@@ -82,10 +116,10 @@ object SimilaritySurface {
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH $baseCte,
-         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM base WHERE vec_id < $NCENTROIDS),
+         |$kmeansCtes,
          |sims AS (SELECT b.vec_id, c.cid,
          |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
-         |  FROM base b, cents c),
+         |  FROM base b, cents$KMEANS_ITERS c),
          |ranked_cells AS (SELECT vec_id, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
          |  FROM sims),
@@ -104,6 +138,13 @@ object SimilaritySurface {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS sim
          |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $DUP_THRESHOLD""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $baseCte,
+         |bb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM base)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS sim
+         |FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $DUP_THRESHOLD""".stripMargin,
   )
 }

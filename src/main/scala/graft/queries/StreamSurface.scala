@@ -13,8 +13,11 @@ import graft.ops.Multimodal
   * file source → complete-mode tumbling aggregation → memory sink) and
   * returns the sink table; the oracle is the equivalent batch SQL —
   * this locks stream/batch semantic parity, Spark's core streaming
-  * guarantee. `mm_features` exercises the multimodal partition-batch
-  * decode plumbing (stub codec ⇒ rows-only check, no oracle).
+  * guarantee. `mm_features` runs the REAL multimodal header decoders
+  * (BMP/PPM/WAV) over planted payloads; the oracle recomputes every
+  * decoded feature in closed form from the fixture's generative
+  * arithmetic (id-derived geometry + constant fill byte), including the
+  * whole-payload byte checksum via little-endian byte-sum identities.
   */
 object StreamSurface {
 
@@ -64,6 +67,53 @@ object StreamSurface {
          |  round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
-    // mm_features: stub codec → rows-only check (no SQL-expressible oracle).
+    "mm_features" -> mmOracle,
   )
+
+  /** Closed-form oracle for the planted-payload decode: mirrors
+    * Multimodal.buildPayload byte-for-byte. Header checksums decompose
+    * into a constant (sum of fixed header bytes) plus the little-endian
+    * byte sums of the id-derived fields; the body contributes
+    * body_len * fill. Constants: BMP fixed bytes sum 322 ('B'+'M' +
+    * offset 54 + hdrSize 40 + planes 1 + bpp 24 + 2*le4(2835)=60),
+    * PPM fixed chars sum 352 ("P6\n" + ' ' + "\n255\n"), WAV fixed
+    * sum 1407 ("RIFF"+"WAVE"+"fmt "+16+1+1+2+16+"data").
+    */
+  private def mmOracle: String = {
+    // sum of the 4 little-endian bytes of a 32-bit value
+    def le4(e: String) =
+      s"((($e) & 255) + ((($e) >> 8) & 255) + ((($e) >> 16) & 255) + ((($e) >> 24) & 255))"
+    // sum of the ASCII decimal digits of a value with d digits (d <= 3)
+    def digits(e: String, d: String) =
+      s"((($e) // 100) + ((($e) // 10) % 10) + (($e) % 10) + 48 * ($d))"
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 3 AS f, doc_id % 251 AS fill,
+       |         16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h,
+       |         8000 + (doc_id % 5) * 4000 AS rate, 64 + doc_id % 129 AS ns
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, ((w * 3 + 3) // 4) * 4 * h AS bmp_body, 3 * w * h AS ppm_body,
+       |         2 * ns AS wav_body,
+       |         CASE WHEN w >= 100 THEN 3 WHEN w >= 10 THEN 2 ELSE 1 END AS wd,
+       |         CASE WHEN h >= 100 THEN 3 WHEN h >= 10 THEN 2 ELSE 1 END AS hd
+       |  FROM m)
+       |SELECT doc_id AS media_id,
+       |  CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+       |  CAST(CASE f WHEN 0 THEN 54 + bmp_body
+       |              WHEN 1 THEN 9 + wd + hd + ppm_body
+       |              ELSE 44 + wav_body END AS BIGINT) AS n_bytes,
+       |  CAST(CASE f WHEN 0 THEN 66 WHEN 1 THEN 80 ELSE 82 END AS BIGINT) AS first_byte,
+       |  CAST(CASE f
+       |    WHEN 0 THEN 322 + ${le4("54 + bmp_body")} + ${le4("w")} + ${le4("h")}
+       |                + ${le4("bmp_body")} + bmp_body * fill
+       |    WHEN 1 THEN 352 + ${digits("w", "wd")} + ${digits("h", "hd")} + ppm_body * fill
+       |    ELSE 1407 + ${le4("36 + wav_body")} + ${le4("rate")} + ${le4("rate * 2")}
+       |         + ${le4("wav_body")} + wav_body * fill
+       |  END AS BIGINT) AS byte_checksum,
+       |  CAST(CASE WHEN f <= 1 THEN w ELSE -1 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN f <= 1 THEN h ELSE -1 END AS BIGINT) AS height,
+       |  CAST(CASE WHEN f = 2 THEN rate ELSE -1 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN f = 2 THEN ns ELSE -1 END AS BIGINT) AS n_samples
+       |FROM c""".stripMargin
+  }
 }

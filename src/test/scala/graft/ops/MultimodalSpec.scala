@@ -3,8 +3,9 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing: schema, partition-batch decode, frame sampling
-  * (codec itself is a deterministic stub — see Multimodal). */
+/** Multimodal decode: real BMP/PPM/WAV header parsing over planted
+  * payloads, partition-batch execution, frame sampling, and graceful
+  * handling of malformed bytes. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
@@ -15,40 +16,79 @@ class MultimodalSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private lazy val docs = Seq(
-    (0L, "hello world", "en", "src0", 11L),
-    (1L, "", "en", "src1", 0L),
-    (2L, "αβγ multibyte", "el", "src2", 13L)
-  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  // ids chosen to cover all three formats (id % 3) twice
+  private lazy val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    .map(id => (id, s"doc $id", "en", s"src$id", 6L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("media table keeps payloads as opaque binary with typed metadata") {
+  test("media table carries real format payloads as opaque binary") {
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema("payload").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val row = media.filter($"media_id" === 0).collect()(0)
-    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+    val byId = media.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byId(0L).take(2).map(_.toChar).mkString == "BM")
+    assert(byId(1L).take(2).map(_.toChar).mkString == "P6")
+    assert(byId(2L).take(4).map(_.toChar).mkString == "RIFF")
   }
 
-  test("feature extraction runs per-partition and is deterministic") {
+  test("decoder reads planted geometry from the actual bytes") {
     val media = Multimodal.mediaFromDocuments(docs).repartition(3)
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
-    assert(feats(0L).n_bytes == 11)
-    assert(feats(0L).first_byte == 'h'.toInt)
-    assert(feats(1L).n_bytes == 0 && feats(1L).first_byte == -1)
-    // multibyte text: byte length > char length
-    assert(feats(2L).n_bytes > 13)
-    // run twice → identical (stub decode is deterministic)
+    for (id <- Seq(0L, 3L)) { // BMP
+      assert(feats(id).format == "bmp")
+      assert(feats(id).width == 16 + id % 97 && feats(id).height == 16 + id % 53)
+      assert(feats(id).sample_rate == -1)
+      assert(feats(id).first_byte == 'B'.toLong)
+    }
+    for (id <- Seq(1L, 4L)) { // PPM
+      assert(feats(id).format == "ppm")
+      assert(feats(id).width == 16 + id % 97 && feats(id).height == 16 + id % 53)
+      assert(feats(id).n_bytes ==
+        s"P6\n${feats(id).width} ${feats(id).height}\n255\n".length +
+          3 * feats(id).width * feats(id).height)
+    }
+    for (id <- Seq(2L, 5L)) { // WAV
+      assert(feats(id).format == "wav")
+      assert(feats(id).sample_rate == 8000 + (id % 5) * 4000)
+      assert(feats(id).n_samples == 64 + id % 129)
+      assert(feats(id).width == -1)
+    }
+    // run twice → identical (decode is deterministic)
     val again = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats == again)
   }
 
+  test("checksum equals fixed-header sum plus fill-byte body (oracle identity)") {
+    // independently recompute the checksum of a PPM payload from the
+    // generative formula the SQL oracle uses
+    val id = 4L
+    val p = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs.filter($"doc_id" === id)))
+      .collect().head
+    val w = 16 + id % 97; val h = 16 + id % 53; val fill = id % 251
+    val headerChars = s"P6\n$w $h\n255\n"
+    val expected = headerChars.map(_.toLong).sum + 3 * w * h * fill
+    assert(p.byte_checksum == expected)
+  }
+
+  test("malformed payloads decode as unknown instead of failing the job") {
+    val junk = Seq((99L, Array[Byte](1, 2, 3), "application/octet-stream", "x"))
+      .toDF("media_id", "payload", "media_type", "source")
+    val f = Multimodal.extractFeatures(junk).collect().head
+    assert(f.format == "unknown")
+    assert(f.n_bytes == 3 && f.width == -1 && f.sample_rate == -1)
+    assert(f.byte_checksum == 6L)
+  }
+
   test("frame sampling slices cover the payload exactly") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0))
+    val payload = media.collect().head.getAs[Array[Byte]]("payload")
     val frames = Multimodal.sampleFrames(media, 4).orderBy("frame_idx").collect()
     assert(frames.length == 4)
     val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
-    assert(new String(joined, "UTF-8") == "hello world")
+    assert(joined.toSeq == payload.toSeq)
   }
 }

@@ -97,6 +97,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("k-means codebook training moves centroids and converges deterministically") {
+    val init = Similarity.trainCodebook(emb, 4, 0, expr("vec_id % 2 = 0"))
+    val trained = Similarity.trainCodebook(emb, 4, 2, expr("vec_id % 2 = 0"))
+    assert(init.map(_._1) == trained.map(_._1)) // same cids
+    // at least one centroid moved away from its init vector
+    assert(init.zip(trained).exists { case ((_, a), (_, b)) => !a.sameElements(b) })
+    // deterministic: same call → identical centroids
+    val again = Similarity.trainCodebook(emb, 4, 2, expr("vec_id % 2 = 0"))
+    assert(trained.zip(again).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
+  test("trained-codebook IVF recall vs brute force on all queries") {
+    val queries = col("vec_id") < 30 // every vector queries
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // 2 probes of 4 trained cells: each query scans ~half the corpus
+    assert(recall > 0.4, s"recall $recall")
+  }
+
+  test("LSH-blocked embedding dedup finds duplicates across label blocks") {
+    // vec 1 is an exact copy of vec 0 but carries a different label, so
+    // label blocking misses the pair; identical vectors share every
+    // hyperplane sign, so bucket blocking must find it.
+    val labelBlocked = Similarity.embeddingDupPairs(emb, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!labelBlocked.contains((0L, 1L)))
+    val lshBlocked = Similarity.embeddingDupPairsLsh(emb, 0.99,
+        nPlanes = 4, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lshBlocked.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+  }
+
   test("embedding dup pairs: the planted duplicate pair is found at threshold 0.99") {
     val pairs = Similarity.embeddingDupPairs(emb, 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
