@@ -39,14 +39,18 @@ object Bench {
     // warm-up: session + codegen + parquet footers
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // a failed query records the sentinel -1 (and lands in "errors")
+    // instead of its near-zero elapsed time — a crash must never make
+    // the benchmark look faster
     val queryResults = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
 
@@ -65,13 +69,16 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       Seq("ingest_events" -> dt)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] ingest failed: ${e.getMessage}"); Nil
+      System.err.println(s"[bench] ingest failed: ${e.getMessage}")
+      Seq("ingest_events" -> -1.0)
     }
     val results = queryResults ++ ingestResult
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,8 +76,10 @@ object Repl {
         n += 1
         if (n % 1000 == 0) { print(batch); batch.clear() }
       }
-      println(s"(stream) $n")
+      // flush the final partial batch BEFORE the footer so rows always
+      // precede the count line
       print(batch)
+      println(s"(stream) $n")
     case ExecResult.Err(code, msg) => println(s"(error) $code: $msg")
   }
 }

@@ -131,6 +131,15 @@ object SeriesOps {
   def whereChain(df: DataFrame, preds: Seq[Column]): DataFrame =
     preds.foldLeft(df)((d, p) => d.filter(p))
 
+  /** WHERE-clause disjunction of AND-groups (OR is tokenless in the
+    * reference — statement_parse.h:161 — and implemented here as a
+    * dialect extension; AND binds tighter). Each element of `orGroups`
+    * is an already-reduced conjunction. A single filter keeps the whole
+    * predicate pushdown-eligible.
+    */
+  def whereDnf(df: DataFrame, orGroups: Seq[Column]): DataFrame =
+    if (orGroups.isEmpty) df else df.filter(orGroups.reduce(_ || _))
+
   /** Timestamp-ordered LIMIT n (parsed-but-unapplied in the reference,
     * src/statement_parse.c:1116-1128).
     */

@@ -109,24 +109,27 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
         }
         val ranged = catalog.readSeries(db, name, rangeNs)
 
-        // WHERE conjunction over the two columns
-        // (keys per reference tests: value, timestamp — tests/statement_test.c:351-368)
-        val preds = where.map { p =>
-          val key = p.key.toLowerCase
-          if (key != "value" && key != "timestamp")
-            return Err(ErrCode.UnknownKey, s"unknown WHERE key '${p.key}'")
-          val c = col(key)
-          val v: Column = if (key == "timestamp") lit(p.longValue) else lit(p.value)
-          p.op match {
-            case CmpOp.Eq => c === v
-            case CmpOp.Ne => c =!= v
-            case CmpOp.Lt => c < v
-            case CmpOp.Le => c <= v
-            case CmpOp.Gt => c > v
-            case CmpOp.Ge => c >= v
-          }
+        // WHERE in disjunctive normal form: OR of AND-chains over the
+        // two columns (keys per reference tests: value, timestamp —
+        // tests/statement_test.c:351-368; OR is the dialect extension)
+        val orGroups = where.map { conj =>
+          conj.map { p =>
+            val key = p.key.toLowerCase
+            if (key != "value" && key != "timestamp")
+              return Err(ErrCode.UnknownKey, s"unknown WHERE key '${p.key}'")
+            val c = col(key)
+            val v: Column = if (key == "timestamp") lit(p.longValue) else lit(p.value)
+            p.op match {
+              case CmpOp.Eq => c === v
+              case CmpOp.Ne => c =!= v
+              case CmpOp.Lt => c < v
+              case CmpOp.Le => c <= v
+              case CmpOp.Gt => c > v
+              case CmpOp.Ge => c >= v
+            }
+          }.reduce(_ && _)
         }
-        val filtered = SeriesOps.whereChain(ranged, preds)
+        val filtered = SeriesOps.whereDnf(ranged, orGroups)
 
         sampleBy match {
           case Some(intervalExpr) =>

@@ -80,6 +80,8 @@ object TsqlSurface {
       s"SELECT value FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
     "tsql_where" -> q(
       s"SELECT value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0"),
+    "tsql_where_or" -> q(
+      s"SELECT value FROM ev WHERE value > 240 AND timestamp > $T0 OR value < 3"),
     "tsql_limit" -> q("SELECT value FROM ev LIMIT 100"),
     "tsql_sample_min" -> q(
       s"SELECT min(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
@@ -106,6 +108,8 @@ object TsqlSurface {
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "tsql_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0 ORDER BY timestamp"),
+    "tsql_where_or" ->
+      (EV + s"SELECT timestamp, value FROM ev WHERE value > 240 AND timestamp > $T0 OR value < 3 ORDER BY timestamp"),
     "tsql_limit" ->
       (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 100"),
     "tsql_sample_min" ->

@@ -28,8 +28,10 @@ object TimeExpr {
 }
 
 /** The 6 WHERE comparators (reference src/statement_parse.h:150-158).
-  * `OR` exists in the reference enum but has no token, so (like the
-  * reference) only AND-chains are parseable. */
+  * `OR` exists in the reference enum but has no token there
+  * (unparseable); this engine adds the token as a dialect extension —
+  * AND binds tighter, so a WHERE clause is a disjunction of
+  * AND-chains (see Statement.Select.where). */
 object CmpOp extends Enumeration {
   val Eq, Ne, Lt, Le, Gt, Ge = Value
 }
@@ -72,7 +74,9 @@ object Statement {
       ts: String,
       fn: Option[SelectFn],
       between: Option[(TimeExpr, TimeExpr)],
-      where: Seq[WherePred],
+      /** Disjunctive normal form: outer Seq = OR groups, inner Seq =
+        * AND-chain (AND binds tighter than OR). Empty = no WHERE. */
+      where: Seq[Seq[WherePred]],
       sampleBy: Option[TimeExpr],
       limit: Option[Int]) extends Statement
   /** `DELETE ts FROM db` drops a series; bare `DELETE x` drops database x

@@ -23,8 +23,8 @@ object Lexer {
 
   private val keywords = Set(
     "CREATEDB", "CREATE", "USE", "INSERT", "INTO", "VALUES", "VALUE",
-    "SELECT", "FROM", "BETWEEN", "AND", "WHERE", "SAMPLE", "BY", "LIMIT",
-    "DELETE", "NOW")
+    "SELECT", "FROM", "BETWEEN", "AND", "OR", "WHERE", "SAMPLE", "BY",
+    "LIMIT", "DELETE", "NOW")
 
   /** Span unit suffixes → nanos multiplier (reference src/timeutil.c:50-73:
     * despite "seconds" names everything scales to nanoseconds). */

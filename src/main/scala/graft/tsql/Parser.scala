@@ -178,11 +178,16 @@ object Parser {
       case other => Left(s"expected column or function, got $other")
     }
 
-    /** Right-deep AND chain of `key op number`
-      * (reference parse_where src/statement_parse.c:649-679; the parser
-      * quirk `node->left = node` flattens to a conjunction, SURVEY §2.1 #15). */
-    private def parseWhereChain(): Either[String, Seq[WherePred]] = {
-      val preds = Seq.newBuilder[WherePred]
+    /** WHERE clause in disjunctive normal form: AND-chains of
+      * `key op number` separated by OR, with AND binding tighter
+      * (reference parse_where src/statement_parse.c:649-679 parses only
+      * the AND chain — the quirk `node->left = node` flattens it to a
+      * conjunction, SURVEY §2.1 #15; OR is in the reference enum
+      * statement_parse.h:161 but tokenless, added here as an
+      * extension). */
+    private def parseWhereChain(): Either[String, Seq[Seq[WherePred]]] = {
+      val groups = Seq.newBuilder[Seq[WherePred]]
+      var preds = Seq.newBuilder[WherePred]
       var done = false
       var err: Option[String] = None
       while (!done && err.isEmpty) {
@@ -205,11 +210,15 @@ object Parser {
             preds += pred
             peek match {
               case Some(Kw("AND")) => next()
+              case Some(Kw("OR")) =>
+                next()
+                groups += preds.result()
+                preds = Seq.newBuilder[WherePred]
               case _ => done = true
             }
         }
       }
-      err.toLeft(preds.result())
+      err.toLeft { groups += preds.result(); groups.result() }
     }
 
     /** `DELETE db` | `DELETE ts FROM db`

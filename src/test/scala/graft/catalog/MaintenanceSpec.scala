@@ -30,7 +30,7 @@ class MaintenanceSpec extends AnyFunSuite {
       cat.insert("m", "exp", Seq(
         (now - 3600L * 1000000000L, 1.0), (now, 2.0)).toDF("timestamp", "value"))
 
-      val summary = Maintenance.run(cat, maxFilesPerBucket = 2, nowNs = now)
+      val summary = Maintenance.run(cat, maxFilesPerBucket = 2, now = now)
         .map(t => t._2 -> (t._3, t._4)).toMap
       assert(summary("frag") == ((0, 1))) // nothing expired, 1 bucket compacted
       assert(summary("exp")._1 == 1)      // 1 stale bucket reaped

@@ -150,6 +150,17 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WHERE OR unions AND-groups (dialect extension; tokenless in reference)") {
+    val got = rowsOf(exec.executeSql(
+      s"SELECT value FROM temperatures WHERE value < 2 OR value >= 88 AND timestamp > ${ts(0)}"))
+    assert(got == Seq((ts(0), 0.0), (ts(1), 1.0), (ts(88), 88.0), (ts(89), 89.0)))
+    // unknown key inside any OR group is still rejected
+    exec.executeSql("SELECT value FROM temperatures WHERE value < 2 OR bogus > 1") match {
+      case ExecResult.Err(ErrCode.UnknownKey, _) => ()
+      case other => fail(s"expected UnknownKey, got $other")
+    }
+  }
+
   test("LIMIT applies to ordered results (parsed-but-unapplied in reference)") {
     val got = rowsOf(exec.executeSql("SELECT value FROM temperatures LIMIT 5"))
     assert(got == (0 until 5).map(i => (ts(i), i.toDouble)))

@@ -65,8 +65,8 @@ class ParserSpec extends AnyFunSuite {
     assert(ok("SELECT records FROM ts-test BETWEEN 2382913 AND 39238293 " +
         "WHERE test-value > 12.2 AND test-value < 16.2 SAMPLE BY 4d") ==
       Select("ts-test", None, Some((Num(2382913L), Num(39238293L))),
-        Seq(WherePred("test-value", CmpOp.Gt, 12.2, "12.2"),
-            WherePred("test-value", CmpOp.Lt, 16.2, "16.2")),
+        Seq(Seq(WherePred("test-value", CmpOp.Gt, 12.2, "12.2"),
+            WherePred("test-value", CmpOp.Lt, 16.2, "16.2"))),
         Some(Span(4L * 86400L * 1000000000L)), None))
   }
 
@@ -97,8 +97,8 @@ class ParserSpec extends AnyFunSuite {
   test("WHERE with floats and scientific notation (statement_test.c:345-376)") {
     assert(ok("SELECT avg(records) FROM ts-test WHERE value > 3.14159 AND timestamp < 2.5e-3") ==
       Select("ts-test", Some(SelectFn.Avg), None,
-        Seq(WherePred("value", CmpOp.Gt, 3.14159, "3.14159"),
-            WherePred("timestamp", CmpOp.Lt, 2.5e-3, "2.5e-3")), None, None))
+        Seq(Seq(WherePred("value", CmpOp.Gt, 3.14159, "3.14159"),
+            WherePred("timestamp", CmpOp.Lt, 2.5e-3, "2.5e-3"))), None, None))
   }
 
   test("time arithmetic now() - 2d (statement_test.c:378-420)") {
@@ -121,8 +121,27 @@ class ParserSpec extends AnyFunSuite {
   test("all six WHERE comparators (statement_parse.h:150-158)") {
     val q = "SELECT value FROM t WHERE value = 1 AND value != 2 AND " +
       "value < 3 AND value <= 4 AND value > 5 AND value >= 6"
-    assert(ok(q).asInstanceOf[Select].where.map(_.op) ==
-      Seq(CmpOp.Eq, CmpOp.Ne, CmpOp.Lt, CmpOp.Le, CmpOp.Gt, CmpOp.Ge))
+    assert(ok(q).asInstanceOf[Select].where ==
+      Seq(Seq(CmpOp.Eq, CmpOp.Ne, CmpOp.Lt, CmpOp.Le, CmpOp.Gt, CmpOp.Ge)
+        .zipWithIndex.map { case (op, i) =>
+          WherePred("value", op, i + 1.0, s"${i + 1}")
+        }))
+  }
+
+  test("WHERE OR: AND binds tighter, OR splits groups (extension; enum at statement_parse.h:161)") {
+    val q = "SELECT value FROM t WHERE value > 1 AND value < 5 OR timestamp = 7"
+    assert(ok(q).asInstanceOf[Select].where ==
+      Seq(Seq(WherePred("value", CmpOp.Gt, 1.0, "1"),
+              WherePred("value", CmpOp.Lt, 5.0, "5")),
+          Seq(WherePred("timestamp", CmpOp.Eq, 7.0, "7"))))
+    // OR chains of single predicates
+    assert(ok("SELECT value FROM t WHERE value = 1 OR value = 2 OR value = 3")
+      .asInstanceOf[Select].where ==
+      Seq(Seq(WherePred("value", CmpOp.Eq, 1.0, "1")),
+          Seq(WherePred("value", CmpOp.Eq, 2.0, "2")),
+          Seq(WherePred("value", CmpOp.Eq, 3.0, "3"))))
+    // trailing OR with nothing after it is a parse error
+    assert(Parser.parse("SELECT value FROM t WHERE value = 1 OR").isLeft)
   }
 
   test("nested time arithmetic is left-associative") {
