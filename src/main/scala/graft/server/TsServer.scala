@@ -1,0 +1,194 @@
+package graft.server
+
+import java.io.{InputStream, OutputStream}
+import java.net.{ServerSocket, Socket}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.TsCatalog
+import graft.engine.{ExecResult, StatementExecutor}
+import graft.protocol.{Wire, WireResponse}
+
+/** TCP front-end over the statement executor — the Spark-native analog
+  * of the reference server loop (src/server.c:160-266): accept
+  * connections, decode `$<len>\r\n<query>\r\n` requests, execute, and
+  * answer in the text protocol (string `$`/`!`, array `#`, stream `~`).
+  *
+  * Differences from the reference, by design:
+  *  - a thread per connection instead of a single-threaded select()
+  *    loop — Spark's driver schedules concurrent jobs safely, and the
+  *    session/catalog state (active db) is process-global in both
+  *    implementations;
+  *  - results with more than one 1000-record batch stream as `~` chunks
+  *    (the reference streams full scans the same way,
+  *    src/statement_execute.c:332, batch bound src/timeseries.c:1040);
+  *    anything that fits one batch answers as a `#` array;
+  *  - rows never materialize on the driver beyond the current batch
+  *    (`toLocalIterator`), so an arbitrarily large scan streams in
+  *    bounded memory.
+  */
+final class TsServer(exec: StatementExecutor, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+
+  /** Actual bound port (useful with port = 0 → ephemeral). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => acceptLoop(), "graft-server-accept")
+  acceptThread.setDaemon(true)
+
+  def start(): TsServer = { acceptThread.start(); this }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: java.io.IOException => () }
+  }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-server-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: java.io.IOException => if (!running) return
+      }
+    }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new java.io.BufferedInputStream(sock.getInputStream)
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    try {
+      var open = true
+      while (open) readRequestBytes(in) match {
+        case None => open = false // client closed
+        case Some(raw) =>
+          Wire.decodeRequest(raw) match {
+            case Left(err) =>
+              // a malformed frame means the byte stream can no longer
+              // be framed reliably — answer the error and close
+              send(out, WireResponse.Str(1, s"bad request: $err"))
+              open = false
+            case Right((query, _)) =>
+              respond(out, exec.executeSql(query))
+          }
+          out.flush()
+      }
+    } catch {
+      case _: java.io.IOException => () // connection dropped
+    } finally {
+      try sock.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Read one framed request off the socket: the `$<len>\r\n` header
+    * byte-by-byte, then exactly len + CRLF payload bytes. Returns the
+    * raw frame (validated by Wire.decodeRequest) or None on EOF.
+    * A malformed header (no digits) is returned as-is so decoding
+    * produces the protocol error instead of hanging. */
+  private def readRequestBytes(in: InputStream): Option[Array[Byte]] = {
+    val header = new scala.collection.mutable.ArrayBuffer[Byte]
+    val first = in.read()
+    if (first < 0) return None
+    header += first.toByte
+    var prev = -1
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) return None
+      header += b.toByte
+      if (prev == '\r' && b == '\n') done = true
+      prev = b
+      if (header.length > 32) return Some(header.toArray) // runaway header
+    }
+    val lenText = new String(header.toArray, 1, header.length - 3, "US-ASCII")
+    val len = try lenText.toInt catch {
+      case _: NumberFormatException => return Some(header.toArray)
+    }
+    if (len < 0 || len >= Wire.MaxQuerySize) return Some(header.toArray)
+    val rest = new Array[Byte](len + 2)
+    var off = 0
+    while (off < rest.length) {
+      val n = in.read(rest, off, rest.length - off)
+      if (n < 0) return None
+      off += n
+    }
+    Some(header.toArray ++ rest)
+  }
+
+  private def send(out: OutputStream, r: WireResponse): Unit =
+    Wire.encodeResponse(r) match {
+      case Right(bytes) => out.write(bytes)
+      case Left(err) =>
+        Wire.encodeResponse(WireResponse.Str(1, s"encode error: $err"))
+          .foreach(out.write)
+    }
+
+  private def rowsToRecords(rows: Iterator[org.apache.spark.sql.Row],
+      max: Int): Seq[(Long, Double)] = {
+    val b = Seq.newBuilder[(Long, Double)]
+    var i = 0
+    while (i < max && rows.hasNext) {
+      val r = rows.next()
+      val v = r.get(1) match {
+        case d: Double => d
+        case n: Number => n.doubleValue()
+        case other => sys.error(s"non-numeric value column: $other")
+      }
+      b += ((r.getLong(0), v))
+      i += 1
+    }
+    b.result()
+  }
+
+  private def respond(out: OutputStream, res: ExecResult): Unit = res match {
+    case ExecResult.Ack(msg) => send(out, WireResponse.Str(0, msg))
+    case ExecResult.Err(code, msg) => send(out, WireResponse.Str(1, s"$code: $msg"))
+    case ExecResult.Listing(names) =>
+      send(out, WireResponse.Str(0, names.mkString(" ")))
+    case ExecResult.Scalar(df) =>
+      // scalar results (avg) have no (ts, value) shape — answer as a
+      // string of the single row's fields (the reference stubs avg, so
+      // there is no wire precedent to mirror)
+      send(out, WireResponse.Str(0, df.collect()(0).toSeq.mkString(" ")))
+    case ExecResult.Rows(df) =>
+      import scala.jdk.CollectionConverters._
+      val it = df.toLocalIterator().asScala
+      val first = rowsToRecords(it, Wire.StreamBatchSize)
+      if (!it.hasNext) send(out, WireResponse.Arr(first))
+      else {
+        send(out, WireResponse.StreamChunk(first, isFinal = false))
+        out.flush() // batches reach the client as they are produced
+        while (it.hasNext) {
+          val batch = rowsToRecords(it, Wire.StreamBatchSize)
+          send(out, WireResponse.StreamChunk(batch, isFinal = !it.hasNext))
+          out.flush()
+        }
+      }
+  }
+}
+
+/** Standalone server entry point.
+  * Run: sbt "runMain graft.server.ServerMain [port] [catalogRoot]" */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(6767)
+    val root = args.lift(1).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft_server_catalog")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val server = new TsServer(
+      new StatementExecutor(spark, new TsCatalog(spark, root)), port).start()
+    println(s"graft server listening on ${server.boundPort}, catalog at $root")
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -1,0 +1,186 @@
+package graft.server
+
+import java.net.Socket
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.TsCatalog
+import graft.engine.StatementExecutor
+import graft.protocol.{Wire, WireResponse}
+
+/** End-to-end wire-protocol test: a real TCP client process boundary —
+  * the server runs in its own threads, the client talks over a socket
+  * with nothing shared but bytes (the in-JVM analog of the reference's
+  * server + tcc client pair, src/server.c + src/tcc.c). */
+class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val tmpRoot = Files.createTempDirectory("graft-server-spec").toString
+  private lazy val catalog = new TsCatalog(spark, tmpRoot)
+  private var server: TsServer = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = new TsServer(
+      new StatementExecutor(spark, catalog), port = 0).start()
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmpRoot))
+    super.afterAll()
+  }
+
+  /** Minimal protocol client: frame a query, read until one complete
+    * response decodes (streams: until the final chunk). */
+  private final class Client {
+    private val sock = new Socket("127.0.0.1", server.boundPort)
+    private val in = sock.getInputStream
+    private val out = sock.getOutputStream
+    private var buf = Array.emptyByteArray
+
+    def sendRaw(bytes: Array[Byte]): Unit = { out.write(bytes); out.flush() }
+
+    def send(query: String): Unit =
+      sendRaw(Wire.encodeRequest(query).fold(e => fail(e), identity))
+
+    private def readMore(): Unit = {
+      val chunk = new Array[Byte](4096)
+      val n = in.read(chunk)
+      if (n < 0) fail("server closed connection mid-response")
+      buf = buf ++ chunk.take(n)
+    }
+
+    def readResponse(): WireResponse = {
+      var result: Option[(WireResponse, Int)] = None
+      while (result.isEmpty) {
+        Wire.decodeResponse(buf) match {
+          case Right(ok) => result = Some(ok)
+          case Left(_) => readMore()
+        }
+      }
+      val (r, n) = result.get
+      buf = buf.drop(n)
+      r
+    }
+
+    /** Read a whole stream: concatenated chunk records until final.
+      * (A non-final chunk's `~0` may arrive in a later TCP segment, so
+      * re-read the chunk until it either has records+final flag or more
+      * data arrives — decodeResponse handles both framings.) */
+    def readStream(first: WireResponse): Seq[(Long, Double)] = {
+      var records = Seq.newBuilder[(Long, Double)]
+      var cur = first
+      var done = false
+      while (!done) cur match {
+        case WireResponse.StreamChunk(rs, fin) =>
+          records ++= rs
+          if (fin) done = true else cur = readResponse()
+        case other => fail(s"expected stream chunk, got $other")
+      }
+      records.result()
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  test("DDL + INSERT + SELECT answer with protocol markers end-to-end") {
+    val c = new Client
+    try {
+      c.send("CREATEDB wiredb")
+      assert(c.readResponse() == WireResponse.Str(0, "database 'wiredb' created"))
+      c.send("USE wiredb")
+      assert(c.readResponse() == WireResponse.Str(0, "using 'wiredb'"))
+      c.send("CREATE cpu")
+      assert(c.readResponse() == WireResponse.Str(0, "timeseries 'cpu' created"))
+      c.send("INSERT INTO cpu VALUES (1000, 1.5), (2000, 2.5), (3000, 0.5)")
+      assert(c.readResponse() == WireResponse.Str(0, "3 point(s) inserted, 0 error(s)"))
+      c.send("SELECT value FROM cpu BETWEEN 1000 AND 2000")
+      assert(c.readResponse() ==
+        WireResponse.Arr(Seq((1000L, 1.5), (2000L, 2.5))))
+      c.send("SELECT min(value) FROM cpu")
+      assert(c.readResponse() == WireResponse.Arr(Seq((3000L, 0.5))))
+    } finally c.close()
+  }
+
+  test("errors come back as ! responses; malformed frames error then close cleanly") {
+    val c = new Client
+    try {
+      c.send("USE nope")
+      c.readResponse() match {
+        case WireResponse.Str(rc, msg) => assert(rc == 1 && msg.contains("DbNotFound"))
+        case other => fail(s"expected error string, got $other")
+      }
+      c.send("bogus query")
+      c.readResponse() match {
+        case WireResponse.Str(rc, _) => assert(rc == 1)
+        case other => fail(s"expected parse error, got $other")
+      }
+      // malformed frame: declared length mismatches payload — the
+      // server answers the error and closes (framing is unrecoverable)
+      c.sendRaw("$4\r\nhello\r\n".getBytes)
+      c.readResponse() match {
+        case WireResponse.Str(rc, msg) => assert(rc == 1 && msg.contains("bad request"))
+        case other => fail(s"expected bad-request error, got $other")
+      }
+    } finally c.close()
+    // a fresh connection works fine afterwards
+    val c2 = new Client
+    try {
+      c2.send(".databases")
+      c2.readResponse() match {
+        case WireResponse.Str(0, msg) => assert(msg.contains("wiredb"))
+        case other => fail(s"expected listing, got $other")
+      }
+    } finally c2.close()
+  }
+
+  test("large scans stream in 1000-record batches with ~0 terminator") {
+    val c = new Client
+    try {
+      c.send("USE wiredb")
+      c.readResponse()
+      c.send("CREATE big")
+      c.readResponse()
+      // bulk rows go in via the catalog (a single wire INSERT could not
+      // carry them: requests are capped at QUERYSIZE=512 bytes, a real
+      // protocol limit mirrored from the reference)
+      val n = 2500
+      import spark.implicits._
+      catalog.insert("wiredb", "big",
+        (0 until n).map(i => (10000L + i, i.toDouble)).toDF("timestamp", "value"))
+      c.send("SELECT value FROM big")
+      val first = c.readResponse()
+      first match {
+        case WireResponse.StreamChunk(rs, fin) =>
+          assert(rs.length == Wire.StreamBatchSize && !fin)
+        case other => fail(s"expected stream for $n rows, got $other")
+      }
+      val all = c.readStream(first)
+      assert(all.length == n)
+      assert(all == (0 until n).map(i => (10000L + i, i.toDouble)))
+    } finally c.close()
+  }
+
+  test("scalar avg answers as a string row") {
+    val c = new Client
+    try {
+      c.send("USE wiredb")
+      c.readResponse()
+      c.send("SELECT avg(value) FROM cpu")
+      c.readResponse() match {
+        case WireResponse.Str(0, msg) => assert(msg == "1.5 3")
+        case other => fail(s"expected scalar string, got $other")
+      }
+    } finally c.close()
+  }
+}
