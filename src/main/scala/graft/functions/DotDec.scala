@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Row-at-a-time exact-decimal dot product shared by interpreted eval
+  * and generated code.
+  *
+  * Semantics are locked BIT-FOR-BIT to the SQL form used by the DuckDB
+  * oracles (and previously by the interpreted higher-order-function
+  * plan):
+  * {{{
+  * CAST(aggregate(zip_with(a, b,
+  *   (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))),
+  *   CAST(0 AS DECIMAL(30,12)),
+  *   (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)
+  * }}}
+  * i.e. each product is rounded to decimal scale 12 the way Spark's
+  * double→decimal CAST rounds (via the double's shortest string
+  * representation, HALF_UP — `BigDecimal.valueOf`), the sum is exact,
+  * and one final decimal→double conversion closes it. Summation is
+  * therefore order-independent, which is what makes results identical
+  * across partitionings and engines.
+  */
+object VecCodec {
+
+  def dotDec(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_dec: length mismatch ${n} vs ${b.numElements()}")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot_dec: null element at $i")
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(x * y)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** Same accumulation over driver-side constant vectors (for norms of
+    * plan-time model state — inlined as literals, not computed per
+    * row). */
+  def dotDecConst(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, "dotDecConst: length mismatch")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < a.length) {
+      acc = acc.add(java.math.BigDecimal.valueOf(a(i) * b(i))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+}
+
+/** Native Catalyst expression for the exact-decimal dot product of two
+  * float/double array columns.
+  *
+  * Replaces the interpreted `aggregate(zip_with(...))` composition on
+  * the similarity hot paths: higher-order-function lambdas do not
+  * participate in whole-stage codegen and pay per-element interpreter
+  * dispatch plus per-step Decimal boxing (measured ~3x on the IVF
+  * k-means path at sf0.1 — the Shingles3 lesson again, docs/PLANS.md).
+  * `doGenCode` emits one static call, keeping the projection inside
+  * codegen. Length mismatches and null elements throw (the embedding
+  * contract is fixed-dimension non-null vectors) instead of silently
+  * diverging from the lambda form's null propagation.
+  */
+case class DotDec(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_dec"
+
+  private def elemOk(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemOk(left.dataType), elemOk(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_dec requires array<float|double> arguments, got " +
+          s"${left.dataType} and ${right.dataType}")
+    }
+
+  private lazy val leftFloat = elemOk(left.dataType).get
+  private lazy val rightFloat = elemOk(right.dataType).get
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecCodec.dotDec(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.VecCodec.dotDec($l, $r, $leftFloat, $rightFloat)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDec =
+    copy(left = newLeft, right = newRight)
+}

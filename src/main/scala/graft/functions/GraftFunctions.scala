@@ -16,7 +16,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "shingles3" -> (exprs => Shingles3(exprs.head)))
+    "shingles3" -> (exprs => Shingles3(exprs.head)),
+    "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =
@@ -43,5 +44,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[Shingles3].getName, "shingles3"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           Shingles3(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_dec"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotDec].getName, "dot_dec"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          DotDec(exprs(0), exprs(1))))
   }
 }

@@ -24,18 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns (as double). */
-  def dotDec(a: String, b: String): Column = expr(
-    s"""CAST(aggregate(zip_with($a, $b,
-       |  (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))),
-       |  CAST(0 AS DECIMAL(30,12)),
-       |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)
+  /** Exact decimal dot product of two float-array columns (as double).
+    * Backed by the native codegen'd expression `dot_dec`
+    * (graft.functions.DotDec) — the interpreted
+    * `aggregate(zip_with(...))` composition computes the identical
+    * value but pays per-element lambda dispatch outside whole-stage
+    * codegen (measured ~3x on the IVF path; the Shingles3 lesson). The
+    * session must have graft functions registered — every public op
+    * here does so on entry. */
+  def dotDec(a: String, b: String): Column = expr(s"dot_dec($a, $b)")
 
   /** L2 norm of a float-array column via the same exact accumulation. */
-  def normDec(a: String): Column = sqrt(expr(
-    s"""CAST(aggregate($a,
-       |  CAST(0 AS DECIMAL(30,12)),
-       |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12)) AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin))
+  def normDec(a: String): Column = sqrt(expr(s"dot_dec($a, $a)"))
 
   def cosine(a: String, b: String, normA: Column, normB: Column): Column =
     round(dotDec(a, b) / (normA * normB), 4)
@@ -45,6 +45,7 @@ object Similarity {
     * Output: (query_id, neighbor_id, sim, rank).
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
     val queries = base.filter(queryPred)
@@ -69,15 +70,14 @@ object Similarity {
       }
     }
 
-  /** Sign-LSH bucket id: bit p set iff dot(plane_p, v) >= 0. */
+  /** Sign-LSH bucket id: bit p set iff dot(plane_p, v) >= 0.
+    * Planes bind as `typedLit` array objects, not 64-element literal
+    * SQL arrays — inlined CreateArray literals blow up the generated
+    * code (one constant per element per plane) and the Janino compile
+    * time with it. */
   def bucketId(embCol: String, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeLit = plane.mkString("array(", "D,", "D)")
-      val dot = expr(
-        s"""CAST(aggregate(zip_with($embCol, $planeLit,
-           |  (x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(30,12))),
-           |  CAST(0 AS DECIMAL(30,12)),
-           |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)
+      val dot = call_function("dot_dec", col(embCol), typedLit(plane))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -86,6 +86,7 @@ object Similarity {
     * [[bruteForceTopK]] is validated in SimilaritySpec. */
   def lshBucketTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val ps = planes(nPlanes, dim)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
@@ -103,28 +104,19 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Exact decimal dot product of an array<float> column against an
-    * inlined constant double vector. */
-  private def dotLit(embCol: String, v: Array[Double]): Column = {
-    val litArr = v.mkString("array(", "D,", "D)")
-    expr(
-      s"""CAST(aggregate(zip_with($embCol, $litArr,
-         |  (x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(30,12))),
-         |  CAST(0 AS DECIMAL(30,12)),
-         |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin)
-  }
+  /** Exact decimal dot product of an array<float> column against a
+    * constant double vector (bound as a typedLit object — see
+    * [[bucketId]] on why not an inlined literal array). */
+  private def dotLit(embCol: String, v: Array[Double]): Column =
+    call_function("dot_dec", col(embCol), typedLit(v))
 
-  /** L2 norm of an inlined constant vector, computed IN-PLAN with the
-    * same decimal accumulation as [[normDec]] — both engines derive the
-    * norm from the identical literal array, so no Scala-side float
-    * arithmetic can drift from the oracle. */
-  private def normLit(v: Array[Double]): Column = {
-    val litArr = v.mkString("array(", "D,", "D)")
-    sqrt(expr(
-      s"""CAST(aggregate($litArr,
-         |  CAST(0 AS DECIMAL(30,12)),
-         |  (acc, x) -> CAST(acc + CAST(x * x AS DECIMAL(30,12)) AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin))
-  }
+  /** L2 norm of a constant vector, computed ONCE driver-side with the
+    * identical decimal accumulation (VecCodec.dotDecConst mirrors the
+    * CAST-to-DECIMAL(30,12) rounding both engines use), then inlined as
+    * a literal — an interpreted in-plan aggregate over a literal array
+    * is NOT constant-folded by Catalyst and would run per row. */
+  private def normLit(v: Array[Double]): Column =
+    lit(math.sqrt(graft.functions.VecCodec.dotDecConst(v, v)))
 
   /** Per-row array of (rounded cosine to centroid, -cid) structs for a
     * literal codebook; `greatest` over it = deterministic max-cosine
@@ -154,6 +146,7 @@ object Similarity {
     */
   def trainCodebook(embeddings: DataFrame, nCentroids: Int, iters: Int,
       trainPred: Column): Seq[(Long, Array[Double])] = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
     var cents: Seq[(Long, Array[Double])] =
@@ -194,6 +187,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
     val cents = trainCodebook(embeddings, nCentroids, kmeansIters, trainPred)
@@ -228,6 +222,7 @@ object Similarity {
     * verification baseline; [[embeddingDupPairsLsh]] is the 100 TB
     * path. Output: (vec_a, vec_b, sim). */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
     base.as("a").join(base.as("b"),
@@ -248,6 +243,7 @@ object Similarity {
     * on the bucket id. Output: (vec_a, vec_b, sim). */
   def embeddingDupPairsLsh(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val ps = planes(nPlanes, dim)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native dot_dec vs the interpreted aggregate(zip_with(...)) SQL form:
+  * values must be BIT-identical (the DuckDB oracles compute the lambda
+  * form, so any drift breaks the correctness gate). */
+class DotDecSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val lambdaForm =
+    """CAST(aggregate(zip_with(a, b,
+      |  (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,12))),
+      |  CAST(0 AS DECIMAL(30,12)),
+      |  (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)""".stripMargin
+
+  test("dot_dec matches the interpreted decimal lambda bit-for-bit on random vectors") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() * 20 - 10),
+        Array.fill(64)(rnd.nextFloat() * 20 - 10))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", expr("dot_dec(a, b)"))
+      .withColumn("lambda", expr(lambdaForm))
+    val bad = df.filter(col("native") =!= col("lambda")).count()
+    assert(bad == 0)
+    // and the values are non-trivial (not all zero)
+    assert(df.filter(abs(col("native")) > 1).count() > 100)
+  }
+
+  test("dot_dec works against an inlined literal array and inside codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val v = Array.tabulate(4)(i => (i + 1) * 0.5) // 0.5, 1.0, 1.5, 2.0
+    val lit = v.mkString("array(", "D,", "D)")
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "emb")
+      .withColumn("d", expr(s"dot_dec(emb, $lit)"))
+    // 0.5 + 2 + 4.5 + 8 = 15
+    assert(df.collect().head.getDouble(2) == 15.0)
+    // driver-side constant accumulation agrees
+    assert(VecCodec.dotDecConst(Array(1.0, 2.0, 3.0, 4.0), v) == 15.0)
+  }
+
+  test("dot_dec fails loudly on length mismatch instead of silently nulling") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Array(1.0f, 2.0f), Array(1.0f))).toDF("id", "a", "b")
+      .withColumn("d", expr("dot_dec(a, b)"))
+    val e = intercept[Exception](df.collect())
+    assert(e.toString.contains("length mismatch") ||
+      e.getCause != null && e.getCause.toString.contains("length mismatch"))
+  }
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only DuckDB baseline timer: runs the headline queries' oracle SQL
+at a given scale factor and prints per-query wall seconds (markdown
+table row format). This supplies the numeric referent for "within 2x of
+baseline" in BASELINE.md — the reference engine itself publishes no
+numbers.
+
+Usage: python3 tools/bench_oracle.py <verifyOutDir> <sfDir> [runs]
+  <verifyOutDir> must contain oracle_sql.json (written by graft.Verify).
+Timing: best of `runs` (default 3) fully-materialized executions per
+query, single DuckDB connection, all cores.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+# keep in sync with graft.Bench.headline
+HEADLINE = [
+    "ts_range", "ts_range_min", "ts_sample_by", "ts_where",
+    "q1_pricing", "q3_top_revenue", "q5_region_volume",
+    "win_top3_per_user", "win_sessionize", "agg_hourly_rollup",
+    "text_stats", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
+]
+
+
+def main(out_dir: str, sf_dir: str, runs: int = 3) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    total = 0.0
+    print(f"| query | duckdb sec (best of {runs}) |")
+    print("|---|---|")
+    for name in HEADLINE:
+        sql = oracle.get(name)
+        if sql is None:
+            print(f"| {name} | (no oracle) |")
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        total += best
+        print(f"| {name} | {best:.3f} |")
+    print(f"| **total** | **{total:.3f}** |")
+    return 0
+
+
+if __name__ == "__main__":
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    sys.exit(main(sys.argv[1], sys.argv[2], runs))
