@@ -3,7 +3,7 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.TsCatalog
-import graft.engine.{ExecResult, StatementExecutor}
+import graft.engine.{BufferedExecutor, ExecResult}
 
 /** Interactive REPL — the Spark-native analog of the reference client
   * (src/raftcli.c:16-47,126-183): reads dialect statements from stdin,
@@ -11,6 +11,11 @@ import graft.engine.{ExecResult, StatementExecutor}
   * timing, and streams large result sets in batches of 1000 records
   * (the reference's stream batch size, src/timeseries.c:1040) via
   * `toLocalIterator` so the driver never materializes a full series.
+  *
+  * INSERTs go through [[BufferedExecutor]] (batched commits with
+  * flush-before-read — the reference's WAL-buffered write path analog),
+  * so interactive point inserts ack in µs instead of a parquet commit
+  * per statement; `\q` flushes before exit.
   *
   * Run: sbt "runMain graft.cli.Repl [catalogRoot]"
   */
@@ -28,7 +33,7 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val exec = new StatementExecutor(spark, new TsCatalog(spark, root))
+    val exec = new BufferedExecutor(spark, new TsCatalog(spark, root))
 
     println(s"graft repl — catalog at $root  (\\q to quit)")
     val in = scala.io.Source.stdin.getLines()
@@ -40,10 +45,11 @@ object Repl {
       if (trimmed.nonEmpty) run(exec, trimmed)
       print("> "); Console.flush()
     }
+    exec.close() // commit any buffered inserts before exit
     spark.stop()
   }
 
-  private[cli] def run(exec: StatementExecutor, sql: String): Unit = {
+  private[cli] def run(exec: BufferedExecutor, sql: String): Unit = {
     val t0 = System.nanoTime()
     val res = exec.executeSql(sql)
     render(res)

@@ -1,0 +1,85 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.TsCatalog
+import graft.tsql.{Parser, Statement, TimeEval}
+
+/** Write-buffering statement front-end for interactive ingest.
+  *
+  * The reference acknowledges each INSERT after a WAL append
+  * (µs-scale, src/timeseries.c:621-682) and only pays real storage work
+  * when the WAL reaches its flush threshold (TS_FLUSHSIZE,
+  * src/timeseries.c:15-16, 632-658). A Spark parquet commit per INSERT
+  * statement is ~100 ms-class, which is the wrong cost model for an
+  * interactive point-insert workload — so this wrapper accumulates
+  * INSERT rows in memory, keyed by (db, series), and commits a merged
+  * batch when:
+  *
+  *  - a series' buffer reaches `flushRows` (the TS_FLUSHSIZE analog);
+  *  - any NON-insert statement arrives — flush-before-read gives exact
+  *    read-your-writes, so buffering is semantically invisible;
+  *  - [[flush]] / [[close]] is called (REPL exit, server shutdown).
+  *
+  * Time expressions (including `now()`) resolve at STATEMENT time, not
+  * flush time, with the same per-row error counting as the direct path.
+  * Durability divergence (documented): buffered rows live in driver
+  * memory until flushed; the reference's un-fsynced WAL pwrite has the
+  * same crash window, just a smaller one.
+  */
+final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
+    now: () => Long = TimeEval.nowNanos _, flushRows: Int = 1024) {
+
+  private val inner = new StatementExecutor(spark, catalog, now)
+  private val buffers = mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[(Long, Double)]]()
+
+  def executeSql(sql: String): ExecResult =
+    Parser.parse(sql) match {
+      case Left(err) => ExecResult.Err(ErrCode.ParseError, err)
+      case Right(Statement.Insert(name, rows)) => bufferInsert(name, rows)
+      case Right(other) =>
+        // any non-insert statement observes all buffered writes
+        flush()
+        inner.execute(other)
+    }
+
+  private def bufferInsert(name: String,
+      rows: Seq[(graft.tsql.TimeExpr, Double)]): ExecResult =
+    catalog.activeDb match {
+      case None => ExecResult.Err(ErrCode.NoActiveDb,
+        "no active database (USE <db> first)")
+      case Some(db) =>
+        if (!catalog.seriesExists(db, name))
+          return ExecResult.Err(ErrCode.TsNotFound,
+            s"timeseries '$name' not found")
+        var errors = 0
+        val resolved = rows.flatMap { case (texpr, v) =>
+          TimeEval.eval(texpr, now) match {
+            case Right(t) => Some((t, v))
+            case Left(_) => errors += 1; None
+          }
+        }
+        val buf = buffers.getOrElseUpdate((db, name), mutable.ArrayBuffer.empty)
+        buf ++= resolved
+        val n = resolved.size
+        if (buf.size >= flushRows) flushSeries(db, name)
+        ExecResult.Ack(s"$n point(s) buffered, $errors error(s)")
+    }
+
+  private def flushSeries(db: String, name: String): Unit =
+    buffers.remove((db, name)).filter(_.nonEmpty).foreach { rows =>
+      import spark.implicits._
+      catalog.insert(db, name, rows.toSeq.toDF("timestamp", "value"))
+    }
+
+  /** Commit every buffered batch (one write job per touched series). */
+  def flush(): Unit =
+    buffers.keys.toSeq.foreach { case (db, name) => flushSeries(db, name) }
+
+  /** Rows currently buffered (diagnostics / tests). */
+  def buffered: Int = buffers.valuesIterator.map(_.size).sum
+
+  def close(): Unit = flush()
+}
