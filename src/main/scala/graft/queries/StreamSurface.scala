@@ -55,6 +55,10 @@ object StreamSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
+    "session_window_agg" -> ((s, dir) =>
+      graft.streaming.StreamingIngest.sessionCounts(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 1000").as("timestamp"), col("user_id")))),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
@@ -67,6 +71,22 @@ object StreamSurface {
          |  round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
+    // gaps-and-islands formulation of gap-based sessions; break on
+    // diff > gap: session_window merges an event landing EXACTLY at
+    // prev + gap into the session (adjacent windows coalesce — verified
+    // in StreamingSpec's boundary case)
+    "session_window_agg" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id FROM events),
+         |b AS (SELECT user_id, timestamp,
+         |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
+         |  FROM (SELECT user_id, timestamp,
+         |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
+         |        FROM ev)),
+         |s AS (SELECT user_id, timestamp,
+         |    sum(is_break) OVER (PARTITION BY user_id ORDER BY timestamp ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b)
+         |SELECT user_id, min(timestamp) AS session_start, count(*) AS n
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
   )
 

@@ -62,6 +62,29 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Gap-based session windows via Spark's native `session_window` —
+    * identical code path in batch and streaming (the reference cannot
+    * express sessions at all, SURVEY §2.6 "no session windows"; the
+    * manual lag+running-sum sessionize in AnalyticsSurface is the
+    * window-function formulation of the same semantics). A new session
+    * starts only when an event arrives MORE than gap after the previous
+    * one — an event exactly at prev + gap still merges (adjacent
+    * session windows coalesce; locked by StreamingSpec's boundary
+    * case). Streaming use requires append mode + a watermark (pass
+    * `watermark`); sessions emit once the watermark passes their end.
+    * Output: (user_id, session_start epoch-micros, n). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn("event_time", timestamp_micros(col("timestamp")))
+    val marked = watermark.fold(timed)(timed.withWatermark("event_time", _))
+    marked
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n"))
+  }
+
   final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
   final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
   final case class UserSnapshot(user_id: Long, n_events: Long,

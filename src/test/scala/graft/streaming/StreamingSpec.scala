@@ -80,6 +80,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.forall(_._1 % 60000000000L == 0)) // end-labeled windows
   }
 
+  test("session_window aggregation: stream (append + watermark) matches batch, boundary exact") {
+    import spark.implicits._
+    val src = s"$tmp/src_sess"
+    val baseUs = 1700000000000000L
+    val gapUs = 1800L * 1000000 // 30 min
+    // user 1: an event EXACTLY gap after the previous one still merges
+    // (adjacent session windows coalesce), one more at gap+1µs breaks;
+    // user 2: one dense session
+    val rows = Seq(
+      (1L, baseUs), (1L, baseUs + 60000000L), (1L, baseUs + 120000000L),
+      (1L, baseUs + 120000000L + gapUs), // exactly gap → same session
+      (1L, baseUs + 120000000L + 2 * gapUs + 1L), // gap+1µs → new session
+      (2L, baseUs), (2L, baseUs + 1000000L))
+      .map { case (u, t) => (t, u) }
+    rows.toDF("timestamp", "user_id")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val batch = StreamingIngest.sessionCounts(
+        rows.toDF("timestamp", "user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // boundary semantics: user 1 has sessions (4 events) and (1 event)
+    assert(batch == Set(
+      (1L, baseUs, 4L), (1L, baseUs + 120000000L + 2 * gapUs + 1L, 1L),
+      (2L, baseUs, 2L)))
+
+    // streaming session windows require append mode + watermark:
+    // sessions emit once the watermark passes their end, so sentinel
+    // events in later micro-batches push the watermark forward (the
+    // watermark used by a batch comes from the PREVIOUS batch's max
+    // event time → two sentinel batches flush everything real)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamingIngest.sessionCounts(stream, watermark = Some("1 second"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val dayUs = 86400L * 1000000
+      for (k <- 1 to 2) {
+        Seq((baseUs + k * 10 * dayUs, 90L + k)).toDF("timestamp", "user_id")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("sess_test")
+      .filter($"user_id" < 90).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState keeps per-user running aggregates across micro-batches") {
     import spark.implicits._
     val src = s"$tmp/src_state"
