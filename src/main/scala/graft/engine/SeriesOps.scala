@@ -105,6 +105,40 @@ object SeriesOps {
     ((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
       + lit(intervalUnits)).as("sample_ts")
 
+  /** Sliding-window aggregation (extension surface): windows of `width`
+    * units sliding every `slide` units (width = k*slide), labeled by
+    * their END timestamp (a multiple of slide, consistent with
+    * [[sampleBy]]'s end-labeling). Each point lands in exactly k
+    * windows — implemented as an explode of the k window labels
+    * computed arithmetically on the Long timestamp (exact, no
+    * TimestampType truncation), then one shuffle on the label with
+    * map-side partial aggregation. At scale the fan-out factor is k,
+    * a constant chosen by the caller — not a data-dependent blow-up.
+    *
+    * Emits the EXACT decimal sum + count rather than a rounded mean:
+    * window sums here are exact in DECIMAL(27,6) and convert to double
+    * bit-identically in every engine, whereas a rounded mean sits one
+    * ulp from a round-half boundary often enough to flip between
+    * engines (observed on this very query at sf0.01 — the determinism
+    * rules' float-round hazard). The caller divides when it wants a
+    * mean.
+    */
+  def slidingBy(df: DataFrame, widthUnits: Long, slideUnits: Long): DataFrame = {
+    require(widthUnits > 0 && slideUnits > 0 && widthUnits % slideUnits == 0,
+      s"width must be a positive multiple of slide: $widthUnits / $slideUnits")
+    val k = widthUnits / slideUnits
+    // base bucket by slide; point t belongs to windows ending at
+    // (bucket + 1 + j) * slide for j in 0..k-1 — each covers (e-width, e]
+    df.withColumn("j", explode(sequence(lit(0L), lit(k - 1))))
+      .withColumn("sample_ts",
+        col("j") * lit(slideUnits)
+          + (col("timestamp") - pmod(col("timestamp"), lit(slideUnits)))
+          + lit(slideUnits))
+      .groupBy("sample_ts")
+      .agg(sum(col("value").cast("decimal(27,6)")).cast("double").as("sum_value"),
+           count(lit(1)).as("n_points"))
+  }
+
   /** Downsampling with a selector other than the reference's implied
     * avg (extension surface): per tumbling window, `min`/`max` of the
     * value or the `latest` record's value (max_by timestamp). Same

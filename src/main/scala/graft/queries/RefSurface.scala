@@ -53,6 +53,8 @@ object RefSurface {
     }),
     "ts_sample_by" -> ((s, dir) =>
       SeriesOps.sampleBy(evRanged(s, dir), HOUR_US)),
+    "ts_sliding_window" -> ((s, dir) =>
+      SeriesOps.slidingBy(evRanged(s, dir), HOUR_US, HOUR_US / 4)),
     "ts_where" -> ((s, dir) =>
       // lower bound pushed on raw ts (micros > T0 ⟺ nanos >= (T0+1)*1000)
       SeriesOps.scan(SeriesOps.whereChain(
@@ -85,6 +87,12 @@ object RefSurface {
       (EV + "SELECT e.timestamp, e.value FROM ev e JOIN (SELECT timestamp FROM ev WHERE event_id = 123) p USING (timestamp)"),
     "ts_sample_by" ->
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "ts_sliding_window" ->
+      (EV + s"""SELECT j * ${HOUR_US / 4} + (timestamp - timestamp % ${HOUR_US / 4}) + ${HOUR_US / 4} AS sample_ts,
+         |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+         |  count(*) AS n_points
+         |FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
+         |WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
     "ts_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->

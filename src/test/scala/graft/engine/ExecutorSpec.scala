@@ -307,6 +307,26 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0 until 10).map(i => (Base + i, i.toDouble)))
   }
 
+  test("slidingBy: every point lands in exactly width/slide end-labeled windows") {
+    import spark.implicits._
+    val slide = 1000000000L // 1 s
+    val width = 4 * slide
+    val df = ts.zipWithIndex.map { case (t, i) => (t, i.toDouble) }
+      .toSeq.toDF("timestamp", "value")
+    val out = SeriesOps.slidingBy(df, width, slide).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // labels are multiples of the slide
+    assert(out.forall(_._1 % slide == 0))
+    // total point-window memberships = k * n
+    assert(out.map(_._3).sum == 4 * ts.length)
+    // each window's sum equals the brute-force sum of covered points
+    for ((e, s, n) <- out.take(20)) {
+      val covered = ts.zipWithIndex.filter { case (t, _) => t > e - width && t <= e }
+      assert(covered.size == n, s"window $e")
+      assert(s == covered.map(_._2.toDouble).sum, s"window $e")
+    }
+  }
+
   test("aggregate statements execute once (no emptiness pre-probe; local result)") {
     // AQE legitimately splits one query into several jobs, so the guard
     // is: ONE SQL execution inside executeSql (the old isEmpty pre-probe
