@@ -138,6 +138,17 @@ object AnalyticsSurface {
     "win_top3_per_user" -> top3PerUser,
     "win_sessionize" -> sessionize,
     "agg_hourly_rollup" -> hourlyRollup,
+    // skew-safe aggregation patterns over the LOW-cardinality
+    // event_type key (a handful of values — the classic hot-reducer
+    // shape at scale; see graft.ops.Skew)
+    "agg_salted_rollup" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+        t(s, dir, "events").select(col("event_type"), col("value"), col("event_id")),
+        "event_type", "value", saltBy = "event_id", nSalts = 16)),
+    "agg_distinct_users" -> ((s, dir) =>
+      graft.ops.Skew.twoPhaseCountDistinct(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id")),
   )
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
@@ -203,5 +214,12 @@ object AnalyticsSurface {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    // salting only redistributes the merge; DECIMAL addition is
+    // associative, so the oracle is the plain single-phase GROUP BY
+    "agg_salted_rollup" ->
+      s"""SELECT event_type, ${sumSql("value")} AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
+    "agg_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1",
   )
 }
