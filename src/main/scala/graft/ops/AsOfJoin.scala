@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for every left row, the right row's value at
+  * the greatest right timestamp <= the left timestamp, per key (the
+  * quotes-to-trades join of time-series analytics; DuckDB ships it as
+  * `ASOF JOIN`, which is exactly what the oracle uses).
+  *
+  * Spark has no native as-of join, and the naive formulation — a range
+  * join `l.ts >= r.ts` + per-left-row max — is a cross-product within
+  * every key (quadratic in key hotness, the classic range-join
+  * scale-killer Spark only mitigates with binning hints). This is the
+  * preference-order-(a) composition instead: UNION the two sides, then
+  * one window per key ordered by time carrying the last non-null right
+  * value forward. ONE shuffle on the key, a per-partition sort, zero
+  * cross products — the plan scales exactly like any windowed
+  * aggregation, independent of how many right rows precede each left
+  * row.
+  *
+  * Determinism: at equal timestamps the right row sorts BEFORE the left
+  * row (asof is inclusive, <=), and equal-timestamp right duplicates
+  * are tie-broken by value so the carried value is the maximum —
+  * callers wanting other duplicate policies dedup the right side first.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String): DataFrame = {
+    val rv = "_asof_rv"
+    val side = "_asof_side"
+    val vType = right.schema(rightValCol).dataType
+    val l = left
+      .withColumn(side, lit(1))
+      .withColumn(rv, lit(null).cast(vType))
+    val r = right.select(
+      col(key), col(tsCol).cast("long").as(tsCol),
+      col(rightValCol).cast(vType).as(rv))
+      .withColumn(side, lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(side).asc, col(rv).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(asofCol, last(col(rv), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .drop(side, rv)
+  }
+
+  /** Convenience: key + timestamp + chosen columns from the left, plus
+    * the as-of value — the shape the gate query emits. */
+  def backwardProjected(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String,
+      projected: Seq[String]): DataFrame =
+    backward(left, right, key, tsCol, rightValCol, asofCol)
+      .select((projected :+ asofCol).map(col): _*)
+}

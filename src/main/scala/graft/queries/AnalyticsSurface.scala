@@ -149,6 +149,22 @@ object AnalyticsSurface {
       graft.ops.Skew.twoPhaseCountDistinct(
         t(s, dir, "events").select(col("event_type"), col("user_id")),
         "event_type", "user_id")),
+    // as-of join: every non-click event annotated with the user's most
+    // recent click value at-or-before it (graft.ops.AsOfJoin — oracle
+    // uses DuckDB's NATIVE ASOF JOIN, a true differential test)
+    "asof_join" -> ((s, dir) => {
+      val all = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      val leftEv = all.filter(col("event_type") =!= "click")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max("value").as("click_value"))
+      graft.ops.AsOfJoin.backwardProjected(leftEv, clicks,
+        "user_id", "timestamp", "click_value", "last_click",
+        Seq("user_id", "timestamp", "value"))
+    }),
   )
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
@@ -221,5 +237,13 @@ object AnalyticsSurface {
          |FROM events GROUP BY 1""".stripMargin,
     "agg_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1",
+    // differential test against DuckDB's NATIVE ASOF JOIN operator
+    "asof_join" ->
+      (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),
+        |r AS (SELECT user_id, timestamp, max(value) AS click_value FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin),
   )
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join semantics: inclusive boundary, per-key isolation,
+  * null when no prior right row, brute-force parity, no cross product. */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+    (2L, 150L, 15.0),
+    (3L, 50L, 5.0) // user 3 has no quotes at all
+  ).toDF("user_id", "timestamp", "value")
+
+  private lazy val quotes = Seq(
+    (1L, 90L, 1.0), (1L, 200L, 2.0), (1L, 250L, 3.0),
+    (2L, 151L, 9.0) // strictly after user 2's only trade
+  ).toDF("user_id", "timestamp", "qv")
+
+  test("backward as-of: inclusive boundary, per-key, null without prior right row") {
+    val got = AsOfJoin.backward(trades, quotes, "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "value", "q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    assert(got == Set(
+      (1L, 100L, Some(1.0)), // quote at 90 carried forward
+      (1L, 200L, Some(2.0)), // EQUAL timestamp quote matches (inclusive)
+      (1L, 300L, Some(3.0)),
+      (2L, 150L, None),      // only quote is later
+      (3L, 50L, None)))      // no quotes for the key
+  }
+
+  test("matches the brute-force definition on a random fixture") {
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val r = (0 until 200).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      // dedup (key, ts) keeping max value — the documented tie policy
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), v) => (k, t, v.map(_._3).max) }.toSeq
+    val got = AsOfJoin.backward(
+        l.toDF("user_id", "timestamp", "value"),
+        r.toDF("user_id", "timestamp", "qv"),
+        "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "value", "q").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .sortBy(x => (x._1, x._2, x._3))
+    val brute = l.map { case (k, t, v) =>
+      val prior = r.filter(q => q._1 == k && q._2 <= t)
+      (k, t, v, if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == brute)
+  }
+
+  test("plan is a windowed union — no cross product or nested loop") {
+    val plan = AsOfJoin.backward(trades, quotes, "user_id", "timestamp", "qv", "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+}
