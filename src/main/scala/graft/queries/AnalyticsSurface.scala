@@ -165,6 +165,21 @@ object AnalyticsSurface {
         "user_id", "timestamp", "click_value", "last_click",
         Seq("user_id", "timestamp", "value"))
     }),
+    // binned range join: every error event paired with the same user's
+    // clicks within +-6 h (graft.ops.RangeJoin — candidates from an
+    // equality join on (user, tol-bucket), never an all-pairs filter)
+    "range_join" -> ((s, dir) => {
+      val all = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      val errors = all.filter(col("event_type") === "error")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .select("user_id", "timestamp", "value")
+      graft.ops.RangeJoin.withinTolerance(errors, clicks,
+        "user_id", 21600000000L, "value")
+        .select("user_id", "timestamp", "value", "r_timestamp", "r_value")
+    }),
   )
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
@@ -245,5 +260,12 @@ object AnalyticsSurface {
         |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin),
+    "range_join" ->
+      (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'error'),
+        |r AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'click')
+        |SELECT l.user_id, l.timestamp, l.value,
+        |  r.timestamp AS r_timestamp, r.value AS r_value
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND abs(l.timestamp - r.timestamp) <= 21600000000""".stripMargin),
   )
 }
