@@ -114,13 +114,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicate clusters: connected components over the near-dup
+    * pair graph, every member labeled with its component's smallest
+    * doc_id ([[dropNearDuplicates]]'s keep-first policy approximates
+    * this when chains a-b, b-c exist without a-c; this is the exact
+    * clustering). Output: (doc_id, cluster_id) for every doc appearing
+    * in at least one pair.
+    *
+    * Iterative min-label propagation as DataFrame ops: each round a
+    * node takes the min of its own label and its neighbors' labels —
+    * one equality join + groupBy per round, converging in O(component
+    * diameter) rounds (near-dup clusters are near-cliques, diameter
+    * 1-2; the cap is a safety net). Each round's labels are
+    * checkpointed (localCheckpoint — eager, lineage-TRUNCATING): with
+    * mere persist the logical plan still nests the previous round's
+    * tree several times over and grows exponentially with iterations
+    * (observed as an OOM in plan stringification by round ~9). The
+    * per-round convergence probe is a limit-1 count over the changed
+    * set. This is the standard scalable CC shape when a graph library
+    * isn't on the cluster (production note: use reliable
+    * checkpointing against executor loss).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("nl").as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Materialize the deduplicated corpus: documents minus near-dup
     * "losers". Keep-first policy: in every near-dup pair (a < b), b is
     * dropped — each duplicate cluster keeps its smallest doc_id (plus
-    * possibly chain representatives; exact clustering would need
-    * connected components, overkill for corpus cleaning). One
-    * left_anti join against the loser set — the actual end-user
-    * operation of a training-data pipeline. */
+    * possibly chain representatives; [[duplicateClusters]] gives the
+    * exact clustering when needed). One left_anti join against the
+    * loser set — the actual end-user operation of a training-data
+    * pipeline. */
   def dropNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val losers = minhashLshPairs(docs, threshold)
       .select(col("doc_b").as("doc_id")).distinct()

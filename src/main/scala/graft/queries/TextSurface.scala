@@ -96,6 +96,8 @@ object TextSurface {
     "dedup_materialize" -> ((s, dir) =>
       Dedup.dropNearDuplicates(docs(s, dir), 0.8)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
   )
 
   // ---- DuckDB oracles ----
@@ -217,6 +219,18 @@ object TextSurface {
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    // exact connected components via transitive closure (recursive CTE)
+    // over the same minhash pair graph the Spark side clusters
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($minhashOracle) t),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT u FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM n
+         |  UNION
+         |  SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
     "dedup_materialize" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,

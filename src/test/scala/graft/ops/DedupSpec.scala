@@ -77,6 +77,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 2L)) <= 8)
   }
 
+  test("duplicateClusters labels chained components exactly (transitive closure)") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1-3 edge), pair 7-9, isolated edge 4-5
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+      4L -> 4L, 5L -> 4L))
+    // a longer path exercises multiple propagation rounds
+    val path = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.duplicateClusters(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L) && labels.size == 10)
+  }
+
   test("simhashPairs recall is exact at the pigeonhole bound") {
     // every pair within the threshold of the brute-force 60-bit
     // signature distance must be produced by the blocked join
