@@ -21,7 +21,8 @@ object Bench {
     "q1_pricing", "q3_top_revenue", "q5_region_volume",
     "win_top3_per_user", "win_sessionize", "agg_hourly_rollup",
     "text_stats", "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf")
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
+    "asof_join", "range_join", "session_window_agg", "dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,6 +27,7 @@ HEADLINE = [
     "win_top3_per_user", "win_sessionize", "agg_hourly_rollup",
     "text_stats", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
+    "asof_join", "range_join", "session_window_agg", "dedup_clusters",
 ]
 
 
