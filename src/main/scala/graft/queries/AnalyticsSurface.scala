@@ -180,6 +180,21 @@ object AnalyticsSurface {
         "user_id", 21600000000L, "value")
         .select("user_id", "timestamp", "value", "r_timestamp", "r_value")
     }),
+    // exact (sort-based) percentiles per type — the quality-threshold
+    // primitive of corpus filtering; both engines implement the same
+    // linear interpolation, rounded to 4 dp against ulp drift (scalar
+    // columns, not an array: array cells break row-sort-then-hash
+    // comparison downstream)
+    "agg_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          round(element_at(col("q"), 1), 4).as("p50"),
+          round(element_at(col("q"), 2), 4).as("p90"),
+          round(element_at(col("q"), 3), 4).as("p99"),
+          col("n"))),
   )
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
@@ -267,5 +282,12 @@ object AnalyticsSurface {
         |  r.timestamp AS r_timestamp, r.value AS r_value
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND abs(l.timestamp - r.timestamp) <= 21600000000""".stripMargin),
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -98,6 +98,18 @@ object TextSurface {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
+    // the composed end-user operation: quality-filter + near-dup
+    // materialization in one plan (what a training-data pipeline
+    // actually ships to the trainer)
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
+      val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs(s, dir).join(quality, "doc_id")
+        .filter(col("quality_score") >= 74000)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars", "quality_score")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -164,23 +176,25 @@ object TextSurface {
        |  ON x.c = y.c AND x.k = y.k AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
 
+  private val textStatsOracle: String =
+    s"""SELECT doc_id, n_chars_raw, n_tokens, alpha_bp, digit_bp, stop_hits, stop_bp,
+       |  CAST(5 * alpha_bp + 3 * (10000 - least(digit_bp * 2, 10000))
+       |       + 2 * least(stop_bp * 4, 10000) AS BIGINT) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_chars_raw, n_tokens, stop_hits,
+       |    CAST(alpha * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS alpha_bp,
+       |    CAST(digits * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS digit_bp,
+       |    CAST(stop_hits * 10000 // greatest(n_tokens, 1) AS BIGINT) AS stop_bp
+       |  FROM (
+       |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+       |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+       |      length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+       |      CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS stop_hits
+       |    FROM documents))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "text_stats" ->
-      s"""SELECT doc_id, n_chars_raw, n_tokens, alpha_bp, digit_bp, stop_hits, stop_bp,
-         |  CAST(5 * alpha_bp + 3 * (10000 - least(digit_bp * 2, 10000))
-         |       + 2 * least(stop_bp * 4, 10000) AS BIGINT) AS quality_score
-         |FROM (
-         |  SELECT doc_id, n_chars_raw, n_tokens, stop_hits,
-         |    CAST(alpha * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS alpha_bp,
-         |    CAST(digits * 10000 // greatest(n_chars_raw, 1) AS BIGINT) AS digit_bp,
-         |    CAST(stop_hits * 10000 // greatest(n_tokens, 1) AS BIGINT) AS stop_bp
-         |  FROM (
-         |    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
-         |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-         |      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         |      length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
-         |      CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS stop_hits
-         |    FROM documents))""".stripMargin,
+    "text_stats" -> textStatsOracle,
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
          |  CASE WHEN zh_chars > 0 THEN 'zh'
@@ -234,5 +248,10 @@ object TextSurface {
     "dedup_materialize" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_score
+         |FROM documents d JOIN ($textStatsOracle) q USING (doc_id)
+         |WHERE q.quality_score >= 74000
+         |  AND d.doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
   )
 }
