@@ -20,7 +20,11 @@ object PlanAudit {
       "tsql_range",        // bucket partition pruning in the catalog
       "q5_region_volume",  // broadcast dims, single fact shuffle
       "dedup_minhash",     // band equality join, no cross product
-      "sim_topk_brute")    // broadcast query set + windowed top-k
+      "sim_topk_brute",    // broadcast query set + windowed top-k
+      "asof_join",         // union + window carry-forward, one key shuffle
+      "range_join",        // binned equality-join candidates
+      "dedup_simhash_pairs", // 15-bit chunk equality blocking
+      "agg_salted_rollup") // two-phase salted merge
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
