@@ -34,6 +34,11 @@ final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
 
   private val inner = new StatementExecutor(spark, catalog, now)
   private val buffers = mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[(Long, Double)]]()
+  // per-series buffered timestamps, tracked only under dupPolicy
+  // "ignore": merging several statements into one flush batch must not
+  // lose the unbuffered path's first-statement-wins determinism (the
+  // catalog's dropDuplicates over a merged batch would pick arbitrarily)
+  private val bufferedTs = mutable.HashMap[(String, String), mutable.HashSet[Long]]()
 
   def executeSql(sql: String): ExecResult =
     Parser.parse(sql) match {
@@ -47,32 +52,28 @@ final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
 
   private def bufferInsert(name: String,
       rows: Seq[(graft.tsql.TimeExpr, Double)]): ExecResult =
-    catalog.activeDb match {
-      case None => ExecResult.Err(ErrCode.NoActiveDb,
-        "no active database (USE <db> first)")
-      case Some(db) =>
-        if (!catalog.seriesExists(db, name))
-          return ExecResult.Err(ErrCode.TsNotFound,
-            s"timeseries '$name' not found")
-        var errors = 0
-        val resolved = rows.flatMap { case (texpr, v) =>
-          TimeEval.eval(texpr, now) match {
-            case Right(t) => Some((t, v))
-            case Left(_) => errors += 1; None
-          }
-        }
-        val buf = buffers.getOrElseUpdate((db, name), mutable.ArrayBuffer.empty)
-        buf ++= resolved
-        val n = resolved.size
-        if (buf.size >= flushRows) flushSeries(db, name)
-        ExecResult.Ack(s"$n point(s) buffered, $errors error(s)")
+    inner.withSeries(name) { (db, meta) =>
+      // time-expression resolution + error counting shared with the
+      // direct path (StatementExecutor.resolveRows) — one source of truth
+      val (resolved, errors) = inner.resolveRows(rows)
+      val accepted =
+        if (meta.dupPolicy == "ignore") {
+          val seen = bufferedTs.getOrElseUpdate((db, name), mutable.HashSet.empty)
+          resolved.filter { case (t, _) => seen.add(t) }
+        } else resolved
+      val buf = buffers.getOrElseUpdate((db, name), mutable.ArrayBuffer.empty)
+      buf ++= accepted
+      if (buf.size >= flushRows) flushSeries(db, name)
+      ExecResult.Ack(s"${accepted.size} point(s) buffered, $errors error(s)")
     }
 
-  private def flushSeries(db: String, name: String): Unit =
+  private def flushSeries(db: String, name: String): Unit = {
+    bufferedTs.remove((db, name))
     buffers.remove((db, name)).filter(_.nonEmpty).foreach { rows =>
       import spark.implicits._
       catalog.insert(db, name, rows.toSeq.toDF("timestamp", "value"))
     }
+  }
 
   /** Commit every buffered batch (one write job per touched series). */
   def flush(): Unit =

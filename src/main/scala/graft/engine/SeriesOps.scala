@@ -128,7 +128,10 @@ object SeriesOps {
       s"width must be a positive multiple of slide: $widthUnits / $slideUnits")
     val k = widthUnits / slideUnits
     // base bucket by slide; point t belongs to windows ending at
-    // (bucket + 1 + j) * slide for j in 0..k-1 — each covers (e-width, e]
+    // (bucket + 1 + j) * slide for j in 0..k-1 — each covers
+    // [e-width, e): a boundary-aligned point t is INCLUDED in the
+    // window starting at t (j = k-1 gives e = t + width) and EXCLUDED
+    // from the window ending at t (smallest label is t + slide)
     df.withColumn("j", explode(sequence(lit(0L), lit(k - 1))))
       .withColumn("sample_ts",
         col("j") * lit(slideUnits)

@@ -40,6 +40,7 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
     now: () => Long = TimeEval.nowNanos _) {
 
   import ExecResult._
+  import StatementExecutor.OneShotMaxRows
 
   def executeSql(sql: String): ExecResult =
     Parser.parse(sql) match {
@@ -76,15 +77,7 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
 
     case Statement.Insert(name, rows) =>
       withSeries(name) { (db, _) =>
-        // per-record timestamp evaluation with row-level error counting
-        // (reference src/statement_execute.c:430-445)
-        var errors = 0
-        val resolved = rows.flatMap { case (texpr, v) =>
-          TimeEval.eval(texpr, now) match {
-            case Right(t) => Some((t, v))
-            case Left(_) => errors += 1; None
-          }
-        }
+        val (resolved, errors) = resolveRows(rows)
         import spark.implicits._
         val n = catalog.insert(db, name, resolved.toDF("timestamp", "value"))
         Ack(s"$n point(s) inserted, $errors error(s)")
@@ -188,7 +181,14 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
               // latest respects the range (fixing the reference quirk where
               // BETWEEN was ignored, src/statement_execute.c:261-271)
               case Some(SelectFn.Latest) => oneShot(SeriesOps.latest(filtered))(Rows)
-              case Some(SelectFn.Earliest(n)) => oneShot(SeriesOps.earliest(filtered, n))(Rows)
+              case Some(SelectFn.Earliest(n)) if n <= OneShotMaxRows =>
+                oneShot(SeriesOps.earliest(filtered, n))(Rows)
+              case Some(SelectFn.Earliest(n)) =>
+                // a huge n must NOT collect on the driver — keep the lazy
+                // streaming path and pay the emptiness probe instead
+                val df = SeriesOps.earliest(filtered, n)
+                if (df.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
+                else Rows(df)
             }
         }
       }
@@ -212,13 +212,28 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
       Err(ErrCode.Unsupported, s"unknown meta command .$other")
   }
 
+  /** Resolve INSERT rows' time expressions with per-row error counting
+    * (reference src/statement_execute.c:430-445); shared with the
+    * buffered write path so the two INSERT paths cannot diverge. */
+  private[engine] def resolveRows(rows: Seq[(TimeExpr, Double)])
+      : (Seq[(Long, Double)], Int) = {
+    var errors = 0
+    val resolved = rows.flatMap { case (texpr, v) =>
+      TimeEval.eval(texpr, now) match {
+        case Right(t) => Some((t, v))
+        case Left(_) => errors += 1; None
+      }
+    }
+    (resolved, errors)
+  }
+
   private def withDb(f: String => ExecResult): ExecResult =
     catalog.activeDb match {
       case Some(db) => f(db)
       case None => Err(ErrCode.NoActiveDb, "no active database (USE <db> first)")
     }
 
-  private def withSeries(name: String)(f: (String, SeriesMeta) => ExecResult): ExecResult =
+  private[engine] def withSeries(name: String)(f: (String, SeriesMeta) => ExecResult): ExecResult =
     withDb { db =>
       catalog.seriesMeta(db, name) match {
         case Some(meta) => f(db, meta)
@@ -227,4 +242,10 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
           else Err(ErrCode.TsNotFound, s"timeseries '$name' not found")
       }
     }
+}
+
+object StatementExecutor {
+  /** Bound on rows an aggregate statement may collect-and-rewrap
+    * (the oneShot path); larger results keep the lazy streaming plan. */
+  val OneShotMaxRows = 10000
 }

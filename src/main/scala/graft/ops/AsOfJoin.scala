@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * row (asof is inclusive, <=), and equal-timestamp right duplicates
   * are tie-broken by value so the carried value is the maximum —
   * callers wanting other duplicate policies dedup the right side first.
+  *
+  * Null right VALUES are dropped up front (a null observation is no
+  * observation): the carry-forward encoding cannot distinguish a
+  * null-valued right row from the left rows' padding, so keeping them
+  * would silently carry an OLDER value where a null row matched.
+  * Documented divergence: DuckDB's ASOF JOIN would match the
+  * null-valued row and return NULL — filter nulls there too when
+  * differential-testing.
   */
 object AsOfJoin {
 
@@ -35,7 +43,7 @@ object AsOfJoin {
     val l = left
       .withColumn(side, lit(1))
       .withColumn(rv, lit(null).cast(vType))
-    val r = right.select(
+    val r = right.filter(col(rightValCol).isNotNull).select(
       col(key), col(tsCol).cast("long").as(tsCol),
       col(rightValCol).cast(vType).as(rv))
       .withColumn(side, lit(0))

@@ -122,18 +122,20 @@ object Dedup {
     * in at least one pair.
     *
     * Iterative min-label propagation as DataFrame ops: each round a
-    * node takes the min of its own label and its neighbors' labels —
-    * one equality join + groupBy per round, converging in O(component
-    * diameter) rounds (near-dup clusters are near-cliques, diameter
-    * 1-2; the cap is a safety net). Each round's labels are
+    * node takes the min of (own label, neighbors' labels, its LABEL'S
+    * label) — the last term is pointer jumping, which halves the
+    * remaining distance to the component minimum every round, so
+    * convergence is O(log diameter) instead of O(diameter) (a 10-node
+    * chain converges in 4 rounds, not 9). Each round's labels are
     * checkpointed (localCheckpoint — eager, lineage-TRUNCATING): with
     * mere persist the logical plan still nests the previous round's
     * tree several times over and grows exponentially with iterations
     * (observed as an OOM in plan stringification by round ~9). The
     * per-round convergence probe is a limit-1 count over the changed
-    * set. This is the standard scalable CC shape when a graph library
-    * isn't on the cluster (production note: use reliable
-    * checkpointing against executor loss).
+    * set. If the cap is hit without convergence the call THROWS —
+    * silently returning partial labels would hand the caller wrong
+    * clusters with no signal. (Production note: use reliable
+    * checkpointing against executor loss.)
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -150,10 +152,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min("nl").as("nmin"))
+      // pointer jumping: the label of my label
+      val hop = labels.select(col("doc_id").as("jid"), col("label").as("jl"))
       val next = labels
         .join(nbrMin, Seq("doc_id"), "left")
+        .join(hop.select(col("jid").as("label"), col("jl")), Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("jl"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
@@ -161,6 +168,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — " +
+          "raise maxIters (components deeper than 2^maxIters hops are implausible for near-dup graphs)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

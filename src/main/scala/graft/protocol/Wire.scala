@@ -47,8 +47,14 @@ object Wire {
 
   private val CRLF = "\r\n"
 
-  /** `%lf`-equivalent rendering: fixed 6 decimals (src/encoding.c:150). */
-  private[protocol] def fmtValue(v: Double): String = f"$v%.6f"
+  /** `%lf`-equivalent rendering: fixed 6 decimals (src/encoding.c:150).
+    * glibc printf rounds the EXACT binary value half-to-even, which
+    * Java's %.6f (HALF_UP) diverges from on exact-half dyadics like
+    * 2^-7 = 0.0078125 — so round via BigDecimal(exact) + HALF_EVEN to
+    * stay byte-compatible with a C peer. */
+  private[protocol] def fmtValue(v: Double): String =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_EVEN).toPlainString
 
   private def fmtRecord(r: (Long, Double)): String =
     s":${r._1}$CRLF;${fmtValue(r._2)}$CRLF"
@@ -190,17 +196,27 @@ object Wire {
         } yield (WireResponse.Arr(records), c.pos)
       case '~' =>
         c.take()
-        for {
-          n <- c.readDigits()
-          _ <- if (!c.skipCrlf()) Left("missing CRLF after chunk length") else Right(())
-          records <- decodeRecords(c, n.toInt)
-          _ <- if (!c.skipCrlf()) Left("missing blank line after chunk") else Right(())
-        } yield {
-          // `~0\r\n` directly after the blank line terminates the stream
-          val isFinal = c.pos + 4 <= data.length && data(c.pos) == '~' &&
-            data(c.pos + 1) == '0' && data(c.pos + 2) == '\r' && data(c.pos + 3) == '\n'
-          if (isFinal) c.pos += 4
-          (WireResponse.StreamChunk(records, isFinal), c.pos)
+        c.readDigits().flatMap { n =>
+          if (!c.skipCrlf()) Left("missing CRLF after chunk length")
+          // A bare `~0\r\n` NOT followed by a blank line is the stream
+          // TERMINATOR arriving standalone — TCP may deliver it in a
+          // separate segment from the final record chunk (an empty
+          // mid-stream chunk is `~0\r\n\r\n`, distinguished by its
+          // blank line). Without this case a client that saw the final
+          // chunk without its terminator bytes would wait forever: the
+          // late terminator alone could never decode.
+          else if (n == 0 && !c.atCrlf)
+            Right((WireResponse.StreamChunk(Nil, isFinal = true), c.pos))
+          else decodeRecords(c, n.toInt).flatMap { records =>
+            if (!c.skipCrlf()) Left("missing blank line after chunk")
+            else {
+              // `~0\r\n` directly after the blank line terminates the stream
+              val isFinal = c.pos + 4 <= data.length && data(c.pos) == '~' &&
+                data(c.pos + 1) == '0' && data(c.pos + 2) == '\r' && data(c.pos + 3) == '\n'
+              if (isFinal) c.pos += 4
+              Right((WireResponse.StreamChunk(records, isFinal), c.pos))
+            }
+          }
         }
       case other => Left(s"unknown response marker ${other.toChar}")
     }

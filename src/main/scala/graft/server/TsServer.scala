@@ -25,7 +25,12 @@ import graft.protocol.{Wire, WireResponse}
   *    anything that fits one batch answers as a `#` array;
   *  - rows never materialize on the driver beyond the current batch
   *    (`toLocalIterator`), so an arbitrarily large scan streams in
-  *    bounded memory.
+  *    bounded memory;
+  *  - protocol records are strictly (timestamp, value) pairs
+  *    (reference src/encoding.c:125-159 has no wider record), so
+  *    SAMPLE BY results serialize their first two columns
+  *    (sample_ts, aggregate) and drop n_points on the wire — the
+  *    interactive `cli.Repl` renders it, the protocol cannot.
   */
 final class TsServer(exec: StatementExecutor, port: Int = 0) {
 

@@ -90,6 +90,31 @@ class BufferedExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("ignore policy: first statement wins across buffered inserts") {
+    withExec(flushRows = 1024) { (exec, catalog, _) =>
+      exec.executeSql("CREATE ig 0 'ignore'")
+      assert(exec.executeSql("INSERT INTO ig VALUES (5, 1.0)") ==
+        ExecResult.Ack("1 point(s) buffered, 0 error(s)"))
+      // duplicate timestamp in a LATER statement: shadowed in-buffer,
+      // ack reflects 0 accepted (it would be dropped at flush anyway)
+      assert(exec.executeSql("INSERT INTO ig VALUES (5, 2.0), (6, 3.0)") ==
+        ExecResult.Ack("1 point(s) buffered, 0 error(s)"))
+      exec.executeSql("SELECT value FROM ig") match {
+        case ExecResult.Rows(df) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(rows == Seq((5L, 1.0), (6L, 3.0))) // first statement won
+        case other => fail(s"expected rows, got $other")
+      }
+      // and against DISK too: a new buffered duplicate of a flushed ts
+      exec.executeSql("INSERT INTO ig VALUES (5, 9.9)")
+      exec.executeSql("SELECT value FROM ig") match {
+        case ExecResult.Rows(df) =>
+          assert(df.collect().map(_.getDouble(1)).toSeq == Seq(1.0, 3.0))
+        case other => fail(s"expected rows, got $other")
+      }
+    }
+  }
+
   test("close() commits the remaining buffer") {
     withExec(flushRows = 1024) { (exec, catalog, _) =>
       exec.executeSql("INSERT INTO s VALUES (42, 4.2)")

@@ -319,12 +319,18 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_._1 % slide == 0))
     // total point-window memberships = k * n
     assert(out.map(_._3).sum == 4 * ts.length)
-    // each window's sum equals the brute-force sum of covered points
+    // each window's sum equals the brute-force sum over [e-width, e)
     for ((e, s, n) <- out.take(20)) {
-      val covered = ts.zipWithIndex.filter { case (t, _) => t > e - width && t <= e }
+      val covered = ts.zipWithIndex.filter { case (t, _) => t >= e - width && t < e }
       assert(covered.size == n, s"window $e")
       assert(s == covered.map(_._2.toDouble).sum, s"window $e")
     }
+    // boundary-aligned point: included in the window STARTING at t,
+    // excluded from the one ending at t
+    val aligned = SeriesOps.slidingBy(
+      Seq((4 * slide, 7.0)).toDF("timestamp", "value"), width, slide)
+      .collect().map(_.getLong(0)).sorted
+    assert(aligned.toSeq == (5L to 8L).map(_ * slide))
   }
 
   test("aggregate statements execute once (no emptiness pre-probe; local result)") {

@@ -62,6 +62,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.toSeq == brute)
   }
 
+  test("null right values are dropped, not carried as stale observations") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("timestamp", LongType),
+      StructField("qv", DoubleType, nullable = true)))
+    val qWithNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 90L, 1.0), Row(1L, 95L, null)), schema)
+    val got = AsOfJoin.backward(
+        trades.filter($"user_id" === 1 && $"timestamp" === 100L),
+        qWithNull, "user_id", "timestamp", "qv", "q")
+      .select("q").collect().head
+    // the null row at 95 is ignored; the 90 observation carries — NOT
+    // DuckDB semantics (which would match the null row); documented
+    assert(got.getDouble(0) == 1.0)
+  }
+
   test("plan is a windowed union — no cross product or nested loop") {
     val plan = AsOfJoin.backward(trades, quotes, "user_id", "timestamp", "qv", "q")
       .queryExecution.executedPlan.toString

@@ -42,6 +42,20 @@ class WireSpec extends AnyFunSuite {
     assert(Wire.encodeResponse(Str(0, "x" * Wire.MaxQuerySize)).isLeft)
   }
 
+  test("value rendering matches glibc %lf half-even rounding on exact halves") {
+    // 2^-7 is exactly representable; its 7th decimal is an exact 5 —
+    // glibc %lf gives 0.007812 (half-even), Java %.6f would give 0.007813
+    assert(s(enc(Arr(Seq((1L, 0.0078125))))).contains(";0.007812\r\n"))
+    assert(s(enc(Arr(Seq((1L, 0.0234375))))).contains(";0.023438\r\n")) // rounds up to even
+  }
+
+  test("standalone ~0 terminator (split TCP segment) decodes as an empty final chunk") {
+    val (r, n) = dec("~0\r\n".getBytes)
+    assert(r == StreamChunk(Nil, isFinal = true) && n == 4)
+    // an empty NON-final chunk carries its blank line and stays non-final
+    assert(dec("~0\r\n\r\n".getBytes)._1 == StreamChunk(Nil, isFinal = false))
+  }
+
   test("array response: records as :ts/;value with %lf 6-decimal values") {
     val bytes = enc(Arr(Seq((1643673600000000000L, 78.5), (1643673660000000000L, -3.25))))
     assert(s(bytes) ==
