@@ -34,6 +34,8 @@ object SimilaritySurface {
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingDupPairsLsh(emb(s, dir), DUP_THRESHOLD, NPLANES, DIM)),
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeSummary(emb(s, dir))),
   )
 
   private val NCENTROIDS = 8
@@ -146,5 +148,22 @@ object SimilaritySurface {
          |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS sim
          |FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= $DUP_THRESHOLD""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS xd FROM embeddings),
+        |m AS (SELECT vec_id, max(abs(xd)) AS maxabs FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, e.xd, m.maxabs,
+        |        CASE WHEN m.maxabs = 0 THEN 0
+        |             ELSE CAST(floor(e.xd * 127 / m.maxabs) AS BIGINT) END AS qv
+        |      FROM e JOIN m USING (vec_id)),
+        |qe AS (SELECT vec_id, maxabs, qv,
+        |        CASE WHEN maxabs = 0 THEN 0.0 ELSE abs(xd - qv * maxabs / 127) END AS err
+        |       FROM q)
+        |SELECT vec_id,
+        |  CAST(floor(maxabs * 1000000) AS BIGINT) AS scale6,
+        |  CAST(min(qv) AS BIGINT) AS q_min,
+        |  CAST(max(qv) AS BIGINT) AS q_max,
+        |  CAST(sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(floor(sum(CAST(err AS DECIMAL(30,12))) * 1000000) AS BIGINT) AS err6
+        |FROM qe GROUP BY vec_id, maxabs""".stripMargin,
   )
 }

@@ -135,6 +135,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshBlocked.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
   }
 
+  test("int8 quantization: q range bounded, per-element error under one LSB") {
+    val rows = Similarity.quantizeSummary(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rows.length == 30)
+    for ((id, scale6, qMin, qMax, err6) <- rows) {
+      assert(qMin >= -127 && qMax <= 127, s"vec $id q out of int8 range")
+      // floor error < 1 LSB per element; 16 dims; scale = scale6/1e6 (floored)
+      // → total error strictly under 16 * (scale6 + 1) / 127 (in millionths)
+      assert(err6 <= 16L * (scale6 + 1) / 127 + 16, s"vec $id err $err6 vs scale $scale6")
+      assert(err6 >= 0)
+    }
+    // deterministic across runs
+    val again = Similarity.quantizeSummary(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("embedding dup pairs: the planted duplicate pair is found at threshold 0.99") {
     val pairs = Similarity.embeddingDupPairs(emb, 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
