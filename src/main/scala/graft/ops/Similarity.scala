@@ -204,8 +204,11 @@ object Similarity {
         array((0 until nProbe).map(i =>
           -sortedCents.getItem(i).getField("ncid")): _*))
 
-    probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), explode(col("probe_cells")).as("pcell"))
+    // the probe set (queries x nProbe) is tiny model-scale data; an
+    // explicit broadcast guarantees the corpus side never shuffles
+    // for candidate generation, independent of optimizer stats
+    broadcast(probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), explode(col("probe_cells")).as("pcell")))
       .join(assigned.as("c"), col("c.cell") === col("pcell") &&
         col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
