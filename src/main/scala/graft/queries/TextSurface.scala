@@ -101,6 +101,14 @@ object TextSurface {
     // the composed end-user operation: quality-filter + near-dup
     // materialization in one plan (what a training-data pipeline
     // actually ships to the trainer)
+    // deterministic 10% hash sample — the scale-correct subsampling
+    // primitive: reproducible across runs/retries (rand() is neither),
+    // stable under corpus growth (membership depends only on doc_id)
+    "sample_corpus" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(pmod(TextFns.h60(concat(lit("sample:"), col("doc_id").cast("string"))),
+          lit(100L)) < 10)
+        .select("doc_id", "lang", "source", "n_chars")),
     "pipeline_clean_corpus" -> ((s, dir) => {
       val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
       val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
@@ -248,6 +256,9 @@ object TextSurface {
     "dedup_materialize" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
+    "sample_corpus" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_score
          |FROM documents d JOIN ($textStatsOracle) q USING (doc_id)
