@@ -11,6 +11,14 @@ import org.apache.spark.sql.SparkSession
   * distributed cost, unlike `count()` which can short-circuit column
   * reads. A single tiny warm-up action amortizes JVM/codegen startup so
   * numbers reflect steady-state query cost.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3); the JSON
+  * reports the per-query BEST plus the min–max spread, so one-off
+  * scheduler/GC hiccups (the ~15% run-to-run drift seen in round 2)
+  * can't masquerade as plan regressions. The SQL cache is cleared
+  * before every rep: any persist() inside a query plan (e.g. the
+  * shared shingle relation in dedup_minhash) is part of that ONE
+  * query's cost, never carried between reps or queries.
   */
 object Bench {
 
@@ -27,6 +35,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // dev-only subset filter for iterating on one query's plan
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet: String => Boolean)
+        .getOrElse(_ => true)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -50,21 +63,27 @@ object Bench {
     // a failed query records the sentinel -1 (and lands in "errors")
     // instead of its near-zero elapsed time — a crash must never make
     // the benchmark look faster
-    val queryResults = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
 
+    val queryRuns: Seq[(String, Seq[Double])] =
+      headline.filter(only).flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          name -> (1 to reps).map(_ => timeOnce(fn, name))
+        }
+      }
+
     // write-path throughput: bulk-append the events series into a fresh
     // bucketed catalog (the reference's ts_insert analog)
-    val ingestResult = try {
+    def ingestOnce(): Double = try {
       val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
       val cat = new graft.catalog.TsCatalog(spark, root, bucketNs = 86400L * 1000000L)
       cat.createDb("b")
@@ -75,18 +94,26 @@ object Bench {
       cat.insert("b", "ev", pts)
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-      Seq("ingest_events" -> dt)
+      dt
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] ingest failed: ${e.getMessage}")
-      Seq("ingest_events" -> -1.0)
+      System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1.0
     }
-    val results = queryResults ++ ingestResult
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val runs = queryRuns ++
+      (if (only("ingest_events")) Seq("ingest_events" -> (1 to reps).map(_ => ingestOnce()))
+       else Nil)
+
+    def best(rs: Seq[Double]): Double = { val ok = rs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min }
+    def spread(rs: Seq[Double]): Double = { val ok = rs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.max - ok.min }
+    val qs = runs.map { case (k, rs) => "\"" + k + f"""\":${best(rs)}%.3f""" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val sp = runs.map { case (k, rs) => "\"" + k + f"""\":${spread(rs)}%.3f""" }
+      .mkString("{", ",", "}")
+    val errors = runs.collect { case (k, rs) if rs.exists(_ < 0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = runs.map(r => best(r._2)).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

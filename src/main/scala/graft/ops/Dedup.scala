@@ -62,13 +62,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns: min over the shingle set of k salted
-    * h60 hashes — computed in ONE groupBy pass (k parallel min
-    * aggregates, map-side partial). */
+  /** Universal-hash minhash family over a 30-bit base hash: permutation
+    * i is h -> (a_i * h + b_i) mod P with P = 2^31 - 1 (prime),
+    * a_i in [1, P-1], b_i in [0, P-1] derived from the shared md5
+    * scheme — so the oracle inlines the identical constants. The base
+    * hash is h60(sh) mod 2^30, keeping a_i * h < 2^61 (DuckDB BIGINT
+    * arithmetic errors on overflow rather than wrapping, so every
+    * intermediate must stay under 2^63 in BOTH engines). One md5 per
+    * shingle total — k=64 signatures cost 64 integer fmas, not 64
+    * salted md5s. */
+  val MH_P = 2147483647L // 2^31 - 1
+  val MH_M = 1073741824L // 2^30
+  def mhParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i =>
+      (TextFns.h60Scala(s"mh:a:$i") % (MH_P - 1) + 1,
+        TextFns.h60Scala(s"mh:b:$i") % MH_P))
+
+  /** MinHash signature columns: min over the shingle set of k
+    * universal-hash permutations of the base hash — ONE md5 + k integer
+    * fmas per shingle, one groupBy pass (k parallel min aggregates,
+    * map-side partial). */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
     val s = shingleRelation(docs)
-    val aggs = (0 until k).map(i =>
-      min(TextFns.h60(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+      .withColumn("h", TextFns.h60(col("sh")) % MH_M)
+    val aggs = mhParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MH_P).as(s"m$i")
+    }
     s.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -79,13 +98,35 @@ object Dedup {
     * The band join is an equality shuffle join on
     * (band_index, sig values) — at scale this is the only quadratic
     * risk, and only within identical-band groups (true near-dups plus
-    * a tunable false-positive rate 1-(1-j^r)^b).
+    * a tunable false-positive rate 1-(1-j^r)^b). Defaults k=64/b=16
+    * (r=4) give a sharp S-curve around the 0.8 threshold: recall at
+    * j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9998, while FP candidate rate is
+    * 1-(1-0.0081)^16 ≈ 12% at j=0.3 and ≈2.5% at j=0.2 — vs the
+    * round-1 toy defaults k=8/b=4 (r=2) at ~31% / ~15%, which made the
+    * verification join pay a third of all band-colliding non-dups at
+    * corpus scale.
+    *
+    * The shingled corpus (doc_id, shingles array) is persisted and
+    * shared by the signature branch and both sides of the verification
+    * join, so normalization + shingling runs ONCE per corpus instead of
+    * three times; Jaccard verification is per-candidate
+    * `array_intersect` on the cached arrays — no second explode/shuffle
+    * of the full shingle relation.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-      k: Int = 8, bands: Int = 4): DataFrame = {
+      k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k)
+    val docsSh = TextFns.withShingles(docs)
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = docsSh
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", TextFns.h60(col("sh")) % MH_M)
+    val aggs = mhParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MH_P).as(s"m$i")
+    }
+    val sigs = s.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
@@ -99,18 +140,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // exact-Jaccard verification restricted to candidates
-    val s = shingleRelation(docs)
-    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(s.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(s.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    // exact-Jaccard verification restricted to candidates: intersect
+    // the cached per-doc shingle arrays directly (shingles are distinct
+    // by construction, so |intersect| is the true set intersection)
+    cand
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
+        jaccard(col("i"), size(col("sha")).cast("long"),
+          size(col("shb")).cast("long")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -136,11 +136,21 @@ object TextSurface {
 
   private def h60sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Mirrors Dedup.minhashLshPairs at the production defaults k=64/
+    * b=16 (r=4): ONE md5 per shingle reduced mod 2^30, then 64
+    * universal-hash permutations (a_i*h + b_i) mod (2^31-1) with the
+    * a_i/b_i constants inlined from the identical driver-side
+    * derivation (Dedup.mhParams). The Jaccard verify keeps the exploded
+    * equality-join formulation — same value as the Spark side's
+    * array_intersect over distinct shingle sets. */
   private val minhashOracle: String = {
-    val sigCols = (0 until 8).map(i =>
-      s"min(${h60sql(s"'$i:' || sh")}) AS m$i").mkString(", ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, concat_ws('_', m${2 * b}, m${2 * b + 1}) AS key FROM sig")
+    val k = 64; val bands = 16; val r = k / bands
+    val sigCols = Dedup.mhParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * (${h60sql("sh")} % ${Dedup.MH_M}) + $b) % ${Dedup.MH_P}) AS m$i"
+    }.mkString(", ")
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', " +
+        (0 until r).map(j => s"m${b * r + j}").mkString(", ") + ") AS key FROM sig")
       .mkString(" UNION ALL ")
     s"""WITH $SHINGLE_CTES,
        |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY 1),
