@@ -147,28 +147,109 @@ object Similarity {
   def trainCodebook(embeddings: DataFrame, nCentroids: Int, iters: Int,
       trainPred: Column): Seq[(Long, Array[Double])] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", normDec("embedding"))
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainCodebookOn(base, nCentroids, iters, trainPred)
+    finally base.unpersist(false) // training jobs all ran; nothing else reads it
+  }
+
+  /** (vec_id, embedding, nrm) projection shared by every search path.
+    * A small corpus arrives as one parquet split, which would serialize
+    * every decimal dot product behind a single core — spread it to the
+    * session's parallelism before the norm is computed/persisted. At
+    * scale the scan already has ≥ defaultParallelism splits and this
+    * is a no-op. */
+  private def withNorm(embeddings: DataFrame): DataFrame = {
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val spread = if (e.rdd.getNumPartitions < par) e.repartition(par) else e
+    spread.withColumn("nrm", normDec("embedding"))
+  }
+
+  /** [[trainCodebook]] against an already-prepared (and ideally
+    * persisted) `base`.
+    *
+    * Each Lloyd round is ONE narrow job: broadcast the centroids, then
+    * `treeAggregate` per-cell (decimal-sum, count) accumulators over
+    * the training slice — the org.apache.spark.ml KMeans pattern. The
+    * earlier DataFrame formulations paid 2-4 scheduler/AQE stages per
+    * round (the centroid literals also recompiled whole-stage codegen
+    * every round, since scalar literals constant-fold into the
+    * generated source) — ~0.7-1.0 s/round of overhead for <0.1 s of
+    * compute at sample scale. The aggregate form is also the
+    * 100 TB-correct shape: one pass, map-side combine into k×dim
+    * accumulators, nothing shuffles.
+    *
+    * Arithmetic is bit-locked to the oracle CTEs: products/elements
+    * round to DECIMAL(30,12) exactly like Spark's double→decimal CAST
+    * (`BigDecimal.valueOf(x).setScale(12, HALF_UP)` — VecCodec's
+    * contract), decimal sums are exact (order-independent), cosines
+    * round HALF_UP to 4 dp before the max, means to 6 dp; ties in the
+    * max go to the smallest cid (strict-greater replacement over
+    * ascending cids).
+    */
+  private def trainCodebookOn(base: DataFrame, nCentroids: Int, iters: Int,
+      trainPred: Column): Seq[(Long, Array[Double])] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    def round4(x: Double): Double = JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
     var cents: Seq[(Long, Array[Double])] =
       base.filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
         .collect().map(r =>
           (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1).toSeq
     val dim = cents.head._2.length
-    val train = base.filter(trainPred)
+    val k = cents.size
+    val sc = base.sparkSession.sparkContext
+    val trainRdd = base.filter(trainPred).select("embedding", "nrm").rdd
+
     for (_ <- 0 until iters) {
-      val cs = centroidStructs(cents)
-      val assigned = train.withColumn("cell",
-        -greatest(cents.indices.map(i => cs.getItem(i)): _*).getField("ncid"))
-      val dimAggs = (1 to dim).map(d =>
-        round(sum(expr(
-          s"CAST(CAST(element_at(embedding, $d) AS DOUBLE) AS DECIMAL(30,12))"))
-          .cast("double") / count(lit(1)), 6).as(s"m$d"))
-      val means = assigned.groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
-        .collect()
-        .map(r => r.getLong(0) -> Array.tabulate(dim)(d => r.getDouble(d + 1)))
-        .toMap
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      val bc = sc.broadcast(cents.map { case (cid, ce) =>
+        (cid, ce, math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
+      }.toArray)
+      // acc: per-cell (count, dim exact-decimal sums), keyed by centroid index
+      val zero = (new Array[Long](k), Array.fill(k, dim)(JBD.ZERO))
+      val (counts, sums) = trainRdd.treeAggregate(zero)(
+        seqOp = { case (acc, row) =>
+          val e = row.getSeq[Float](0)
+          val nrm = row.getDouble(1)
+          val cs = bc.value
+          var bestIdx = -1; var bestCs = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val (_, ce, cn) = cs(ci)
+            var dot = JBD.ZERO
+            var d = 0
+            while (d < dim) { dot = dot.add(dec12(e(d).toDouble * ce(d))); d += 1 }
+            val sim = round4(dot.doubleValue() / (cn * nrm))
+            if (sim > bestCs) { bestCs = sim; bestIdx = ci } // ties keep smaller cid
+            ci += 1
+          }
+          acc._1(bestIdx) += 1
+          var d = 0
+          while (d < dim) {
+            acc._2(bestIdx)(d) = acc._2(bestIdx)(d).add(dec12(e(d).toDouble)); d += 1
+          }
+          acc
+        },
+        combOp = { case ((c1, s1), (c2, s2)) =>
+          var i = 0
+          while (i < k) {
+            c1(i) += c2(i)
+            var d = 0
+            while (d < dim) { s1(i)(d) = s1(i)(d).add(s2(i)(d)); d += 1 }
+            i += 1
+          }
+          (c1, s1)
+        })
+      bc.destroy()
+      cents = cents.zipWithIndex.map { case ((cid, old), i) =>
+        if (counts(i) == 0) (cid, old) // cells that lose all members keep their centroid
+        else (cid, Array.tabulate(dim)(d =>
+          round6(sums(i)(d).doubleValue() / counts(i))))
+      }
     }
     cents
   }
@@ -188,9 +269,13 @@ object Similarity {
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", normDec("embedding"))
-    val cents = trainCodebook(embeddings, nCentroids, kmeansIters, trainPred)
+    // ONE normed corpus materialization feeds k-means training, the
+    // corpus-side cell assignment, and the probe side — previously
+    // training and search each derived it independently and every
+    // Lloyd round paid the norm scan again
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
 
     // per-row array of (cosine-to-centroid, -cid) structs
     val centStructs = centroidStructs(cents)
