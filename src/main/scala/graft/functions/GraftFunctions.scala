@@ -17,7 +17,8 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "shingles3" -> (exprs => Shingles3(exprs.head)),
-    "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))))
+    "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))),
+    "text_stats_scan" -> (exprs => TextStats(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =
@@ -50,5 +51,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           classOf[DotDec].getName, "dot_dec"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotDec(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("text_stats_scan"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TextStats].getName, "text_stats_scan"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          TextStats(exprs.head)))
   }
 }

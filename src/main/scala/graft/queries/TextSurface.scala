@@ -23,17 +23,19 @@ object TextSurface {
     * round-half boundaries constantly; float `round()` differs between
     * engines within 1 ulp of a boundary, so the whole query stays in
     * the integer domain (`floor(a*10000/b)` + weighted integer sums). */
-  private def textStats(s: SparkSession, dir: String): DataFrame =
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
-      .withColumn("n_chars_raw", length(col("text")).cast("long"))
-      .withColumn("n_tokens",
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long"))
+      // all five counts in ONE scan (native text_stats_scan expression;
+      // semantics locked to the regex forms — see TextStatsCodec)
+      .withColumn("st", expr("text_stats_scan(text)"))
+      .withColumn("n_chars_raw", col("st.n_chars_raw"))
+      .withColumn("n_tokens", col("st.n_tokens"))
       .withColumn("alpha_bp", expr(
-        "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT) * 10000 div greatest(n_chars_raw, 1)"))
+        "st.alpha * 10000 div greatest(n_chars_raw, 1)"))
       .withColumn("digit_bp", expr(
-        "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT) * 10000 div greatest(n_chars_raw, 1)"))
-      .withColumn("stop_hits", size(expr(
-        "regexp_extract_all(lower(text), '\\\\b(the|a|an|and|or|of|to|in|is|it)\\\\b', 0)")).cast("long"))
+        "st.digits * 10000 div greatest(n_chars_raw, 1)"))
+      .withColumn("stop_hits", col("st.stop_hits"))
       .withColumn("stop_bp", expr(
         "stop_hits * 10000 div greatest(n_tokens, 1)"))
       // quality in [0, 100000]: 5*alpha + 3*(1 - min(2*digit,1)) + 2*min(4*stop,1)
@@ -43,6 +45,7 @@ object TextSurface {
           lit(2L) * least(col("stop_bp") * 4, lit(10000L))).cast("long"))
       .select("doc_id", "n_chars_raw", "n_tokens", "alpha_bp",
         "digit_bp", "stop_hits", "stop_bp", "quality_score")
+  }
 
   /** Marker-token language id (n-gram-heuristic family): per-language
     * stopword hit counts + CJK character count, argmax with a fixed
