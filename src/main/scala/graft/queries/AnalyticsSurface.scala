@@ -180,22 +180,55 @@ object AnalyticsSurface {
         "user_id", 21600000000L, "value")
         .select("user_id", "timestamp", "value", "r_timestamp", "r_value")
     }),
-    // exact (sort-based) percentiles per type — the quality-threshold
-    // primitive of corpus filtering; both engines implement the same
-    // linear interpolation, rounded to 4 dp against ulp drift (scalar
-    // columns, not an array: array cells break row-sort-then-hash
-    // comparison downstream)
-    "agg_percentiles" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"),
-          round(element_at(col("q"), 1), 4).as("p50"),
-          round(element_at(col("q"), 2), 4).as("p90"),
-          round(element_at(col("q"), 3), 4).as("p99"),
-          col("n"))),
+    // exact percentiles per type — the quality-threshold primitive of
+    // corpus filtering (see percentilesExact for the bounded-memory
+    // formulation; both engines compute the same linear interpolation,
+    // rounded to 4 dp against ulp drift)
+    "agg_percentiles" -> percentilesExact,
   )
+
+  private val PCTS = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  /** Exact interpolated percentiles with BOUNDED memory: sort-rank the
+    * values per group (sort-based window — spills to disk, never
+    * buffers a group in an agg buffer) and select/interpolate the two
+    * ranks each quantile needs. Spark's `percentile()` aggregate is a
+    * TypedImperativeAggregate that materializes EVERY value of a group
+    * in one reducer's buffer — a deterministic OOM on a hot group at
+    * corpus scale, which is why it's not used here (it remains the
+    * semantics reference: interpolation below is its
+    * `(hi-pos)*v_lo + (pos-lo)*v_hi` formula over pos = q*(n-1),
+    * identical to DuckDB's quantile_cont on the oracle side).
+    * At scale the per-group sort is the only hot spot (5 groups →
+    * 5-way parallelism ceiling); it trades the OOM for spillable disk,
+    * the correct failure mode for an exact quantile. */
+  private def percentilesExact(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    // rank ties are arbitrary among equal values — interpolation only
+    // reads the VALUES at the picked ranks, which ties cannot change
+    val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "event_type")
+    def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
+    val needed = PCTS.map { case (_, q) =>
+      col("rn") === floor(pos(q)) + 1 || col("rn") === ceil(pos(q)) + 1
+    }.reduce(_ || _)
+    val aggs = PCTS.flatMap { case (name, q) => Seq(
+      max(when(col("rn") === floor(pos(q)) + 1, col("value"))).as(s"${name}_lo"),
+      max(when(col("rn") === ceil(pos(q)) + 1, col("value"))).as(s"${name}_hi"))
+    } :+ max("n").as("n")
+    def interp(name: String, q: Double): Column = {
+      val p = pos(q)
+      round(when(floor(p) === ceil(p), col(s"${name}_lo"))
+        .otherwise((ceil(p) - p) * col(s"${name}_lo") +
+          (p - floor(p)) * col(s"${name}_hi")), 4).as(name)
+    }
+    ranked.filter(needed)
+      .groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"),
+        interp("p50", 0.5), interp("p90", 0.9), interp("p99", 0.99), col("n"))
+  }
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
   private def sumSql(e: String) = SUM.format(e)

@@ -68,4 +68,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("agg_percentiles never buffers a group in an aggregate (sort-rank plan)") {
+    val p = plan("agg_percentiles")
+    // the percentile() TypedImperativeAggregate materializes whole
+    // groups in one buffer (OOM on a hot group at scale); the exact
+    // plan must be window-sort + hash aggregate instead
+    assert(!p.toLowerCase.contains("percentile"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("ObjectHashAggregate"), p.take(3000))
+  }
 }
