@@ -18,7 +18,9 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "shingles3" -> (exprs => Shingles3(exprs.head)),
     "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))),
-    "text_stats_scan" -> (exprs => TextStats(exprs.head)))
+    "text_stats_scan" -> (exprs => TextStats(exprs.head)),
+    "q8_pack" -> (exprs => Q8Pack(exprs.head)),
+    "dot_int" -> (exprs => DotInt(exprs(0), exprs(1))))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =

@@ -304,6 +304,71 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF top-k with an int8-quantized candidate stage — the serving
+    * shape of a 100 TB ANN index, where the 4x-smaller quantized
+    * vectors are what the candidate scan reads and fp32 is touched
+    * only for the short rerank list:
+    *
+    *  1. codebook + cell assignment exactly as [[ivfTopK]];
+    *  2. every vector carries its [[quantizeSummary]]-scheme int8 pack
+    *     (q8_pack: scale6 BIGINT + q array<BIGINT>, floor-quantized —
+    *     computed in the same narrow scan as the assignment);
+    *  3. candidates in probed cells are scored by the ALL-INTEGER
+    *     product dot_int(q_a, q_b) * scale6_a * scale6_b — exact
+    *     BIGINT, so the top-`rerank` cut orders bit-identically in any
+    *     engine (no float-comparison hazard), ties broken by
+    *     neighbor_id;
+    *  4. only the surviving `rerank` rows per query pay the exact
+    *     DECIMAL fp32 cosine; final top-k ranks by (sim, neighbor_id)
+    *     like every other search path.
+    *
+    * Output: (query_id, neighbor_id, sim, rank). Recall vs
+    * [[bruteForceTopK]] is asserted in SimilaritySpec.
+    */
+  def ivfTopKQ8(embeddings: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0"), rerank: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+
+    val centStructs = centroidStructs(cents)
+    val assigned = base
+      .withColumn("cell",
+        -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
+      .withColumn("p8", expr("q8_pack(embedding)"))
+
+    val sortedCents = sort_array(centStructs, asc = false)
+    val probes = assigned.filter(queryPred)
+      .withColumn("probe_cells",
+        array((0 until nProbe).map(i =>
+          -sortedCents.getItem(i).getField("ncid")): _*))
+
+    val cand = broadcast(probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"),
+        col("p8.scale6").as("qs6"), col("p8.q").as("qq"),
+        explode(col("probe_cells")).as("pcell")))
+      .join(assigned.as("c"), col("c.cell") === col("pcell") &&
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("qn"),
+        col("c.vec_id").as("neighbor_id"), col("c.embedding").as("ne"),
+        col("c.nrm").as("nn"),
+        (call_function("dot_int", col("qq"), col("c.p8.q")) *
+          col("qs6") * col("c.p8.scale6")).as("score"))
+    cand
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("crank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine("qe", "ne", col("qn"), col("nn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs within label blocks: all same-label
     * pairs with rounded cosine >= threshold. A frequent label is a
     * quadratic bomb at corpus scale — this variant is the small-scale

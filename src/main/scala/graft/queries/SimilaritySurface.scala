@@ -30,6 +30,9 @@ object SimilaritySurface {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
         KMEANS_ITERS, expr(TRAIN_SQL))),
+    "sim_topk_ivf_q8" -> ((s, dir) =>
+      Similarity.ivfTopKQ8(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
+        KMEANS_ITERS, expr(TRAIN_SQL), RERANK)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -42,6 +45,7 @@ object SimilaritySurface {
   private val NPROBE = 2
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
+  private val RERANK = 50
 
   // ---- DuckDB oracles ----
 
@@ -135,6 +139,46 @@ object SimilaritySurface {
          |  FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base b ON b.vec_id = c.neighbor_id),
          |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, sim, rank FROM rr WHERE rank <= $K""".stripMargin,
+    // mirrors Similarity.ivfTopKQ8: same codebook/assignment CTEs as
+    // sim_topk_ivf, then an ALL-INTEGER candidate score
+    // (int8 dot * scale6 * scale6 — floor quantization per emb_quantize)
+    // whose top-RERANK cut is bit-stable in any engine, then the exact
+    // decimal cosine only on the rerank list
+    "sim_topk_ivf_q8" ->
+      s"""WITH $baseCte,
+         |$kmeansCtes,
+         |sims AS (SELECT b.vec_id, c.cid,
+         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+         |  FROM base b, cents$KMEANS_ITERS c),
+         |ranked_cells AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims),
+         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+         |  WHERE rn <= $NPROBE AND vec_id < 5),
+         |q8 AS (SELECT vec_id,
+         |    CAST(floor(maxabs * 1000000) AS BIGINT) AS scale6,
+         |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+         |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT) END) AS q
+         |  FROM (SELECT vec_id, embedding,
+         |      list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+         |    FROM embeddings)),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    list_aggregate(list_transform(list_zip(qa.q, qb.q), x -> x[1] * x[2]), 'sum')
+         |      * qa.scale6 * qb.scale6 AS score
+         |  FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+         |        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id) c
+         |  JOIN q8 qa ON qa.vec_id = c.query_id
+         |  JOIN q8 qb ON qb.vec_id = c.neighbor_id),
+         |topr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
+         |  FROM scored),
+         |pairs AS (SELECT t.query_id, t.neighbor_id,
+         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+         |  FROM topr t JOIN base q ON q.vec_id = t.query_id
+         |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
+         |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -108,6 +108,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained.zip(again).forall { case ((_, a), (_, b)) => a.sameElements(b) })
   }
 
+  test("q8-quantized IVF matches plain IVF given a full rerank budget, and recall holds") {
+    val queries = col("vec_id") < 10
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerank >= corpus: the int8 stage only pre-orders candidates, so
+    // the fp32 rerank must reproduce plain IVF exactly
+    val q8Full = Similarity.ivfTopKQ8(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2, rerank = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q8Full == ivf, s"q8 with full rerank diverged: ${q8Full diff ivf}")
+    // tight rerank: the int8 ordering is approximate but must keep
+    // recall close to plain IVF on the fixture
+    val q8Tight = Similarity.ivfTopKQ8(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2, rerank = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect q8Tight).size.toDouble / ivf.size
+    assert(recall > 0.6, s"q8 tight-rerank recall vs ivf: $recall")
+  }
+
   test("trained-codebook IVF recall vs brute force on all queries") {
     val queries = col("vec_id") < 30 // every vector queries
     val brute = Similarity.bruteForceTopK(emb, queries, 3)
