@@ -55,15 +55,54 @@ object TsqlSurface {
     exec
   }
 
-  private def run(spark: SparkSession, sfDir: String, sql: String): DataFrame =
-    executor(spark, sfDir).executeSql(sql) match {
+  private val initializedNs = scala.collection.mutable.Set[String]()
+
+  /** Second engine root with the series ingested at FULL NANOS (raw
+    * `ts`, the reference's native time model) and 1-day buckets in the
+    * nanos domain — the surface that exercises date literals, span
+    * literals and plan-time `+` folding end-to-end (reference
+    * tests/statement_test.c:257-313, timeutil.c:50-133). The micros
+    * root above stays oracle-comparable on raw timestamps; THIS one is
+    * gated through aggregate outputs only, because DuckDB truncates
+    * TIMESTAMP(NANOS) to micros: range bounds that are multiples of
+    * 1000 ns filter identically in both domains (floor division), so
+    * avg/sample aggregates match exactly while raw nanos timestamps
+    * could not. */
+  private def executorNs(spark: SparkSession, sfDir: String): StatementExecutor = synchronized {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = sys.props("java.io.tmpdir") + s"/graft_tsql_ns_$safe"
+    val catalog = new TsCatalog(spark, root, bucketNs = 86400L * 1000000000L)
+    val exec = new StatementExecutor(spark, catalog)
+    if (!initializedNs.contains(root)) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      exec.executeSql("CREATEDB metrics")
+      exec.executeSql("USE metrics")
+      exec.executeSql("CREATE ev")
+      catalog.insert("metrics", "ev",
+        Tables.load(spark, sfDir, "events")
+          .select(org.apache.spark.sql.functions.col("ts").as("timestamp"),
+            org.apache.spark.sql.functions.col("value")))
+      initializedNs += root
+    } else {
+      exec.executeSql("USE metrics")
+    }
+    exec
+  }
+
+  private def runOn(exec: StatementExecutor, sql: String): DataFrame =
+    exec.executeSql(sql) match {
       case ExecResult.Rows(df) => df
       case ExecResult.Scalar(df) => df
       case other => throw new IllegalStateException(s"query '$sql' => $other")
     }
 
   private def q(sql: String): (SparkSession, String) => DataFrame =
-    (s, dir) => run(s, dir, sql)
+    (s, dir) => runOn(executor(s, dir), sql)
+
+  private def qNs(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => runOn(executorNs(s, dir), sql)
 
   private val EV =
     "WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events) "
@@ -87,6 +126,12 @@ object TsqlSurface {
       s"SELECT min(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
     "tsql_sample_latest" -> q(
       s"SELECT latest(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    // date-literal + span-literal + plan-time '+' folding, end-to-end
+    // over the NANOS-ingested series (see executorNs)
+    "tsql_date_avg" -> qNs(
+      "SELECT avg(value) FROM ev BETWEEN '2024-01-06' AND '2024-01-06' + 12d"),
+    "tsql_date_sample" -> qNs(
+      "SELECT avg(value) FROM ev BETWEEN '2024-01-06' AND '2024-01-06' + 12d SAMPLE BY 1d"),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -116,5 +161,15 @@ object TsqlSurface {
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, min(value) AS min_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "tsql_sample_latest" ->
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, arg_max(value, timestamp) AS last_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    // '2024-01-06' = 1704499200000000 epoch-micros (UTC); +12d. DuckDB
+    // sees the TIMESTAMP(NANOS) column truncated to micros, but the
+    // bounds are multiples of 1000 ns so the row set is identical to
+    // the engine's nanos-domain filter (no event sits in the 999 ns
+    // truncation window above the upper bound — checked in testdata);
+    // day-bucket ends map exactly via *1000 since 1d_ns = 1000 * 1d_us.
+    "tsql_date_avg" ->
+      (EV + "SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000"),
+    "tsql_date_sample" ->
+      (EV + "SELECT ((timestamp - timestamp % 86400000000) + 86400000000) * 1000 AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000 GROUP BY 1"),
   )
 }
