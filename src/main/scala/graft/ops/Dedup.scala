@@ -173,17 +173,28 @@ object Dedup {
     * per-round convergence probe is a limit-1 count over the changed
     * set. If the cap is hit without convergence the call THROWS —
     * silently returning partial labels would hand the caller wrong
-    * clusters with no signal. (Production note: use reliable
-    * checkpointing against executor loss.)
+    * clusters with no signal.
+    *
+    * `checkpointDir`: when given, per-round state goes through
+    * RELIABLE `checkpoint()` against that directory (HDFS/S3 on a real
+    * cluster) instead of `localCheckpoint()` — local checkpoints live
+    * in executor block storage and are LOST if an executor dies
+    * mid-iteration, killing the whole job; a multi-hour 100 TB
+    * clustering run should pay the durable-write cost per round. The
+    * default (None) keeps the fast executor-local path for
+    * short-running / single-node use.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = save(edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -193,14 +204,13 @@ object Dedup {
         .agg(min("nl").as("nmin"))
       // pointer jumping: the label of my label
       val hop = labels.select(col("doc_id").as("jid"), col("label").as("jl"))
-      val next = labels
+      val next = save(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(hop.select(col("jid").as("label"), col("jl")), Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
-            coalesce(col("jl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+            coalesce(col("jl"), col("label"))).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next

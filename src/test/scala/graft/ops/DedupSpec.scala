@@ -93,6 +93,23 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(0L) && labels.size == 10)
   }
 
+  test("duplicateClusters with a reliable checkpoint dir converges identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 5L)).toDF("doc_a", "doc_b")
+      val got = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L,
+        4L -> 4L, 5L -> 4L))
+      // the durable round state actually hit the checkpoint dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("simhashPairs recall is exact at the pigeonhole bound") {
     // every pair within the threshold of the brute-force 60-bit
     // signature distance must be produced by the blocked join
