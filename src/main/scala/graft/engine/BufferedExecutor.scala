@@ -68,11 +68,15 @@ final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
     }
 
   private def flushSeries(db: String, name: String): Unit = {
-    bufferedTs.remove((db, name))
-    buffers.remove((db, name)).filter(_.nonEmpty).foreach { rows =>
+    // commit BEFORE dropping the buffer: these rows were already acked
+    // to the client, so a failed parquet write must leave them queued
+    // for the next flush()/close() retry rather than silently lost
+    buffers.get((db, name)).filter(_.nonEmpty).foreach { rows =>
       import spark.implicits._
       catalog.insert(db, name, rows.toSeq.toDF("timestamp", "value"))
     }
+    buffers.remove((db, name))
+    bufferedTs.remove((db, name))
   }
 
   /** Commit every buffered batch (one write job per touched series). */

@@ -51,9 +51,17 @@ object Wire {
     * glibc printf rounds the EXACT binary value half-to-even, which
     * Java's %.6f (HALF_UP) diverges from on exact-half dyadics like
     * 2^-7 = 0.0078125 — so round via BigDecimal(exact) + HALF_EVEN to
-    * stay byte-compatible with a C peer. */
+    * stay byte-compatible with a C peer. Non-finite doubles and
+    * negative zero take glibc's spellings ('nan'/'inf'/'-inf'/
+    * '-0.000000') — BigDecimal would THROW on the former (killing a
+    * connection mid-array when a catalog-level bulk insert carried a
+    * NaN) and drops the sign of the latter. */
   private[protocol] def fmtValue(v: Double): String =
-    new java.math.BigDecimal(v)
+    if (v.isNaN) "nan"
+    else if (v == Double.PositiveInfinity) "inf"
+    else if (v == Double.NegativeInfinity) "-inf"
+    else if (v == 0.0 && 1.0 / v < 0) "-0.000000"
+    else new java.math.BigDecimal(v)
       .setScale(6, java.math.RoundingMode.HALF_EVEN).toPlainString
 
   private def fmtRecord(r: (Long, Double)): String =
@@ -83,6 +91,13 @@ object Wire {
     case WireResponse.StreamChunk(records, isFinal) =>
       if (records.length > StreamBatchSize)
         Left(s"stream chunk exceeds $StreamBatchSize records")
+      else if (records.isEmpty && !isFinal)
+        // an empty NON-final chunk encodes as '~0\r\n\r\n', whose first
+        // four bytes are indistinguishable from a standalone stream
+        // terminator to an incremental decoder that hasn't buffered the
+        // blank line yet — reject at encode time instead of emitting a
+        // frame a split TCP read can misparse as end-of-stream
+        Left("empty non-final stream chunk is ambiguous with the terminator")
       else {
         val term = if (isFinal) s"~0$CRLF" else ""
         Right((s"~${records.length}$CRLF" +

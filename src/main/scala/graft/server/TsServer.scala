@@ -62,9 +62,22 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
       }
     }
 
+  /** Counts bytes written, so an execution failure can tell whether a
+    * response frame already started (in which case an error frame
+    * would corrupt the stream and closing is the only safe move). */
+  private final class CountingOutputStream(inner: OutputStream)
+      extends java.io.FilterOutputStream(inner) {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { inner.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      inner.write(b, off, len); count += len
+    }
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new java.io.BufferedInputStream(sock.getInputStream)
-    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    val out = new CountingOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
     try {
       var open = true
       while (open) readRequestBytes(in) match {
@@ -77,7 +90,21 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
               send(out, WireResponse.Str(1, s"bad request: $err"))
               open = false
             case Right((query, _)) =>
-              respond(out, exec.executeSql(query))
+              // execution-time failures (Spark job errors inside the
+              // collect, non-numeric values, render errors) must answer
+              // like the reference's per-statement error string, not
+              // drop the connection silently
+              val before = out.count
+              try respond(out, exec.executeSql(query))
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  if (out.count == before)
+                    send(out, WireResponse.Str(1,
+                      s"execution error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
+                  // mid-stream failure: the peer's framing is already
+                  // broken — close so it sees EOF instead of a hang
+                  open = false
+              }
           }
           out.flush()
       }

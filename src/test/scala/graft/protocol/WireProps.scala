@@ -25,7 +25,9 @@ object WireProps extends Properties("Wire") {
     Gen.zip(Gen.oneOf(0, 1), genMsg).map { case (rc, m) => Str(rc, m) },
     Gen.listOf(genRecord).map(Arr(_)),
     Gen.zip(Gen.resize(50, Gen.listOf(genRecord)), Gen.oneOf(true, false))
-      .map { case (rs, fin) => StreamChunk(rs, fin) })
+      // empty non-final chunks are rejected at encode time (terminator-
+      // ambiguous on a split read) — the codec contract excludes them
+      .map { case (rs, fin) => StreamChunk(rs, fin || rs.isEmpty) })
 
   property("encode/decode round-trip for every response shape") =
     forAll(genResponse) { r =>

@@ -49,6 +49,20 @@ class WireSpec extends AnyFunSuite {
     assert(s(enc(Arr(Seq((1L, 0.0234375))))).contains(";0.023438\r\n")) // rounds up to even
   }
 
+  test("non-finite and negative-zero values render with glibc spellings") {
+    assert(s(enc(Arr(Seq((1L, Double.NaN))))).contains(";nan\r\n"))
+    assert(s(enc(Arr(Seq((1L, Double.PositiveInfinity))))).contains(";inf\r\n"))
+    assert(s(enc(Arr(Seq((1L, Double.NegativeInfinity))))).contains(";-inf\r\n"))
+    assert(s(enc(Arr(Seq((1L, -0.0))))).contains(";-0.000000\r\n"))
+    assert(s(enc(Arr(Seq((1L, 0.0))))).contains(";0.000000\r\n"))
+  }
+
+  test("empty non-final stream chunks are rejected at encode time") {
+    // their bytes ('~0\r\n\r\n') are terminator-ambiguous on a split read
+    assert(Wire.encodeResponse(StreamChunk(Nil, isFinal = false)).isLeft)
+    assert(Wire.encodeResponse(StreamChunk(Nil, isFinal = true)).isRight)
+  }
+
   test("standalone ~0 terminator (split TCP segment) decodes as an empty final chunk") {
     val (r, n) = dec("~0\r\n".getBytes)
     assert(r == StreamChunk(Nil, isFinal = true) && n == 4)
