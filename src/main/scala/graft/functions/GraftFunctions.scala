@@ -20,7 +20,8 @@ object GraftFunctions {
     "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))),
     "text_stats_scan" -> (exprs => TextStats(exprs.head)),
     "q8_pack" -> (exprs => Q8Pack(exprs.head)),
-    "dot_int" -> (exprs => DotInt(exprs(0), exprs(1))))
+    "dot_int" -> (exprs => DotInt(exprs(0), exprs(1))),
+    "bpe_count" -> (exprs => BpeCount(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =

@@ -89,6 +89,13 @@ object TextSurface {
           lit("'[sdmt]|'ll|'ve|'re| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
           lit(0))).cast("long").as("n_bpe_tokens"),
         size(col("shingles")).cast("long").as("n_shingles"))),
+    // REAL learned-merge-table BPE (graft.functions.BpeModel): the
+    // merge table is constant model state like `planes`, so the oracle
+    // replays tokenization as a closed-form char-space + replace chain
+    "text_bpe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir).select(col("doc_id"), expr("bpe_count(text)").as("n_bpe"))
+    }),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
@@ -241,6 +248,18 @@ object TextSurface {
          |    '''[sdmt]|''ll|''ve|''re| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens,
          |  coalesce(sz.n, 0) AS n_shingles
          |FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id""".stripMargin,
+    // BPE as a closed-form chain: char-space the normalized text (word
+    // gaps become 3 spaces, so single-space merge patterns can never
+    // cross words), apply each learned merge in rank order as a global
+    // left-to-right replace, count the remaining symbols. Equivalent to
+    // canonical iterative BPE — see BpeModel's rank argument + BpeSpec.
+    "text_bpe" -> {
+      val spaced = s"regexp_replace($NORM, '(.)', '\\1 ', 'g')"
+      val chain = graft.functions.BpeModel.merges.foldLeft(spaced) {
+        case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+      }
+      s"SELECT doc_id, CAST(len(regexp_extract_all($chain, '\\S+')) AS BIGINT) AS n_bpe FROM documents"
+    },
     "dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
          |FROM documents GROUP BY 1""".stripMargin,

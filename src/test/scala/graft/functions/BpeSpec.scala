@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Learned-merge-table BPE: determinism of learning, equivalence of
+  * the rank-ordered sweep with canonical iterative BPE, and parity of
+  * the native expression with the oracle's replace-chain formulation
+  * (replayed through Spark SQL's own replace()). */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("learning is deterministic and merges the frequent vocabulary") {
+    val m1 = BpeModel.learn(BpeModel.TRAIN, BpeModel.N_MERGES)
+    val m2 = BpeModel.learn(BpeModel.TRAIN, BpeModel.N_MERGES)
+    assert(m1 == m2 && m1 == BpeModel.merges)
+    assert(m1.size == BpeModel.N_MERGES)
+    // high-frequency training words should compress to few symbols
+    assert(BpeModel.tokenizeWord("scan").length <= 2, BpeModel.tokenizeWord("scan"))
+    assert(BpeModel.tokenizeWord("window").length <= 3, BpeModel.tokenizeWord("window"))
+    // a word sharing no learned pair stays fully split
+    assert(BpeModel.tokenizeWord("zqxz").length == 4)
+  }
+
+  test("rank-ordered sweep equals canonical iterative BPE on fixture and random words") {
+    val vocab = BpeModel.TRAIN.map(_._1)
+    val gen = Gen.listOfN(300, Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a' to 'z')).map(_.mkString)))
+    val words = vocab ++ vocab.map(_.reverse) ++ vocab.map(w => w + w) ++
+      gen.sample.getOrElse(Nil)
+    for (w <- words)
+      assert(BpeModel.tokenizeWord(w) == BpeModel.tokenizeWordIterative(w),
+        s"sweep != iterative for '$w'")
+  }
+
+  test("native bpe_count matches the replace-chain formulation through Spark SQL") {
+    GraftFunctions.register(spark)
+    // the oracle's closed form, replayed with Spark's replace/regexp:
+    // Spark regexp_replace uses $1 for groups where DuckDB uses \1
+    val norm =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    val spaced = s"regexp_replace($norm, '(.)', '$$1 ')"
+    val chain = BpeModel.merges.foldLeft(spaced) {
+      case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+    }
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("native", expr("bpe_count(text)"))
+      .withColumn("chain",
+        expr(s"CAST(size(regexp_extract_all($chain, '\\\\S+', 0)) AS BIGINT)"))
+    val bad = df.filter(col("native") =!= col("chain"))
+      .select("doc_id", "native", "chain").collect()
+    assert(bad.isEmpty, s"divergence: ${bad.take(3).mkString(", ")}")
+  }
+
+  test("document counts sum per-word counts over the normalized text") {
+    GraftFunctions.register(spark)
+    val got = Seq("Scan, the WINDOW!  zq 42", "", "   ", "scan scan scan")
+      .toDF("text").selectExpr("bpe_count(text) AS n").collect().map(_.getLong(0))
+    val scan = BpeModel.tokenizeWord("scan").length
+    val the = BpeModel.tokenizeWord("the").length
+    val window = BpeModel.tokenizeWord("window").length
+    val zq = BpeModel.tokenizeWord("zq").length
+    val n42 = BpeModel.tokenizeWord("42").length
+    assert(got(0) == scan + the + window + zq + n42)
+    assert(got(1) == 0L && got(2) == 0L)
+    assert(got(3) == 3L * scan)
+  }
+}
