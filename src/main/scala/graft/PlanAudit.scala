@@ -24,7 +24,10 @@ object PlanAudit {
       "asof_join",         // union + window carry-forward, one key shuffle
       "range_join",        // binned equality-join candidates
       "dedup_simhash_pairs", // 15-bit chunk equality blocking
-      "agg_salted_rollup") // two-phase salted merge
+      "agg_salted_rollup", // two-phase salted merge
+      "agg_percentiles",   // sort-rank windows, no buffering aggregate
+      "sim_topk_ivf_q8",   // integer candidate scoring, broadcast probes
+      "text_bpe")          // single native expression over the scan
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
