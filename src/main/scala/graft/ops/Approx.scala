@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate aggregates — the sketch tier a 100 TB pipeline reaches
+  * for when exact answers are not worth their shuffle/sort cost. The
+  * reference engine has none of these (SURVEY §2.6); they complete the
+  * percentile/distinct story next to their exact counterparts
+  * (AnalyticsSurface.percentilesExact, Skew.twoPhaseCountDistinct):
+  *
+  *  - [[approxDistinct]]: HyperLogLog++ — O(1) memory per group, one
+  *    map-side-combinable aggregation, relative error ~rsd. The exact
+  *    two-phase form shuffles every distinct (key, value) pair; at
+  *    corpus scale the sketch is 100-1000x less shuffle for a 2%-class
+  *    answer.
+  *  - [[approxPercentiles]]: Greenwald-Khanna-style quantile sketch
+  *    (`percentile_approx`) — bounded buffer (`accuracy` controls the
+  *    bound) and mergeable, vs the exact path's full per-group sort.
+  *    Rank error <= 1/accuracy of the group size.
+  *
+  * No DuckDB oracle: sketch internals differ by engine, so these gate
+  * rows-only (the driver's weaker check); ApproxSpec locks the error
+  * bounds against the exact operators on real data instead.
+  */
+object Approx {
+
+  /** Per-key approximate count-distinct via HLL++ (`rsd` = target
+    * relative standard deviation, Spark default 0.05). */
+  def approxDistinct(df: DataFrame, key: String, value: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(key)
+      .agg(approx_count_distinct(col(value), rsd).as("n_approx"))
+
+  /** Per-key approximate percentiles with a bounded-memory sketch.
+    * Output matches percentilesExact's shape (key, p50, p90, p99, n)
+    * so the two tiers are drop-in for each other. */
+  def approxPercentiles(df: DataFrame, key: String, value: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(key)
+      .agg(
+        percentile_approx(col(value), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(accuracy)).as("q"),
+        count(lit(1)).as("n"))
+      .select(col(key),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"),
+        round(element_at(col("q"), 3), 4).as("p99"),
+        col("n"))
+}

@@ -185,6 +185,18 @@ object AnalyticsSurface {
     // formulation; both engines compute the same linear interpolation,
     // rounded to 4 dp against ulp drift)
     "agg_percentiles" -> percentilesExact,
+    // the sketch tier (graft.ops.Approx): HLL++ distinct and GK-sketch
+    // percentiles — no oracle SQL on purpose (sketches differ per
+    // engine → driver rows-only check); error bounds vs the exact
+    // operators are locked in ApproxSpec
+    "agg_approx_distinct" -> ((s, dir) =>
+      graft.ops.Approx.approxDistinct(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id")),
+    "agg_approx_percentiles" -> ((s, dir) =>
+      graft.ops.Approx.approxPercentiles(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value")),
   )
 
   private val PCTS = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))

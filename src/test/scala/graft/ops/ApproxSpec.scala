@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch-tier aggregates: error bounds against the exact operators on
+  * the driver testdata — the check that replaces a cross-engine oracle
+  * (sketch internals are engine-specific). */
+class ApproxSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def events = graft.core.Tables.load(spark, sfDir, "events")
+
+  test("HLL distinct is within the advertised rsd of the exact count") {
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val approx = Approx.approxDistinct(
+      events.select(col("event_type"), col("user_id")), "event_type", "user_id",
+      rsd = 0.05)
+    val joined = exact.join(approx, "event_type").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      val e = r.getAs[Long]("n_exact").toDouble
+      val a = r.getAs[Long]("n_approx").toDouble
+      // 4 sigma of the 5% target rsd — deterministic data, so this is
+      // a fixed fact about the sketch on this input, not a flaky bound
+      assert(math.abs(a - e) / e <= 0.20,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("sketch percentiles sit within rank-error tolerance of the exact ones") {
+    val exact = graft.SparkEntry.queries("agg_percentiles")(spark, sfDir)
+      .withColumnRenamed("p50", "e50").withColumnRenamed("p90", "e90")
+      .withColumnRenamed("p99", "e99").drop("n")
+    val approx = Approx.approxPercentiles(
+      events.select(col("event_type"), col("value")), "event_type", "value")
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined; (a, e) <- Seq(("p50", "e50"), ("p90", "e90"), ("p99", "e99"))) {
+      val av = r.getAs[Double](a); val ev = r.getAs[Double](e)
+      val denom = math.max(math.abs(ev), 1e-9)
+      assert(math.abs(av - ev) / denom <= 0.10,
+        s"${r.getAs[String]("event_type")} $a: approx $av vs exact $ev")
+    }
+  }
+
+  test("sketch output shape is drop-in for the exact percentile operator") {
+    val approx = Approx.approxPercentiles(
+      events.select(col("event_type"), col("value")), "event_type", "value")
+    assert(approx.columns.toSeq == Seq("event_type", "p50", "p90", "p99", "n"))
+  }
+}
