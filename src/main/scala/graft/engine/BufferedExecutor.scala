@@ -79,9 +79,20 @@ final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
     bufferedTs.remove((db, name))
   }
 
-  /** Commit every buffered batch (one write job per touched series). */
-  def flush(): Unit =
-    buffers.keys.toSeq.foreach { case (db, name) => flushSeries(db, name) }
+  /** Commit every buffered batch (one write job per touched series).
+    * A failing series must not abort the sweep — every other series'
+    * acked rows still get their commit attempt; the first failure
+    * rethrows afterwards so the caller still sees it. */
+  def flush(): Unit = {
+    var firstFailure: Option[Throwable] = None
+    buffers.keys.toSeq.foreach { case (db, name) =>
+      try flushSeries(db, name)
+      catch { case scala.util.control.NonFatal(e) =>
+        if (firstFailure.isEmpty) firstFailure = Some(e)
+      }
+    }
+    firstFailure.foreach(throw _)
+  }
 
   /** Rows currently buffered (diagnostics / tests). */
   def buffered: Int = buffers.valuesIterator.map(_.size).sum

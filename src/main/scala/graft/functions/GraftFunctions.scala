@@ -14,21 +14,35 @@ import org.apache.spark.sql.functions.expr
   */
 object GraftFunctions {
 
-  private val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "shingles3" -> (exprs => Shingles3(exprs.head)),
-    "dot_dec" -> (exprs => DotDec(exprs(0), exprs(1))),
-    "text_stats_scan" -> (exprs => TextStats(exprs.head)),
-    "q8_pack" -> (exprs => Q8Pack(exprs.head)),
-    "dot_int" -> (exprs => DotInt(exprs(0), exprs(1))),
-    "bpe_count" -> (exprs => BpeCount(exprs.head)))
+  private type Builder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Single source of truth: (name, expression class, builder) —
+    * BOTH wiring paths derive from this list, so adding an expression
+    * here is the only step and the two registries cannot drift. */
+  private val fns: Seq[(String, Class[_], Builder)] = Seq(
+    ("shingles3", classOf[Shingles3], exprs => Shingles3(exprs.head)),
+    ("dot_dec", classOf[DotDec], exprs => DotDec(exprs(0), exprs(1))),
+    ("text_stats_scan", classOf[TextStats], exprs => TextStats(exprs.head)),
+    ("q8_pack", classOf[Q8Pack], exprs => Q8Pack(exprs.head)),
+    ("dot_int", classOf[DotInt], exprs => DotInt(exprs(0), exprs(1))),
+    ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =
-    fns.foreach { case (name, builder) =>
+    fns.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** The same function set as injectFunction tuples (for
+    * [[GraftExtensions]]). */
+  private[functions] def injections = fns.map { case (name, cls, builder) =>
+    (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(cls.getName, name),
+      builder)
+  }
 
   /** `shingles3(textCol)` as a Column (registers on the active session). */
   def shingles3(spark: SparkSession, textCol: String): Column = {
@@ -39,26 +53,9 @@ object GraftFunctions {
 
 /** Session-extension hook: inject graft functions at session build time
   * (`.withExtensions(new GraftExtensions)` or the spark.sql.extensions
-  * conf). */
+  * conf). Derived from the SAME builder list as [[GraftFunctions
+  * .register]], so the two wiring paths cannot drift apart. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("shingles3"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[Shingles3].getName, "shingles3"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          Shingles3(exprs.head)))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_dec"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[DotDec].getName, "dot_dec"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DotDec(exprs(0), exprs(1))))
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("text_stats_scan"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[TextStats].getName, "text_stats_scan"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          TextStats(exprs.head)))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach(ext.injectFunction)
 }

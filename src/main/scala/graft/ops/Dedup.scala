@@ -78,18 +78,23 @@ object Dedup {
       (TextFns.h60Scala(s"mh:a:$i") % (MH_P - 1) + 1,
         TextFns.h60Scala(s"mh:b:$i") % MH_P))
 
-  /** MinHash signature columns: min over the shingle set of k
-    * universal-hash permutations of the base hash — ONE md5 + k integer
-    * fmas per shingle, one groupBy pass (k parallel min aggregates,
-    * map-side partial). */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val s = shingleRelation(docs)
-      .withColumn("h", TextFns.h60(col("sh")) % MH_M)
+  /** Signatures from an exploded (doc_id, sh) relation — the ONE place
+    * the permutation math lives (the oracle mirrors it from mhParams;
+    * both public entry points delegate here). */
+  private def signaturesFrom(shingleRel: DataFrame, k: Int): DataFrame = {
+    val s = shingleRel.withColumn("h", TextFns.h60(col("sh")) % MH_M)
     val aggs = mhParams(k).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MH_P).as(s"m$i")
     }
     s.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signature columns: min over the shingle set of k
+    * universal-hash permutations of the base hash — ONE md5 + k integer
+    * fmas per shingle, one groupBy pass (k parallel min aggregates,
+    * map-side partial). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    signaturesFrom(shingleRelation(docs), k)
 
   /** MinHash + banded-LSH near-dup pairs: k signatures in `bands` bands
     * of rows = k/bands; docs colliding on any band become candidates;
@@ -111,7 +116,13 @@ object Dedup {
     * join, so normalization + shingling runs ONCE per corpus instead of
     * three times; Jaccard verification is per-candidate
     * `array_intersect` on the cached arrays — no second explode/shuffle
-    * of the full shingle relation.
+    * of the full shingle relation. The cache entry outlives the call
+    * (the returned plan reads it lazily, so this function cannot
+    * unpersist); Spark's CacheManager dedups identical plans, so
+    * repeated calls over the same corpus share ONE entry — callers
+    * sweeping MANY distinct corpora in one session should
+    * `spark.catalog.clearCache()` between corpora (Bench does,
+    * per rep).
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16): DataFrame = {
@@ -120,13 +131,8 @@ object Dedup {
     val docsSh = TextFns.withShingles(docs)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s = docsSh
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", TextFns.h60(col("sh")) % MH_M)
-    val aggs = mhParams(k).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % MH_P).as(s"m$i")
-    }
-    val sigs = s.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = signaturesFrom(
+      docsSh.select(col("doc_id"), explode(col("shingles")).as("sh")), k)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
@@ -183,18 +189,56 @@ object Dedup {
     * clustering run should pay the durable-write cost per round. The
     * default (None) keeps the fast executor-local path for
     * short-running / single-node use.
+    *
+    * Checkpoint hygiene (Spark's cleaner does NOT delete reliable
+    * checkpoints by default, and `setCheckpointDir` is process-global
+    * state): each call works in a unique sub-directory, every round's
+    * files are deleted as soon as the NEXT round's checkpoint has
+    * materialized (the new checkpoint truncates lineage, so nothing
+    * references them), and any previously configured checkpoint dir is
+    * restored on exit. Only the final round's files — which the
+    * returned DataFrame still reads — survive the call.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val reliable = checkpointDir.isDefined
+    val subRoot = checkpointDir.map(d =>
+      s"$d/graft-cc-${java.util.UUID.randomUUID().toString.take(8)}")
+    def fs = new org.apache.hadoop.fs.Path(subRoot.get)
+      .getFileSystem(sc.hadoopConfiguration)
+    var round = 0
     def save(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct())
-    var labels = save(edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")))
+      if (reliable) {
+        sc.setCheckpointDir(s"${subRoot.get}/round-$round")
+        round += 1
+        df.checkpoint(true)
+      } else df.localCheckpoint(true)
+    def dropRoundsBelow(keep: Int): Unit = if (reliable) {
+      // rounds 1.. are label state; round 0 (edges) must survive the
+      // whole loop — it feeds every iteration's neighbor join
+      (1 until keep).foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${subRoot.get}/round-$r"), true)
+      }
+    }
+    try {
+      val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct())
+      var labels = save(edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+      duplicateClustersLoop(edges, labels, maxIters, save, dropRoundsBelow, () => round)
+    } finally {
+      prior.foreach(sc.setCheckpointDir)
+    }
+  }
+
+  private def duplicateClustersLoop(edges: DataFrame, labels0: DataFrame,
+      maxIters: Int, save: DataFrame => DataFrame,
+      dropRoundsBelow: Int => Unit, round: () => Int): DataFrame = {
+    var labels = labels0
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -215,6 +259,9 @@ object Dedup {
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next
       converged = changed == 0
+      // the changed-count was this round's last read of the previous
+      // labels checkpoint — its files are now unreferenced
+      dropRoundsBelow(round() - 1)
       i += 1
     }
     if (!converged)

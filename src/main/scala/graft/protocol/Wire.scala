@@ -60,9 +60,15 @@ object Wire {
     if (v.isNaN) "nan"
     else if (v == Double.PositiveInfinity) "inf"
     else if (v == Double.NegativeInfinity) "-inf"
-    else if (v == 0.0 && 1.0 / v < 0) "-0.000000"
-    else new java.math.BigDecimal(v)
-      .setScale(6, java.math.RoundingMode.HALF_EVEN).toPlainString
+    else {
+      val s = new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_EVEN).toPlainString
+      // glibc keeps the sign on anything negative that rounds to zero
+      // (including -0.0); BigDecimal has no signed zero and drops it
+      val negZero = s == "0.000000" &&
+        (v < 0 || (v == 0.0 && 1.0 / v < 0))
+      if (negZero) "-0.000000" else s
+    }
 
   private def fmtRecord(r: (Long, Double)): String =
     s":${r._1}$CRLF;${fmtValue(r._2)}$CRLF"
@@ -166,8 +172,16 @@ object Wire {
       _ <- if (!c.skipCrlf()) Left("missing CRLF after timestamp") else Right(())
       _ <- if (c.take() != ';') Left("value must start with ';'") else Right(())
       vText <- c.readUntilCrlf()
-      v <- try Right(vText.toDouble)
-           catch { case _: NumberFormatException => Left(s"bad value '$vText'") }
+      // accept the glibc %lf spellings the encoder (and a C peer)
+      // emits for non-finite values — Double.parseDouble only knows
+      // Java's 'NaN'/'Infinity' forms
+      v <- vText match {
+        case "nan" | "-nan" => Right(Double.NaN)
+        case "inf" => Right(Double.PositiveInfinity)
+        case "-inf" => Right(Double.NegativeInfinity)
+        case _ => try Right(vText.toDouble)
+          catch { case _: NumberFormatException => Left(s"bad value '$vText'") }
+      }
       _ <- if (!c.skipCrlf()) Left("missing CRLF after value") else Right(())
     } yield (ts, v)
 

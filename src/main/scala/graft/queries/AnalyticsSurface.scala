@@ -214,33 +214,10 @@ object AnalyticsSurface {
     * At scale the per-group sort is the only hot spot (5 groups →
     * 5-way parallelism ceiling); it trades the OOM for spillable disk,
     * the correct failure mode for an exact quantile. */
-  private def percentilesExact(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type").orderBy("value")
-    // rank ties are arbitrary among equal values — interpolation only
-    // reads the VALUES at the picked ranks, which ties cannot change
-    val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(counts), "event_type")
-    def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
-    val needed = PCTS.map { case (_, q) =>
-      col("rn") === floor(pos(q)) + 1 || col("rn") === ceil(pos(q)) + 1
-    }.reduce(_ || _)
-    val aggs = PCTS.flatMap { case (name, q) => Seq(
-      max(when(col("rn") === floor(pos(q)) + 1, col("value"))).as(s"${name}_lo"),
-      max(when(col("rn") === ceil(pos(q)) + 1, col("value"))).as(s"${name}_hi"))
-    } :+ max("n").as("n")
-    def interp(name: String, q: Double): Column = {
-      val p = pos(q)
-      round(when(floor(p) === ceil(p), col(s"${name}_lo"))
-        .otherwise((ceil(p) - p) * col(s"${name}_lo") +
-          (p - floor(p)) * col(s"${name}_hi")), 4).as(name)
-    }
-    ranked.filter(needed)
-      .groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-      .select(col("event_type"),
-        interp("p50", 0.5), interp("p90", 0.9), interp("p99", 0.99), col("n"))
-  }
+  private def percentilesExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Percentiles.exact(
+      t(s, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value", PCTS)
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
   private def sumSql(e: String) = SUM.format(e)

@@ -98,9 +98,16 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
               try respond(out, exec.executeSql(query))
               catch {
                 case scala.util.control.NonFatal(e) =>
-                  if (out.count == before)
+                  if (out.count == before) {
+                    // Spark exception texts routinely exceed the frame
+                    // bound (they embed plan fragments) — truncate so
+                    // the client still sees the leading cause instead
+                    // of a generic encode failure
+                    val msg = "execution error: " +
+                      Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
                     send(out, WireResponse.Str(1,
-                      s"execution error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
+                      if (msg.length > 400) msg.take(400) + "..." else msg))
+                  }
                   // mid-stream failure: the peer's framing is already
                   // broken — close so it sees EOF instead of a hang
                   open = false
