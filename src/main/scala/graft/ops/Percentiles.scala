@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles with BOUNDED memory: sort-rank the
+  * values per group (sort-based window — spills to disk, never buffers
+  * a group in an agg buffer) and select/interpolate the two ranks each
+  * quantile needs. Spark's `percentile()` aggregate is a
+  * TypedImperativeAggregate that materializes EVERY value of a group
+  * in one reducer's buffer — a deterministic OOM on a hot group at
+  * corpus scale, which is why it's not used here (it remains the
+  * semantics reference: interpolation below is its
+  * `(hi-pos)*v_lo + (pos-lo)*v_hi` formula over pos = q*(n-1),
+  * identical to DuckDB's quantile_cont on the oracle side).
+  *
+  * Null semantics match `percentile()`/`quantile_cont`: null values
+  * are IGNORED for ranking/interpolation (positions use the non-null
+  * count) while the output `n` counts every row, like the
+  * count(*)-based form it sits next to.
+  *
+  * At scale the per-group sort is the only hot spot (k groups → k-way
+  * parallelism ceiling); it trades the OOM for spillable disk, the
+  * correct failure mode for an exact quantile. The sketch tier
+  * ([[Approx.approxPercentiles]]) is the same shape without the sort.
+  */
+object Percentiles {
+
+  def exact(df: DataFrame, key: String, value: String,
+      pcts: Seq[(String, Double)]): DataFrame = {
+    val counts = df.groupBy(key)
+      .agg(count(lit(1)).as("n"), count(col(value)).as("nv"))
+    val w = Window.partitionBy(key).orderBy(value)
+    // rank ties are arbitrary among equal values — interpolation only
+    // reads the VALUES at the picked ranks, which ties cannot change;
+    // null rows never enter the window (they would rank first and
+    // shift every pick)
+    val ranked = df.filter(col(value).isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), key)
+    def pos(q: Double): Column = lit(q) * (col("nv") - 1).cast("double")
+    val needed = pcts.map { case (_, q) =>
+      col("rn") === floor(pos(q)) + 1 || col("rn") === ceil(pos(q)) + 1
+    }.reduce(_ || _)
+    val aggs = pcts.flatMap { case (name, q) => Seq(
+      max(when(col("rn") === floor(pos(q)) + 1, col(value))).as(s"${name}_lo"),
+      max(when(col("rn") === ceil(pos(q)) + 1, col(value))).as(s"${name}_hi"))
+    } ++ Seq(max("n").as("n"), max("nv").as("nv"))
+    def interp(name: String, q: Double): Column = {
+      val p = pos(q)
+      round(when(floor(p) === ceil(p), col(s"${name}_lo"))
+        .otherwise((ceil(p) - p) * col(s"${name}_lo") +
+          (p - floor(p)) * col(s"${name}_hi")), 4).as(name)
+    }
+    ranked.filter(needed)
+      .groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: pcts.map { case (nm, q) => interp(nm, q) } :+ col("n"): _*)
+  }
+}
