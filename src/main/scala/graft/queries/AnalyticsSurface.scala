@@ -197,6 +197,11 @@ object AnalyticsSurface {
       graft.ops.Approx.approxPercentiles(
         t(s, dir, "events").select(col("event_type"), col("value")),
         "event_type", "value")),
+    // bucketed co-located join (graft.ops.Bucketed): both sides read
+    // bucket-aligned on the join key — no shuffle exchange in the join
+    // (PlanSpec locks the shape); results gate against the plain join
+    "join_bucketed_revenue" -> ((s, dir) =>
+      graft.ops.Bucketed.revenueByPriority(s, dir)),
   )
 
   private val PCTS = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
@@ -304,6 +309,11 @@ object AnalyticsSurface {
         |  r.timestamp AS r_timestamp, r.value AS r_value
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND abs(l.timestamp - r.timestamp) <= 21600000000""".stripMargin),
+    "join_bucketed_revenue" ->
+      s"""SELECT o_orderpriority, ${sumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,

@@ -53,8 +53,43 @@ object StreamSurface {
     s.table(sinkName)
   }
 
+  /** Streaming exact deduplication: the corpus arrives as a stream and
+    * duplicate fingerprints are suppressed with stateful
+    * `dropDuplicates` — the streaming face of Dedup.exact. Output is
+    * the distinct fingerprint set (first-arrival doc attribution is
+    * batch-order-dependent, so only the fp column is gated — the SET
+    * is deterministic). At scale the unbounded dedup state moves to
+    * `dropDuplicatesWithinWatermark` once the corpus has an event-time
+    * column to bound it with. */
+  private def streamDedupFp(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_stream_docs_$safe")
+    stageDir.mkdirs()
+    val staged = new java.io.File(stageDir, "documents.parquet")
+    if (!staged.exists())
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"), staged.toPath)
+    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+      .select(md5(graft.ops.TextFns.normText(col("text"))).as("fp"))
+      .dropDuplicates("fp")
+    val sinkName = "stream_dedup_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName).select("fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
+    "stream_dedup_fp" -> streamDedupFp,
     "session_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingIngest.sessionCounts(
         Tables.load(s, dir, "events")
@@ -65,6 +100,9 @@ object StreamSurface {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_dedup_fp" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin,
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,

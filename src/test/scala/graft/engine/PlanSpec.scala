@@ -69,6 +69,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("bucketed join reads bucket-aligned — no shuffle exchange feeds the join") {
+    // pin SMJ (a broadcast side would also be exchange-free, but the
+    // claim under test is the bucket layout alignment)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ot, lt) = graft.ops.Bucketed.ensurePair(spark, sfDir)
+      val joined = spark.table(lt).join(spark.table(ot),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), // no shuffle above either scan
+        p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
+
   test("agg_percentiles never buffers a group in an aggregate (sort-rank plan)") {
     val p = plan("agg_percentiles")
     // the percentile() TypedImperativeAggregate materializes whole
