@@ -49,4 +49,44 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(two == Map("hot" -> 5000L, "warm" -> 40L, "cold" -> 1L))
   }
+
+  test("AQE splits a skewed join partition at runtime (the third skew tool)") {
+    // salting and two-phase aggs handle skewed AGGREGATIONS; for a
+    // skewed JOIN the 100 TB plan leans on AQE's OptimizeSkewedJoin,
+    // which re-splits an oversized shuffle partition after the map
+    // stage materializes. Thresholds are lowered so the fixture-scale
+    // hot key qualifies; the assertion is on the FINAL adaptive plan.
+    import spark.implicits._
+    val priors = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = priors.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = (0 until 60000).map(i => ("hot", i.toLong)) ++
+        (0 until 50).map(i => (s"k$i", i.toLong))
+      val right = Seq(("hot", 1.0)) ++ (0 until 50).map(i => (s"k$i", i * 1.0))
+      val joined = left.toDF("key", "seq").repartition(8)
+        .join(right.toDF("key", "w"), "key")
+      // collect() runs THIS DataFrame's QueryExecution, finalizing its
+      // AdaptiveSparkPlan in place (a write wraps a fresh execution
+      // whose final plan would be invisible here)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally restore()
+  }
 }
