@@ -87,9 +87,48 @@ object StreamSurface {
     s.table(sinkName).select("fp")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * keys state to the watermark horizon instead of growing forever —
+    * the 100 TB form of [[streamDedupFp]]'s unbounded dropDuplicates.
+    * The staged source delivers one batch, so the within-watermark
+    * guarantee equals exact global dedup here and the batch DISTINCT
+    * oracle applies; across a long-running stream, duplicates farther
+    * apart than the watermark MAY re-emit — that is the documented
+    * contract of bounded dedup state, not a defect. */
+  private def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stageDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_$safe")
+    stageDir.mkdirs()
+    val staged = new java.io.File(stageDir, "events.parquet")
+    if (!staged.exists())
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
+    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+      .select(expr("timestamp_micros(ts div 1000)").as("event_time"),
+        col("user_id"), col("event_type"), col("value"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+    val sinkName = "stream_dedup_wm_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName).select("user_id", "event_type", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
     "stream_dedup_fp" -> streamDedupFp,
+    "stream_dedup_watermarked" -> streamDedupWatermarked,
     "session_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingIngest.sessionCounts(
         Tables.load(s, dir, "events")
@@ -103,6 +142,8 @@ object StreamSurface {
     "stream_dedup_fp" ->
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin,
+    "stream_dedup_watermarked" ->
+      "SELECT DISTINCT user_id, event_type, value FROM events",
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,

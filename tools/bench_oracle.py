@@ -28,6 +28,7 @@ HEADLINE = [
     "text_stats", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
     "asof_join", "range_join", "session_window_agg", "dedup_clusters",
+    "join_bucketed_revenue",
 ]
 
 
