@@ -46,15 +46,19 @@ object Percentiles {
     val aggs = pcts.flatMap { case (name, q) => Seq(
       max(when(col("rn") === floor(pos(q)) + 1, col(value))).as(s"${name}_lo"),
       max(when(col("rn") === ceil(pos(q)) + 1, col(value))).as(s"${name}_hi"))
-    } ++ Seq(max("n").as("n"), max("nv").as("nv"))
+    }
     def interp(name: String, q: Double): Column = {
       val p = pos(q)
       round(when(floor(p) === ceil(p), col(s"${name}_lo"))
         .otherwise((ceil(p) - p) * col(s"${name}_lo") +
           (p - floor(p)) * col(s"${name}_hi")), 4).as(name)
     }
-    ranked.filter(needed)
-      .groupBy(key).agg(aggs.head, aggs.tail: _*)
+    // drive the output from `counts` (left join): a group whose values
+    // are ALL null has no ranked rows but must still emit a row with
+    // null percentiles and its count(*), exactly like percentile()
+    counts.join(
+        ranked.filter(needed).groupBy(key).agg(aggs.head, aggs.tail: _*),
+        Seq(key), "left")
       .select(col(key) +: pcts.map { case (nm, q) => interp(nm, q) } :+ col("n"): _*)
   }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential spec: the bounded-memory sort-rank percentile operator
+  * must equal Spark's own percentile() aggregate (the semantics
+  * reference it replaced) on random data INCLUDING null values and
+  * degenerate group sizes. */
+class PercentilesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val PCTS = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  private def reference(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("k")
+      .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("q"),
+        count(lit(1)).as("n"))
+      .select(col("k"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"),
+        round(element_at(col("q"), 3), 4).as("p99"),
+        col("n"))
+
+  private def check(rows: Seq[(String, java.lang.Double)]): Unit = {
+    val df = rows.toDF("k", "v")
+    val got = Percentiles.exact(df, "k", "v", PCTS)
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
+    val want = reference(df)
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("random grouped data with nulls matches percentile() exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val k = s"g${rnd.nextInt(7)}"
+      val v: java.lang.Double =
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(math.floor(rnd.nextDouble() * 10000) / 100)
+      (k, v)
+    }
+    check(rows)
+  }
+
+  test("degenerate groups: single value, all-equal values, with nulls") {
+    check(Seq(
+      ("one", java.lang.Double.valueOf(42.0)),
+      ("one", null),
+      ("same", java.lang.Double.valueOf(7.5)),
+      ("same", java.lang.Double.valueOf(7.5)),
+      ("same", java.lang.Double.valueOf(7.5)),
+      ("two", java.lang.Double.valueOf(1.0)),
+      ("two", java.lang.Double.valueOf(2.0)),
+      // an all-null group must still emit (null, null, null, n)
+      ("allnull", null),
+      ("allnull", null)))
+  }
+}
