@@ -88,7 +88,10 @@ final class BufferedExecutor(spark: SparkSession, catalog: TsCatalog,
     buffers.keys.toSeq.foreach { case (db, name) =>
       try flushSeries(db, name)
       catch { case scala.util.control.NonFatal(e) =>
-        if (firstFailure.isEmpty) firstFailure = Some(e)
+        firstFailure match {
+          case None => firstFailure = Some(e)
+          case Some(first) => first.addSuppressed(e) // no silent loss of later failures
+        }
       }
     }
     firstFailure.foreach(throw _)

@@ -223,17 +223,38 @@ object Dedup {
         fs.delete(new org.apache.hadoop.fs.Path(s"${subRoot.get}/round-$r"), true)
       }
     }
-    try {
-      val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .distinct())
-      var labels = save(edges.select(col("u").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")))
-      duplicateClustersLoop(edges, labels, maxIters, save, dropRoundsBelow, () => round)
-    } finally {
-      prior.foreach(sc.setCheckpointDir)
-    }
+    // setCheckpointDir is PROCESS-GLOBAL: without mutual exclusion a
+    // concurrent reliable-checkpoint caller could re-point the dir
+    // between this call's set and its checkpoint job, landing files in
+    // the other call's round dir — which that call then DELETES. The
+    // lock serializes reliable clustering runs per JVM (local-mode
+    // callers are unaffected: localCheckpoint never touches the dir).
+    def body(): DataFrame =
+      try {
+        val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .distinct())
+        val labels = save(edges.select(col("u").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")))
+        val out =
+          duplicateClustersLoop(edges, labels, maxIters, save, dropRoundsBelow, () => round)
+        // converged: the returned plan reads only the FINAL labels
+        // checkpoint — the in-loop cleanup already dropped superseded
+        // label rounds, and the edges checkpoint (round-0, the largest
+        // of the run) is no longer referenced either
+        if (reliable)
+          fs.delete(new org.apache.hadoop.fs.Path(s"${subRoot.get}/round-0"), true)
+        out
+      } finally {
+        prior.foreach(sc.setCheckpointDir)
+      }
+    if (reliable) reliableCkptLock.synchronized(body()) else body()
   }
+
+  /** JVM-wide mutex for reliable-checkpoint clustering runs (see
+    * [[duplicateClusters]] — guards the process-global checkpoint
+    * dir). */
+  private val reliableCkptLock = new Object
 
   private def duplicateClustersLoop(edges: DataFrame, labels0: DataFrame,
       maxIters: Int, save: DataFrame => DataFrame,

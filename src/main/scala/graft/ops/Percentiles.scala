@@ -29,16 +29,23 @@ object Percentiles {
 
   def exact(df: DataFrame, key: String, value: String,
       pcts: Seq[(String, Double)]): DataFrame = {
+    // group-size relation: tiny (one row per group) — persisted so the
+    // broadcast into the ranking join and the output-driving left join
+    // share ONE evaluation instead of re-scanning the input
     val counts = df.groupBy(key)
       .agg(count(lit(1)).as("n"), count(col(value)).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(key).orderBy(value)
     // rank ties are arbitrary among equal values — interpolation only
     // reads the VALUES at the picked ranks, which ties cannot change;
     // null rows never enter the window (they would rank first and
-    // shift every pick)
+    // shift every pick). Joins are null-safe: a NULL group key is a
+    // group like any other to percentile().
+    val countsK = counts.withColumnRenamed(key, "__pk")
     val ranked = df.filter(col(value).isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(counts), key)
+      .join(broadcast(countsK), col(key) <=> col("__pk"))
+      .drop("__pk")
     def pos(q: Double): Column = lit(q) * (col("nv") - 1).cast("double")
     val needed = pcts.map { case (_, q) =>
       col("rn") === floor(pos(q)) + 1 || col("rn") === ceil(pos(q)) + 1
@@ -56,9 +63,10 @@ object Percentiles {
     // drive the output from `counts` (left join): a group whose values
     // are ALL null has no ranked rows but must still emit a row with
     // null percentiles and its count(*), exactly like percentile()
-    counts.join(
-        ranked.filter(needed).groupBy(key).agg(aggs.head, aggs.tail: _*),
-        Seq(key), "left")
+    val agged = ranked.filter(needed)
+      .groupBy(key).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed(key, "__pk")
+    counts.join(agged, col(key) <=> col("__pk"), "left")
       .select(col(key) +: pcts.map { case (nm, q) => interp(nm, q) } :+ col("n"): _*)
   }
 }

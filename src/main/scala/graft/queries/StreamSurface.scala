@@ -23,34 +23,52 @@ object StreamSurface {
 
   private val HOUR_US = 3600000000L
 
-  private def streamSampleBy(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // the streaming file source requires a DIRECTORY: stage the single
-    // parquet file into a temp dir (idempotent per sfDir)
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+  import org.apache.spark.sql.types._
+
+  /** Shared source schemas (the streaming file source cannot infer). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stage one parquet file into a per-(sfDir, file) temp DIRECTORY
+    * (the streaming file source requires one). ALWAYS overwrites: a
+    * stale copy after a regenerated fixture would silently diverge
+    * from what the batch oracle reads. */
+  private def stageParquet(dir: String, fname: String): String = synchronized {
+    val safe = (dir + "_" + fname).replaceAll("[^A-Za-z0-9]", "_")
     val stageDir = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_stream_src_$safe")
     stageDir.mkdirs()
-    val staged = new java.io.File(stageDir, "events.parquet")
-    if (!staged.exists())
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
-    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
-      .select(expr("ts div 1000").as("timestamp"), col("value"))
-    val agg = SeriesOps.sampleBy(stream, HOUR_US)
-    val sinkName = "stream_sample_by_sink_" +
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$fname"),
+      new java.io.File(stageDir, fname).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageDir.toString
+  }
+
+  /** Run a finite stream into a uniquely-named memory sink; return the
+    * sink table. */
+  private def runToTable(s: SparkSession,
+      stream: DataFrame, mode: String): DataFrame = {
+    val sinkName = "graft_stream_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete")
+    val q = stream.writeStream.outputMode(mode)
       .format("memory").queryName(sinkName).start()
     try q.processAllAvailable() finally q.stop()
     s.table(sinkName)
+  }
+
+  private def streamSampleBy(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(stageParquet(dir, "events.parquet"))
+      .select(expr("ts div 1000").as("timestamp"), col("value"))
+    runToTable(s, SeriesOps.sampleBy(stream, HOUR_US), "complete")
   }
 
   /** Streaming exact deduplication: the corpus arrives as a stream and
@@ -62,29 +80,11 @@ object StreamSurface {
     * `dropDuplicatesWithinWatermark` once the corpus has an event-time
     * column to bound it with. */
   private def streamDedupFp(s: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val stageDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_stream_docs_$safe")
-    stageDir.mkdirs()
-    val staged = new java.io.File(stageDir, "documents.parquet")
-    if (!staged.exists())
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"), staged.toPath)
-    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
       .select(md5(graft.ops.TextFns.normText(col("text"))).as("fp"))
       .dropDuplicates("fp")
-    val sinkName = "stream_dedup_sink_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(sinkName).select("fp")
+    runToTable(s, stream, "append").select("fp")
   }
 
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
@@ -97,32 +97,13 @@ object StreamSurface {
     * contract of bounded dedup state, not a defect. */
   private def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val stageDir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_$safe")
-    stageDir.mkdirs()
-    val staged = new java.io.File(stageDir, "events.parquet")
-    if (!staged.exists())
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath)
-    val stream = s.readStream.schema(schema).parquet(stageDir.toString)
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(stageParquet(dir, "events.parquet"))
       .select(expr("timestamp_micros(ts div 1000)").as("event_time"),
         col("user_id"), col("event_type"), col("value"))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
-    val sinkName = "stream_dedup_wm_sink_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(sinkName).select("user_id", "event_type", "value")
+    runToTable(s, stream, "append").select("user_id", "event_type", "value")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -102,11 +102,14 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
                     // Spark exception texts routinely exceed the frame
                     // bound (they embed plan fragments) — truncate so
                     // the client still sees the leading cause instead
-                    // of a generic encode failure
-                    val msg = "execution error: " +
+                    // of a generic encode failure. The bound is UTF-8
+                    // BYTES (the wire limit), not chars: multi-byte
+                    // text at a char bound could still overflow.
+                    var msg = "execution error: " +
                       Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-                    send(out, WireResponse.Str(1,
-                      if (msg.length > 400) msg.take(400) + "..." else msg))
+                    while (msg.getBytes("UTF-8").length > Wire.MaxQuerySize - 16)
+                      msg = msg.take(msg.length - math.max(1, msg.length / 8))
+                    send(out, WireResponse.Str(1, msg))
                   }
                   // mid-stream failure: the peer's framing is already
                   // broken — close so it sees EOF instead of a hang

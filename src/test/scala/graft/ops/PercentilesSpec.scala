@@ -33,10 +33,10 @@ class PercentilesSpec extends AnyFunSuite {
   private def check(rows: Seq[(String, java.lang.Double)]): Unit = {
     val df = rows.toDF("k", "v")
     val got = Percentiles.exact(df, "k", "v", PCTS)
-      .collect().map(r => r.getString(0) ->
+      .collect().map(r => Option(r.getString(0)) ->
         (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
     val want = reference(df)
-      .collect().map(r => r.getString(0) ->
+      .collect().map(r => Option(r.getString(0)) ->
         (r.get(1), r.get(2), r.get(3), r.getLong(4))).toMap
     assert(got == want, s"got $got\nwant $want")
   }
@@ -65,5 +65,13 @@ class PercentilesSpec extends AnyFunSuite {
       // an all-null group must still emit (null, null, null, n)
       ("allnull", null),
       ("allnull", null)))
+  }
+
+  test("a NULL group key is a group like any other (null-safe joins)") {
+    check(Seq(
+      (null, java.lang.Double.valueOf(1.0)),
+      (null, java.lang.Double.valueOf(3.0)),
+      (null, null),
+      ("k", java.lang.Double.valueOf(9.0))))
   }
 }
