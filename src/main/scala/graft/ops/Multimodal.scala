@@ -163,6 +163,116 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
   }
 
+  /** Real half-resolution resize on the payload BYTES: nearest-neighbor
+    * pixel sampling for BMP/PPM (every 2nd pixel of every 2nd row, new
+    * well-formed header, zero row padding), 2:1 decimation for WAV
+    * (every 2nd 16-bit sample, halved sample rate). Unknown formats
+    * pass through untouched (row-level tolerance, like [[decode]]).
+    * The resized payload re-decodes through [[extractFeatures]], so the
+    * mm_resize gate verifies the WHOLE resize+re-encode+decode chain
+    * against a closed-form oracle. */
+  private[ops] def resizePayloadHalf(p: Array[Byte]): Array[Byte] = {
+    val n = p.length
+    def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    if (n >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val w = le32(18); val h = le32(22)
+      if (w <= 0 || h <= 0) return p
+      val nw = math.max(w / 2, 1); val nh = math.max(h / 2, 1)
+      val srcStride = ((w * 3 + 3) / 4) * 4
+      val outStride = ((nw * 3 + 3) / 4) * 4
+      val body = outStride * nh
+      val bb = java.nio.ByteBuffer.allocate(54 + body)
+      bb.put('B'.toByte).put('M'.toByte)
+      bb.put(le(54L + body, 4)).put(le(0, 4)).put(le(54, 4))
+      bb.put(le(40, 4)).put(le(nw, 4)).put(le(nh, 4))
+      bb.put(le(1, 2)).put(le(24, 2)).put(le(0, 4)).put(le(body, 4))
+      bb.put(le(2835, 4)).put(le(2835, 4)).put(le(0, 4)).put(le(0, 4))
+      val out = bb.array()
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val src = 54 + 2 * y * srcStride + 6 * x
+          val dst = 54 + y * outStride + 3 * x
+          if (src + 2 < n) { // nearest-neighbor: pixel (2x, 2y)
+            out(dst) = p(src); out(dst + 1) = p(src + 1); out(dst + 2) = p(src + 2)
+          }
+          x += 1
+        }
+        y += 1 // row padding stays zero-initialized
+      }
+      out
+    } else if (n >= 9 && p(0) == 'P' && p(1) == '6') {
+      var o = 2
+      def skipWs(): Unit =
+        while (o < n && (p(o) == ' ' || p(o) == '\n' || p(o) == '\t' || p(o) == '\r')) o += 1
+      def readInt(): Int = {
+        var v = 0
+        while (o < n && p(o) >= '0' && p(o) <= '9') { v = v * 10 + (p(o) - '0'); o += 1 }
+        v
+      }
+      skipWs(); val w = readInt()
+      skipWs(); val h = readInt()
+      skipWs(); readInt() // maxval
+      if (o >= n || w <= 0 || h <= 0) return p
+      val bodyStart = o + 1 // the single whitespace after maxval
+      val nw = math.max(w / 2, 1); val nh = math.max(h / 2, 1)
+      val head = s"P6\n$nw $nh\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](head.length + 3 * nw * nh)
+      System.arraycopy(head, 0, out, 0, head.length)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val src = bodyStart + 3 * (2 * y * w + 2 * x)
+          val dst = head.length + 3 * (y * nw + x)
+          if (src + 2 < n) {
+            out(dst) = p(src); out(dst + 1) = p(src + 1); out(dst + 2) = p(src + 2)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (n >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      val rate = le32(24); val dataBytes = le32(40)
+      val ns = dataBytes / 2 // fixture contract: 16-bit mono
+      val newRate = math.max(rate / 2, 1)
+      val newNs = (ns + 1) / 2
+      val data = newNs * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + data)
+      bb.put("RIFF".getBytes("US-ASCII")).put(le(36L + data, 4))
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).put(le(16, 4))
+      bb.put(le(1, 2)).put(le(1, 2))
+      bb.put(le(newRate, 4)).put(le(newRate * 2L, 4))
+      bb.put(le(2, 2)).put(le(16, 2))
+      bb.put("data".getBytes("US-ASCII")).put(le(data, 4))
+      val out = bb.array()
+      var s = 0
+      while (s < newNs) { // every 2nd sample
+        val src = 44 + 4 * s
+        val dst = 44 + 2 * s
+        if (src + 1 < n) { out(dst) = p(src); out(dst + 1) = p(src + 1) }
+        s += 1
+      }
+      out
+    } else p
+  }
+
+  /** Half-resolution resize over the media table (per-partition batch,
+    * payloads stay opaque binary). Output schema = input schema. */
+  def resizeHalf(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, resizePayloadHalf(payload))
+      }).toDF("media_id", "payload")
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

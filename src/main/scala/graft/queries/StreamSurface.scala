@@ -117,6 +117,11 @@ object StreamSurface {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // the resized payloads re-decode through the same extractor, so
+    // this gate differentially verifies resize + re-encode + decode
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.resizeHalf(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -148,6 +153,7 @@ object StreamSurface {
          |SELECT user_id, min(timestamp) AS session_start, count(*) AS n
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
+    "mm_resize" -> mmResizeOracle,
   )
 
   /** Closed-form oracle for the planted-payload decode: mirrors
@@ -159,6 +165,50 @@ object StreamSurface {
     * PPM fixed chars sum 352 ("P6\n" + ' ' + "\n255\n"), WAV fixed
     * sum 1407 ("RIFF"+"WAVE"+"fmt "+16+1+1+2+16+"data").
     */
+  /** Closed-form oracle for [[Multimodal.resizeHalf]] output decoded by
+    * the same extractor: half geometry (nearest-neighbor keeps the
+    * uniform fill byte for every sampled pixel), ZERO row padding in
+    * the re-encoded BMP (pixel bytes contribute fill, pads 0 — unlike
+    * the source payloads whose pads are fill), WAV decimated to
+    * ceil(ns/2) samples at rate/2. */
+  private def mmResizeOracle: String = {
+    def le4(e: String) =
+      s"((($e) & 255) + ((($e) >> 8) & 255) + ((($e) >> 16) & 255) + ((($e) >> 24) & 255))"
+    def digits(e: String, d: String) =
+      s"((($e) // 100) + ((($e) // 10) % 10) + (($e) % 10) + 48 * ($d))"
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 3 AS f, doc_id % 251 AS fill,
+       |         greatest((16 + doc_id % 97) // 2, 1) AS w,
+       |         greatest((16 + doc_id % 53) // 2, 1) AS h,
+       |         greatest((8000 + (doc_id % 5) * 4000) // 2, 1) AS rate,
+       |         ((64 + doc_id % 129) + 1) // 2 AS ns
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, ((w * 3 + 3) // 4) * 4 * h AS bmp_body, 3 * w * h AS px,
+       |         3 * w * h AS ppm_body, 2 * ns AS wav_body,
+       |         CASE WHEN w >= 100 THEN 3 WHEN w >= 10 THEN 2 ELSE 1 END AS wd,
+       |         CASE WHEN h >= 100 THEN 3 WHEN h >= 10 THEN 2 ELSE 1 END AS hd
+       |  FROM m)
+       |SELECT doc_id AS media_id,
+       |  CASE f WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format,
+       |  CAST(CASE f WHEN 0 THEN 54 + bmp_body
+       |              WHEN 1 THEN 9 + wd + hd + ppm_body
+       |              ELSE 44 + wav_body END AS BIGINT) AS n_bytes,
+       |  CAST(CASE f WHEN 0 THEN 66 WHEN 1 THEN 80 ELSE 82 END AS BIGINT) AS first_byte,
+       |  CAST(CASE f
+       |    WHEN 0 THEN 322 + ${le4("54 + bmp_body")} + ${le4("w")} + ${le4("h")}
+       |                + ${le4("bmp_body")} + px * fill
+       |    WHEN 1 THEN 352 + ${digits("w", "wd")} + ${digits("h", "hd")} + ppm_body * fill
+       |    ELSE 1407 + ${le4("36 + wav_body")} + ${le4("rate")} + ${le4("rate * 2")}
+       |         + ${le4("wav_body")} + wav_body * fill
+       |  END AS BIGINT) AS byte_checksum,
+       |  CAST(CASE WHEN f <= 1 THEN w ELSE -1 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN f <= 1 THEN h ELSE -1 END AS BIGINT) AS height,
+       |  CAST(CASE WHEN f = 2 THEN rate ELSE -1 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN f = 2 THEN ns ELSE -1 END AS BIGINT) AS n_samples
+       |FROM c""".stripMargin
+  }
+
   private def mmOracle: String = {
     // sum of the 4 little-endian bytes of a 32-bit value
     def le4(e: String) =

@@ -83,6 +83,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.byte_checksum == 6L)
   }
 
+  test("half-resize halves geometry and re-decodes through the same extractor") {
+    for (id <- Seq(0L, 1L, 2L, 31L, 32L, 33L)) {
+      val src = Multimodal.decode(id, Multimodal.buildPayload(id))
+      val out = Multimodal.decode(id,
+        Multimodal.resizePayloadHalf(Multimodal.buildPayload(id)))
+      assert(out.format == src.format, s"id=$id")
+      if (src.format == "bmp" || src.format == "ppm") {
+        assert(out.width == math.max(src.width / 2, 1), s"id=$id")
+        assert(out.height == math.max(src.height / 2, 1), s"id=$id")
+      } else {
+        assert(out.sample_rate == src.sample_rate / 2, s"id=$id")
+        assert(out.n_samples == (src.n_samples + 1) / 2, s"id=$id")
+      }
+      assert(out.n_bytes < src.n_bytes, s"id=$id")
+    }
+    // non-media bytes pass through untouched
+    val junk = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizePayloadHalf(junk).toSeq == junk.toSeq)
+  }
+
   test("frame sampling slices cover the payload exactly") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0))
     val payload = media.collect().head.getAs[Array[Byte]]("payload")
