@@ -269,18 +269,25 @@ object Dedup {
         .agg(min("nl").as("nmin"))
       // pointer jumping: the label of my label
       val hop = labels.select(col("doc_id").as("jid"), col("label").as("jl"))
+      // the convergence probe rides the SAME action that materializes
+      // the round (observe/CollectMetrics) — a separate changed-count
+      // job per round was ~half the per-round wall time
+      val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
       val next = save(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(hop.select(col("jid").as("label"), col("jl")), Seq("label"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
-            coalesce(col("jl"), col("label"))).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+            coalesce(col("jl"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        .select("doc_id", "label"))
+      // sum over an empty round is SQL NULL — treat as converged
+      val changed = Option(obs.get.getOrElse("changed", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
       converged = changed == 0
-      // the changed-count was this round's last read of the previous
+      // the round's checkpoint was the last read of the previous
       // labels checkpoint — its files are now unreferenced
       dropRoundsBelow(round() - 1)
       i += 1
