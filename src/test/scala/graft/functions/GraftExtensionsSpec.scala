@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions wiring path must expose the SAME function
+  * surface as GraftFunctions.register — both derive from one list, and
+  * this spec locks it (the round-3 review found the paths had drifted
+  * by three functions). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("every native function resolves through the extensions path") {
+    // getOrCreate would silently REUSE the suite-shared session and
+    // never apply the extensions — clear, build fresh (same underlying
+    // SparkContext), restore the prior sessions afterwards
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import spark.implicits._
+      val row = Seq(("the quick brown fox jumps high", Array(1.0f, 2.0f)))
+        .toDF("text", "vec")
+        .selectExpr(
+          "size(shingles3(text)) AS shingles",
+          "dot_dec(vec, vec) AS dd",
+          "text_stats_scan(text).n_tokens AS toks",
+          "q8_pack(vec).scale6 AS s6",
+          "dot_int(q8_pack(vec).q, q8_pack(vec).q) AS di",
+          "bpe_count(text) AS bpe")
+        .collect()(0)
+      assert(row.getAs[Int]("shingles") == 4)
+      assert(row.getAs[Double]("dd") == 5.0)
+      assert(row.getAs[Long]("toks") == 6L)
+      assert(row.getAs[Long]("s6") == 2000000L)
+      assert(row.getAs[Long]("di") > 0L)
+      assert(row.getAs[Long]("bpe") > 0L)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
