@@ -27,7 +27,8 @@ object GraftFunctions {
     ("text_stats_scan", classOf[TextStats], exprs => TextStats(exprs.head)),
     ("q8_pack", classOf[Q8Pack], exprs => Q8Pack(exprs.head)),
     ("dot_int", classOf[DotInt], exprs => DotInt(exprs(0), exprs(1))),
-    ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)))
+    ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)),
+    ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =

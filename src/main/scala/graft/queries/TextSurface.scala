@@ -49,18 +49,19 @@ object TextSurface {
 
   /** Marker-token language id (n-gram-heuristic family): per-language
     * stopword hit counts + CJK character count, argmax with a fixed
-    * priority order. Deterministic and exactly mirrored in SQL. */
+    * priority order. Deterministic and exactly mirrored in SQL. All
+    * five counts come from ONE scan (native lang_scan expression,
+    * count-locked to the regex forms — graft.functions.LangScanCodec),
+    * replacing four marker-regex passes + a CJK regexp_replace. */
   private def langId(s: SparkSession, dir: String): DataFrame = {
-    val markers = Map(
-      "en" -> "\\\\b(the|and|of|is)\\\\b",
-      "de" -> "\\\\b(der|die|das|und|ist)\\\\b",
-      "fr" -> "\\\\b(le|la|les|et|est)\\\\b",
-      "es" -> "\\\\b(el|los|las|es|y)\\\\b")
-    val withHits = markers.foldLeft(docs(s, dir)) { case (d, (lang, pat)) =>
-      d.withColumn(s"${lang}_hits",
-        size(expr(s"regexp_extract_all(lower(text), '$pat', 0)")).cast("long"))
-    }.withColumn("zh_chars",
-      length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long"))
+    graft.functions.GraftFunctions.register(s)
+    val withHits = docs(s, dir)
+      .withColumn("ls", expr("lang_scan(text)"))
+      .withColumn("en_hits", col("ls.en_hits"))
+      .withColumn("de_hits", col("ls.de_hits"))
+      .withColumn("fr_hits", col("ls.fr_hits"))
+      .withColumn("es_hits", col("ls.es_hits"))
+      .withColumn("zh_chars", col("ls.zh_chars"))
     withHits.withColumn("pred_lang",
       when(col("zh_chars") > 0, "zh")
         .when(col("de_hits") > col("en_hits") && col("de_hits") >= col("fr_hits") &&

@@ -32,7 +32,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "text_stats_scan(text).n_tokens AS toks",
           "q8_pack(vec).scale6 AS s6",
           "dot_int(q8_pack(vec).q, q8_pack(vec).q) AS di",
-          "bpe_count(text) AS bpe")
+          "bpe_count(text) AS bpe",
+          "lang_scan(text).en_hits AS en")
         .collect()(0)
       assert(row.getAs[Int]("shingles") == 4)
       assert(row.getAs[Double]("dd") == 5.0)
@@ -40,6 +41,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("s6") == 2000000L)
       assert(row.getAs[Long]("di") > 0L)
       assert(row.getAs[Long]("bpe") > 0L)
+      assert(row.getAs[Long]("en") == 1L)
     } finally {
       SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
       priorDefault.foreach(SparkSession.setDefaultSession)

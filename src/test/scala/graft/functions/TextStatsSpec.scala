@@ -58,6 +58,39 @@ class TextStatsSpec extends AnyFunSuite {
       "ANDROID band sand", "TO to To tO", "x" * 5000 + " the").toDF("text"))
   }
 
+  /** Same differential discipline for the langid scan. */
+  private def assertLangParity(df: org.apache.spark.sql.DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val markers = Map(
+      "en" -> "\\\\b(the|and|of|is)\\\\b",
+      "de" -> "\\\\b(der|die|das|und|ist)\\\\b",
+      "fr" -> "\\\\b(le|la|les|et|est)\\\\b",
+      "es" -> "\\\\b(el|los|las|es|y)\\\\b")
+    val withRegex = markers.foldLeft(df.withColumn("ls", expr("lang_scan(text)"))) {
+      case (d, (lang, pat)) =>
+        d.withColumn(s"r_$lang",
+          org.apache.spark.sql.functions.size(
+            expr(s"regexp_extract_all(lower(text), '$pat', 0)")).cast("long"))
+    }.withColumn("r_zh",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.regexp_replace(
+          col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long"))
+    val bad = withRegex.filter(
+      col("ls.en_hits") =!= col("r_en") || col("ls.de_hits") =!= col("r_de") ||
+        col("ls.fr_hits") =!= col("r_fr") || col("ls.es_hits") =!= col("r_es") ||
+        col("ls.zh_chars") =!= col("r_zh"))
+      .select("text", "ls", "r_en", "r_de", "r_fr", "r_es", "r_zh").collect()
+    assert(bad.isEmpty, s"lang_scan/regex divergence: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("lang_scan parity with the marker regexes on corpus and edge cases") {
+    assertLangParity(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assertLangParity(Seq(
+      "", "the und le el y", "Y y EL el", "DER die DAS", "l'est de l'ile",
+      "中文 the 中", "和的 y 了", "isthmus the-is is_", "est-ce que c'est",
+      "los angeles las vegas", "und9 9und und", "y", "-y-", "(y)").toDF("text"))
+  }
+
   test("random ascii+unicode strings agree") {
     GraftFunctions.register(spark)
     val charGen = Gen.frequency(
