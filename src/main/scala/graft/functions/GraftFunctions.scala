@@ -28,7 +28,8 @@ object GraftFunctions {
     ("q8_pack", classOf[Q8Pack], exprs => Q8Pack(exprs.head)),
     ("dot_int", classOf[DotInt], exprs => DotInt(exprs(0), exprs(1))),
     ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)),
-    ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)))
+    ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)),
+    ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =

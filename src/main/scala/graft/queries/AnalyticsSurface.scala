@@ -22,15 +22,22 @@ import graft.core.Tables
   */
 object AnalyticsSurface {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // sum_micro et al.
     Tables.load(s, dir, name)
+  }
 
-  /** round(sum(expr) as DECIMAL, 4) — order-independent, engine-stable. */
+  /** Exact decimal(30,6)-semantics sum rounded to 4 dp —
+    * order-independent, engine-stable, BIT-IDENTICAL to
+    * `round(CAST(sum(CAST(c AS DECIMAL(30,6))) AS DOUBLE), 4)` but via
+    * the fixed-width native aggregate (graft.functions.SumMicro):
+    * Spark's >18-digit Decimal pays a BigDecimal wrap + variable-width
+    * buffer per row, ~3x the whole aggregation cost of q1 at sf0.1. */
   private def sumDec(c: Column): Column =
-    round(sum(c.cast("decimal(30,6)")).cast("double"), 4)
+    round(call_function("sum_micro", c.cast("double")), 4)
 
   private def avgDec(c: Column): Column =
-    round(sum(c.cast("decimal(30,6)")).cast("double") / count(lit(1)), 4)
+    round(call_function("sum_micro", c.cast("double")) / count(lit(1)), 4)
 
   /** TPC-H Q1-style pricing summary (scan + single shuffle on a
     * 6-value grouping key; everything else is map-side). */
