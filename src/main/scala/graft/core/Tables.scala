@@ -18,6 +18,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Runtime-settable; only affects TIMESTAMP(NANOS) columns (events.ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every query path goes through here — registering the native
+    // function set at the chokepoint means no query can resolve-fail
+    // on registration order (sum_micro in a sumDec-only query was
+    // reachable without any other registering call having run first)
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

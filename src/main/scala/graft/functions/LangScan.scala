@@ -30,8 +30,7 @@ object LangScanCodec {
   private val ES = mkSet("el", "los", "las", "es", "y")
   private val MAXLEN = 3
 
-  private def isBoundWord(c: Char): Boolean =
-    c == '_' || Character.isLetterOrDigit(c)
+  import BoundScan.isBoundWordCp
 
   def eval(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -52,8 +51,13 @@ object LangScanCodec {
     while (i < n) {
       val c = s.charAt(i)
       if (c >= '\u4e00' && c <= '\u9fff') zh += 1
-      if (isBoundWord(c)) { if (wordStart < 0) wordStart = i }
-      else endRun(i)
+      // per-code-point boundary decisions (see BoundScan); a low
+      // surrogate inherits its pair's decision
+      if (!Character.isLowSurrogate(c) || i == 0 ||
+          !Character.isHighSurrogate(s.charAt(i - 1))) {
+        if (isBoundWordCp(s.codePointAt(i))) { if (wordStart < 0) wordStart = i }
+        else endRun(i)
+      }
       i += 1
     }
     endRun(n)

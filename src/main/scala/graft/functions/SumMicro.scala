@@ -29,8 +29,10 @@ import org.apache.spark.sql.types._
   * SumMicroSpec and every sumDec-based oracle gate).
   *
   * Bounds: per-row |x| < 9.2·10¹² (micro-units must fit a long —
-  * longValueExact throws loudly beyond, never wraps); the two-long
-  * accumulator spans ±9.2·10³⁶, far past any 100 TB aggregate.
+  * longValueExact throws loudly beyond, never wraps); per-row micros
+  * are limb-split before accumulating, so the two-long accumulator is
+  * exact across its full ±9.2·10³⁶ span. NaN/Infinity inputs are
+  * skipped like the NULL their decimal cast produces.
   */
 case class SumMicro(
     child: Expression,
@@ -82,11 +84,20 @@ case class SumMicro(
   override def update(buffer: InternalRow, input: InternalRow): Unit = {
     val v = child.eval(input)
     if (v != null) {
-      // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
-      val micros = java.math.BigDecimal.valueOf(v.asInstanceOf[Double])
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-        .movePointRight(6).longValueExact()
-      addMicros(buffer, mutableAggBufferOffset, 0L, micros, 1L)
+      val x = v.asInstanceOf[Double]
+      // CAST(NaN/Infinity AS DECIMAL) is NULL — the row is skipped,
+      // exactly like the decimal sum this aggregate replaces
+      if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+        // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
+        val micros = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+        // split into limbs BEFORE accumulating: a per-row |micros| can
+        // exceed one limb (any |x| >= 10^12), and addMicros' single
+        // conditional carry is only sound when |lo2| < LIMB
+        addMicros(buffer, mutableAggBufferOffset,
+          micros / LIMB, micros % LIMB, 1L)
+      }
     }
   }
 

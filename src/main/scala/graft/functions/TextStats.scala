@@ -30,18 +30,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * One scan instead of five regex passes (each of which re-walked the
   * full document): measured ~2x on the text_stats headline query.
   */
+/** Java regex \b boundary class, shared by the scan codecs — NOT \w:
+  * the JDK's Bound node tests `ch == '_' || isLetterOrDigit(ch)`
+  * (Unicode, CODE-POINT aware), so CJK/accented/astral letters extend
+  * word runs even though \w itself is ASCII (e.g. '文the中' is ONE
+  * run, no stopword match). Known accepted divergence: characters
+  * whose lower() expands (U+0130 'İ' → i + combining dot) change run
+  * segmentation in the regex-over-lower(text) path but not here. */
+private[functions] object BoundScan {
+  def isBoundWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+}
+
 object TextStatsCodec {
 
   private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Java regex \b boundary class — NOT \w: the JDK's Bound node tests
-    * `ch == '_' || Character.isLetterOrDigit(ch)` (Unicode-aware), so
-    * CJK/accented letters extend word runs even though \w itself is
-    * ASCII. The stop-hit count must mirror the Spark/Java behavior the
-    * query has always had (e.g. '文the中' is ONE run, no match). */
-  private def isBoundWord(c: Char): Boolean =
-    c == '_' || Character.isLetterOrDigit(c)
+  import BoundScan.isBoundWordCp
 
   /** The ten stopwords of the quality heuristic, lowercase. */
   private val STOPS: java.util.Set[String] = {
@@ -66,12 +72,17 @@ object TextStatsCodec {
       if (c >= '0' && c <= '9') digits += 1
       if (isSpace(c)) inToken = false
       else if (!inToken) { inToken = true; nTokens += 1 }
-      if (isBoundWord(c)) { if (wordStart < 0) wordStart = i }
-      else if (wordStart >= 0) {
-        if (i - wordStart <= 3 &&
-          STOPS.contains(s.substring(wordStart, i).toLowerCase(java.util.Locale.ROOT)))
-          stopHits += 1
-        wordStart = -1
+      // word-run transitions are decided per CODE POINT (Java \b is
+      // code-point aware); a low surrogate inherits its pair's decision
+      if (!Character.isLowSurrogate(c) || i == 0 ||
+          !Character.isHighSurrogate(s.charAt(i - 1))) {
+        if (isBoundWordCp(s.codePointAt(i))) { if (wordStart < 0) wordStart = i }
+        else if (wordStart >= 0) {
+          if (i - wordStart <= 3 &&
+            STOPS.contains(s.substring(wordStart, i).toLowerCase(java.util.Locale.ROOT)))
+            stopHits += 1
+          wordStart = -1
+        }
       }
       i += 1
     }

@@ -263,7 +263,9 @@ object Multimodal {
   }
 
   /** Half-resolution resize over the media table (per-partition batch,
-    * payloads stay opaque binary). Output schema = input schema. */
+    * payloads stay opaque binary). Output: (media_id, payload) — the
+    * resized bytes re-decode through [[extractFeatures]]; join back on
+    * media_id when the type/source metadata is needed downstream. */
   def resizeHalf(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The spark.sql.extensions wiring path must expose the SAME function
@@ -42,6 +43,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("di") > 0L)
       assert(row.getAs[Long]("bpe") > 0L)
       assert(row.getAs[Long]("en") == 1L)
+      // the aggregate function needs a grouped context to resolve
+      val agg = Seq(("k", 1.25), ("k", 2.25)).toDF("k", "v")
+        .groupBy("k").agg(expr("sum_micro(v) AS s")).collect()(0)
+      assert(agg.getAs[Double]("s") == 3.5)
     } finally {
       SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
       priorDefault.foreach(SparkSession.setDefaultSession)

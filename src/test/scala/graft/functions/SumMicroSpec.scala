@@ -50,6 +50,27 @@ class SumMicroSpec extends AnyFunSuite {
       ("d", java.lang.Double.valueOf(-123456789012.654321))).toDF("k", "v"))
   }
 
+  test("per-row values beyond one limb (>=1e12) accumulate exactly") {
+    // a per-row micros value can exceed 10^18; the limb-split in
+    // update() must keep the two-long accumulator exact
+    assertParity(Seq(
+      ("a", java.lang.Double.valueOf(4.0e12)),
+      ("a", java.lang.Double.valueOf(4.0e12)),
+      ("a", java.lang.Double.valueOf(4.0e12)),
+      ("a", java.lang.Double.valueOf(-2.5e12)),
+      ("b", java.lang.Double.valueOf(9.0e12)),
+      ("b", java.lang.Double.valueOf(-9.0e12))).toDF("k", "v"))
+  }
+
+  test("NaN and infinite inputs are skipped like their NULL decimal cast") {
+    assertParity(Seq(
+      ("a", java.lang.Double.valueOf(Double.NaN)),
+      ("a", java.lang.Double.valueOf(1.5)),
+      ("b", java.lang.Double.valueOf(Double.PositiveInfinity)),
+      ("b", java.lang.Double.valueOf(Double.NegativeInfinity)),
+      ("c", java.lang.Double.valueOf(Double.NaN))).toDF("k", "v"))
+  }
+
   test("all-null group yields null, like the decimal sum") {
     GraftFunctions.register(spark)
     val r = Seq(("a", null: java.lang.Double))

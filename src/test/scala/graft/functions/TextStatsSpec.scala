@@ -54,6 +54,7 @@ class TextStatsSpec extends AnyFunSuite {
       "it's an _it_ and it", "a", "a b", "in7 7in in_ _in in",
       "word中文the中", "42 4a2 a42 424",
       "émigré the café", "ß The Straße is 9", "multi  \n\nspace   the",
+      "𝐀the and𝐀 of", // astral letters extend \b word runs
       "trailing the", "the leading", "-the-", "(a)", "a,an,and,or",
       "ANDROID band sand", "TO to To tO", "x" * 5000 + " the").toDF("text"))
   }
