@@ -29,7 +29,14 @@ object GraftFunctions {
     ("dot_int", classOf[DotInt], exprs => DotInt(exprs(0), exprs(1))),
     ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)),
     ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)),
-    ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)))
+    ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("minhash_sig", classOf[MinHashSig], exprs => {
+      // k is model shape, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "minhash_sig(shingles, k) requires a literal k")
+      MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   /** Idempotently register graft functions in the session's registry. */
   def register(spark: SparkSession): Unit =

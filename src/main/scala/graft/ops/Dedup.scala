@@ -71,16 +71,18 @@ object Dedup {
     * intermediate must stay under 2^63 in BOTH engines). One md5 per
     * shingle total — k=64 signatures cost 64 integer fmas, not 64
     * salted md5s. */
-  val MH_P = 2147483647L // 2^31 - 1
-  val MH_M = 1073741824L // 2^30
-  def mhParams(k: Int): Seq[(Long, Long)] =
-    (0 until k).map(i =>
-      (TextFns.h60Scala(s"mh:a:$i") % (MH_P - 1) + 1,
-        TextFns.h60Scala(s"mh:b:$i") % MH_P))
+  val MH_P: Long = graft.functions.MinHashCodec.P // 2^31 - 1
+  val MH_M: Long = graft.functions.MinHashCodec.M // 2^30
+  def mhParams(k: Int): Seq[(Long, Long)] = {
+    val (a, b) = graft.functions.MinHashCodec.params(k)
+    a.zip(b).toSeq
+  }
 
-  /** Signatures from an exploded (doc_id, sh) relation — the ONE place
-    * the permutation math lives (the oracle mirrors it from mhParams;
-    * both public entry points delegate here). */
+  /** Signatures from an exploded (doc_id, sh) relation — the builtin
+    * groupBy formulation of the permutation math. Kept as the
+    * differential twin of the row-level `minhash_sig` expression
+    * (MinHashSigSpec locks the two bit-equal); the hot path uses the
+    * expression, which needs no shuffle at all. */
   private def signaturesFrom(shingleRel: DataFrame, k: Int): DataFrame = {
     val s = shingleRel.withColumn("h", TextFns.h60(col("sh")) % MH_M)
     val aggs = mhParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -95,6 +97,20 @@ object Dedup {
     * map-side partial). */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
     signaturesFrom(shingleRelation(docs), k)
+
+  /** Row-level signature column over a `shingles` array: the native
+    * `minhash_sig` expression computes all k minima in one scan of the
+    * array, so signatures are a stateless per-row map — no explode, no
+    * shuffle (at corpus scale the exploded relation is ~50x the corpus
+    * row count and was dedup_minhash's largest exchange). NULL when the
+    * doc has no shingles, mirroring the exploded form emitting no row.
+    * Also the piece that makes MinHash dedup streamable
+    * (StreamSurface.stream_dedup_minhash): a per-doc signature must not
+    * need a mid-stream aggregation. */
+  def minhashSigCol(df: DataFrame, k: Int): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    expr(s"minhash_sig(shingles, $k)")
+  }
 
   /** MinHash + banded-LSH near-dup pairs: k signatures in `bands` bands
     * of rows = k/bands; docs colliding on any band become candidates;
@@ -131,11 +147,14 @@ object Dedup {
     val docsSh = TextFns.withShingles(docs)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFrom(
-      docsSh.select(col("doc_id"), explode(col("shingles")).as("sh")), k)
+    // row-level signatures: one native scan per doc, zero shuffle
+    // (the exploded groupBy twin lives in minhashSignatures)
+    val sigs = docsSh
+      .select(col("doc_id"), minhashSigCol(docsSh, k).as("sig"))
+      .where(col("sig").isNotNull)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("_", (0 until r).map(j => col(s"m${b * r + j}")): _*).as("key"))
+        concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
     }
     val banded = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
