@@ -87,6 +87,33 @@ object StreamSurface {
     runToTable(s, stream, "append").select("fp")
   }
 
+  /** Streaming NEAR-dup suppression: per-doc MinHash signatures
+    * computed in-stream with the row-level `minhash_sig` expression (a
+    * stateless map — the groupBy formulation would need a mid-stream
+    * aggregation, which a dedup stage can't afford), then stateful
+    * `dropDuplicates` on the full-signature fingerprint. Docs with an
+    * identical 64-permutation signature are near-certain duplicates
+    * (Jaccard ≈ 1), so this is the streaming face of MinHash dedup at
+    * its strictest threshold; band-level (lower-threshold) candidate
+    * pairing stays a batch job over the accumulated corpus
+    * (Dedup.minhashLshPairs). Output: the distinct signature set —
+    * deterministic regardless of arrival order, hence oracle-gateable.
+    * At scale: state is one compact fingerprint per distinct signature,
+    * keyed uniformly; move to dropDuplicatesWithinWatermark to bound it
+    * when docs carry event time (same pattern as
+    * [[streamDedupWatermarked]]). */
+  private def streamDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
+    val sigs = graft.ops.TextFns.withShingles(stream)
+      .select(expr("minhash_sig(shingles, 64)").as("sig"))
+      .where(col("sig").isNotNull)
+      .select(md5(concat_ws("_", (0 until 64).map(col("sig")(_)): _*)).as("sig_fp"))
+      .dropDuplicates("sig_fp")
+    runToTable(s, sigs, "append").select("sig_fp")
+  }
+
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
     * keys state to the watermark horizon instead of growing forever —
     * the 100 TB form of [[streamDedupFp]]'s unbounded dropDuplicates.
@@ -109,6 +136,7 @@ object StreamSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
     "stream_dedup_fp" -> streamDedupFp,
+    "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "session_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingIngest.sessionCounts(
@@ -128,6 +156,10 @@ object StreamSurface {
     "stream_dedup_fp" ->
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin,
+    "stream_dedup_minhash" ->
+      s"""WITH ${TextSurface.minhashSigCtes}
+         |SELECT DISTINCT md5(concat_ws('_', ${(0 until 64).map("m" + _).mkString(", ")})) AS sig_fp
+         |FROM sig""".stripMargin,
     "stream_dedup_watermarked" ->
       "SELECT DISTINCT user_id, event_type, value FROM events",
     "stream_sample_by" ->

@@ -154,17 +154,24 @@ object TextSurface {
     * derivation (Dedup.mhParams). The Jaccard verify keeps the exploded
     * equality-join formulation — same value as the Spark side's
     * array_intersect over distinct shingle sets. */
-  private val minhashOracle: String = {
-    val k = 64; val bands = 16; val r = k / bands
-    val sigCols = Dedup.mhParams(k).zipWithIndex.map { case ((a, b), i) =>
+  /** WITH-clause body ending in sig(doc_id, m0..m63) — the signature
+    * derivation shared by [[minhashOracle]] and the streaming
+    * signature-set dedup oracle (StreamSurface.stream_dedup_minhash). */
+  private[queries] val minhashSigCtes: String = {
+    val sigCols = Dedup.mhParams(64).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * (${h60sql("sh")} % ${Dedup.MH_M}) + $b) % ${Dedup.MH_P}) AS m$i"
     }.mkString(", ")
+    s"""$SHINGLE_CTES,
+       |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY 1)""".stripMargin
+  }
+
+  private val minhashOracle: String = {
+    val k = 64; val bands = 16; val r = k / bands
     val bandRows = (0 until bands).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws('_', " +
         (0 until r).map(j => s"m${b * r + j}").mkString(", ") + ") AS key FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH $SHINGLE_CTES,
-       |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY 1),
+    s"""WITH $minhashSigCtes,
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),

@@ -201,4 +201,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.size < truth.size) // open windows withheld
     emitted.foreach { case (k, n) => assert(truth(k) == n, s"window $k") }
   }
+
+  test("streaming minhash signature dedup matches the batch signature set") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // the stream path: row-level minhash_sig + stateful dropDuplicates
+    val streamed = graft.SparkEntry.queries("stream_dedup_minhash")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    // batch twin through the OTHER formulation (exploded groupBy
+    // signatures), fingerprinted the same way — a full differential of
+    // expression, stream plumbing, and dedup state in one assert
+    val k = 64
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.Dedup.minhashSignatures(docs, k)
+      .select(md5(concat_ws("_", (1 to k).map(i => col(s"m${i - 1}")): _*)).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
