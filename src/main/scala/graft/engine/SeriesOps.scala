@@ -50,20 +50,31 @@ object SeriesOps {
 
   /** Order-independent mean: double FP summation order varies with
     * partitioning (and across engines), which flips round-half
-    * boundaries; summing as exact DECIMAL(27,6) then doing ONE double
-    * division makes the result bit-identical regardless of plan or
-    * engine — required for differential testing against the DuckDB
-    * oracle, and a determinism win at any scale. Still a single-pass
-    * partial aggregation.
+    * boundaries; summing exactly at decimal scale 6 then doing ONE
+    * double division makes the result bit-identical regardless of plan
+    * or engine — required for differential testing against the DuckDB
+    * oracle, and a determinism win at any scale. The sum runs on the
+    * fixed-width `sum_micro` aggregate, bit-identical to
+    * `sum(CAST(x AS DECIMAL(27,6)))::double` (SumMicro's contract)
+    * without the per-row BigDecimal pathway — callers must have graft
+    * functions registered ([[withFns]]). Still a single-pass partial
+    * aggregation.
     */
   private[graft] def exactAvg(c: Column, n: Column): Column =
-    round(sum(c.cast("decimal(27,6)")).cast("double") / n, 4)
+    round(call_function("sum_micro", c.cast("double")) / n, 4)
+
+  /** Registers graft's native functions on the frame's session (needed
+    * by the `sum_micro`-based aggregates — idempotent, cheap). */
+  private def withFns(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df
+  }
 
   /** Scalar mean (declared in the reference grammar, exec stubbed —
     * reference src/statement_execute.c:236-238; implemented for real here).
     */
   def avgValue(df: DataFrame): DataFrame =
-    df.agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
+    withFns(df).agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
            count(lit(1)).as("n"))
 
   /** Most-recent record (reference ts_last, src/timeseries.c:1180-1215).
@@ -97,7 +108,7 @@ object SeriesOps {
     * emits them). Map-side partial avg then a shuffle on the bucket key.
     */
   def sampleBy(df: DataFrame, intervalUnits: Long): DataFrame =
-    df.groupBy(sampleWindow(intervalUnits))
+    withFns(df).groupBy(sampleWindow(intervalUnits))
       .agg(exactAvg(col("value"), count(lit(1))).as("avg_value"),
            count(lit(1)).as("n_points"))
 
@@ -132,13 +143,15 @@ object SeriesOps {
     // [e-width, e): a boundary-aligned point t is INCLUDED in the
     // window starting at t (j = k-1 gives e = t + width) and EXCLUDED
     // from the window ending at t (smallest label is t + slide)
-    df.withColumn("j", explode(sequence(lit(0L), lit(k - 1))))
+    withFns(df).withColumn("j", explode(sequence(lit(0L), lit(k - 1))))
       .withColumn("sample_ts",
         col("j") * lit(slideUnits)
           + (col("timestamp") - pmod(col("timestamp"), lit(slideUnits)))
           + lit(slideUnits))
       .groupBy("sample_ts")
-      .agg(sum(col("value").cast("decimal(27,6)")).cast("double").as("sum_value"),
+      // fixed-width exact sum, bit-identical to the DECIMAL(27,6)
+      // formulation the oracle runs (SumMicro's contract)
+      .agg(call_function("sum_micro", col("value")).as("sum_value"),
            count(lit(1)).as("n_points"))
   }
 
