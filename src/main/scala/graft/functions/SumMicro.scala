@@ -34,6 +34,44 @@ import org.apache.spark.sql.types._
   * exact across its full ±9.2·10³⁶ span. NaN/Infinity inputs are
   * skipped like the NULL their decimal cast produces.
   */
+object SumMicro {
+
+  /** double → exact micro-units with Spark's double→DECIMAL(_,6) cast
+    * rounding: `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — i.e.
+    * HALF_UP (away from zero) applied to the double's SHORTEST decimal
+    * representation.
+    *
+    * Fast path: the shortest representation s lies within ulp(x)/2 of
+    * x, so round(s·10⁶) can only differ from arithmetic on x·10⁶ when
+    * the value sits within a few ulps of a .5 boundary. We compute
+    * y = |x|·10⁶ (one multiply, ≤ 0.5 ulp error), measure the distance
+    * of its fractional part from 0.5, and when that distance clears an
+    * 8-ulp guard band the away-from-zero rounding of y provably equals
+    * the slow form — every boundary-adjacent value (and any |y| big
+    * enough that ulp ≥ the band, incl. the overflow region) falls back
+    * to the BigDecimal path, which also preserves the loud
+    * `longValueExact` failure beyond ±9.2·10¹². Bit-parity across the
+    * full double range is property-locked by SumMicroSpec.
+    */
+  def toMicros(x: Double): Long = {
+    val a = Math.abs(x) * 1e6
+    // 2^52: above this ulp(a) >= 1 and the guard band always trips;
+    // staying below also keeps (long) casts exact
+    if (a < 4.5e15) {
+      val fl = Math.floor(a)
+      val frac = a - fl // exact: Sterbenz subtraction
+      val tol = 8 * Math.ulp(a) + java.lang.Double.MIN_VALUE
+      if (Math.abs(frac - 0.5) > tol) {
+        val n = if (frac > 0.5) fl.toLong + 1L else fl.toLong
+        return if (x < 0) -n else n
+      }
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+  }
+}
+
 case class SumMicro(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -89,9 +127,8 @@ case class SumMicro(
       // exactly like the decimal sum this aggregate replaces
       if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
         // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
-        val micros = java.math.BigDecimal.valueOf(x)
-          .setScale(6, java.math.RoundingMode.HALF_UP)
-          .movePointRight(6).longValueExact()
+        // (guarded arithmetic fast path — see SumMicro.toMicros)
+        val micros = SumMicro.toMicros(x)
         // split into limbs BEFORE accumulating: a per-row |micros| can
         // exceed one limb (any |x| >= 10^12), and addMicros' single
         // conditional carry is only sound when |lo2| < LIMB

@@ -79,6 +79,46 @@ class SumMicroSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("toMicros fast path is bit-identical to the BigDecimal derivation") {
+    def slow(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+    def check(x: Double): Unit = {
+      val s = try Right(slow(x)) catch { case e: ArithmeticException => Left(e) }
+      val f = try Right(SumMicro.toMicros(x)) catch { case e: ArithmeticException => Left(e) }
+      (s, f) match {
+        case (Right(a), Right(b)) => assert(a == b, s"toMicros($x): $b != $a")
+        case (Left(_), Left(_)) => // both overflow loudly — parity holds
+        case _ => fail(s"toMicros($x): one side threw, one returned ($s vs $f)")
+      }
+    }
+    val rnd = new scala.util.Random(17)
+    // regime 1: uniform magnitudes across 1e-9 .. 1e14 (both sides of
+    // the long-micros overflow bound), both signs
+    (0 until 200000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(24) - 9)
+      check(x)
+    }
+    // regime 2: exact-micros and half-micros dyadic neighborhoods — the
+    // adversarial zone for the guard band: (n+0.5)/1e6 parsed as a
+    // double sits within an ulp of the HALF_UP boundary
+    (0 until 100000).foreach { _ =>
+      val n = rnd.nextLong() % 1000000000000L
+      val base = (n + 0.5) / 1e6
+      check(base); check(Math.nextUp(base)); check(Math.nextDown(base))
+      check(n / 1e6)
+    }
+    // regime 3: raw bit patterns (subnormals, extremes) filtered to finite
+    (0 until 100000).foreach { _ =>
+      val x = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!x.isNaN && !x.isInfinite) check(x)
+    }
+    // pinned shapes
+    Seq(0.0, -0.0, 1e-7, -1e-7, 0.0000005, -0.0000005, 0.00000049999999999,
+      4.9e-324, 2.2250738585072014e-308, 9.2e12, -9.2e12, 9.3e12,
+      4503599627370496.0, 0.1 + 0.2).foreach(check)
+  }
+
   test("order independence: identical result under different partitionings") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)
