@@ -60,11 +60,15 @@ object GraftFunctions {
   }
 }
 
-/** Session-extension hook: inject graft functions at session build time
-  * (`.withExtensions(new GraftExtensions)` or the spark.sql.extensions
-  * conf). Derived from the SAME builder list as [[GraftFunctions
-  * .register]], so the two wiring paths cannot drift apart. */
+/** Session-extension hook: inject graft functions and optimizer rules
+  * at session build time (`.withExtensions(new GraftExtensions)` or the
+  * spark.sql.extensions conf). Functions derive from the SAME builder
+  * list as [[GraftFunctions.register]], so the two wiring paths cannot
+  * drift apart; rules can also be attached to a live session via
+  * `SampleWindowPrune.enable`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.SampleWindowPrune)
+  }
 }

@@ -53,6 +53,16 @@ object RefSurface {
     }),
     "ts_sample_by" -> ((s, dir) =>
       SeriesOps.sampleBy(evRanged(s, dir), HOUR_US)),
+    // label-range query over the FULL series: the SampleWindowPrune
+    // rule translates the sample_ts bounds into raw-timestamp bounds
+    // below the aggregation (window semantics differ from ts_sample_by:
+    // boundary windows here aggregate ALL their rows, not just
+    // in-range ones — the label filter, not a row filter, scopes it)
+    "ts_sample_by_pruned" -> ((s, dir) => {
+      graft.plans.SampleWindowPrune.enable(s)
+      SeriesOps.sampleBy(ev(s, dir), HOUR_US)
+        .filter(col("sample_ts") >= T0 && col("sample_ts") <= T1)
+    }),
     "ts_sliding_window" -> ((s, dir) =>
       SeriesOps.slidingBy(evRanged(s, dir), HOUR_US, HOUR_US / 4)),
     "ts_where" -> ((s, dir) =>
@@ -87,6 +97,13 @@ object RefSurface {
       (EV + "SELECT e.timestamp, e.value FROM ev e JOIN (SELECT timestamp FROM ev WHERE event_id = 123) p USING (timestamp)"),
     "ts_sample_by" ->
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "ts_sample_by_pruned" ->
+      (EV + s"""SELECT * FROM (
+         |  SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |    round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+         |    count(*) AS n_points
+         |  FROM ev GROUP BY 1)
+         |WHERE sample_ts BETWEEN $T0 AND $T1""".stripMargin),
     "ts_sliding_window" ->
       (EV + s"""SELECT j * ${HOUR_US / 4} + (timestamp - timestamp % ${HOUR_US / 4}) + ${HOUR_US / 4} AS sample_ts,
          |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,

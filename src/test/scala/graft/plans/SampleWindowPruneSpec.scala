@@ -1,0 +1,117 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.SeriesOps
+
+/** SampleWindowPrune: a label-range filter over SAMPLE BY prunes the
+  * aggregation INPUT (down to the parquet scan on a physical timestamp
+  * column) without changing any result. */
+class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val tmp = Files.createTempDirectory("graft-prune-spec").toString
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    super.afterAll()
+  }
+
+  private val I = 3600L // window interval
+  private def series = {
+    import spark.implicits._
+    (0 until 50000).map(i => (i.toLong * 7, (i % 100).toDouble))
+      .toDF("timestamp", "value")
+  }
+
+  private def withRule[A](f: => A): A = {
+    SampleWindowPrune.enable(spark)
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SampleWindowPrune)
+  }
+
+  test("rule-on results are bit-identical to rule-off, all bound shapes") {
+    val base = SeriesOps.sampleBy(series, I)
+    val filters = Seq(
+      col("sample_ts") >= 36000L && col("sample_ts") <= 180000L,
+      col("sample_ts") > 36001L,
+      col("sample_ts") < 180000L,
+      col("sample_ts") === 72000L,
+      lit(180000L) >= col("sample_ts") && col("sample_ts") =!= 0L)
+    filters.foreach { pred =>
+      val off = base.filter(pred).collect().map(_.toSeq).toSet
+      val on = withRule(base.filter(pred).collect().map(_.toSeq).toSet)
+      assert(on == off, s"pred $pred")
+      assert(off.nonEmpty, s"pred $pred selects nothing — weak fixture")
+    }
+  }
+
+  private def stored = {
+    val path = s"$tmp/series"
+    if (!new java.io.File(path).exists())
+      series.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  test("the pruning filter lands below the label projection") {
+    val df = SeriesOps.sampleBy(stored, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val optimized = withRule(df.queryExecution.optimizedPlan)
+    // the injected filter must carry raw-timestamp bounds:
+    // ceil_I(36000) - I = 32400 (lower), floor_I(180000) = 180000 (upper)
+    val pruneFilters = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("32400") => f
+    }
+    assert(pruneFilters.nonEmpty, optimized.toString)
+  }
+
+  test("on a physical timestamp column the bounds reach the parquet scan") {
+    val df = SeriesOps.sampleBy(stored, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val (explained, rows) = withRule {
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    // PushedFilters must contain the translated timestamp bounds
+    assert(explained.contains("GreaterThanOrEqual(timestamp,32400)"),
+      explained)
+    assert(explained.contains("LessThan(timestamp,180000)"), explained)
+    // and results still match the rule-off computation
+    val off = SeriesOps.sampleBy(stored, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == off)
+  }
+
+  test("no false fire: non-window aggregates and non-label filters untouched") {
+    withRule {
+      // groupBy on a plain column — the rule must not touch it
+      val plain = series.groupBy("value").count().filter(col("count") > 0)
+      assert(plain.count() == 100)
+      // filter on the aggregate output, not the label
+      val byN = SeriesOps.sampleBy(series, I).filter(col("n_points") > 100)
+      assert(byN.count() > 0)
+    }
+  }
+
+  test("fixpoint batch does not stack filters (idempotency tag)") {
+    val df = SeriesOps.sampleBy(stored, I).filter(col("sample_ts") >= 36000L)
+    val optimized = withRule(df.queryExecution.optimizedPlan)
+    val pruneFilters = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("32400") => f
+    }
+    assert(pruneFilters.size == 1, optimized.toString)
+  }
+}
