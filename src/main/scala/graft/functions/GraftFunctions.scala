@@ -34,8 +34,9 @@ object GraftFunctions {
       // k is model shape, not data: require a plan-time constant
       require(exprs.length == 2 && exprs(1).foldable,
         "minhash_sig(shingles, k) requires a literal k")
-      MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())
+      val k = exprs(1).eval()
+      require(k != null, "minhash_sig(shingles, k) requires a non-null literal k")
+      MinHashSig(exprs.head, k.asInstanceOf[Number].intValue())
     }))
 
   /** Idempotently register graft functions in the session's registry. */

@@ -28,11 +28,13 @@ import org.apache.spark.sql.types._
   * so results are BIT-IDENTICAL to the decimal formulation (locked by
   * SumMicroSpec and every sumDec-based oracle gate).
   *
-  * Bounds: per-row |x| < 9.2·10¹² (micro-units must fit a long —
-  * longValueExact throws loudly beyond, never wraps); per-row micros
-  * are limb-split before accumulating, so the two-long accumulator is
-  * exact across its full ±9.2·10³⁶ span. NaN/Infinity inputs are
-  * skipped like the NULL their decimal cast produces.
+  * Bounds: per-row micros are limb-split before accumulating (via
+  * BigInteger division when |x| ≥ 9.2·10¹² — beyond single-long
+  * micro-units — so the full per-row domain of the DECIMAL(27,6)
+  * formulation stays exact; the hi limb throws loudly via
+  * longValueExact at |x| ~ 9.2·10³⁰). The two-long accumulator is
+  * exact across its full ±9.2·10³⁶ micro-unit span. NaN/Infinity
+  * inputs are skipped like the NULL their decimal cast produces.
   */
 object SumMicro {
 
@@ -126,14 +128,27 @@ case class SumMicro(
       // CAST(NaN/Infinity AS DECIMAL) is NULL — the row is skipped,
       // exactly like the decimal sum this aggregate replaces
       if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
-        // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
-        // (guarded arithmetic fast path — see SumMicro.toMicros)
-        val micros = SumMicro.toMicros(x)
-        // split into limbs BEFORE accumulating: a per-row |micros| can
-        // exceed one limb (any |x| >= 10^12), and addMicros' single
-        // conditional carry is only sound when |lo2| < LIMB
-        addMicros(buffer, mutableAggBufferOffset,
-          micros / LIMB, micros % LIMB, 1L)
+        if (Math.abs(x) < 9.2e12) {
+          // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
+          // (guarded arithmetic fast path — see SumMicro.toMicros);
+          // split into limbs BEFORE accumulating: a per-row |micros|
+          // can exceed one limb (any |x| >= 10^12), and addMicros'
+          // single conditional carry is only sound when |lo2| < LIMB
+          val micros = SumMicro.toMicros(x)
+          addMicros(buffer, mutableAggBufferOffset,
+            micros / LIMB, micros % LIMB, 1L)
+        } else {
+          // beyond long micro-units (|x| >= 9.2e12): limb-split the
+          // exact decimal directly so the full DECIMAL(27,6)-and-above
+          // per-row domain the decimal formulation handled stays exact
+          // (hi overflows loudly via longValueExact at |x| ~ 9.2e30)
+          val bi = java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).toBigIntegerExact
+          val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
+          addMicros(buffer, mutableAggBufferOffset,
+            qr(0).longValueExact, qr(1).longValue, 1L)
+        }
       }
     }
   }

@@ -61,13 +61,19 @@ class MinHashSigSpec extends AnyFunSuite {
 
   test("expression stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
-    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .selectExpr("doc_id", "minhash_sig(shingles3(text), 8) AS s")
-    val codegenned = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }
-    assert(codegenned.nonEmpty, df.queryExecution.executedPlan.toString)
-    assert(df.count() == 500)
+    // codegen.fallback=false: a doGenCode that fails to compile aborts
+    // the query instead of silently degrading to interpreted eval —
+    // without it this test would pass with dead generated code
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "minhash_sig(shingles3(text), 8) AS s")
+      val codegenned = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(codegenned.nonEmpty, df.queryExecution.executedPlan.toString)
+      assert(df.count() == 500)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("k must be a plan-time literal") {

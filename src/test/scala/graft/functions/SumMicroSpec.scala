@@ -62,6 +62,19 @@ class SumMicroSpec extends AnyFunSuite {
       ("b", java.lang.Double.valueOf(-9.0e12))).toDF("k", "v"))
   }
 
+  test("per-row values beyond long micro-units keep the decimal formulation's domain") {
+    // |x| >= 9.2e12: micro-units no longer fit a long — the BigInteger
+    // limb split must keep full DECIMAL(27,6)-and-above range exact
+    assertParity(Seq(
+      ("a", java.lang.Double.valueOf(9.3e12)),
+      ("a", java.lang.Double.valueOf(1.0e15)),
+      ("a", java.lang.Double.valueOf(-7.77e14)),
+      ("b", java.lang.Double.valueOf(1.0e20)),
+      ("b", java.lang.Double.valueOf(-3.5e19)),
+      ("b", java.lang.Double.valueOf(2.5)),
+      ("c", java.lang.Double.valueOf(1.23456789e21))).toDF("k", "v"))
+  }
+
   test("NaN and infinite inputs are skipped like their NULL decimal cast") {
     assertParity(Seq(
       ("a", java.lang.Double.valueOf(Double.NaN)),

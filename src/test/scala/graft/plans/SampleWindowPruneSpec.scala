@@ -94,6 +94,47 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.toSeq).toSet == off)
   }
 
+  test("extreme literal bounds never flip to wrong pruning (overflow guard)") {
+    // sample_ts >= Long.MinValue is always true; a wrapped ceil/−i
+    // translation would turn it into an always-false scan bound
+    val base = SeriesOps.sampleBy(stored, I)
+    val preds = Seq(
+      col("sample_ts") >= Long.MinValue,
+      col("sample_ts") > Long.MinValue,
+      col("sample_ts") <= Long.MaxValue,
+      col("sample_ts") < Long.MaxValue,
+      col("sample_ts") >= Long.MinValue && col("sample_ts") <= 180000L)
+    preds.foreach { pred =>
+      val off = base.filter(pred).collect().map(_.toSeq).toSet
+      val on = withRule(base.filter(pred).collect().map(_.toSeq).toSet)
+      assert(on == off, s"pred $pred")
+      assert(on.nonEmpty, s"pred $pred")
+    }
+  }
+
+  test("unit-projected timestamps (raw div scale) prune on the RAW column") {
+    import spark.implicits._
+    // nanos storage, micros view — the Tables.eventSeries pattern
+    val path = s"$tmp/nanos"
+    (0 until 50000).map(i => (i.toLong * 7000, (i % 100).toDouble))
+      .toDF("raw_ns", "value").write.mode("overwrite").parquet(path)
+    val micros = spark.read.parquet(path)
+      .selectExpr("raw_ns div 1000 AS timestamp", "value")
+    val df = SeriesOps.sampleBy(micros, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val (explained, rows) = withRule {
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    // bounds translated to the raw nanos column: t >= 32400 becomes
+    // raw >= 32399*1000 + 1; t < 180000 becomes raw < 180000*1000
+    assert(explained.contains("GreaterThanOrEqual(raw_ns,32399001)"), explained)
+    assert(explained.contains("LessThan(raw_ns,180000000)"), explained)
+    val off = SeriesOps.sampleBy(micros, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
+  }
+
   test("no false fire: non-window aggregates and non-label filters untouched") {
     withRule {
       // groupBy on a plain column — the rule must not touch it
