@@ -60,6 +60,51 @@ object VecCodec {
     }
     acc.doubleValue()
   }
+
+  /** double → exact fixed-point units at scale 12, with the identical
+    * HALF_UP-on-shortest-representation rounding as
+    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` — the
+    * SumMicro.toMicros guard-band construction at a different scale
+    * (see its proof; the 8-ulp band argument is scale-independent).
+    * Throws loudly via longValueExact when the units overflow a long
+    * (|x| ≳ 9.2·10⁶ — far above any embedding product). Bit-parity is
+    * property-locked in DotDecSpec. */
+  def toFix12(x: Double): Long = {
+    val a = Math.abs(x) * 1e12
+    if (a < 4.5e15) {
+      val fl = Math.floor(a)
+      val frac = a - fl
+      val tol = 8 * Math.ulp(a) + java.lang.Double.MIN_VALUE
+      if (Math.abs(frac - 0.5) > tol) {
+        val n = if (frac > 0.5) fl.toLong + 1L else fl.toLong
+        return if (x < 0) -n else n
+      }
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .movePointRight(12).longValueExact()
+  }
+
+  /** HALF_UP rounding to 4 decimals, bit-identical to
+    * `BigDecimal.valueOf(x).setScale(4, HALF_UP).doubleValue()`: the
+    * fast path computes the exact scaled integer n (< 2^53, exact in a
+    * double) and divides by the exactly-representable 1e4 — one
+    * correctly-rounded operation, the same nearest-double-to-n/10⁴ the
+    * slow path produces. Guard band as in [[toFix12]]. */
+  def round4(x: Double): Double = {
+    val a = Math.abs(x) * 1e4
+    if (a < 4.5e15) {
+      val fl = Math.floor(a)
+      val frac = a - fl
+      val tol = 8 * Math.ulp(a) + java.lang.Double.MIN_VALUE
+      if (Math.abs(frac - 0.5) > tol) {
+        val n = if (frac > 0.5) fl + 1.0 else fl
+        return (if (x < 0) -n else n) / 1e4
+      }
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 }
 
 /** Native Catalyst expression for the exact-decimal dot product of two

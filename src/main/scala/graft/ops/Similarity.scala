@@ -191,9 +191,9 @@ object Similarity {
   private def trainCodebookOn(base: DataFrame, nCentroids: Int, iters: Int,
       trainPred: Column): Seq[(Long, Array[Double])] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
-    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
-    def round4(x: Double): Double = JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue
+    import graft.functions.VecCodec.{round4, toFix12}
     def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val LIMB = 1000000000000000000L // 10^18 fixed-12 units per hi limb
 
     var cents: Seq[(Long, Array[Double])] =
       base.filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
@@ -209,9 +209,18 @@ object Similarity {
       val bc = sc.broadcast(cents.map { case (cid, ce) =>
         (cid, ce, math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
       }.toArray)
-      // acc: per-cell (count, dim exact-decimal sums), keyed by centroid index
-      val zero = (new Array[Long](k), Array.fill(k, dim)(JBD.ZERO))
-      val (counts, sums) = trainRdd.treeAggregate(zero)(
+      // acc: per-cell count + per-dim exact fixed-12 sums in two-long
+      // limbs (hi·10¹⁸ + lo). The per-element BigDecimal formulation
+      // this replaces paid ~(k+1)·dim decimal wraps PER ROW — the term
+      // that scales with the 100 TB training sample; the fixed-point
+      // form is bit-identical (toFix12/round4 carry the HALF_UP
+      // guard-band proof, the limb sums are exact) at long-add speed.
+      // Bounds: |dot| ≤ dim · 9.2·10¹⁸ would overflow addExact loudly,
+      // unreachable for unit-scale embeddings (|x·y| < 1.4·10⁵ keeps
+      // dim=64 dots exact).
+      val zero = (new Array[Long](k),
+        Array.fill(k)(new Array[Long](dim)), Array.fill(k)(new Array[Long](dim)))
+      val (counts, his, los) = trainRdd.treeAggregate(zero)(
         seqOp = { case (acc, row) =>
           val e = row.getSeq[Float](0)
           val nrm = row.getDouble(1)
@@ -220,35 +229,60 @@ object Similarity {
           var ci = 0
           while (ci < cs.length) {
             val (_, ce, cn) = cs(ci)
-            var dot = JBD.ZERO
+            var dotFix = 0L
             var d = 0
-            while (d < dim) { dot = dot.add(dec12(e(d).toDouble * ce(d))); d += 1 }
-            val sim = round4(dot.doubleValue() / (cn * nrm))
+            while (d < dim) {
+              dotFix = Math.addExact(dotFix, toFix12(e(d).toDouble * ce(d))); d += 1
+            }
+            // exact decimal → double, same as the BigDecimal sum's
+            // doubleValue (identical decimal value, no string detour)
+            val sim = round4(JBD.valueOf(dotFix, 12).doubleValue() / (cn * nrm))
             if (sim > bestCs) { bestCs = sim; bestIdx = ci } // ties keep smaller cid
             ci += 1
           }
           acc._1(bestIdx) += 1
+          val hi = acc._2(bestIdx); val lo = acc._3(bestIdx)
           var d = 0
           while (d < dim) {
-            acc._2(bestIdx)(d) = acc._2(bestIdx)(d).add(dec12(e(d).toDouble)); d += 1
+            // limb-split before accumulating (addMicros' carry is only
+            // sound for |lo2| < LIMB), then single conditional carry
+            val f = toFix12(e(d).toDouble)
+            hi(d) += f / LIMB
+            var l = lo(d) + f % LIMB
+            if (l >= LIMB) { l -= LIMB; hi(d) += 1 }
+            else if (l <= -LIMB) { l += LIMB; hi(d) -= 1 }
+            lo(d) = l
+            d += 1
           }
           acc
         },
-        combOp = { case ((c1, s1), (c2, s2)) =>
+        combOp = { case ((c1, h1, l1), (c2, h2, l2)) =>
           var i = 0
           while (i < k) {
             c1(i) += c2(i)
             var d = 0
-            while (d < dim) { s1(i)(d) = s1(i)(d).add(s2(i)(d)); d += 1 }
+            while (d < dim) {
+              h1(i)(d) += h2(i)(d)
+              var l = l1(i)(d) + l2(i)(d)
+              if (l >= LIMB) { l -= LIMB; h1(i)(d) += 1 }
+              else if (l <= -LIMB) { l += LIMB; h1(i)(d) -= 1 }
+              l1(i)(d) = l
+              d += 1
+            }
             i += 1
           }
-          (c1, s1)
+          (c1, h1, l1)
         })
       bc.destroy()
       cents = cents.zipWithIndex.map { case ((cid, old), i) =>
         if (counts(i) == 0) (cid, old) // cells that lose all members keep their centroid
-        else (cid, Array.tabulate(dim)(d =>
-          round6(sums(i)(d).doubleValue() / counts(i))))
+        else (cid, Array.tabulate(dim) { d =>
+          // exact decimal reconstruction of the limb sum at scale 12,
+          // then the identical doubleValue/divide/round6 chain
+          val sum = JBD.valueOf(his(i)(d)).scaleByPowerOfTen(18)
+            .add(JBD.valueOf(los(i)(d))).scaleByPowerOfTen(-12)
+          round6(sum.doubleValue() / counts(i))
+        })
       }
     }
     cents

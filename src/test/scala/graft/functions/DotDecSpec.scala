@@ -52,6 +52,40 @@ class DotDecSpec extends AnyFunSuite {
     assert(VecCodec.dotDecConst(Array(1.0, 2.0, 3.0, 4.0), v) == 15.0)
   }
 
+  test("toFix12 and round4 fast paths are bit-identical to the BigDecimal forms") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def slowFix(x: Double): Long = JBD.valueOf(x)
+      .setScale(12, RoundingMode.HALF_UP).movePointRight(12).longValueExact()
+    def slowR4(x: Double): Double = JBD.valueOf(x)
+      .setScale(4, RoundingMode.HALF_UP).doubleValue()
+    val rnd = new scala.util.Random(23)
+    // uniform magnitudes across the embedding-product regime, both signs
+    (0 until 200000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12) - 6)
+      assert(VecCodec.toFix12(x) == slowFix(x), s"toFix12($x)")
+      assert(VecCodec.round4(x) == slowR4(x), s"round4($x)")
+    }
+    // adversarial half-boundary neighborhoods at each scale
+    (0 until 50000).foreach { _ =>
+      val n12 = rnd.nextLong() % 1000000000L
+      val b12 = (n12 + 0.5) / 1e12
+      Seq(b12, Math.nextUp(b12), Math.nextDown(b12), n12 / 1e12).foreach { x =>
+        assert(VecCodec.toFix12(x) == slowFix(x), s"toFix12($x)")
+      }
+      val n4 = rnd.nextLong() % 1000000L
+      val b4 = (n4 + 0.5) / 1e4
+      Seq(b4, Math.nextUp(b4), Math.nextDown(b4), n4 / 1e4).foreach { x =>
+        assert(VecCodec.round4(x) == slowR4(x), s"round4($x)")
+      }
+    }
+    // pinned shapes incl. the cosine range round4 actually sees
+    Seq(0.0, -0.0, 1.0, -1.0, 0.99995, -0.99995, 0.00005, 0.12345,
+      4.9e-324, 1e-13, -1e-13).foreach { x =>
+      assert(VecCodec.toFix12(x) == slowFix(x), s"toFix12($x)")
+      assert(VecCodec.round4(x) == slowR4(x), s"round4($x)")
+    }
+  }
+
   test("dot_dec fails loudly on length mismatch instead of silently nulling") {
     import spark.implicits._
     GraftFunctions.register(spark)
