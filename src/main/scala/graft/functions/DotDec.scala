@@ -99,7 +99,9 @@ object VecCodec {
       val tol = 8 * Math.ulp(a) + java.lang.Double.MIN_VALUE
       if (Math.abs(frac - 0.5) > tol) {
         val n = if (frac > 0.5) fl + 1.0 else fl
-        return (if (x < 0) -n else n) / 1e4
+        // n == 0: return +0.0 for either sign — BigDecimal has no
+        // signed zero, so the slow path never produces -0.0
+        return if (n == 0.0) 0.0 else (if (x < 0) -n else n) / 1e4
       }
     }
     java.math.BigDecimal.valueOf(x)

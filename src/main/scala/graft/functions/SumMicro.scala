@@ -30,11 +30,15 @@ import org.apache.spark.sql.types._
   *
   * Bounds: per-row micros are limb-split before accumulating (via
   * BigInteger division when |x| ≥ 9.2·10¹² — beyond single-long
-  * micro-units — so the full per-row domain of the DECIMAL(27,6)
-  * formulation stays exact; the hi limb throws loudly via
-  * longValueExact at |x| ~ 9.2·10³⁰). The two-long accumulator is
-  * exact across its full ±9.2·10³⁶ micro-unit span. NaN/Infinity
-  * inputs are skipped like the NULL their decimal cast produces.
+  * micro-units — so the full per-row domain of the DECIMAL(30,6)
+  * formulation stays exact, INCLUDING its ANSI overflow semantics:
+  * rows at |x| ≥ 10²⁴ throw loudly, exactly like the ANSI-mode
+  * decimal cast — and like the DuckDB oracle, which also errors on
+  * decimal overflow; this session's engine runs ANSI-on, Spark 4's
+  * default). The two-long accumulator is exact across its full
+  * ±9.2·10³⁶ micro-unit span and fails LOUDLY (checked hi-limb adds)
+  * beyond it. NaN/Infinity inputs are skipped like the NULL their
+  * decimal cast produces.
   */
 object SumMicro {
 
@@ -80,6 +84,9 @@ case class SumMicro(
     inputAggBufferOffset: Int = 0) extends ImperativeAggregate {
 
   private val LIMB = 1000000000000000000L // 10^18
+  // DECIMAL(30,6) capacity in micro-units: 10^30 (values at or beyond
+  // 10^24 overflow the ANSI cast with an error — mirrored in update())
+  private val DEC30_MICROS = new java.math.BigInteger("1" + "0" * 30)
 
   override def prettyName: String = "sum_micro"
   override def dataType: DataType = DoubleType
@@ -110,12 +117,15 @@ case class SumMicro(
     buffer.setLong(mutableAggBufferOffset + 2, 0L)
   }
 
+  // buffer-offset variant of graft.functions.Limbs.addPair (same carry
+  // invariant; hi adds overflow-CHECKED so a sum beyond the ±9.2·10³⁶
+  // micro-unit span fails loudly instead of wrapping silently)
   private def addMicros(buffer: InternalRow, off: Int, hi2: Long, lo2: Long,
       cnt2: Long): Unit = {
-    var hi = buffer.getLong(off) + hi2
+    var hi = Math.addExact(buffer.getLong(off), hi2)
     var lo = buffer.getLong(off + 1) + lo2 // |lo| < 2*10^18 < Long.Max
-    if (lo >= LIMB) { lo -= LIMB; hi += 1 }
-    else if (lo <= -LIMB) { lo += LIMB; hi -= 1 }
+    if (lo >= LIMB) { lo -= LIMB; hi = Math.addExact(hi, 1L) }
+    else if (lo <= -LIMB) { lo += LIMB; hi = Math.subtractExact(hi, 1L) }
     buffer.setLong(off, hi)
     buffer.setLong(off + 1, lo)
     buffer.setLong(off + 2, buffer.getLong(off + 2) + cnt2)
@@ -139,12 +149,18 @@ case class SumMicro(
             micros / LIMB, micros % LIMB, 1L)
         } else {
           // beyond long micro-units (|x| >= 9.2e12): limb-split the
-          // exact decimal directly so the full DECIMAL(27,6)-and-above
-          // per-row domain the decimal formulation handled stays exact
-          // (hi overflows loudly via longValueExact at |x| ~ 9.2e30)
+          // exact decimal directly so the full DECIMAL(30,6) per-row
+          // domain stays exact — INCLUDING the overflow semantics:
+          // CAST(x AS DECIMAL(30,6)) is NULL for |x| >= 1e24
+          // (precision > 30), and a NULL row is skipped by the sum, so
+          // this path skips it too (bit-parity over the whole double
+          // range, not just the representable band)
           val bi = java.math.BigDecimal.valueOf(x)
             .setScale(6, java.math.RoundingMode.HALF_UP)
             .movePointRight(6).toBigIntegerExact
+          if (bi.abs.compareTo(DEC30_MICROS) >= 0)
+            throw new ArithmeticException(
+              s"sum_micro: $x cannot be represented as DECIMAL(30,6)")
           val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
           addMicros(buffer, mutableAggBufferOffset,
             qr(0).longValueExact, qr(1).longValue, 1L)

@@ -193,7 +193,6 @@ object Similarity {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import graft.functions.VecCodec.{round4, toFix12}
     def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
-    val LIMB = 1000000000000000000L // 10^18 fixed-12 units per hi limb
 
     var cents: Seq[(Long, Array[Double])] =
       base.filter(col("vec_id") < nCentroids).select("vec_id", "embedding")
@@ -244,14 +243,7 @@ object Similarity {
           val hi = acc._2(bestIdx); val lo = acc._3(bestIdx)
           var d = 0
           while (d < dim) {
-            // limb-split before accumulating (addMicros' carry is only
-            // sound for |lo2| < LIMB), then single conditional carry
-            val f = toFix12(e(d).toDouble)
-            hi(d) += f / LIMB
-            var l = lo(d) + f % LIMB
-            if (l >= LIMB) { l -= LIMB; hi(d) += 1 }
-            else if (l <= -LIMB) { l += LIMB; hi(d) -= 1 }
-            lo(d) = l
+            graft.functions.Limbs.addValue(hi, lo, d, toFix12(e(d).toDouble))
             d += 1
           }
           acc
@@ -262,11 +254,7 @@ object Similarity {
             c1(i) += c2(i)
             var d = 0
             while (d < dim) {
-              h1(i)(d) += h2(i)(d)
-              var l = l1(i)(d) + l2(i)(d)
-              if (l >= LIMB) { l -= LIMB; h1(i)(d) += 1 }
-              else if (l <= -LIMB) { l += LIMB; h1(i)(d) -= 1 }
-              l1(i)(d) = l
+              graft.functions.Limbs.addPair(h1(i), l1(i), d, h2(i)(d), l2(i)(d))
               d += 1
             }
             i += 1

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: derive scannable timestamp bounds from a range
   * predicate on a SAMPLE BY window LABEL.
@@ -67,10 +67,10 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
   private def tsOperand(e: Expression): Option[(AttributeReference, Long)] =
     e match {
       case a: AttributeReference => Some((a, 1L))
+      // analysis coerces div operands to Long and folds the cast, so a
+      // long literal divisor is the only shape that reaches the optimizer
       case IntegralDivide(a: AttributeReference,
           Literal(d: Long, LongType), _) if d > 0 => Some((a, d))
-      case IntegralDivide(a: AttributeReference,
-          Literal(d: Int, IntegerType), _) if d > 0 => Some((a, d.toLong))
       case _ => None
     }
 
@@ -131,15 +131,41 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
               Math.multiplyExact(Math.floorDiv(Math.addExact(v, i - 1), i), i))
             def floorMul(v: Long): Option[Long] = safe(
               Math.multiplyExact(Math.floorDiv(v, i), i))
+
+            // WRAP ZONES: within one window of the Long extremes, the
+            // label arithmetic itself overflows in non-ANSI mode —
+            // t ≥ wHigh wraps its label negative (satisfying any upper
+            // bound), t < wLow wraps it positive (satisfying any lower
+            // bound). Those rows pass the ORIGINAL predicate with their
+            // wrapped labels, so the added bounds must not prune them:
+            // each bound ORs in its wrap zone when any raw value can
+            // reach it (for scale > 1, |t| ≤ Long.Max/scale never
+            // does; both thresholds are then unreachable and the
+            // bounds stay bare).
+            val wHigh = Math.floorDiv(Long.MaxValue - i, i) * i + i // first top-wrapping t
+            val wLow = Math.floorDiv(Long.MinValue + i - 1, i) * i // first NON-wrapping t
+            val topEscape: Option[Expression] =
+              if (wHigh <= Long.MaxValue / scale)
+                safe(Math.addExact(Math.multiplyExact(wHigh - 1, scale), 1L))
+                  .map(v => GreaterThanOrEqual(ts, Literal(v, LongType)))
+              else None
+            val bottomEscape: Option[Expression] =
+              if (wLow > Long.MinValue / scale)
+                safe(Math.multiplyExact(wLow, scale))
+                  .map(v => LessThan(ts, Literal(v, LongType)))
+              else None
+
             // label ≥ A ⇒ t ≥ ceil_i(A) − i ⇒ raw ≥ (X−1)·scale + 1
             val loPred = lower.flatMap(ceilMul).flatMap(cm => safe {
               val x = Math.subtractExact(cm, i)
               Math.addExact(Math.multiplyExact(Math.subtractExact(x, 1L), scale), 1L)
             }).map(v => GreaterThanOrEqual(ts, Literal(v, LongType)): Expression)
+              .map(p => bottomEscape.fold(p)(esc => Or(p, esc)))
             // label ≤ B ⇒ t < floor_i(B) ⇒ raw < U·scale
             val hiPred = upper.flatMap(floorMul).flatMap(fm =>
               safe(Math.multiplyExact(fm, scale)))
               .map(v => LessThan(ts, Literal(v, LongType)): Expression)
+              .map(p => topEscape.fold(p)(esc => Or(p, esc)))
             loPred.toSeq ++ hiPred.toSeq
           }
         // semantic idempotency: never re-add a conjunct that is already

@@ -84,6 +84,12 @@ class DotDecSpec extends AnyFunSuite {
       assert(VecCodec.toFix12(x) == slowFix(x), s"toFix12($x)")
       assert(VecCodec.round4(x) == slowR4(x), s"round4($x)")
     }
+    // values rounding to zero must give +0.0 (BigDecimal has no signed
+    // zero) — == treats -0.0 == 0.0, so compare raw bits
+    Seq(-0.00004, -4.9e-324, -0.0).foreach { x =>
+      assert(java.lang.Double.doubleToRawLongBits(VecCodec.round4(x)) == 0L,
+        s"round4($x) must be +0.0")
+    }
   }
 
   test("dot_dec fails loudly on length mismatch instead of silently nulling") {

@@ -75,6 +75,26 @@ class SumMicroSpec extends AnyFunSuite {
       ("c", java.lang.Double.valueOf(1.23456789e21))).toDF("k", "v"))
   }
 
+  test("rows beyond DECIMAL(30,6) capacity fail loudly like the ANSI cast") {
+    // just inside the boundary: exact parity
+    assertParity(Seq(
+      ("b", java.lang.Double.valueOf(9.999999e23)),
+      ("b", java.lang.Double.valueOf(-9.0e23))).toDF("k", "v"))
+    // at/beyond the boundary: the ANSI decimal cast throws — so must
+    // sum_micro (DuckDB likewise errors on decimal overflow)
+    GraftFunctions.register(spark)
+    Seq(1.0e24, -1.0e24, 1.0e25, 1.7e308).foreach { x =>
+      val e = intercept[Exception] {
+        Seq(("a", java.lang.Double.valueOf(x))).toDF("k", "v")
+          .groupBy("k").agg(call_function("sum_micro", col("v"))).collect()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.getMessage != null && t.getMessage.contains("DECIMAL(30,6)")), s"$x: $e")
+    }
+  }
+
   test("NaN and infinite inputs are skipped like their NULL decimal cast") {
     assertParity(Seq(
       ("a", java.lang.Double.valueOf(Double.NaN)),

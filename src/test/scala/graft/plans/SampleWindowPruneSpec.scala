@@ -80,13 +80,18 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("on a physical timestamp column the bounds reach the parquet scan") {
     val df = SeriesOps.sampleBy(stored, I)
       .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
-    val (explained, rows) = withRule {
-      (df.queryExecution.executedPlan.toString, df.collect())
+    val (explained, optimized, rows) = withRule {
+      (df.queryExecution.executedPlan.toString,
+        df.queryExecution.optimizedPlan.toString, df.collect())
     }
-    // PushedFilters must contain the translated timestamp bounds
+    // PushedFilters must contain the translated lower bound (the upper
+    // bound is pushed too but Spark truncates the PushedFilters string;
+    // both appear in full in the optimized plan's Filter, Or-ed with
+    // their label-overflow wrap-zone escapes)
     assert(explained.contains("GreaterThanOrEqual(timestamp,32400)"),
       explained)
-    assert(explained.contains("LessThan(timestamp,180000)"), explained)
+    assert(optimized.contains(">= 32400"), optimized)
+    assert(optimized.contains("< 180000"), optimized)
     // and results still match the rule-off computation
     val off = SeriesOps.sampleBy(stored, I)
       .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
@@ -133,6 +138,27 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
       .collect().map(_.toSeq).toSet
     assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
+  }
+
+  test("rows in the label-overflow wrap zones are never pruned away") {
+    import spark.implicits._
+    // timestamps within one window of Long.MaxValue: the label
+    // arithmetic overflows — whatever the engine does with that
+    // (ANSI error or wrapped label), rule-on must do the SAME
+    val path = s"$tmp/wrap"
+    (Seq(Long.MaxValue - 1, Long.MaxValue - 3599) ++
+      (0 until 1000).map(_.toLong * 7))
+      .map(t => (t, 1.0)).toDF("timestamp", "value")
+      .write.mode("overwrite").parquet(path)
+    val wrapped = spark.read.parquet(path)
+    def run(rule: Boolean): Either[String, Set[Seq[Any]]] = {
+      def go = SeriesOps.sampleBy(wrapped, I)
+        .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+        .collect().map(_.toSeq).toSet
+      try Right(if (rule) withRule(go) else go)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    }
+    assert(run(rule = true) == run(rule = false))
   }
 
   test("no false fire: non-window aggregates and non-label filters untouched") {
