@@ -27,7 +27,8 @@ object PlanAudit {
       "agg_salted_rollup", // two-phase salted merge
       "agg_percentiles",   // sort-rank windows, no buffering aggregate
       "sim_topk_ivf_q8",   // integer candidate scoring, broadcast probes
-      "text_bpe")          // single native expression over the scan
+      "text_bpe",          // single native expression over the scan
+      "ts_sample_by_pruned") // label bounds → raw-ts scan pruning (rule)
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
