@@ -71,6 +71,19 @@ object StreamSurface {
     runToTable(s, SeriesOps.sampleBy(stream, HOUR_US), "complete")
   }
 
+  /** Sliding windows as a continuous query — the same explode +
+    * grouped exact-sum plan as the batch [[SeriesOps.slidingBy]]
+    * (stream/batch parity extends to overlapping windows; each point
+    * lands in k = width/slide windows, a constant fan-out before the
+    * stateful aggregation). */
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(stageParquet(dir, "events.parquet"))
+      .select(expr("ts div 1000").as("timestamp"), col("value"))
+    runToTable(s, SeriesOps.slidingBy(stream, HOUR_US, HOUR_US / 4), "complete")
+  }
+
   /** Streaming exact deduplication: the corpus arrives as a stream and
     * duplicate fingerprints are suppressed with stateful
     * `dropDuplicates` — the streaming face of Dedup.exact. Output is
@@ -135,6 +148,7 @@ object StreamSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
+    "stream_sliding_window" -> streamSliding,
     "stream_dedup_fp" -> streamDedupFp,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
@@ -168,6 +182,13 @@ object StreamSurface {
          |  round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
+    "stream_sliding_window" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
+         |SELECT j * ${HOUR_US / 4} + (timestamp - timestamp % ${HOUR_US / 4}) + ${HOUR_US / 4} AS sample_ts,
+         |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+         |  count(*) AS n_points
+         |FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
+         |GROUP BY 1""".stripMargin,
     // gaps-and-islands formulation of gap-based sessions; break on
     // diff > gap: session_window merges an event landing EXACTLY at
     // prev + gap into the session (adjacent windows coalesce — verified
