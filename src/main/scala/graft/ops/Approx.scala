@@ -47,4 +47,30 @@ object Approx {
         round(element_at(col("q"), 2), 4).as("p90"),
         round(element_at(col("q"), 3), 4).as("p99"),
         col("n"))
+
+  /** EXACT heavy hitters (items in more than 1/invSupport of all rows)
+    * via the two-phase sketch-then-verify pattern: a single narrow
+    * `freqItems` pass (lossy counting — guaranteed SUPERSET of every
+    * item above the support threshold, bounded to ≤ invSupport
+    * candidates) proposes candidates, then one exact count restricted
+    * to candidate rows confirms them. The naive exact form shuffles
+    * every distinct item; this shuffles only candidate-row counts —
+    * at corpus scale the first pass discards the long tail before it
+    * ever reaches an exchange. Because phase 2 is exact, the OUTPUT is
+    * deterministic (sketch variance only affects how many false
+    * candidates get disproven), so it gates against a plain
+    * GROUP BY / HAVING oracle; the support comparison is kept in
+    * integers (n · invSupport > total) for cross-engine exactness.
+    * Output: (item, n), the item column named after `column`. */
+  def heavyHitters(df: DataFrame, column: String, invSupport: Int): DataFrame = {
+    require(invSupport >= 2, s"invSupport must be >= 2, got $invSupport")
+    val total = df.count()
+    // bounded driver-side model state: at most invSupport candidates
+    val cand = df.stat.freqItems(Array(column), 1.0 / invSupport)
+      .collect()(0).getSeq[Any](0)
+    df.filter(col(column).isin(cand: _*))
+      .groupBy(column)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * invSupport > total)
+  }
 }

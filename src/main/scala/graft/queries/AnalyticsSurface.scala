@@ -204,6 +204,12 @@ object AnalyticsSurface {
       graft.ops.Approx.approxPercentiles(
         t(s, dir, "events").select(col("event_type"), col("value")),
         "event_type", "value")),
+    // two-phase heavy hitters: freqItems sketch candidates + exact
+    // verify — output is EXACT (and so fully oracle-gated) even though
+    // the candidate pass is a sketch
+    "agg_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Approx.heavyHitters(
+        t(s, dir, "events").select(col("event_type")), "event_type", 6)),
     // bucketed co-located join (graft.ops.Bucketed): both sides read
     // bucket-aligned on the join key — no shuffle exchange in the join
     // (PlanSpec locks the shape); results gate against the plain join
@@ -301,6 +307,11 @@ object AnalyticsSurface {
          |FROM events GROUP BY 1""".stripMargin,
     "agg_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1",
+    // phase 2 of the two-phase heavy hitter is exact, so the sketch
+    // pass is invisible to the oracle; integer support comparison
+    "agg_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        |HAVING count(*) * 6 > (SELECT count(*) FROM events)""".stripMargin,
     // differential test against DuckDB's NATIVE ASOF JOIN operator
     "asof_join" ->
       (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),

@@ -59,4 +59,22 @@ class ApproxSpec extends AnyFunSuite {
       events.select(col("event_type"), col("value")), "event_type", "value")
     assert(approx.columns.toSeq == Seq("event_type", "p50", "p90", "p99", "n"))
   }
+
+  test("two-phase heavy hitters equal the brute-force exact answer") {
+    val df = events.select(col("event_type"))
+    for (inv <- Seq(2, 4, 6, 100)) {
+      val got = Approx.heavyHitters(df, "event_type", inv)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = df.count()
+      val want = df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .filter { case (_, n) => n * inv > total }.toMap
+      // phase 2 is exact, so this must be equality, not containment —
+      // the freqItems superset guarantee means no heavy item is lost,
+      // and the verify count disproves every false candidate
+      assert(got == want, s"invSupport=$inv")
+    }
+    // sanity: the fixture actually exercises both regimes
+    assert(Approx.heavyHitters(df, "event_type", 100).count() > 0)
+  }
 }
