@@ -63,12 +63,22 @@ object Approx {
     * integers (n · invSupport > total) for cross-engine exactness.
     * Output: (item, n), the item column named after `column`. */
   def heavyHitters(df: DataFrame, column: String, invSupport: Int): DataFrame = {
-    require(invSupport >= 2, s"invSupport must be >= 2, got $invSupport")
+    // upper bound: Spark's freqItems rejects support < 1e-4 — fail fast
+    // on the parameter the caller controls, not mid-job inside Spark
+    require(invSupport >= 2 && invSupport <= 10000,
+      s"invSupport must be in [2, 10000], got $invSupport")
     val total = df.count()
     // bounded driver-side model state: at most invSupport candidates
     val cand = df.stat.freqItems(Array(column), 1.0 / invSupport)
       .collect()(0).getSeq[Any](0)
-    df.filter(col(column).isin(cand: _*))
+    // null-safe candidate membership: isin() uses three-valued logic,
+    // so a NULL heavy hitter (a GROUP BY group like any other, which
+    // the oracle emits) would silently never match the filter
+    val nonNull = cand.filter(_ != null)
+    val candPred =
+      if (cand.exists(_ == null)) col(column).isin(nonNull: _*) || col(column).isNull
+      else col(column).isin(nonNull: _*)
+    df.filter(candPred)
       .groupBy(column)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") * invSupport > total)

@@ -20,7 +20,20 @@ object RefSurface {
   // Fixed range inside the events data span (2024-01-01 .. 2024-01-31).
   private val T0 = 1704500000000000L // epoch-micros
   private val T1 = 1705500000000000L
-  private val HOUR_US = 3600000000L
+  private[queries] val HOUR_US = 3600000000L
+  private[queries] val SLIDE_US = HOUR_US / 4
+
+  /** Sliding-window oracle body over an `ev(timestamp, value)` CTE —
+    * shared with the streaming variant (StreamSurface) so the window
+    * fan-out k = width/slide is DERIVED once, never hardcoded in two
+    * places. `where` scopes the batch variant's range (empty for the
+    * full-series streaming gate). */
+  private[queries] def slidingOracleSql(where: String): String =
+    s"""SELECT j * $SLIDE_US + (timestamp - timestamp % $SLIDE_US) + $SLIDE_US AS sample_ts,
+       |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       |  count(*) AS n_points
+       |FROM ev CROSS JOIN (SELECT unnest(range(${HOUR_US / SLIDE_US})) AS j)
+       |${where}GROUP BY 1""".stripMargin
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.eventSeries(s, dir)
@@ -64,7 +77,7 @@ object RefSurface {
         .filter(col("sample_ts") >= T0 && col("sample_ts") <= T1)
     }),
     "ts_sliding_window" -> ((s, dir) =>
-      SeriesOps.slidingBy(evRanged(s, dir), HOUR_US, HOUR_US / 4)),
+      SeriesOps.slidingBy(evRanged(s, dir), HOUR_US, SLIDE_US)),
     "ts_where" -> ((s, dir) =>
       // lower bound pushed on raw ts (micros > T0 ⟺ nanos >= (T0+1)*1000)
       SeriesOps.scan(SeriesOps.whereChain(
@@ -105,11 +118,7 @@ object RefSurface {
          |  FROM ev GROUP BY 1)
          |WHERE sample_ts BETWEEN $T0 AND $T1""".stripMargin),
     "ts_sliding_window" ->
-      (EV + s"""SELECT j * ${HOUR_US / 4} + (timestamp - timestamp % ${HOUR_US / 4}) + ${HOUR_US / 4} AS sample_ts,
-         |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
-         |  count(*) AS n_points
-         |FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
-         |WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
+      (EV + slidingOracleSql(s"WHERE timestamp BETWEEN $T0 AND $T1\n")),
     "ts_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->

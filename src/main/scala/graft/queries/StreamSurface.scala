@@ -63,26 +63,27 @@ object StreamSurface {
     s.table(sinkName)
   }
 
-  private def streamSampleBy(s: SparkSession, dir: String): DataFrame = {
+  /** The staged events file as a (timestamp micros, value) stream —
+    * shared by every windowed streaming gate. */
+  private def eventSeriesStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema)
+    s.readStream.schema(eventsSchema)
       .parquet(stageParquet(dir, "events.parquet"))
       .select(expr("ts div 1000").as("timestamp"), col("value"))
-    runToTable(s, SeriesOps.sampleBy(stream, HOUR_US), "complete")
   }
+
+  private def streamSampleBy(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, SeriesOps.sampleBy(eventSeriesStream(s, dir), HOUR_US), "complete")
 
   /** Sliding windows as a continuous query — the same explode +
     * grouped exact-sum plan as the batch [[SeriesOps.slidingBy]]
     * (stream/batch parity extends to overlapping windows; each point
     * lands in k = width/slide windows, a constant fan-out before the
     * stateful aggregation). */
-  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema)
-      .parquet(stageParquet(dir, "events.parquet"))
-      .select(expr("ts div 1000").as("timestamp"), col("value"))
-    runToTable(s, SeriesOps.slidingBy(stream, HOUR_US, HOUR_US / 4), "complete")
-  }
+  private def streamSliding(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      SeriesOps.slidingBy(eventSeriesStream(s, dir), HOUR_US, RefSurface.SLIDE_US),
+      "complete")
 
   /** Streaming exact deduplication: the corpus arrives as a stream and
     * duplicate fingerprints are suppressed with stateful
@@ -183,12 +184,8 @@ object StreamSurface {
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
     "stream_sliding_window" ->
-      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
-         |SELECT j * ${HOUR_US / 4} + (timestamp - timestamp % ${HOUR_US / 4}) + ${HOUR_US / 4} AS sample_ts,
-         |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
-         |  count(*) AS n_points
-         |FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
-         |GROUP BY 1""".stripMargin,
+      ("WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)\n" +
+        RefSurface.slidingOracleSql("")),
     // gaps-and-islands formulation of gap-based sessions; break on
     // diff > gap: session_window merges an event landing EXACTLY at
     // prev + gap into the session (adjacent windows coalesce — verified

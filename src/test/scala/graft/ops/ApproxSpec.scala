@@ -62,19 +62,30 @@ class ApproxSpec extends AnyFunSuite {
 
   test("two-phase heavy hitters equal the brute-force exact answer") {
     val df = events.select(col("event_type"))
+    val total = df.count()
+    val counts = df.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
     for (inv <- Seq(2, 4, 6, 100)) {
       val got = Approx.heavyHitters(df, "event_type", inv)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val total = df.count()
-      val want = df.groupBy("event_type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-        .filter { case (_, n) => n * inv > total }.toMap
+      val want = counts.filter { case (_, n) => n * inv > total }.toMap
       // phase 2 is exact, so this must be equality, not containment —
       // the freqItems superset guarantee means no heavy item is lost,
       // and the verify count disproves every false candidate
       assert(got == want, s"invSupport=$inv")
+      // sanity: the permissive support level must actually select rows
+      if (inv == 100) assert(want.nonEmpty)
     }
-    // sanity: the fixture actually exercises both regimes
-    assert(Approx.heavyHitters(df, "event_type", 100).count() > 0)
+  }
+
+  test("a NULL heavy hitter survives the candidate filter like any group") {
+    import spark.implicits._
+    // null in 40% of rows — the oracle-side GROUP BY emits a NULL
+    // group; isin()'s three-valued logic must not silently drop it
+    val df = (Seq.fill(40)(null: String) ++ Seq.fill(35)("a") ++
+      Seq.fill(25)("b")).toDF("k")
+    val got = Approx.heavyHitters(df, "k", 3)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 40L, Some("a") -> 35L))
   }
 }
