@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
   *    bound) and mergeable, vs the exact path's full per-group sort.
   *    Rank error <= 1/accuracy of the group size.
   *
-  * No DuckDB oracle: sketch internals differ by engine, so these gate
-  * rows-only (the driver's weaker check); ApproxSpec locks the error
-  * bounds against the exact operators on real data instead.
+  * Sketch internals differ by engine, so the raw estimates cannot
+  * hash-gate against a DuckDB oracle. The `*Verified` wrappers close
+  * that gap with an in-plan verification harness: the SAME query
+  * computes the exact answer and reduces the estimate to an integer
+  * verdict column ("estimate within its error budget"), so the oracle
+  * reproduces the exact side and the verdict gates as a constant —
+  * a sketch drifting past its budget flips the verdict and fails the
+  * hash. Both sketches are deterministic functions of the input set
+  * (HLL register maxima / GK merge are order- and partitioning-
+  * independent), so on fixed data the verdict is a fixed fact, not a
+  * flaky assertion. ApproxSpec additionally bounds the raw estimates
+  * against the exact tier.
   */
 object Approx {
 
@@ -48,6 +57,70 @@ object Approx {
         round(element_at(col("q"), 3), 4).as("p99"),
         col("n"))
 
+  /** [[approxDistinct]] under the in-plan verification harness (object
+    * doc): output is (key, exact_n, within_3rsd) where `within_3rsd`
+    * is the BIGINT verdict |estimate − exact| · 100 ≤ exact · 15 —
+    * integer arithmetic, no FP comparison hazard. 3·rsd (15% at the
+    * default rsd=0.05) because rsd is a standard DEVIATION, not a
+    * bound: measured error on the driver testdata is 0.7% at sf0.01
+    * and 6.7% at sf0.1 (>1σ!), so a 1σ verdict would be red on real
+    * data while 3σ still asserts the sketch tracks the exact count.
+    * Cost: one extra exact count-distinct next to the sketch — the
+    * gate's price, not the operator's ([[approxDistinct]] stays the
+    * production entry point). Null-safe join: a NULL group is a group.
+    */
+  def approxDistinctVerified(df: DataFrame, key: String, value: String,
+      rsd: Double = 0.05): DataFrame = {
+    val approx = approxDistinct(df, key, value, rsd)
+      .withColumnRenamed(key, "__ak")
+    df.groupBy(key)
+      .agg(count_distinct(col(value)).as("exact_n"))
+      .join(approx, col(key) <=> col("__ak"))
+      .select(col(key), col("exact_n"),
+        (abs(col("n_approx") - col("exact_n")) * 100 <= col("exact_n") * 15)
+          .cast("long").as("within_3rsd"))
+  }
+
+  /** [[approxPercentiles]]' verification harness: rank-checks each
+    * returned quantile value v_q by re-counting r = |{x ≤ v_q}| and
+    * asserting |r − q·nv| ≤ 2·nv/accuracy + 2 (twice the sketch's
+    * eps·n rank guarantee, +2 for the ≤-count/tie discretization;
+    * measured slack on the driver testdata is ≤1 rank at sf0.01 and
+    * ≤2 at sf0.1 against a budget of 2.4/6). All comparisons are
+    * scaled to integers (rank·10⁴ vs nv·q·10⁴) — exact in any engine.
+    * Output (key, n, ok50, ok90, ok99); the oracle reproduces n and
+    * asserts the verdicts constant-1. nv = non-null count (the
+    * population the sketch ranks over); n = count(*) like the exact
+    * tier. An all-null group has nv=0, null quantiles, r=0 → verdicts
+    * trivially 1, matching the oracle's constant.
+    */
+  def approxPercentilesVerified(df: DataFrame, key: String, value: String,
+      accuracy: Int = 10000): DataFrame = {
+    val sk = df.groupBy(key)
+      .agg(
+        percentile_approx(col(value), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(accuracy)).as("q"),
+        count(lit(1)).as("n"), count(col(value)).as("nv"))
+      .select(col(key).as("__pk"),
+        element_at(col("q"), 1).as("v50"), element_at(col("q"), 2).as("v90"),
+        element_at(col("q"), 3).as("v99"), col("n"), col("nv"))
+    // tiny per-group sketch relation broadcast back onto the rows for
+    // the rank recount — one shuffle-free pass over df
+    val ranks = df.join(broadcast(sk), col(key) <=> col("__pk"))
+      .groupBy(key)
+      .agg(
+        sum(when(col(value) <= col("v50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col(value) <= col("v90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col(value) <= col("v99"), 1L).otherwise(0L)).as("r99"),
+        first("n").as("n"), first("nv").as("nv"))
+    def ok(r: String, q10k: Long): Column =
+      (abs(col(r) * 10000 - col("nv") * q10k) <=
+        col("nv") * 20000L / accuracy + 20000L).cast("long")
+    ranks.select(col(key), col("n"),
+      ok("r50", 5000).as("ok50"), ok("r90", 9000).as("ok90"),
+      ok("r99", 9900).as("ok99"))
+  }
+
   /** EXACT heavy hitters (items in more than 1/invSupport of all rows)
     * via the two-phase sketch-then-verify pattern: a single narrow
     * `freqItems` pass (lossy counting — guaranteed SUPERSET of every
@@ -67,10 +140,17 @@ object Approx {
     // on the parameter the caller controls, not mid-job inside Spark
     require(invSupport >= 2 && invSupport <= 10000,
       s"invSupport must be in [2, 10000], got $invSupport")
-    val total = df.count()
+    // `total` rides the sketch pass: freqItems is a plain aggregation
+    // over the observed child (CollectFrequentItems is a
+    // TypedImperativeAggregate), so CollectMetrics fires on the same
+    // scan — previously a separate df.count() job paid a third full
+    // read of the input
+    val obs = org.apache.spark.sql.Observation()
     // bounded driver-side model state: at most invSupport candidates
-    val cand = df.stat.freqItems(Array(column), 1.0 / invSupport)
+    val cand = df.observe(obs, count(lit(1)).as("total"))
+      .stat.freqItems(Array(column), 1.0 / invSupport)
       .collect()(0).getSeq[Any](0)
+    val total = obs.get("total").asInstanceOf[Long]
     // null-safe candidate membership: isin() uses three-valued logic,
     // so a NULL heavy hitter (a GROUP BY group like any other, which
     // the oracle emits) would silently never match the filter

@@ -192,16 +192,19 @@ object AnalyticsSurface {
     // formulation; both engines compute the same linear interpolation,
     // rounded to 4 dp against ulp drift)
     "agg_percentiles" -> percentilesExact,
-    // the sketch tier (graft.ops.Approx): HLL++ distinct and GK-sketch
-    // percentiles — no oracle SQL on purpose (sketches differ per
-    // engine → driver rows-only check); error bounds vs the exact
-    // operators are locked in ApproxSpec
+    // the sketch tier (graft.ops.Approx), gated through the in-plan
+    // verification harness: the query computes the exact side next to
+    // the sketch and emits integer "estimate within budget" verdicts,
+    // so the oracle reproduces the exact columns and the verdicts gate
+    // as constants — full rows+schema+hash check on a sketch whose
+    // internals no other engine reproduces (raw estimates additionally
+    // error-bounded in ApproxSpec)
     "agg_approx_distinct" -> ((s, dir) =>
-      graft.ops.Approx.approxDistinct(
+      graft.ops.Approx.approxDistinctVerified(
         t(s, dir, "events").select(col("event_type"), col("user_id")),
         "event_type", "user_id")),
     "agg_approx_percentiles" -> ((s, dir) =>
-      graft.ops.Approx.approxPercentiles(
+      graft.ops.Approx.approxPercentilesVerified(
         t(s, dir, "events").select(col("event_type"), col("value")),
         "event_type", "value")),
     // two-phase heavy hitters: freqItems sketch candidates + exact
@@ -332,6 +335,18 @@ object AnalyticsSurface {
          |  count(*) AS n
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1""".stripMargin,
+    // the sketch verdicts gate as constants: the oracle reproduces the
+    // exact side; if Spark's sketch ever drifts past its error budget
+    // the engine-side verdict flips to 0 and the hash check fails
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_n,
+        |  CAST(1 AS BIGINT) AS within_3rsd
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_approx_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90,
+        |  CAST(1 AS BIGINT) AS ok99
+        |FROM events GROUP BY 1""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 4) AS p50,

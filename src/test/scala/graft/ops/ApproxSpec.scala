@@ -78,6 +78,74 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("verified distinct emits the exact count and an all-green verdict") {
+    val got = Approx.approxDistinctVerified(
+      events.select(col("event_type"), col("user_id")), "event_type", "user_id")
+      .collect()
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    for (r <- got) {
+      assert(r.getAs[Long]("exact_n") == exact(r.getString(0)))
+      assert(r.getAs[Long]("within_3rsd") == 1L,
+        s"${r.getString(0)}: sketch drifted past 3·rsd")
+    }
+  }
+
+  test("verified distinct keeps a NULL group (null-safe join)") {
+    import spark.implicits._
+    val df = (Seq.fill(10)((null: String, "u1")) ++
+      Seq(("a", "u1"), ("a", "u2"))).toDF("k", "v")
+    val got = Approx.approxDistinctVerified(df, "k", "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 1L, Some("a") -> 2L))
+  }
+
+  test("verified percentiles rank-check is green and schema-stable") {
+    val got = Approx.approxPercentilesVerified(
+      events.select(col("event_type"), col("value")), "event_type", "value")
+    assert(got.columns.toSeq == Seq("event_type", "n", "ok50", "ok90", "ok99"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; c <- Seq("ok50", "ok90", "ok99"))
+      assert(r.getAs[Long](c) == 1L,
+        s"${r.getString(0)} $c: sketch rank outside 2·eps·n + 2")
+  }
+
+  test("verified percentiles: an all-null group verdicts trivially green") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("dead", null: java.lang.Double)) ++
+      (1 to 100).map(i => ("live", java.lang.Double.valueOf(i.toDouble)))).toDF("k", "v")
+    val got = Approx.approxPercentilesVerified(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("dead" -> ((5L, 1L, 1L, 1L)), "live" -> ((100L, 1L, 1L, 1L))))
+  }
+
+  test("heavy hitters runs TWO SQL executions (total rides the sketch pass)") {
+    // count SQL executions, not jobs — AQE splits one execution into
+    // several jobs (see SkewSpec precedent)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            seen.incrementAndGet()
+          case _ => ()
+        }
+    }
+    val df = events.select(col("event_type"))
+    df.count() // materialize any lazy table state before listening
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Approx.heavyHitters(df, "event_type", 6).collect()
+      org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(seen.get() == 2,
+      s"expected sketch pass + verify pass, saw ${seen.get()} executions")
+  }
+
   test("a NULL heavy hitter survives the candidate filter like any group") {
     import spark.implicits._
     // null in 40% of rows — the oracle-side GROUP BY emits a NULL
