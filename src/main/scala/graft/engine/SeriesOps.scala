@@ -55,7 +55,7 @@ object SeriesOps {
     * or engine — required for differential testing against the DuckDB
     * oracle, and a determinism win at any scale. The sum runs on the
     * fixed-width `sum_micro` aggregate, bit-identical to
-    * `sum(CAST(x AS DECIMAL(27,6)))::double` (SumMicro's contract)
+    * `sum(CAST(x AS DECIMAL(30,6)))::double` (SumMicro's contract)
     * without the per-row BigDecimal pathway — callers must have graft
     * functions registered ([[withFns]]). Still a single-pass partial
     * aggregation.
@@ -127,7 +127,7 @@ object SeriesOps {
     * a constant chosen by the caller — not a data-dependent blow-up.
     *
     * Emits the EXACT decimal sum + count rather than a rounded mean:
-    * window sums here are exact in DECIMAL(27,6) and convert to double
+    * window sums here are exact in DECIMAL(30,6) and convert to double
     * bit-identically in every engine, whereas a rounded mean sits one
     * ulp from a round-half boundary often enough to flip between
     * engines (observed on this very query at sf0.01 — the determinism
@@ -149,7 +149,7 @@ object SeriesOps {
           + (col("timestamp") - pmod(col("timestamp"), lit(slideUnits)))
           + lit(slideUnits))
       .groupBy("sample_ts")
-      // fixed-width exact sum, bit-identical to the DECIMAL(27,6)
+      // fixed-width exact sum, bit-identical to the DECIMAL(30,6)
       // formulation the oracle runs (SumMicro's contract)
       .agg(call_function("sum_micro", col("value")).as("sum_value"),
            count(lit(1)).as("n_points"))

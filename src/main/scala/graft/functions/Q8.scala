@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * Quantization follows Similarity.quantizeSummary's engine-stable
   * floor scheme: per-vector scale = max|x| (zero-point 0),
   * q_i = floor(x_i * 127 / scale), and the published scale is the
-  * fixed-point BIGINT floor(scale * 10^6). Everything downstream of
+  * fixed-point BIGINT max(floor(scale * 10^6), 1) — clamped so a
+  * tiny-magnitude vector (max|x| < 1e-6) cannot zero every candidate
+  * score it participates in. Everything downstream of
   * the float→double cast is integer arithmetic, so candidate scores
   * (qdot * scale6_a * scale6_b) compare BIT-IDENTICALLY in any engine
   * — no float ordering hazard in the top-R cut. Score magnitude is
@@ -39,8 +41,14 @@ object Q8Codec {
       q(i) = if (maxabs == 0) 0L else math.floor(x * 127 / maxabs).toLong
       i += 1
     }
+    // clamp the published scale to >= 1: floor(maxabs*1e6) is 0 for any
+    // vector with max|x| < 1e-6, which collapses every candidate score
+    // to 0 and degenerates the top-R cut to neighbor_id order — a
+    // silent recall loss. With the clamp the integer scores stay
+    // proportional to the true dot for tiny-magnitude vectors too
+    // (mirrored in the oracle SQL: greatest(floor(maxabs*1e6), 1)).
     new GenericInternalRow(Array[Any](
-      math.floor(maxabs * 1000000).toLong, new GenericArrayData(q)))
+      math.max(1L, math.floor(maxabs * 1000000).toLong), new GenericArrayData(q)))
   }
 
   def dotInt(a: ArrayData, b: ArrayData): Long = {

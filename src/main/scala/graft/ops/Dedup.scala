@@ -265,7 +265,13 @@ object Dedup {
           fs.delete(new org.apache.hadoop.fs.Path(s"${subRoot.get}/round-0"), true)
         out
       } finally {
-        prior.foreach(sc.setCheckpointDir)
+        // restore the caller's dir; when none was configured, re-point
+        // at the caller-provided ROOT (a durable location the caller
+        // designated) rather than leaving the run-scoped UUID subdir —
+        // whose round dirs this call deletes — configured for later
+        // unrelated checkpoint() users. (setCheckpointDir(null) is not
+        // a safe "unset": its non-local-path guard touches the string.)
+        if (reliable) sc.setCheckpointDir(prior.getOrElse(checkpointDir.get))
       }
     if (reliable) reliableCkptLock.synchronized(body()) else body()
   }

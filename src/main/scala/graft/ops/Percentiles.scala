@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   * `(hi-pos)*v_lo + (pos-lo)*v_hi` formula over pos = q*(n-1),
   * identical to DuckDB's quantile_cont on the oracle side).
   *
+  * BIT-equality of the interpolation across engines (not just
+  * closeness): DuckDB combines as `(1-frac)*lo + frac*hi` while this
+  * plan computes `(ceil(pos)-pos)*lo + (pos-floor(pos))*hi` — the
+  * coefficient pairs are bit-identical doubles, because pos and
+  * floor/ceil(pos) sit within a factor of 2 (Sterbenz: both
+  * subtractions exact) and 1-frac is exactly representable whenever
+  * frac is a multiple of ulp(pos) ≥ 2^-52, which q*(n-1) positions
+  * always are; with identical coefficients the multiply/add chain is
+  * the same FP expression in both engines. Verified empirically: 0
+  * bit-mismatches over 4000 randomized lists (n∈[2,50], half seeded
+  * with 4dp round-half-boundary values) against DuckDB quantile_cont
+  * pre-rounding — the round(·,4) in the output never sees a 1-ulp
+  * formula divergence.
+  *
   * Null semantics match `percentile()`/`quantile_cont`: null values
   * are IGNORED for ranking/interpolation (positions use the non-null
   * count) while the output `n` counts every row, like the

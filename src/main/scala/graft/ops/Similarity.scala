@@ -37,8 +37,15 @@ object Similarity {
   /** L2 norm of a float-array column via the same exact accumulation. */
   def normDec(a: String): Column = sqrt(expr(s"dot_dec($a, $a)"))
 
+  /** Rounded cosine, NULL when either vector has zero norm: cosine is
+    * undefined there, and under Spark 4's default ANSI mode a plain
+    * divide would THROW on the first zero embedding — a single failed
+    * encoder output killing a 100 TB job. NULL sim sorts last in every
+    * ranking (desc ordering puts nulls last) and fails every `>=`
+    * threshold, so degenerate vectors simply never match — the same
+    * outcome nullif gives the DuckDB oracle formulation. */
   def cosine(a: String, b: String, normA: Column, normB: Column): Column =
-    round(dotDec(a, b) / (normA * normB), 4)
+    round(dotDec(a, b) / nullif(normA * normB, lit(0.0)), 4)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queryPred` selects the query rows (e.g. vec_id < 5).
@@ -123,7 +130,11 @@ object Similarity {
     * assignment with smallest-cid tie-break. */
   private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (cid, ce) =>
-      struct(round(dotLit("embedding", ce) / (normLit(ce) * col("nrm")), 4).as("cs"),
+      // nullif: a zero-norm row's cosines are all NULL — the structs
+      // then compare on their ncid field alone, so greatest() resolves
+      // to cell 0 deterministically; without the guard ANSI division
+      // would throw on the first zero embedding (see [[cosine]])
+      struct(round(dotLit("embedding", ce) / nullif(normLit(ce) * col("nrm"), lit(0.0)), 4).as("cs"),
         lit(-cid).as("ncid"))
     }: _*)
 
@@ -234,11 +245,23 @@ object Similarity {
               dotFix = Math.addExact(dotFix, toFix12(e(d).toDouble * ce(d))); d += 1
             }
             // exact decimal → double, same as the BigDecimal sum's
-            // doubleValue (identical decimal value, no string detour)
-            val sim = round4(JBD.valueOf(dotFix, 12).doubleValue() / (cn * nrm))
+            // doubleValue (identical decimal value, no string detour).
+            // A zero-norm row or centroid makes the divide NaN — which
+            // BigDecimal.valueOf (inside round4) rejects — so short-
+            // circuit to NaN: it loses every strict-greater comparison,
+            // exactly like the DataFrame path's NaN ordering
+            val denom = cn * nrm
+            val sim = if (denom == 0.0) Double.NaN
+              else round4(JBD.valueOf(dotFix, 12).doubleValue() / denom)
             if (sim > bestCs) { bestCs = sim; bestIdx = ci } // ties keep smaller cid
             ci += 1
           }
+          // a zero-norm row (or centroid) makes every cosine NaN and no
+          // strict-greater ever fires — assign cell 0 deterministically
+          // instead of crashing on bestIdx = -1 (the greatest()-based
+          // DataFrame formulation this replaced tolerated NaN the same
+          // way: Spark orders NaN largest, ties to the smallest cid)
+          if (bestIdx < 0) bestIdx = 0
           acc._1(bestIdx) += 1
           val hi = acc._2(bestIdx); val lo = acc._3(bestIdx)
           var d = 0
@@ -436,6 +459,9 @@ object Similarity {
           .otherwise(abs(col("xd") - col("qv") * col("maxabs") / 127)))
       .groupBy("vec_id")
       .agg(
+        // raw floor here (0 for max|x| < 1e-6): this scale6 REPORTS the
+        // quantization scale; the q8 SCORING path (Q8Codec.pack) clamps
+        // its copy to >= 1 because there it multiplies candidate scores
         floor(max(col("maxabs")) * 1000000).cast("long").as("scale6"),
         min("qv").cast("long").as("q_min"),
         max("qv").cast("long").as("q_max"),

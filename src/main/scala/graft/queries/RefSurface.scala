@@ -30,7 +30,7 @@ object RefSurface {
     * full-series streaming gate). */
   private[queries] def slidingOracleSql(where: String): String =
     s"""SELECT j * $SLIDE_US + (timestamp - timestamp % $SLIDE_US) + $SLIDE_US AS sample_ts,
-       |  CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
        |  count(*) AS n_points
        |FROM ev CROSS JOIN (SELECT unnest(range(${HOUR_US / SLIDE_US})) AS j)
        |${where}GROUP BY 1""".stripMargin
@@ -99,7 +99,7 @@ object RefSurface {
     "ts_range_max" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value DESC, timestamp ASC LIMIT 1"),
     "ts_range_avg" ->
-      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
     "ts_latest" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp DESC LIMIT 1"),
     "ts_earliest" ->
@@ -109,11 +109,11 @@ object RefSurface {
     "ts_point_lookup" ->
       (EV + "SELECT e.timestamp, e.value FROM ev e JOIN (SELECT timestamp FROM ev WHERE event_id = 123) p USING (timestamp)"),
     "ts_sample_by" ->
-      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "ts_sample_by_pruned" ->
       (EV + s"""SELECT * FROM (
          |  SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
-         |    round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+         |    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |    count(*) AS n_points
          |  FROM ev GROUP BY 1)
          |WHERE sample_ts BETWEEN $T0 AND $T1""".stripMargin),

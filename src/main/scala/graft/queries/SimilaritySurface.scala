@@ -157,7 +157,7 @@ object SimilaritySurface {
          |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
          |  WHERE rn <= $NPROBE AND vec_id < 5),
          |q8 AS (SELECT vec_id,
-         |    CAST(floor(maxabs * 1000000) AS BIGINT) AS scale6,
+         |    CAST(greatest(floor(maxabs * 1000000), 1) AS BIGINT) AS scale6,
          |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
          |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT) END) AS q
          |  FROM (SELECT vec_id, embedding,

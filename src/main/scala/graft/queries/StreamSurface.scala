@@ -180,7 +180,7 @@ object StreamSurface {
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
-         |  round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
     "stream_sliding_window" ->

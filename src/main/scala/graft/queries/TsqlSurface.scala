@@ -144,13 +144,13 @@ object TsqlSurface {
     "tsql_max" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY value DESC, timestamp ASC LIMIT 1"),
     "tsql_avg" ->
-      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+      (EV + s"SELECT round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
     "tsql_latest" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1 ORDER BY timestamp DESC LIMIT 1"),
     "tsql_earliest" ->
       (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 20"),
     "tsql_sample_by" ->
-      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "tsql_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50 AND value <= 150 AND timestamp > $T0 ORDER BY timestamp"),
     "tsql_where_or" ->
@@ -168,8 +168,8 @@ object TsqlSurface {
     // truncation window above the upper bound — checked in testdata);
     // day-bucket ends map exactly via *1000 since 1d_ns = 1000 * 1d_us.
     "tsql_date_avg" ->
-      (EV + "SELECT round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000"),
+      (EV + "SELECT round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000"),
     "tsql_date_sample" ->
-      (EV + "SELECT ((timestamp - timestamp % 86400000000) + 86400000000) * 1000 AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000 GROUP BY 1"),
+      (EV + "SELECT ((timestamp - timestamp % 86400000000) + 86400000000) * 1000 AS sample_ts, round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN 1704499200000000 AND 1705536000000000 GROUP BY 1"),
   )
 }

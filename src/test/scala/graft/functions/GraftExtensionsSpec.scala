@@ -43,6 +43,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("di") > 0L)
       assert(row.getAs[Long]("bpe") > 0L)
       assert(row.getAs[Long]("en") == 1L)
+      // tiny-magnitude vector: published scale clamps to 1 (not 0) so
+      // integer candidate scores don't all collapse to zero
+      val tiny = Seq(Tuple1(Array(1e-8f, -2e-8f))).toDF("vec")
+        .selectExpr("q8_pack(vec).scale6 AS s6").collect()(0)
+      assert(tiny.getAs[Long]("s6") == 1L)
       // the aggregate function needs a grouped context to resolve
       val agg = Seq(("k", 1.25), ("k", 2.25)).toDF("k", "v")
         .groupBy("k").agg(expr("sum_micro(v) AS s")).collect()(0)

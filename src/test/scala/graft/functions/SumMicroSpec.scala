@@ -64,7 +64,7 @@ class SumMicroSpec extends AnyFunSuite {
 
   test("per-row values beyond long micro-units keep the decimal formulation's domain") {
     // |x| >= 9.2e12: micro-units no longer fit a long — the BigInteger
-    // limb split must keep full DECIMAL(27,6)-and-above range exact
+    // limb split must keep full DECIMAL(30,6)-and-above range exact
     assertParity(Seq(
       ("a", java.lang.Double.valueOf(9.3e12)),
       ("a", java.lang.Double.valueOf(1.0e15)),

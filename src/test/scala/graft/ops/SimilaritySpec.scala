@@ -85,6 +85,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("IVF survives a zero-norm vector in the training slice") {
+    // a zero vector makes every cosine NaN in the Lloyd seqOp — the
+    // guard assigns it to cell 0 deterministically instead of crashing
+    // with bestIdx = -1 (ADVICE r3); the DataFrame assignment path
+    // already tolerated NaN (Spark orders NaN largest)
+    val withZero = emb.union(
+      Seq((99L, Array.fill(16)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.ivfTopK(withZero, col("vec_id") === 0, 5,
+      nCentroids = 4, nProbe = 2,
+      trainPred = col("vec_id") % 2 === 0 || col("vec_id") === 99)
+      .orderBy("rank").collect()
+    assert(top.nonEmpty)
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+  }
+
   test("IVF recall vs brute force is reasonable with 2 probes of 4 cells") {
     val queries = col("vec_id") < 10
     val brute = Similarity.bruteForceTopK(emb, queries, 3)
