@@ -157,9 +157,10 @@ final class TsCatalog(spark: SparkSession, val root: String,
   /** Append a batch of points, honoring the series' duplication policy.
     *
     * "ignore": drop batch rows whose timestamp already exists — the
-    * existing-side lookup reads ONLY the buckets the batch touches
-    * (partition pruning via an IN filter on the partition column), so
-    * the cost scales with the batch's time span, not series size.
+    * existing-side lookup reads ONLY the buckets the batch can collide
+    * with ([[bucketPrunePredicate]]: exact IN pruning for narrow
+    * batches, O(1) range bounds past the literal cap), so the cost
+    * scales with the batch's time span, not series size.
     */
   def insert(db: String, name: String, points: DataFrame): Long = {
     val meta = seriesMeta(db, name).getOrElse(SeriesMeta(None))
@@ -171,11 +172,9 @@ final class TsCatalog(spark: SparkSession, val root: String,
         val b = batch.dropDuplicates("timestamp")
         val dp = dataPath(db, name)
         if (fs.exists(dp) && fs.listStatus(dp).nonEmpty) {
-          val buckets = b.select(bucketExpr.as("b")).distinct()
-            .collect().map(_.getLong(0))
           val existing = spark.read.schema(PointSchemaWithBucket)
             .parquet(dp.toString)
-            .filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+            .filter(bucketPrunePredicate(b))
             .select(col("timestamp"))
           b.join(existing, Seq("timestamp"), "left_anti")
         } else b
@@ -197,6 +196,42 @@ final class TsCatalog(spark: SparkSession, val root: String,
       n
     } finally withBucket.unpersist()
   }
+
+  /** Partition-pruning predicate on the existing side of an
+    * ignore-policy insert: which `bucket` partitions can contain
+    * timestamps colliding with batch `b`?
+    *
+    * Dense/narrow batches (the PLANS.md norm — bucketNs is sized to
+    * ingest density) get the tight form: the batch's distinct bucket
+    * ids as an IN filter, pruning exactly the touched partitions. But
+    * the literal list is driver-collected and inlined into the plan,
+    * so a years-long backfill into fine buckets would put 10^5-10^6
+    * literals in one In() — quadratic planning cost and a bloated
+    * broadcast. Past [[InLiteralCap]] distinct buckets the predicate
+    * degrades to min/max RANGE bounds on the ordered bucket column:
+    * O(1) plan size, still partition-pruned at listing time, reading
+    * at worst the untouched buckets inside the batch's span (which the
+    * timestamp-level anti-join then ignores — correctness never
+    * depends on the pruning being tight). The common case stays ONE
+    * small driver job (distinct + limit), the wide case pays one extra
+    * min/max aggregate.
+    */
+  private[graft] def bucketPrunePredicate(b: DataFrame): Column = {
+    val sample = b.select(bucketExpr.as("b")).distinct()
+      .limit(InLiteralCap + 1).collect().map(_.getLong(0))
+    if (sample.length <= InLiteralCap)
+      col("bucket").isin(sample.toIndexedSeq: _*)
+    else {
+      val mm = b.agg(min(bucketExpr).as("lo"), max(bucketExpr).as("hi"))
+        .collect()(0)
+      col("bucket") >= mm.getLong(0) && col("bucket") <= mm.getLong(1)
+    }
+  }
+
+  /** Max inlined bucket literals before [[bucketPrunePredicate]] falls
+    * back to range bounds. 1000 is far under any planner pain point
+    * while covering weeks of per-hour buckets. */
+  private val InLiteralCap = 1000
 
   /** Exact floor-division bucket of a timestamp column — MUST agree
     * with the Math.floorDiv pruning bounds in readSeries. Double
