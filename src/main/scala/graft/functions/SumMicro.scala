@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 
 /** Exact decimal(30,6)-semantics sum of a double column at fixed-width
@@ -18,15 +20,26 @@ import org.apache.spark.sql.types._
   * for a plain double sum — and a long-backed DECIMAL(18,6) is no
   * faster, so the width is not the problem; the pathway is.
   *
-  * This aggregate keeps the EXACT same arithmetic with a fixed-width
+  * The aggregate keeps the EXACT same arithmetic with a fixed-width
   * 3-long buffer: per row the double converts to exact micro-units
   * via the identical `BigDecimal.valueOf(x).setScale(6, HALF_UP)`
-  * rounding Spark's double→decimal CAST uses, then accumulates into a
-  * two-long 128-bit (hi·10¹⁸ + lo) integer with carry — exact,
-  * order-independent, mergeable. eval() reconstructs the full-precision
-  * BigDecimal and converts to double exactly like CAST(dec AS DOUBLE),
-  * so results are BIT-IDENTICAL to the decimal formulation (locked by
-  * SumMicroSpec and every sumDec-based oracle gate).
+  * rounding Spark's double→decimal CAST uses (guarded arithmetic fast
+  * path, [[MicroSumOps.toMicros]]), limb-split into (hi·10¹⁸ + lo),
+  * and accumulated with carry — exact, order-independent, mergeable.
+  * eval() reconstructs the full-precision BigDecimal and converts to
+  * double exactly like CAST(dec AS DOUBLE), so results are
+  * BIT-IDENTICAL to the decimal formulation (locked by SumMicroSpec
+  * and every sumDec-based oracle gate).
+  *
+  * r4: reshaped from ImperativeAggregate to DECLARATIVE form. The
+  * imperative update ran OUTSIDE whole-stage codegen: per row it paid
+  * an interpreted `child.eval` (the q1 children are 3-op arithmetic
+  * trees), a boxed Double, and a virtual update call — measured as
+  * most of the remaining q1-class marginal gap vs the referent's
+  * native int128 sums. Declarative update/merge expressions inline
+  * into the generated aggregate loop; the only non-codegen'd piece is
+  * one static call ([[MicroLimbs]] → `MicroSumOps.limbsOrNull`)
+  * returning the per-row limb pair.
   *
   * Bounds: per-row micros are limb-split before accumulating (via
   * BigInteger division when |x| ≥ 9.2·10¹² — beyond single-long
@@ -36,11 +49,18 @@ import org.apache.spark.sql.types._
   * decimal cast — and like the DuckDB oracle, which also errors on
   * decimal overflow; this session's engine runs ANSI-on, Spark 4's
   * default). The two-long accumulator is exact across its full
-  * ±9.2·10³⁶ micro-unit span and fails LOUDLY (checked hi-limb adds)
-  * beyond it. NaN/Infinity inputs are skipped like the NULL their
-  * decimal cast produces.
+  * ±9.2·10³⁶ micro-unit span and fails LOUDLY beyond it — the hi-limb
+  * adds are built as ANSI-mode Add expressions regardless of the
+  * session's ansi setting. NaN/Infinity inputs are skipped like the
+  * NULL their decimal cast produces.
   */
-object SumMicro {
+object MicroSumOps {
+
+  val LIMB = 1000000000000000000L // 10^18
+
+  // DECIMAL(30,6) capacity in micro-units: 10^30 (values at or beyond
+  // 10^24 overflow the ANSI cast with an error — mirrored below)
+  private val DEC30_MICROS = new java.math.BigInteger("1" + "0" * 30)
 
   /** double → exact micro-units with Spark's double→DECIMAL(_,6) cast
     * rounding: `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — i.e.
@@ -76,22 +96,110 @@ object SumMicro {
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
   }
+
+  /** Per-row (hi, lo) micro-unit limbs of x under DECIMAL(30,6) cast
+    * semantics, or null where the cast yields NULL (NaN/Infinity —
+    * the row is skipped, exactly like the decimal sum). |lo| < LIMB
+    * always (truncated division pair), the invariant the aggregate's
+    * single-conditional carry requires. Called from generated code —
+    * standalone object so the Janino call site binds a plain static
+    * (the Q8Codec precedent). */
+  def limbsOrNull(x: Double): InternalRow = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
+    if (Math.abs(x) < 9.2e12) {
+      val micros = toMicros(x)
+      new GenericInternalRow(Array[Any](micros / LIMB, micros % LIMB))
+    } else {
+      // beyond long micro-units: limb-split the exact decimal directly
+      // so the full DECIMAL(30,6) per-row domain stays exact —
+      // including its loud ANSI overflow at |x| >= 1e24
+      val bi = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).toBigIntegerExact
+      if (bi.abs.compareTo(DEC30_MICROS) >= 0)
+        throw new ArithmeticException(
+          s"sum_micro: $x cannot be represented as DECIMAL(30,6)")
+      val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
+      new GenericInternalRow(Array[Any](qr(0).longValueExact, qr(1).longValue))
+    }
+  }
+
+  /** Exact decimal reconstruction of the limb sum, then the same
+    * BigDecimal→double conversion CAST(decimal AS DOUBLE) performs.
+    * Once per group — cost irrelevant next to the update loop. */
+  def evalSum(hi: Long, lo: Long): Double =
+    java.math.BigDecimal.valueOf(hi).scaleByPowerOfTen(18)
+      .add(java.math.BigDecimal.valueOf(lo))
+      .scaleByPowerOfTen(-6).doubleValue()
 }
 
-case class SumMicro(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends ImperativeAggregate {
+/** `micro_limbs(double)` → struct(hi BIGINT, lo BIGINT), null for
+  * NaN/Infinity (see [[MicroSumOps.limbsOrNull]]). The codegen'd
+  * scalar feeding [[SumMicro]]'s declarative update. */
+case class MicroLimbs(child: Expression) extends UnaryExpression {
 
-  private val LIMB = 1000000000000000000L // 10^18
-  // DECIMAL(30,6) capacity in micro-units: 10^30 (values at or beyond
-  // 10^24 overflow the ANSI cast with an error — mirrored in update())
-  private val DEC30_MICROS = new java.math.BigInteger("1" + "0" * 30)
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "micro_limbs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"micro_limbs requires a double argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MicroSumOps.limbsOrNull(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MicroSumOps.limbsOrNull($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MicroLimbs =
+    copy(child = newChild)
+}
+
+/** `eval_micro_sum(hi, lo)` → double (see [[MicroSumOps.evalSum]]). */
+case class EvalMicroSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "eval_micro_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"eval_micro_sum requires bigint arguments, got $l and $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MicroSumOps.evalSum(l.asInstanceOf[Long], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.MicroSumOps.evalSum($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EvalMicroSum =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The `sum_micro` aggregate — see [[MicroSumOps]] for the contract.
+  * Declarative so update/merge inline into whole-stage codegen. */
+case class SumMicro(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  private val LIMB = MicroSumOps.LIMB
 
   override def prettyName: String = "sum_micro"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def children: Seq[Expression] = Seq(child)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess
@@ -99,100 +207,51 @@ case class SumMicro(
       s"sum_micro requires a double argument, got $other")
   }
 
-  override def aggBufferSchema: StructType =
-    StructType(aggBufferAttributes.map(a =>
-      StructField(a.name, a.dataType, a.nullable)))
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
 
-  override val aggBufferAttributes: Seq[AttributeReference] = Seq(
-    AttributeReference("hi", LongType, nullable = false)(),
-    AttributeReference("lo", LongType, nullable = false)(),
-    AttributeReference("cnt", LongType, nullable = false)())
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, cnt)
 
-  override val inputAggBufferAttributes: Seq[AttributeReference] =
-    aggBufferAttributes.map(_.newInstance())
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L))
 
-  override def initialize(buffer: InternalRow): Unit = {
-    buffer.setLong(mutableAggBufferOffset, 0L)
-    buffer.setLong(mutableAggBufferOffset + 1, 0L)
-    buffer.setLong(mutableAggBufferOffset + 2, 0L)
+  /** hi-limb adds are ANSI regardless of session mode: a sum past the
+    * ±9.2·10³⁶ micro-unit span must fail loudly, never wrap (the
+    * imperative predecessor used Math.addExact). */
+  private def addX(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.ANSI)
+
+  /** Carry-add (hi2, lo2, cnt2) into (hiE, loE, cntE) — the expression
+    * form of the Limbs.addPair invariant: |lo| and |lo2| < LIMB, so the
+    * raw lo add cannot overflow and at most one carry adjusts hi. */
+  private def carried(hiE: Expression, loE: Expression, cntE: Expression,
+      hi2: Expression, lo2: Expression, cnt2: Expression): Seq[Expression] = {
+    val rawLo = Add(loE, lo2) // bounded: |lo|+|lo2| < 2·10¹⁸ < Long.Max
+    val adj = CaseWhen(Seq(
+      (GreaterThanOrEqual(rawLo, Literal(LIMB)), Literal(1L)),
+      (LessThanOrEqual(rawLo, Literal(-LIMB)), Literal(-1L))), Literal(0L))
+    val newLo = Subtract(rawLo, Multiply(adj, Literal(LIMB)))
+    val newHi = addX(addX(hiE, hi2), adj)
+    Seq(newHi, newLo, Add(cntE, cnt2))
   }
 
-  // buffer-offset variant of graft.functions.Limbs.addPair (same carry
-  // invariant; hi adds overflow-CHECKED so a sum beyond the ±9.2·10³⁶
-  // micro-unit span fails loudly instead of wrapping silently)
-  private def addMicros(buffer: InternalRow, off: Int, hi2: Long, lo2: Long,
-      cnt2: Long): Unit = {
-    var hi = Math.addExact(buffer.getLong(off), hi2)
-    var lo = buffer.getLong(off + 1) + lo2 // |lo| < 2*10^18 < Long.Max
-    if (lo >= LIMB) { lo -= LIMB; hi = Math.addExact(hi, 1L) }
-    else if (lo <= -LIMB) { lo += LIMB; hi = Math.subtractExact(hi, 1L) }
-    buffer.setLong(off, hi)
-    buffer.setLong(off + 1, lo)
-    buffer.setLong(off + 2, buffer.getLong(off + 2) + cnt2)
+  override lazy val updateExpressions: Seq[Expression] = {
+    val limbs = MicroLimbs(child)
+    val upd = carried(hi, lo, cnt,
+      GetStructField(limbs, 0, Some("hi")),
+      GetStructField(limbs, 1, Some("lo")), Literal(1L))
+    // null limbs (null child, NaN, Infinity) → row skipped, buffer kept
+    val skip = IsNull(limbs)
+    Seq(If(skip, hi, upd(0)), If(skip, lo, upd(1)), If(skip, cnt, upd(2)))
   }
 
-  override def update(buffer: InternalRow, input: InternalRow): Unit = {
-    val v = child.eval(input)
-    if (v != null) {
-      val x = v.asInstanceOf[Double]
-      // CAST(NaN/Infinity AS DECIMAL) is NULL — the row is skipped,
-      // exactly like the decimal sum this aggregate replaces
-      if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
-        if (Math.abs(x) < 9.2e12) {
-          // EXACTLY Spark's double→DECIMAL(_,6) cast rounding
-          // (guarded arithmetic fast path — see SumMicro.toMicros);
-          // split into limbs BEFORE accumulating: a per-row |micros|
-          // can exceed one limb (any |x| >= 10^12), and addMicros'
-          // single conditional carry is only sound when |lo2| < LIMB
-          val micros = SumMicro.toMicros(x)
-          addMicros(buffer, mutableAggBufferOffset,
-            micros / LIMB, micros % LIMB, 1L)
-        } else {
-          // beyond long micro-units (|x| >= 9.2e12): limb-split the
-          // exact decimal directly so the full DECIMAL(30,6) per-row
-          // domain stays exact — INCLUDING the overflow semantics:
-          // CAST(x AS DECIMAL(30,6)) is NULL for |x| >= 1e24
-          // (precision > 30), and a NULL row is skipped by the sum, so
-          // this path skips it too (bit-parity over the whole double
-          // range, not just the representable band)
-          val bi = java.math.BigDecimal.valueOf(x)
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-            .movePointRight(6).toBigIntegerExact
-          if (bi.abs.compareTo(DEC30_MICROS) >= 0)
-            throw new ArithmeticException(
-              s"sum_micro: $x cannot be represented as DECIMAL(30,6)")
-          val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
-          addMicros(buffer, mutableAggBufferOffset,
-            qr(0).longValueExact, qr(1).longValue, 1L)
-        }
-      }
-    }
-  }
+  override lazy val mergeExpressions: Seq[Expression] =
+    carried(hi.left, lo.left, cnt.left, hi.right, lo.right, cnt.right)
 
-  override def merge(buffer: InternalRow, inputBuffer: InternalRow): Unit =
-    addMicros(buffer, mutableAggBufferOffset,
-      inputBuffer.getLong(inputAggBufferOffset),
-      inputBuffer.getLong(inputAggBufferOffset + 1),
-      inputBuffer.getLong(inputAggBufferOffset + 2))
+  override lazy val evaluateExpression: Expression =
+    If(EqualTo(cnt, Literal(0L)), Literal(null, DoubleType), EvalMicroSum(hi, lo))
 
-  override def eval(buffer: InternalRow): Any = {
-    if (buffer.getLong(mutableAggBufferOffset + 2) == 0L) null
-    else {
-      val hi = buffer.getLong(mutableAggBufferOffset)
-      val lo = buffer.getLong(mutableAggBufferOffset + 1)
-      // exact decimal reconstruction, then the same BigDecimal→double
-      // conversion CAST(decimal AS DOUBLE) performs
-      java.math.BigDecimal.valueOf(hi).scaleByPowerOfTen(18)
-        .add(java.math.BigDecimal.valueOf(lo))
-        .scaleByPowerOfTen(-6).doubleValue()
-    }
-  }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): SumMicro =
-    copy(child = newChildren.head)
+  override protected def withNewChildInternal(newChild: Expression): SumMicro =
+    copy(child = newChild)
 }

@@ -118,7 +118,7 @@ class SumMicroSpec extends AnyFunSuite {
       .movePointRight(6).longValueExact()
     def check(x: Double): Unit = {
       val s = try Right(slow(x)) catch { case e: ArithmeticException => Left(e) }
-      val f = try Right(SumMicro.toMicros(x)) catch { case e: ArithmeticException => Left(e) }
+      val f = try Right(MicroSumOps.toMicros(x)) catch { case e: ArithmeticException => Left(e) }
       (s, f) match {
         case (Right(a), Right(b)) => assert(a == b, s"toMicros($x): $b != $a")
         case (Left(_), Left(_)) => // both overflow loudly — parity holds
