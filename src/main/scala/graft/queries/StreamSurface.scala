@@ -85,6 +85,25 @@ object StreamSurface {
       SeriesOps.slidingBy(eventSeriesStream(s, dir), HOUR_US, RefSurface.SLIDE_US),
       "complete")
 
+  // label-range bounds for the pruned streaming gate (multiples of
+  // SLIDE_US inside the fixture's time span)
+  private[queries] val SLIDE_T0 = 1704502800000000L
+  private[queries] val SLIDE_T1 = 1705503600000000L
+
+  /** [[streamSliding]] filtered on the window LABEL with the
+    * SampleWindowPrune rule active: the rule translates the label
+    * bounds through the sliding explode AND the micros-over-nanos unit
+    * projection into raw-`ts` PushedFilters on every microbatch scan
+    * (plan shape locked by SampleWindowPruneSpec's streaming case;
+    * this gate locks the VALUES against the batch oracle). */
+  private def streamSlidingPruned(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SampleWindowPrune.enable(s)
+    runToTable(s,
+      SeriesOps.slidingBy(eventSeriesStream(s, dir), HOUR_US, RefSurface.SLIDE_US)
+        .filter(col("sample_ts") >= SLIDE_T0 && col("sample_ts") <= SLIDE_T1),
+      "complete")
+  }
+
   /** Streaming exact deduplication: the corpus arrives as a stream and
     * duplicate fingerprints are suppressed with stateful
     * `dropDuplicates` — the streaming face of Dedup.exact. Output is
@@ -150,6 +169,7 @@ object StreamSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
     "stream_sliding_window" -> streamSliding,
+    "stream_sliding_pruned" -> streamSlidingPruned,
     "stream_dedup_fp" -> streamDedupFp,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
@@ -186,6 +206,13 @@ object StreamSurface {
     "stream_sliding_window" ->
       ("WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)\n" +
         RefSurface.slidingOracleSql("")),
+    // label-scoped sliding windows: the oracle filters the LABEL after
+    // aggregation — semantically what the pruned plan computes (the
+    // rule's added scan bounds are implied, never observable)
+    "stream_sliding_pruned" ->
+      (s"WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)\n" +
+        s"SELECT * FROM (${RefSurface.slidingOracleSql("")}) " +
+        s"WHERE sample_ts BETWEEN $SLIDE_T0 AND $SLIDE_T1"),
     // gaps-and-islands formulation of gap-based sessions; break on
     // diff > gap: session_window merges an event landing EXACTLY at
     // prev + gap into the session (adjacent windows coalesce — verified

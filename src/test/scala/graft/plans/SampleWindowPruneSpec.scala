@@ -161,6 +161,112 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(rule = true) == run(rule = false))
   }
 
+  private val S = 900L // slide for the sliding-window cases (I = 4*S)
+
+  test("sliding labels: rule-on results bit-identical, all bound shapes") {
+    val base = SeriesOps.slidingBy(series, I, S)
+    val filters = Seq(
+      col("sample_ts") >= 36000L && col("sample_ts") <= 180000L,
+      col("sample_ts") > 36001L,
+      col("sample_ts") < 180000L,
+      col("sample_ts") === 72000L,
+      lit(180000L) >= col("sample_ts") && col("sample_ts") =!= 0L)
+    filters.foreach { pred =>
+      val off = base.filter(pred).collect().map(_.toSeq).toSet
+      val on = withRule(base.filter(pred).collect().map(_.toSeq).toSet)
+      assert(on == off, s"pred $pred")
+      assert(off.nonEmpty, s"pred $pred selects nothing — weak fixture")
+    }
+  }
+
+  test("sliding label bounds reach the scan through the unit projection") {
+    import spark.implicits._
+    val path = s"$tmp/nanos_slide"
+    (0 until 50000).map(i => (i.toLong * 7000, (i % 100).toDouble))
+      .toDF("raw_ns", "value").write.mode("overwrite").parquet(path)
+    val micros = spark.read.parquet(path)
+      .selectExpr("raw_ns div 1000 AS timestamp", "value")
+    val df = SeriesOps.slidingBy(micros, I, S)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val (explained, rows) = withRule {
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    // lower: ceil_S(36000) − width(4·S=3600) = 32400 → raw ≥ 32399·1000+1;
+    // upper: floor_S(180000) − 0 = 180000 → raw < 180000·1000
+    assert(explained.contains("GreaterThanOrEqual(raw_ns,32399001)"), explained)
+    assert(explained.contains("LessThan(raw_ns,180000000)"), explained)
+    val off = SeriesOps.slidingBy(micros, I, S)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
+  }
+
+  test("sliding wrap-zone rows are never pruned away") {
+    import spark.implicits._
+    val path = s"$tmp/wrap_slide"
+    (Seq(Long.MaxValue - 1, Long.MaxValue - 3599) ++
+      (0 until 1000).map(_.toLong * 7))
+      .map(t => (t, 1.0)).toDF("timestamp", "value")
+      .write.mode("overwrite").parquet(path)
+    val wrapped = spark.read.parquet(path)
+    def run(rule: Boolean): Either[String, Set[Seq[Any]]] = {
+      def go = SeriesOps.slidingBy(wrapped, I, S)
+        .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+        .collect().map(_.toSeq).toSet
+      try Right(if (rule) withRule(go) else go)
+      catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    }
+    assert(run(rule = true) == run(rule = false))
+  }
+
+  test("sliding fixpoint does not stack inserted filters") {
+    val df = SeriesOps.slidingBy(stored, I, S).filter(col("sample_ts") >= 36000L)
+    val optimized = withRule(df.queryExecution.optimizedPlan)
+    val pruneFilters = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("32400") => f
+    }
+    assert(pruneFilters.size == 1, optimized.toString)
+  }
+
+  test("STREAMING sliding label filter prunes the microbatch parquet scan") {
+    import spark.implicits._
+    // nanos-on-disk, micros-view stream: the Tables.eventSeries shape
+    val srcDir = s"$tmp/stream_src"
+    (0 until 50000).map(i => (i.toLong * 7000, (i % 100).toDouble))
+      .toDF("raw_ns", "value").write.mode("overwrite").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_ns",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    withRule {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .selectExpr("raw_ns div 1000 AS timestamp", "value")
+      val agg = SeriesOps.slidingBy(stream, I, S)
+        .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      val sink = "prune_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      val plan = try {
+        q.processAllAvailable()
+        org.apache.spark.sql.graft.StreamBridge.lastExecutedPlan(q)
+      } finally q.stop()
+      // the implied raw bounds must be pushed into the microbatch scan
+      assert(plan.contains("GreaterThanOrEqual(raw_ns,32399001)"), plan)
+      assert(plan.contains("LessThan(raw_ns,180000000)"), plan)
+      // and the streamed result equals the batch computation (parity)
+      val got = spark.table(sink).collect().map(_.toSeq).toSet
+      val batch = SeriesOps.slidingBy(
+        spark.read.parquet(srcDir).selectExpr("raw_ns div 1000 AS timestamp", "value"),
+        I, S)
+        .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch && got.nonEmpty)
+    }
+  }
+
   test("no false fire: non-window aggregates and non-label filters untouched") {
     withRule {
       // groupBy on a plain column — the rule must not touch it
