@@ -172,12 +172,54 @@ object AnalyticsSurface {
         "user_id", "timestamp", "click_value", "last_click",
         Seq("user_id", "timestamp", "value"))
     }),
+    // the SAME as-of join under heavy key skew: half of all users
+    // collapse onto one hot key (user 0 holds ~50% of both sides).
+    // The union+window formulation is skew-robust BY SHAPE — work per
+    // key is O(rows log rows) in the per-partition sort, never the
+    // per-key cross product a range-join formulation pays — so the
+    // hot key costs its row share, nothing quadratic. Gate locks the
+    // values; AsOfJoinSpec locks the plan shape on a 50%-hot fixture.
+    "asof_join_skew" -> ((s, dir) => {
+      val all = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"),
+        when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
+          .as("user_id"),
+        col("event_type"), col("value"))
+      val leftEv = all.filter(col("event_type") =!= "click")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max("value").as("click_value"))
+      graft.ops.AsOfJoin.backwardProjected(leftEv, clicks,
+        "user_id", "timestamp", "click_value", "last_click",
+        Seq("user_id", "timestamp", "value"))
+    }),
     // binned range join: every error event paired with the same user's
     // clicks within +-6 h (graft.ops.RangeJoin — candidates from an
     // equality join on (user, tol-bucket), never an all-pairs filter)
     "range_join" -> ((s, dir) => {
       val all = t(s, dir, "events").select(
         expr("ts div 1000").as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      val errors = all.filter(col("event_type") === "error")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .select("user_id", "timestamp", "value")
+      graft.ops.RangeJoin.withinTolerance(errors, clicks,
+        "user_id", 21600000000L, "value")
+        .select("user_id", "timestamp", "value", "r_timestamp", "r_value")
+    }),
+    // the binned range join under the same 50%-hot key collapse: the
+    // within-(key,bucket) candidate set is what bounds the quadratic
+    // term — the hot key's candidates grow with its rows per TIME
+    // BUCKET, not with its total rows, so skew in the key dimension
+    // alone cannot blow the join up. RangeJoinSpec locks the plan
+    // (equality join on (key, bucket), no NLJ) on the hot fixture.
+    "range_join_skew" -> ((s, dir) => {
+      val all = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"),
+        when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
+          .as("user_id"),
         col("event_type"), col("value"))
       val errors = all.filter(col("event_type") === "error")
         .select("user_id", "timestamp", "value")
@@ -323,6 +365,26 @@ object AnalyticsSurface {
         |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin),
+    "asof_join_skew" ->
+      ("""WITH ev AS (SELECT epoch_us(ts) AS timestamp,
+         |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+         |  event_type, value FROM events),
+         |l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),
+         |r AS (SELECT user_id, timestamp, max(value) AS click_value FROM ev
+         |      WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
+         |FROM l ASOF LEFT JOIN r
+         |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin),
+    "range_join_skew" ->
+      ("""WITH ev AS (SELECT epoch_us(ts) AS timestamp,
+         |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+         |  event_type, value FROM events),
+         |l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'error'),
+         |r AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'click')
+         |SELECT l.user_id, l.timestamp, l.value,
+         |  r.timestamp AS r_timestamp, r.value AS r_value
+         |FROM l JOIN r ON l.user_id = r.user_id
+         |  AND abs(l.timestamp - r.timestamp) <= 21600000000""".stripMargin),
     "range_join" ->
       (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'error'),
         |r AS (SELECT user_id, timestamp, value FROM ev WHERE event_type = 'click')

@@ -79,6 +79,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.getDouble(0) == 1.0)
   }
 
+  test("a 50%-hot key: brute-force parity and the same cross-product-free plan") {
+    // one symbol = half of all quotes AND half of all trades — the
+    // classic hot instrument. The union+window formulation's work per
+    // key is its row share (sort within partition), so the plan must
+    // be IDENTICAL in shape to the uniform case: one shuffle on the
+    // key, a window, no join operator at all.
+    val rnd = new scala.util.Random(29)
+    def hotKey() = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(50).toLong
+    val l = (0 until 2000).map(_ => (hotKey(), rnd.nextInt(100000).toLong, rnd.nextDouble()))
+    val r = (0 until 2000).map(_ => (hotKey(), rnd.nextInt(100000).toLong, rnd.nextDouble()))
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), v) => (k, t, v.map(_._3).max) }.toSeq
+    val hotShare = l.count(_._1 == 0L).toDouble / l.size
+    assert(hotShare > 0.4 && hotShare < 0.6, s"fixture skew drifted: $hotShare")
+    val df = AsOfJoin.backward(
+      l.toDF("user_id", "timestamp", "value"),
+      r.toDF("user_id", "timestamp", "qv"),
+      "user_id", "timestamp", "qv", "q")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    val got = df.select("user_id", "timestamp", "value", "q").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .sortBy(x => (x._1, x._2, x._3))
+    val brute = l.map { case (k, t, v) =>
+      val prior = r.filter(q => q._1 == k && q._2 <= t)
+      (k, t, v, if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == brute)
+  }
+
   test("plan is a windowed union — no cross product or nested loop") {
     val plan = AsOfJoin.backward(trades, quotes, "user_id", "timestamp", "qv", "q")
       .queryExecution.executedPlan.toString
