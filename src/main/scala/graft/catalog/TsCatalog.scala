@@ -275,7 +275,20 @@ final class TsCatalog(spark: SparkSession, val root: String,
 
   /** Compact small files within each bucket (the analog of the
     * reference's chunk flush/merge, src/partition.c:62-125): rewrite
-    * buckets whose file count exceeds `maxFilesPerBucket`. */
+    * buckets whose file count exceeds `maxFilesPerBucket`.
+    *
+    * CONCURRENT-READER CONTRACT (this and [[enforceRetention]]): both
+    * replace/remove bucket directories in place, so a scan whose file
+    * index was built BEFORE the maintenance ran may hold dead paths.
+    * The guaranteed behavior is loud failure — Spark raises its
+    * FileNotFound re-create-the-Dataset error; a re-planned scan sees
+    * the complete post-maintenance data — never a silently partial
+    * result (MaintenanceSpec locks both races). Snapshot-isolated
+    * reads under maintenance require a versioned table format (the
+    * Delta/Iceberg class of layout), which this bucket-directory
+    * catalog deliberately does not reimplement; run maintenance in
+    * the ingest pipeline's quiet window, exactly like the reference's
+    * single-threaded flush. */
   def compact(db: String, name: String, maxFilesPerBucket: Int = 8): Int = {
     val dp = dataPath(db, name)
     if (!fs.exists(dp)) return 0
