@@ -277,18 +277,30 @@ final class TsCatalog(spark: SparkSession, val root: String,
     * reference's chunk flush/merge, src/partition.c:62-125): rewrite
     * buckets whose file count exceeds `maxFilesPerBucket`.
     *
-    * CONCURRENT-READER CONTRACT (this and [[enforceRetention]]): both
-    * replace/remove bucket directories in place, so a scan whose file
-    * index was built BEFORE the maintenance ran may hold dead paths.
-    * The guaranteed behavior is loud failure — Spark raises its
-    * FileNotFound re-create-the-Dataset error; a re-planned scan sees
-    * the complete post-maintenance data — never a silently partial
-    * result (MaintenanceSpec locks both races). Snapshot-isolated
-    * reads under maintenance require a versioned table format (the
-    * Delta/Iceberg class of layout), which this bucket-directory
-    * catalog deliberately does not reimplement; run maintenance in
-    * the ingest pipeline's quiet window, exactly like the reference's
-    * single-threaded flush. */
+    * CONCURRENT-READER CONTRACT (this and [[enforceRetention]]):
+    * maintenance is NOT safe to run under concurrent reads — schedule
+    * it in the ingest pipeline's quiet window, exactly like the
+    * reference's single-threaded flush. What a concurrent scan
+    * actually observes, by when its FILE LISTING happened:
+    *  - listed before the swap, opened files before the swap finished
+    *    → complete pre-maintenance snapshot;
+    *  - listed before the swap, opened after → loud FileNotFound
+    *    (Spark's re-create-the-Dataset error) with default
+    *    `spark.sql.files.ignoreMissingFiles=false` — never enable
+    *    that flag on this catalog, it converts this case to silent
+    *    row loss;
+    *  - listed INSIDE the two-rename swap window (live dir renamed
+    *    aside, replacement not yet installed) → the bucket is simply
+    *    absent from the listing: a SILENTLY EMPTY bucket. The window
+    *    is two renames wide (the rewrite itself happens into a temp
+    *    dir beforehand), but it exists — which is WHY the quiet-window
+    *    requirement is the contract and loud failure only the
+    *    common-case safety net (MaintenanceSpec exercises the
+    *    stale-index races; the listing-mid-swap race is inherently
+    *    timing-dependent).
+    * Snapshot-isolated reads under maintenance require a versioned
+    * table format (the Delta/Iceberg class of layout), which this
+    * bucket-directory catalog deliberately does not reimplement. */
   def compact(db: String, name: String, maxFilesPerBucket: Int = 8): Int = {
     val dp = dataPath(db, name)
     if (!fs.exists(dp)) return 0

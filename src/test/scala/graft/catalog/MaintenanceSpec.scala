@@ -68,11 +68,7 @@ class MaintenanceSpec extends AnyFunSuite {
       val planned = cat.readSeries("m", "s")
       assert(cat.compact("m", "s", maxFilesPerBucket = 2) == 1)
       val outcome = try Right(planned.collect().length)
-      catch { case e: Throwable =>
-        def chain(t: Throwable): Seq[Throwable] =
-          if (t == null) Nil else t +: chain(t.getCause)
-        Left(chain(e).map(_.getClass.getSimpleName))
-      }
+      catch { case e: Throwable => Left(graft.TestCauses.classNames(e)) }
       outcome match {
         case Left(classes) =>
           // loud failure: a FileNotFound (possibly wrapped) — the
@@ -105,15 +101,14 @@ class MaintenanceSpec extends AnyFunSuite {
       val planned = cat.readSeries("m", "s")
       assert(cat.enforceRetention("m", "s", now) == 1)
       val outcome = try Right(planned.collect().length)
-      catch { case e: Throwable =>
-        def chain(t: Throwable): Seq[Throwable] =
-          if (t == null) Nil else t +: chain(t.getCause)
-        Left(chain(e).map(_.getClass.getSimpleName))
-      }
+      catch { case e: Throwable => Left(graft.TestCauses.classNames(e)) }
       outcome match {
         case Left(classes) =>
           assert(classes.exists(_.contains("FileNotFound")), classes.toString)
-        case Right(n) => assert(n == 1 || n == 2, s"unexpected row count $n")
+        // a complete pre-reap snapshot (2 rows) is the ONLY acceptable
+        // success: exactly 1 row is what a silent skip of the reaped
+        // file would produce, and must fail here
+        case Right(n) => assert(n == 2, s"silent partial read: $n of 2")
       }
       val after = cat.readSeries("m", "s").collect().map(_.getDouble(1)).toSeq
       assert(after == Seq(2.0))

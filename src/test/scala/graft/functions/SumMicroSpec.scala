@@ -88,9 +88,7 @@ class SumMicroSpec extends AnyFunSuite {
         Seq(("a", java.lang.Double.valueOf(x))).toDF("k", "v")
           .groupBy("k").agg(call_function("sum_micro", col("v"))).collect()
       }
-      def chain(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(t =>
+      assert(graft.TestCauses.chain(e).exists(t =>
         t.getMessage != null && t.getMessage.contains("DECIMAL(30,6)")), s"$x: $e")
     }
   }
