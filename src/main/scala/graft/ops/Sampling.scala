@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the subsampling tier of a
+  * training-data pipeline. Everything here is HASH-gated, never
+  * `rand()`-based: membership must be reproducible across runs,
+  * retries, and executors (a lost task that re-rolls its random sample
+  * ships different training data than the attempt it replaced), and
+  * stable under corpus growth (whether a doc is sampled depends only on
+  * its id, so yesterday's sample is a subset of today's at the same
+  * rate). The hash is the shared 60-bit md5 prefix ([[TextFns.h60]]),
+  * reproducible in any engine — the DuckDB oracles run the identical
+  * predicate.
+  *
+  * Scale shape: a sampling predicate is a stateless row-local filter —
+  * no shuffle, no state, applied at the scan. At 100 TB it is the
+  * cheapest operator in the pipeline.
+  */
+object Sampling {
+
+  /** The membership hash: uniform in [0, 100) per id, namespaced so
+    * different sampling decisions on the same corpus are independent. */
+  private def pct(idCol: Column, namespace: String): Column =
+    pmod(TextFns.h60(concat(lit(s"$namespace:"), idCol.cast("string"))), lit(100L))
+
+  /** Uniform deterministic percent-sample (the sample_corpus gate's
+    * form, factored for reuse). */
+  def uniformHash(df: DataFrame, idCol: String, percent: Int,
+      namespace: String = "sample"): DataFrame = {
+    require(percent >= 0 && percent <= 100, s"percent in [0,100], got $percent")
+    df.filter(pct(col(idCol), namespace) < percent)
+  }
+
+  /** STRATIFIED deterministic sampling: each stratum (language, source,
+    * quality band …) gets its own rate — the language-rebalancing
+    * primitive of multilingual corpus construction (downsample the
+    * dominant language instead of starving the rest). Rates are
+    * percentages; strata not in the map use `defaultPct`. The rate map
+    * is model configuration, not data — it inlines as a literal
+    * when-chain, so the filter stays a stateless scan predicate (no
+    * join against a rates table, nothing to shuffle or broadcast).
+    */
+  def stratifiedHash(df: DataFrame, stratumCol: String, idCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100,
+      namespace: String = "sample"): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"all rates in [0,100]: $pctByStratum default $defaultPct")
+    // sorted fold → deterministic when-chain order (strata are distinct
+    // values, so order cannot change results — but stable plans make
+    // stable canonicalized comparisons)
+    val rate = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(pct(col(idCol), namespace) < rate)
+  }
+}

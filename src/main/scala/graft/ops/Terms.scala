@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-document term scoring over the normalized token stream — the
+  * keyword/topic primitive of corpus analysis (tf-idf and its
+  * cross-engine-exact sibling).
+  *
+  * Two scorings:
+  *  - [[topTermsByRarity]] (GATED): score6 = (tf · 10⁶) div (df + 1),
+  *    pure integer arithmetic. This is tf-idf with the idf's log
+  *    dropped — the PER-DOCUMENT RANKING it induces is the point, and
+  *    integer scores compare bit-identically in any engine. The
+  *    classic log form cannot hash-gate across engines: ln() is libm,
+  *    and a 1-ulp difference between Java's StrictMath-adjacent log
+  *    and DuckDB's ln flips near-equal ranks (the round(mean,4) trap,
+  *    COVERAGE.md determinism rules, applied to transcendentals).
+  *  - [[tfIdf]]: the standard smoothed log form for in-Spark use
+  *    (double scores; deliberately NOT oracle-gated).
+  *
+  * Scale shape: tokenize+explode is a narrow fan-out (rows × doc
+  * length); tf aggregates on (doc_id, term) — well-spread keys; df
+  * aggregates on term with map-side partial combine (the Zipf head
+  * key "the" arrives pre-combined per partition, so the hot term costs
+  * one row per upstream partition, not one per occurrence); the join
+  * back to tf is an equality join on term (AQE handles residual skew);
+  * the final top-k is one window on doc_id. Nothing quadratic,
+  * nothing driver-side.
+  */
+object Terms {
+
+  /** (doc_id, term, tf) over the normalized tokens — shared base. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFns.normTokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k rarity-weighted terms per document, integer-exact.
+    * Output: (doc_id, term, tf, df, score6, rank); ties broken by term
+    * ascending so ranks are total-ordered and engine-independent. */
+  def topTermsByRarity(docs: DataFrame, k: Int): DataFrame = {
+    val tf = termFreq(docs)
+    // tf already holds one row per (doc, term) → count(*) = doc freq
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score6", expr("(tf * 1000000) div (df + 1)"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score6").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score6", "rank")
+  }
+
+  /** Standard smoothed tf-idf: tf · (ln((N+1)/(df+1)) + 1). Double
+    * scores — use in-Spark; the libm ln makes it non-portable for
+    * hash-gating (see object doc). N is passed by the caller (one
+    * metadata-cheap count). */
+  def tfIdf(docs: DataFrame, nDocs: Long): DataFrame = {
+    val tf = termFreq(docs)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+}

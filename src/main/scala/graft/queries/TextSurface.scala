@@ -116,10 +116,20 @@ object TextSurface {
     // primitive: reproducible across runs/retries (rand() is neither),
     // stable under corpus growth (membership depends only on doc_id)
     "sample_corpus" -> ((s, dir) =>
-      docs(s, dir)
-        .filter(pmod(TextFns.h60(concat(lit("sample:"), col("doc_id").cast("string"))),
-          lit(100L)) < 10)
+      graft.ops.Sampling.uniformHash(docs(s, dir), "doc_id", 10)
         .select("doc_id", "lang", "source", "n_chars")),
+    // stratified rebalancing: the dominant language (en, ~45% of the
+    // fixture) downsampled to 30% while every other stratum keeps 100%
+    // — the multilingual-corpus construction primitive. Same stateless
+    // hash predicate, rate selected by a literal when-chain per stratum
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHash(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 30), defaultPct = 100)
+        .select("doc_id", "lang", "source", "n_chars")),
+    // rarity-weighted top terms per doc (integer-exact tf/df scoring —
+    // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
+    "text_top_terms" -> ((s, dir) =>
+      graft.ops.Terms.topTermsByRarity(docs(s, dir), 3)),
     "pipeline_clean_corpus" -> ((s, dir) => {
       val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
       val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
@@ -299,6 +309,25 @@ object TextSurface {
     "sample_corpus" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+         |  < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""".stripMargin,
+    "text_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |    (t.tf * 1000000) // (d.df + 1) AS score6
+         |  FROM tf t JOIN dfreq d USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score6 DESC, term ASC) AS rank FROM scored)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(score6 AS BIGINT) AS score6,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_score
          |FROM documents d JOIN ($textStatsOracle) q USING (doc_id)

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic hash sampling: reproducibility, subset invariance,
+  * stratum rates, namespace independence, shuffle-free plan. */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val corpus = (0 until 2000)
+    .map(i => (i.toLong, if (i % 2 == 0) "en" else Seq("de", "fr", "zh")(i % 3)))
+    .toDF("doc_id", "lang")
+
+  test("membership is deterministic and identical across runs") {
+    val a = Sampling.uniformHash(corpus, "doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniformHash(corpus, "doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // rate lands near 10% (hash uniformity on 2000 ids)
+    assert(a.size > 120 && a.size < 280, a.size.toString)
+  }
+
+  test("a lower rate is a SUBSET of a higher rate (stable under re-rating)") {
+    val p10 = Sampling.uniformHash(corpus, "doc_id", 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val p30 = Sampling.uniformHash(corpus, "doc_id", 30).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(p10.subsetOf(p30) && p30.size > p10.size)
+  }
+
+  test("membership depends only on the id — stable under corpus growth") {
+    val small = Sampling.uniformHash(corpus.filter(col("doc_id") < 500), "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.uniformHash(corpus, "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small == large.filter(_ < 500))
+  }
+
+  test("namespaces decorrelate sampling decisions") {
+    val a = Sampling.uniformHash(corpus, "doc_id", 50, namespace = "holdout")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.uniformHash(corpus, "doc_id", 50, namespace = "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // ~50% overlap for independent 50% samples, not ~100%
+    val overlap = (a intersect b).size.toDouble / a.size
+    assert(overlap > 0.3 && overlap < 0.7, overlap.toString)
+  }
+
+  test("stratified rates apply per stratum; unlisted strata use the default") {
+    val sampled = Sampling.stratifiedHash(corpus, "lang", "doc_id",
+      Map("en" -> 25), defaultPct = 100)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = corpus.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-en strata: full retention
+    for (l <- totals.keys if l != "en") assert(byLang(l) == totals(l), l)
+    // en: near the 25% target
+    val enRate = byLang("en").toDouble / totals("en")
+    assert(enRate > 0.17 && enRate < 0.33, enRate.toString)
+    // and the en subset is exactly the uniform 25% sample of en docs —
+    // stratification changes RATES, never the membership hash
+    val enDocs = Sampling.uniformHash(corpus.filter(col("lang") === "en"), "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == enDocs)
+  }
+
+  test("the sampling predicate is a shuffle-free scan filter") {
+    val plan = Sampling.stratifiedHash(corpus, "lang", "doc_id",
+      Map("en" -> 25), defaultPct = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+}

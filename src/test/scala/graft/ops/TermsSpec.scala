@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rarity-weighted term scoring: hand-computed parity, normalization,
+  * tie-breaks, degenerate docs, tf-idf ordering sanity. */
+class TermsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple apple banana"),
+    (2L, "banana cherry!"),
+    (3L, "Cherry, cherry demand."),
+    (4L, "???") // punctuation-only: no tokens at all
+  ).toDF("doc_id", "text")
+
+  test("tf, df, score6 and ranks match the hand computation") {
+    // norm tokens: d1 = [apple, apple, banana]; d2 = [banana, cherry];
+    // d3 = [cherry, cherry, demand]; d4 = []
+    // df: apple 1, banana 2, cherry 2, demand 1
+    // score6 = tf*1e6 div (df+1):
+    //   d1: apple 2e6/2=1000000, banana 1e6/3=333333
+    //   d2: banana 333333, cherry 333333 (tie → term asc)
+    //   d3: cherry 2e6/3=666666, demand 500000
+    val got = Terms.topTermsByRarity(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, "apple", 2L, 1L, 1000000L, 1L),
+      (1L, "banana", 1L, 2L, 333333L, 2L),
+      (2L, "banana", 1L, 2L, 333333L, 1L), // tie with cherry: term asc
+      (2L, "cherry", 1L, 2L, 333333L, 2L),
+      (3L, "cherry", 2L, 2L, 666666L, 1L),
+      (3L, "demand", 1L, 1L, 500000L, 2L)))
+  }
+
+  test("k truncates per document") {
+    val got = Terms.topTermsByRarity(docs, 1).collect()
+    assert(got.length == 3) // one per non-empty doc
+    assert(got.forall(_.getLong(5) == 1L))
+  }
+
+  test("tf-idf: within a doc, the rarer of two equal-tf terms scores higher") {
+    val scores = Terms.tfIdf(docs, nDocs = 4)
+      .filter($"doc_id" === 2L).collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // d2 has banana (df 2) and cherry (df 2) — equal; compare across
+    // docs instead: d1's apple (df 1, tf 2) must beat d1's banana
+    val d1 = Terms.tfIdf(docs, nDocs = 4)
+      .filter($"doc_id" === 1L).collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(d1("apple") > d1("banana"))
+    assert(scores("banana") == scores("cherry"))
+  }
+
+  test("no cartesian or nested-loop operator in the plan") {
+    val plan = Terms.topTermsByRarity(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+}
