@@ -157,12 +157,26 @@ object SeriesOps {
 
   /** Downsampling with a selector other than the reference's implied
     * avg (extension surface): per tumbling window, `min`/`max` of the
-    * value or the `latest` record's value (max_by timestamp). Same
-    * window labeling as [[sampleBy]]; one shuffle on the bucket key
-    * with map-side partial aggregation.
+    * value, the `latest` record's value (max_by timestamp), the
+    * `delta` between the window's last and first records, or the
+    * per-second `rate` (delta over elapsed time — the counter-rate
+    * primitive of monitoring queries). Same window labeling as
+    * [[sampleBy]]; one shuffle on the bucket key with map-side partial
+    * aggregation.
+    *
+    * delta/rate pick first/last records via struct min/max over
+    * (timestamp, value) — at duplicate timestamps the tie goes to the
+    * smaller/larger value DETERMINISTICALLY, which a bare
+    * min_by/max_by(value, timestamp) cannot promise in any engine
+    * (the oracle mirrors the same named-struct comparison). `rate` is
+    * delta per 10⁶ timestamp units — per second on the micros-view
+    * series — and NULL for single-point windows (nullif guards the
+    * zero span; ANSI would otherwise throw).
     */
   def sampleByFn(df: DataFrame, intervalUnits: Long, fn: String): DataFrame = {
     val w = df.groupBy(sampleWindow(intervalUnits))
+    def firstRec = min(struct(col("timestamp"), col("value")))
+    def lastRec = max(struct(col("timestamp"), col("value")))
     fn match {
       case "min" => w.agg(min(col("value")).as("min_value"),
         count(lit(1)).as("n_points"))
@@ -170,6 +184,17 @@ object SeriesOps {
         count(lit(1)).as("n_points"))
       case "latest" => w.agg(max_by(col("value"), col("timestamp")).as("last_value"),
         count(lit(1)).as("n_points"))
+      case "delta" => w.agg(
+        (lastRec.getField("value") - firstRec.getField("value")).as("delta_value"),
+        count(lit(1)).as("n_points"))
+      case "rate" => w.agg(
+          (lastRec.getField("value") - firstRec.getField("value")).as("_d"),
+          (max(col("timestamp")) - min(col("timestamp"))).as("_span"),
+          count(lit(1)).as("n_points"))
+        .select(col("sample_ts"),
+          (col("_d") * lit(1000000.0) /
+            nullif(col("_span"), lit(0L)).cast("double")).as("rate_value"),
+          col("n_points"))
       case other => throw new IllegalArgumentException(s"sampleByFn: $other")
     }
   }

@@ -138,7 +138,26 @@ object AnalyticsSurface {
       .filter(col("n") >= 2)
   }
 
+  /** Exact running balance per user: sum_micro as a RUNNING-frame
+    * window aggregate (unbounded preceding → current row evaluates
+    * incrementally — no per-row re-scan of the frame). Prefix sums are
+    * order-sensitive, so the window orders by the TOTAL key
+    * (timestamp, value): duplicate keys make identical rows, whose
+    * prefix assignment cannot change the output multiset. Exact
+    * decimal accumulation → bit-identical to the oracle's DECIMAL
+    * window sum at every prefix. Shuffles once on user_id. */
+  private def cumsumPerUser(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.eventSeries(s, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("timestamp").asc, col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("timestamp"), col("value"),
+      round(call_function("sum_micro", col("value")).over(w), 4).as("cum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cumsum_user" -> cumsumPerUser,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_volume" -> q5RegionVolume,
@@ -328,6 +347,12 @@ object AnalyticsSurface {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name""".stripMargin,
+    "win_cumsum_user" ->
+      (EV + """SELECT user_id, timestamp, value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |    OVER (PARTITION BY user_id ORDER BY timestamp, value
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_value
+        |FROM ev""".stripMargin),
     "win_top3_per_user" ->
       (EV + """SELECT user_id, timestamp, value, rn FROM (
         |  SELECT user_id, timestamp, value,

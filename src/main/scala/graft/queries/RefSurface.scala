@@ -78,6 +78,13 @@ object RefSurface {
     }),
     "ts_sliding_window" -> ((s, dir) =>
       SeriesOps.slidingBy(evRanged(s, dir), HOUR_US, SLIDE_US)),
+    // counter-analytics selectors over SAMPLE BY windows (extension
+    // surface): last-minus-first delta and its per-second rate, both
+    // tie-deterministic via struct min/max (see SeriesOps.sampleByFn)
+    "ts_sample_delta" -> ((s, dir) =>
+      SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "delta")),
+    "ts_sample_rate" -> ((s, dir) =>
+      SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "rate")),
     "ts_where" -> ((s, dir) =>
       // lower bound pushed on raw ts (micros > T0 ⟺ nanos >= (T0+1)*1000)
       SeriesOps.scan(SeriesOps.whereChain(
@@ -119,6 +126,19 @@ object RefSurface {
          |WHERE sample_ts BETWEEN $T0 AND $T1""".stripMargin),
     "ts_sliding_window" ->
       (EV + slidingOracleSql(s"WHERE timestamp BETWEEN $T0 AND $T1\n")),
+    // named-struct min/max mirrors the engine's (timestamp, value)
+    // struct comparison — the same deterministic tie policy
+    "ts_sample_delta" ->
+      (EV + s"""SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v AS delta_value,
+         |  count(*) AS n_points
+         |FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
+    "ts_sample_rate" ->
+      (EV + s"""SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  (max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v)
+         |    * 1000000.0 / CAST(nullif(max(timestamp) - min(timestamp), 0) AS DOUBLE) AS rate_value,
+         |  count(*) AS n_points
+         |FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
     "ts_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->

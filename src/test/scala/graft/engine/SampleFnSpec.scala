@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sampleByFn's delta/rate selectors: hand-computed windows, the
+  * struct tie policy at duplicate timestamps, single-point NULL rate. */
+class SampleFnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // interval 100: window (0,100] label 100 etc. Window 100: points at
+  // 10 (v=5), 50 (v=9), 99 (v=7) → delta 2, span 89. Window 200: one
+  // point (150, 4) → delta 0, rate NULL. Window 300: DUPLICATE ts 250
+  // with v 1 and 3 → struct tie policy: first=(250,1), last=(250,3) →
+  // delta 2, span 0 → rate NULL.
+  private lazy val series = Seq(
+    (10L, 5.0), (50L, 9.0), (99L, 7.0),
+    (150L, 4.0),
+    (250L, 1.0), (250L, 3.0)
+  ).toDF("timestamp", "value")
+
+  test("delta = last minus first with deterministic duplicate-ts ties") {
+    val got = SeriesOps.sampleByFn(series, 100L, "delta").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(
+      100L -> ((2.0, 3L)),
+      200L -> ((0.0, 1L)),
+      300L -> ((2.0, 2L))))
+  }
+
+  test("rate = delta per 1e6 units; NULL on zero span, never a throw") {
+    val got = SeriesOps.sampleByFn(series, 100L, "rate").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))).toMap
+    assert(got(100L) == ((Some(2.0 * 1000000.0 / 89.0), 3L)))
+    assert(got(200L) == ((None, 1L))) // single point: no elapsed time
+    assert(got(300L) == ((None, 2L))) // duplicate-ts-only window: span 0
+  }
+
+  test("unknown selector fails loudly") {
+    intercept[IllegalArgumentException] {
+      SeriesOps.sampleByFn(series, 100L, "median")
+    }
+  }
+}
