@@ -199,6 +199,30 @@ object SeriesOps {
     }
   }
 
+  /** Whole-range delta: last value minus first value over the queried
+    * range (PromQL-style increase()). Same struct tie policy as the
+    * SAMPLE BY `delta` selector. Output (delta_value, n). */
+  def deltaValue(df: DataFrame): DataFrame =
+    df.agg(
+      (max(struct(col("timestamp"), col("value"))).getField("value")
+        - min(struct(col("timestamp"), col("value"))).getField("value"))
+        .as("delta_value"),
+      count(lit(1)).as("n"))
+
+  /** Whole-range per-second rate (delta per 10⁶ timestamp units on the
+    * micros view); NULL when the range holds fewer than two distinct
+    * timestamps. Output (rate_value, n). */
+  def rateValue(df: DataFrame): DataFrame =
+    df.agg(
+        (max(struct(col("timestamp"), col("value"))).getField("value")
+          - min(struct(col("timestamp"), col("value"))).getField("value")).as("_d"),
+        (max(col("timestamp")) - min(col("timestamp"))).as("_span"),
+        count(lit(1)).as("n"))
+      .select(
+        (col("_d") * lit(1000000.0) /
+          nullif(col("_span"), lit(0L)).cast("double")).as("rate_value"),
+        col("n"))
+
   /** WHERE-clause conjunction over (timestamp, value) — the 6 comparators
     * of the reference grammar (src/statement_parse.h:150-158); execution
     * was stubbed in the reference (src/statement_execute.c:390-394).

@@ -143,6 +143,10 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
                     SeriesOps.sampleByFn(filtered, interval, "max")
                   case Some(SelectFn.Latest) =>
                     SeriesOps.sampleByFn(filtered, interval, "latest")
+                  case Some(SelectFn.Delta) =>
+                    SeriesOps.sampleByFn(filtered, interval, "delta")
+                  case Some(SelectFn.Rate) =>
+                    SeriesOps.sampleByFn(filtered, interval, "rate")
                   case Some(SelectFn.Earliest(_)) =>
                     return Err(ErrCode.Unsupported,
                       "earliest(n) cannot combine with SAMPLE BY")
@@ -177,6 +181,12 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
                   .filter(col("timestamp").isNotNull))(Rows)
               case Some(SelectFn.Avg) =>
                 oneShot(SeriesOps.avgValue(filtered)
+                  .filter(col("n") > 0))(Scalar)
+              case Some(SelectFn.Delta) =>
+                oneShot(SeriesOps.deltaValue(filtered)
+                  .filter(col("n") > 0))(Scalar)
+              case Some(SelectFn.Rate) =>
+                oneShot(SeriesOps.rateValue(filtered)
                   .filter(col("n") > 0))(Scalar)
               // latest respects the range (fixing the reference quirk where
               // BETWEEN was ignored, src/statement_execute.c:261-271)

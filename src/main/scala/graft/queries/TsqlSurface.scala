@@ -126,6 +126,13 @@ object TsqlSurface {
       s"SELECT min(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
     "tsql_sample_latest" -> q(
       s"SELECT latest(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    // dialect-extension counter selectors, end-to-end through the
+    // parser (SeriesOps.sampleByFn "delta"/"rate" under the hood)
+    "tsql_sample_delta" -> q(
+      s"SELECT delta(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    "tsql_sample_rate" -> q(
+      s"SELECT rate(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
+    "tsql_delta" -> q(s"SELECT delta(value) FROM ev BETWEEN $T0 AND $T1"),
     // date-literal + span-literal + plan-time '+' folding, end-to-end
     // over the NANOS-ingested series (see executorNs)
     "tsql_date_avg" -> qNs(
@@ -161,6 +168,12 @@ object TsqlSurface {
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, min(value) AS min_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "tsql_sample_latest" ->
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, arg_max(value, timestamp) AS last_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "tsql_sample_delta" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v AS delta_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "tsql_sample_rate" ->
+      (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, (max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v) * 1000000.0 / CAST(nullif(max(timestamp) - min(timestamp), 0) AS DOUBLE) AS rate_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
+    "tsql_delta" ->
+      (EV + s"SELECT max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v AS delta_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
     // '2024-01-06' = 1704499200000000 epoch-micros (UTC); +12d. DuckDB
     // sees the TIMESTAMP(NANOS) column truncated to micros, but the
     // bounds are multiples of 1000 ns so the row set is identical to

@@ -49,7 +49,9 @@ final case class WherePred(key: String, op: CmpOp.Value, value: Double,
 
 /** Aggregate selector functions (reference src/statement_parse.h:147:
   * FN_MIN/FN_MAX/FN_AVG/FN_LATEST; `earliest(col, n)` is declared in
-  * the grammar doc at src/statement_parse.h:103). */
+  * the grammar doc at src/statement_parse.h:103; `delta`/`rate` are
+  * dialect extensions — the counter-analytics selectors of monitoring
+  * query languages, see SeriesOps.sampleByFn). */
 sealed trait SelectFn
 object SelectFn {
   case object Min extends SelectFn
@@ -57,6 +59,8 @@ object SelectFn {
   case object Avg extends SelectFn
   case object Latest extends SelectFn
   final case class Earliest(n: Int) extends SelectFn
+  case object Delta extends SelectFn
+  case object Rate extends SelectFn
 }
 
 sealed trait Statement

@@ -170,6 +170,8 @@ object Parser {
                 case ("latest", None) => Right(Some(SelectFn.Latest))
                 case ("earliest", Some(k)) => Right(Some(SelectFn.Earliest(k)))
                 case ("earliest", None) => Right(Some(SelectFn.Earliest(1)))
+                case ("delta", None) => Right(Some(SelectFn.Delta))
+                case ("rate", None) => Right(Some(SelectFn.Rate))
                 case (other, _) => Left(s"unknown aggregate function '$other'")
               }
             } yield fn

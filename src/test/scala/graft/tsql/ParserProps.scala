@@ -84,7 +84,8 @@ object ParserProps extends Properties("Parser") {
   property("aggregate selectors parse to the right SelectFn") =
     forAll(genIdent, Gen.oneOf(
         ("min", SelectFn.Min: SelectFn), ("max", SelectFn.Max),
-        ("avg", SelectFn.Avg), ("latest", SelectFn.Latest))) { (name, fnPair) =>
+        ("avg", SelectFn.Avg), ("latest", SelectFn.Latest),
+        ("delta", SelectFn.Delta), ("rate", SelectFn.Rate))) { (name, fnPair) =>
       Parser.parse(s"SELECT ${fnPair._1}(value) FROM $name") ==
         Right(Select(name, Some(fnPair._2), None, Nil, None, None))
     }
