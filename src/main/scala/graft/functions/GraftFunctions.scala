@@ -29,6 +29,7 @@ object GraftFunctions {
     ("dot_int", classOf[DotInt], exprs => DotInt(exprs(0), exprs(1))),
     ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)),
     ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)),
+    ("quality_scan", classOf[QualityScan], exprs => QualityScan(exprs.head)),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("minhash_sig", classOf[MinHashSig], exprs => {
       // k is model shape, not data: require a plan-time constant

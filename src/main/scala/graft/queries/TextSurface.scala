@@ -75,8 +75,41 @@ object TextSurface {
         col("es_hits"), col("zh_chars"), col("pred_lang"), col("lang").as("actual_lang"))
   }
 
+  /** Gopher/C4-class document quality rules (repetition + shape), all
+    * derived from ONE fused scan (graft.functions.QualityScan) in pure
+    * integer arithmetic — see the codec's scaladoc for the exact
+    * count semantics. The `keep` verdict composes four published rule
+    * families at thresholds calibrated to discriminate on this corpus:
+    * word-count floor, mean-word-length band (3.0–10.0 chars),
+    * duplicate-2/3-gram ceilings (repetition/boilerplate), top-word
+    * mass ceiling (degenerate vocabulary). Plan shape is Scan →
+    * Project → Project: no shuffle, no explode — the filter runs at
+    * scan speed on 100 TB. */
+  private def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .withColumn("qs", expr("quality_scan(text)"))
+      .withColumn("n_words", col("qs.n_words"))
+      .withColumn("mean_word_len_bp", expr(
+        "qs.sum_len * 10000 div greatest(qs.n_words, 1)"))
+      .withColumn("dup_2gram_bp", expr(
+        "(greatest(qs.n_words - 1, 0) - qs.d2) * 10000 div greatest(qs.n_words - 1, 1)"))
+      .withColumn("dup_3gram_bp", expr(
+        "(greatest(qs.n_words - 2, 0) - qs.d3) * 10000 div greatest(qs.n_words - 2, 1)"))
+      .withColumn("top_word_bp", expr(
+        "qs.top_n * 10000 div greatest(qs.n_words, 1)"))
+      .withColumn("keep",
+        (col("n_words").between(30, 50000) &&
+          col("mean_word_len_bp").between(30000, 100000) &&
+          col("dup_2gram_bp") <= 600 && col("dup_3gram_bp") <= 200 &&
+          col("top_word_bp") <= 1500).cast("long"))
+      .select("doc_id", "n_words", "mean_word_len_bp", "dup_2gram_bp",
+        "dup_3gram_bp", "top_word_bp", "keep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
+    "text_quality_gopher" -> qualityGopher,
     "text_langid" -> langId,
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       md5(TextFns.normText(col("text"))).as("fp"))),
@@ -239,8 +272,37 @@ object TextSurface {
        |      CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS BIGINT) AS stop_hits
        |    FROM documents))""".stripMargin
 
+  /** Mirrors qualityGopher count-for-count: \S+ tokenizer, non-space
+    * code-point sum, space-joined gram distincts (unambiguous — tokens
+    * cannot contain spaces), integer // arithmetic throughout. */
+  private val qualityGopherOracle: String =
+    """WITH tk AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1),
+      |g AS (SELECT tk.doc_id,
+      |    len(t) AS n_words,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS sum_len,
+      |    len(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS d2,
+      |    len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)])) AS d3,
+      |    coalesce(top.top_n, 0) AS top_n
+      |  FROM tk LEFT JOIN top ON top.doc_id = tk.doc_id),
+      |m AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |    CAST(sum_len * 10000 // greatest(n_words, 1) AS BIGINT) AS mean_word_len_bp,
+      |    CAST((greatest(n_words - 1, 0) - d2) * 10000 // greatest(n_words - 1, 1) AS BIGINT) AS dup_2gram_bp,
+      |    CAST((greatest(n_words - 2, 0) - d3) * 10000 // greatest(n_words - 2, 1) AS BIGINT) AS dup_3gram_bp,
+      |    CAST(top_n * 10000 // greatest(n_words, 1) AS BIGINT) AS top_word_bp
+      |  FROM g)
+      |SELECT doc_id, n_words, mean_word_len_bp, dup_2gram_bp, dup_3gram_bp, top_word_bp,
+      |  CAST(CASE WHEN n_words BETWEEN 30 AND 50000
+      |    AND mean_word_len_bp BETWEEN 30000 AND 100000
+      |    AND dup_2gram_bp <= 600 AND dup_3gram_bp <= 200
+      |    AND top_word_bp <= 1500 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" -> textStatsOracle,
+    "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
          |  CASE WHEN zh_chars > 0 THEN 'zh'
