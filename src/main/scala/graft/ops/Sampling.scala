@@ -25,13 +25,21 @@ object Sampling {
   private def pct(idCol: Column, namespace: String): Column =
     pmod(TextFns.h60(concat(lit(s"$namespace:"), idCol.cast("string"))), lit(100L))
 
+  /** The uniform membership predicate itself — reusable where a caller
+    * needs BOTH sides of the split (e.g. Decontam's train/eval wiring
+    * filters once with it and once with its negation, which partitions
+    * exactly: the hash is deterministic per id). */
+  def uniformHashPredicate(idCol: Column, percent: Int,
+      namespace: String = "sample"): Column = {
+    require(percent >= 0 && percent <= 100, s"percent in [0,100], got $percent")
+    pct(idCol, namespace) < percent
+  }
+
   /** Uniform deterministic percent-sample (the sample_corpus gate's
     * form, factored for reuse). */
   def uniformHash(df: DataFrame, idCol: String, percent: Int,
-      namespace: String = "sample"): DataFrame = {
-    require(percent >= 0 && percent <= 100, s"percent in [0,100], got $percent")
-    df.filter(pct(col(idCol), namespace) < percent)
-  }
+      namespace: String = "sample"): DataFrame =
+    df.filter(uniformHashPredicate(col(idCol), percent, namespace))
 
   /** STRATIFIED deterministic sampling: each stratum (language, source,
     * quality band …) gets its own rate — the language-rebalancing

@@ -159,6 +159,12 @@ object TextSurface {
       graft.ops.Sampling.stratifiedHash(docs(s, dir), "lang", "doc_id",
         Map("en" -> 30), defaultPct = 100)
         .select("doc_id", "lang", "source", "n_chars")),
+    // benchmark decontamination (graft.ops.Decontam): flag training
+    // docs sharing word 8-grams with the deterministic 20% eval split
+    // — ONE equality join on a 60-bit gram hash, benchmark side
+    // broadcast by AQE when small
+    "decontam_overlap" -> ((s, dir) =>
+      graft.ops.Decontam.trainEvalOverlap(docs(s, dir), 20, 8)),
     // rarity-weighted top terms per doc (integer-exact tf/df scoring —
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
@@ -300,7 +306,32 @@ object TextSurface {
       |    AND top_word_bp <= 1500 THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM m""".stripMargin
 
+  /** Mirrors Decontam.trainEvalOverlap row-for-row: same \S+ tokens,
+    * same per-doc list_distinct 8-grams, same h60 gram hash and eval
+    * split predicate; short docs enter via the LEFT JOIN as clean. */
+  private val decontamOracle: String = {
+    val gram8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t,
+       |    (${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20) AS is_eval
+       |  FROM documents),
+       |g AS (SELECT doc_id, is_eval,
+       |    unnest(list_distinct([$gram8 FOR i IN range(1, len(t) - 6)])) AS gram
+       |  FROM d WHERE len(t) >= 8),
+       |h AS (SELECT doc_id, is_eval, ${h60sql("gram")} AS gh FROM g),
+       |ev AS (SELECT DISTINCT gh FROM h WHERE is_eval),
+       |cg AS (SELECT doc_id, count(*) AS n_grams FROM h WHERE NOT is_eval GROUP BY 1),
+       |ht AS (SELECT h.doc_id, count(*) AS n_hit FROM h JOIN ev USING (gh)
+       |  WHERE NOT is_eval GROUP BY 1)
+       |SELECT a.doc_id, coalesce(cg.n_grams, 0) AS n_grams,
+       |  coalesce(ht.n_hit, 0) AS n_hit,
+       |  CAST(coalesce(ht.n_hit, 0) * 10000 // greatest(coalesce(cg.n_grams, 0), 1) AS BIGINT) AS hit_bp,
+       |  CAST(CASE WHEN coalesce(ht.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM (SELECT doc_id FROM d WHERE NOT is_eval) a
+       |LEFT JOIN cg USING (doc_id) LEFT JOIN ht USING (doc_id)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "decontam_overlap" -> decontamOracle,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
