@@ -75,6 +75,20 @@ object StreamSurface {
   private def streamSampleBy(s: SparkSession, dir: String): DataFrame =
     runToTable(s, SeriesOps.sampleBy(eventSeriesStream(s, dir), HOUR_US), "complete")
 
+  /** The delta/rate SAMPLE BY selectors as continuous queries — the
+    * monitoring-counter primitives running on the live stream. Same
+    * [[SeriesOps.sampleByFn]] plan as the batch gates (struct min/max
+    * first/last records are ordinary aggregates, so the stateful
+    * window state stays one struct pair per open window — bounded,
+    * mergeable across micro-batches). */
+  private def streamSampleDelta(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      SeriesOps.sampleByFn(eventSeriesStream(s, dir), HOUR_US, "delta"), "complete")
+
+  private def streamSampleRate(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      SeriesOps.sampleByFn(eventSeriesStream(s, dir), HOUR_US, "rate"), "complete")
+
   /** Sliding windows as a continuous query — the same explode +
     * grouped exact-sum plan as the batch [[SeriesOps.slidingBy]]
     * (stream/batch parity extends to overlapping windows; each point
@@ -168,6 +182,8 @@ object StreamSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
+    "stream_sample_delta" -> streamSampleDelta,
+    "stream_sample_rate" -> streamSampleRate,
     "stream_sliding_window" -> streamSliding,
     "stream_sliding_pruned" -> streamSlidingPruned,
     "stream_dedup_fp" -> streamDedupFp,
@@ -201,6 +217,21 @@ object StreamSurface {
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
          |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+         |  count(*) AS n_points
+         |FROM ev GROUP BY 1""".stripMargin,
+    // same struct-tie first/last semantics as the batch ts_sample_delta/
+    // ts_sample_rate oracles, over the full (unranged) stream
+    "stream_sample_delta" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
+         |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v AS delta_value,
+         |  count(*) AS n_points
+         |FROM ev GROUP BY 1""".stripMargin,
+    "stream_sample_rate" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
+         |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  (max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v)
+         |    * 1000000.0 / CAST(nullif(max(timestamp) - min(timestamp), 0) AS DOUBLE) AS rate_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
     "stream_sliding_window" ->

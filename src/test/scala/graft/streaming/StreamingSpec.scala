@@ -80,6 +80,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.forall(_._1 % 60000000000L == 0)) // end-labeled windows
   }
 
+  test("delta/rate selectors: stream (complete mode) matches batch, ties and single-point windows exact") {
+    import spark.implicits._
+    val src = s"$tmp/src_rate"
+    // micros domain like the gate; window = 60 s. Crafted: window 1 has
+    // a duplicate-timestamp tie at both ends, window 2 is single-point
+    // (rate NULL), window 3 is a plain ramp. Base is window-ALIGNED
+    // (windows are absolute `ts div interval` buckets, not relative to
+    // the first point).
+    val base = 1699999980000000L
+    val pts = Seq(
+      (base + 1000000L, 5.0), (base + 1000000L, 3.0),    // tie at first ts
+      (base + 50000000L, 9.0), (base + 50000000L, 11.0), // tie at last ts
+      (base + 70000000L, 42.0),                          // lone point
+      (base + 130000000L, 1.0), (base + 140000000L, 2.0), (base + 150000000L, 4.0))
+    pts.toDF("timestamp", "value").coalesce(1).write.mode("append").parquet(src)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    for (fn <- Seq("delta", "rate")) {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = graft.engine.SeriesOps.sampleByFn(stream, 60000000L, fn)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"rate_test_$fn").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(s"rate_test_$fn").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      val batch = graft.engine.SeriesOps.sampleByFn(
+          pts.toDF("timestamp", "value"), 60000000L, fn).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream/batch $fn divergence")
+    }
+    // batch-side semantics pin the crafted expectations: struct ties
+    // give first=(t0,3.0), last=(t1,11.0) → delta 8.0; the lone-point
+    // window rates NULL; the ramp window deltas 3.0 over 20 s
+    val d = graft.engine.SeriesOps.sampleByFn(
+        pts.toDF("timestamp", "value"), 60000000L, "delta")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(d.values.toSet == Set(Some(8.0), Some(0.0), Some(3.0)))
+    val rt = graft.engine.SeriesOps.sampleByFn(
+        pts.toDF("timestamp", "value"), 60000000L, "rate")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rt.values.count(_.isEmpty) == 1)  // single-point window → NULL
+    assert(rt.values.flatten.toSet ==
+      Set(8.0 * 1000000.0 / 49000000.0, 3.0 * 1000000.0 / 20000000.0))
+  }
+
   test("session_window aggregation: stream (append + watermark) matches batch, boundary exact") {
     import spark.implicits._
     val src = s"$tmp/src_sess"
