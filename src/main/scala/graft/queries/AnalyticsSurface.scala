@@ -279,6 +279,23 @@ object AnalyticsSurface {
     // (PlanSpec locks the shape); results gate against the plain join
     "join_bucketed_revenue" -> ((s, dir) =>
       graft.ops.Bucketed.revenueByPriority(s, dir)),
+    // z-order layout key (graft.ops.ZOrder): the gate checks the
+    // interleave ARITHMETIC cross-engine (per-z-bucket counts + both
+    // dims' bounding boxes over lineitem keys); the locality property
+    // of clustering by it is ZOrderSpec's measured claim
+    "zorder_layout" -> ((s, dir) => {
+      // Knuth multiplicative spread before the 16-bit bucket: raw keys
+      // at small SFs never reach the high interleave bits (every row
+      // would land in z-bucket 0 and the gate would check nothing)
+      val li = t(s, dir, "lineitem")
+        .select(((col("l_orderkey") * 2654435761L) % 65536).as("ox"),
+          ((col("l_partkey") * 2654435761L) % 65536).as("oy"))
+      li.withColumn("z", graft.ops.ZOrder.interleave(Seq(col("ox"), col("oy")), 16))
+        .groupBy(expr("z div 134217728").as("zb")) // 2^27: 32 buckets
+        .agg(count(lit(1)).as("n"),
+          min("ox").as("min_x"), max("ox").as("max_x"),
+          min("oy").as("min_y"), max("oy").as("max_y"))
+    }),
   )
 
   private val PCTS = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
@@ -425,6 +442,16 @@ object AnalyticsSurface {
     // the sketch verdicts gate as constants: the oracle reproduces the
     // exact side; if Spark's sketch ever drifts past its error budget
     // the engine-side verdict flips to 0 and the hash check fails
+    "zorder_layout" -> {
+      val z = graft.ops.ZOrder.interleaveSql(Seq("ox", "oy"), 16)
+      s"""WITH k AS (SELECT (l_orderkey * 2654435761) % 65536 AS ox,
+         |    (l_partkey * 2654435761) % 65536 AS oy FROM lineitem),
+         |z AS (SELECT ox, oy, $z AS z FROM k)
+         |SELECT z // 134217728 AS zb, count(*) AS n,
+         |  min(ox) AS min_x, max(ox) AS max_x,
+         |  min(oy) AS min_y, max(oy) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
     "agg_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  CAST(1 AS BIGINT) AS within_3rsd
