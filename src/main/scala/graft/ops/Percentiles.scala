@@ -42,7 +42,18 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   def exact(df: DataFrame, key: String, value: String,
-      pcts: Seq[(String, Double)]): DataFrame = {
+      pcts: Seq[(String, Double)]): DataFrame =
+    exactImpl(df, key, value, pcts, round4 = true)
+
+  /** [[exact]] without the 4dp gate rounding — the raw interpolated
+    * doubles, used by PercentilesSpec's boundary-margin invariant
+    * (which checks the rounding itself is cross-engine safe). */
+  def exactUnrounded(df: DataFrame, key: String, value: String,
+      pcts: Seq[(String, Double)]): DataFrame =
+    exactImpl(df, key, value, pcts, round4 = false)
+
+  private def exactImpl(df: DataFrame, key: String, value: String,
+      pcts: Seq[(String, Double)], round4: Boolean): DataFrame = {
     // group-size relation: tiny (one row per group) — persisted so the
     // broadcast into the ranking join and the output-driving left join
     // share ONE evaluation instead of re-scanning the input
@@ -70,9 +81,10 @@ object Percentiles {
     }
     def interp(name: String, q: Double): Column = {
       val p = pos(q)
-      round(when(floor(p) === ceil(p), col(s"${name}_lo"))
+      val raw = when(floor(p) === ceil(p), col(s"${name}_lo"))
         .otherwise((ceil(p) - p) * col(s"${name}_lo") +
-          (p - floor(p)) * col(s"${name}_hi")), 4).as(name)
+          (p - floor(p)) * col(s"${name}_hi"))
+      (if (round4) round(raw, 4) else raw).as(name)
     }
     // drive the output from `counts` (left join): a group whose values
     // are ALL null has no ranked rows but must still emit a row with

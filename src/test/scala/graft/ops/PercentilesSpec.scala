@@ -74,4 +74,33 @@ class PercentilesSpec extends AnyFunSuite {
       (null, null),
       ("k", java.lang.Double.valueOf(9.0))))
   }
+
+  test("gate corpus percentiles sit far from every 4dp rounding boundary") {
+    // DuckDB's quantile_cont interpolation is NOT bit-identical to this
+    // operator's (measured: its result can sit 1 ulp from the correctly
+    // rounded lo+(hi-lo)*frac — even an infinitely-precise evaluation
+    // of the standard formulas rounds to a different last bit). The
+    // round(·, 4) gate is immune only while no percentile lands near a
+    // .5*10⁻⁴ boundary; this locks that margin as a checked invariant
+    // — if regenerated data ever lands near a boundary, THIS fails
+    // loudly instead of the oracle hash flipping mysteriously.
+    // Measured margin on the driver fixtures: ~0.4999999 (the values
+    // are 4-decimal-quantized, so percentiles fall ON integers·10⁻⁴,
+    // maximally far from the half boundaries); 1e-3 gives 6 orders of
+    // slack over any 1-ulp formula divergence.
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type").as("k"), col("value").as("v"))
+    val margins = Percentiles.exactUnrounded(ev, "k", "v", PCTS)
+      .select(PCTS.map { case (name, _) => col(name) }: _*)
+      .collect()
+      .flatMap(r => PCTS.indices.map(i => r.getDouble(i)))
+      .map { v =>
+        val scaled = v * 10000
+        math.abs((scaled - math.floor(scaled)) - 0.5)
+      }
+    assert(margins.nonEmpty)
+    assert(margins.min > 1e-3,
+      s"a percentile is ${margins.min} from a 4dp rounding boundary — " +
+        "the cross-engine round() gate is no longer provably stable")
+  }
 }
