@@ -140,6 +140,18 @@ object Dedup {
     * `spark.catalog.clearCache()` between corpora (Bench does,
     * per rep).
     */
+  /** Explode a signature relation (doc_id, sig array) into its banded
+    * LSH keys (doc_id, band, key) — the equality-join side of every
+    * MinHash variant here. */
+  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
@@ -152,13 +164,7 @@ object Dedup {
     val sigs = docsSh
       .select(col("doc_id"), minhashSigCol(docsSh, k).as("sig"))
       .where(col("sig").isNotNull)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
-    }
-    val banded = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedKeys(sigs, bands, r)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -335,6 +341,72 @@ object Dedup {
     val losers = minhashLshPairs(docs, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** INCREMENTAL near-dup suppression — the production ingest shape: a
+    * new batch arrives against an already-accepted corpus, and each
+    * incoming document is kept only if it near-dups neither an existing
+    * document nor an earlier (smaller doc_id) document of its own
+    * batch. Same keep-first policy as [[dropNearDuplicates]], extended
+    * with the existing corpus as unconditional authority.
+    *
+    * Why this is the 100 TB shape: re-running whole-corpus dedup per
+    * ingest batch is O(corpus) per batch; here the band join is
+    * (incoming × existing-index) ∪ (incoming × incoming) — both sides
+    * of every equality join are bounded by the BATCH's band keys, so
+    * per-batch cost scales with the batch, not the corpus. The
+    * existing side needs only its banded signature relation — in
+    * production that is a precomputed index maintained alongside the
+    * corpus (signatures are stateless per-row `minhash_sig` maps, so
+    * indexing an accepted batch is one scan); shingle arrays for the
+    * Jaccard verify are fetched per-candidate, and candidates are the
+    * batch's collisions only.
+    *
+    * Output, one row per INCOMING doc: (doc_id, dup_of = smallest
+    * matched authority id or NULL, kept verdict). Deterministic: min
+    * over verified matches, threshold exact on 4dp-rounded Jaccard
+    * like every MinHash gate here.
+    */
+  def incrementalSuppress(existing: DataFrame, incoming: DataFrame,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    def shingled(df: DataFrame) = TextFns.withShingles(df)
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exSh = shingled(existing)
+    val inSh = shingled(incoming)
+    def sigsOf(sh: DataFrame) = sh
+      .select(col("doc_id"), minhashSigCol(sh, k).as("sig"))
+      .where(col("sig").isNotNull)
+    val exBand = bandedKeys(sigsOf(exSh), bands, r)
+    val inBand = bandedKeys(sigsOf(inSh), bands, r)
+    // candidates: incoming vs existing (any order) + incoming vs
+    // earlier incoming — both plain equality joins on (band, key)
+    val candEx = inBand.as("i").join(exBand.as("e"),
+        col("i.band") === col("e.band") && col("i.key") === col("e.key"))
+      .select(col("i.doc_id").as("in_id"), col("e.doc_id").as("auth_id"))
+      .distinct()
+    val candIn = inBand.as("a").join(inBand.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("auth_id"))
+      .distinct()
+    // verify exact Jaccard per candidate on the cached shingle arrays;
+    // authority arrays come from the side the candidate named
+    def verified(cand: DataFrame, authSh: DataFrame) = cand
+      .join(inSh.select(col("doc_id").as("in_id"), col("shingles").as("shi")), "in_id")
+      .join(authSh.select(col("doc_id").as("auth_id"), col("shingles").as("sha")), "auth_id")
+      .withColumn("i", size(array_intersect(col("shi"), col("sha"))))
+      .filter(jaccard(col("i"), size(col("shi")).cast("long"),
+        size(col("sha")).cast("long")) >= threshold)
+      .select("in_id", "auth_id")
+    val matches = verified(candEx, exSh).unionByName(verified(candIn, inSh))
+      .groupBy("in_id").agg(min("auth_id").as("dup_of"))
+    incoming.select(col("doc_id"))
+      .join(matches.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.cast("long").as("kept"))
   }
 
   /** n-bit SimHash per document over raw-text tokens (with

@@ -159,6 +159,16 @@ object TextSurface {
       graft.ops.Sampling.stratifiedHash(docs(s, dir), "lang", "doc_id",
         Map("en" -> 30), defaultPct = 100)
         .select("doc_id", "lang", "source", "n_chars")),
+    // incremental ingest dedup (graft.ops.Dedup.incrementalSuppress):
+    // the 20% 'ingest'-namespace hash split arrives as a new batch
+    // against the other 80% as accepted corpus; per-batch cost scales
+    // with the batch (band joins keyed by the batch's signatures)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isIn = graft.ops.Sampling.uniformHashPredicate(
+        col("doc_id"), 20, "ingest")
+      Dedup.incrementalSuppress(d.filter(!isIn), d.filter(isIn), 0.8)
+    }),
     // benchmark decontamination (graft.ops.Decontam): flag training
     // docs sharing word 8-grams with the deterministic 20% eval split
     // — ONE equality join on a 60-bit gram hash, benchmark side
@@ -330,7 +340,42 @@ object TextSurface {
        |LEFT JOIN cg USING (doc_id) LEFT JOIN ht USING (doc_id)""".stripMargin
   }
 
+  /** Mirrors Dedup.incrementalSuppress: the shared signature CTEs over
+    * ALL documents, band keys, candidates restricted to (incoming ×
+    * existing, any order) ∪ (incoming × earlier incoming), exact
+    * Jaccard verify, min-authority attribution, LEFT JOIN for clean
+    * incoming docs. */
+  private val incrementalOracle: String = {
+    val k = 64; val bands = 16; val r = k / bands
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', " +
+        (0 until r).map(j => s"m${b * r + j}").mkString(", ") + ") AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $minhashSigCtes,
+       |bands AS ($bandRows),
+       |mem AS (SELECT doc_id,
+       |    (${h60sql("'ingest:' || CAST(doc_id AS VARCHAR)")} % 100 < 20) AS is_in
+       |  FROM documents),
+       |cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS auth_id
+       |  FROM bands i JOIN mem mi ON mi.doc_id = i.doc_id AND mi.is_in
+       |  JOIN bands e ON e.band = i.band AND e.key = i.key
+       |  JOIN mem me ON me.doc_id = e.doc_id
+       |  WHERE (NOT me.is_in) OR e.doc_id < i.doc_id),
+       |inter AS (SELECT in_id, auth_id, count(*) AS i FROM cand
+       |  JOIN s sa ON sa.doc_id = in_id
+       |  JOIN s sb ON sb.doc_id = auth_id AND sa.sh = sb.sh
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT in_id, auth_id FROM inter
+       |  JOIN sz x ON x.doc_id = in_id JOIN sz y ON y.doc_id = auth_id
+       |  WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8),
+       |mt AS (SELECT in_id, min(auth_id) AS dup_of FROM ver GROUP BY 1)
+       |SELECT d.doc_id, mt.dup_of,
+       |  CAST(CASE WHEN mt.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM mem d LEFT JOIN mt ON mt.in_id = d.doc_id WHERE d.is_in""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalOracle,
     "decontam_overlap" -> decontamOracle,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,

@@ -110,6 +110,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalSuppress: existing authority, batch-internal keep-first, min attribution") {
+    // existing corpus: docs 0 and 3; incoming batch: 10 (dup of 0),
+    // 11 (unique), 12 and 13 (near-dups of each other, not of existing),
+    // 14 (dup of BOTH existing 0 and incoming 10 → min authority = 0)
+    val existing = docs.filter($"doc_id" isin (0L, 3L))
+    val incoming = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog, again and again today!"),
+      (11L, "entirely novel words never seen before in any accepted document batch"),
+      (12L, "repeated boilerplate paragraph from a crawler loop detected here often"),
+      (13L, "repeated boilerplate paragraph from a crawler loop detected here often!"),
+      (14L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalSuppress(existing, incoming, 0.8)
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(1)).map(_.asInstanceOf[Long]), x.getLong(2)))).toMap
+    assert(r(10L) == ((Some(0L), 0L)))   // suppressed by existing doc 0
+    assert(r(11L) == ((None, 1L)))       // kept
+    assert(r(12L) == ((None, 1L)))       // first of the intra-batch pair
+    assert(r(13L) == ((Some(12L), 0L)))  // suppressed by earlier incoming
+    assert(r(14L) == ((Some(0L), 0L)))   // min over {existing 0, incoming 10}
+    assert(r.size == 5)
+  }
+
+  test("incrementalSuppress with empty existing corpus equals dropNearDuplicates") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Dedup.incrementalSuppress(
+        corpus.filter(org.apache.spark.sql.functions.lit(false)), corpus, 0.8)
+      .filter($"kept" === 1L).select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.dropNearDuplicates(corpus, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+  }
+
   test("simhashPairs recall is exact at the pigeonhole bound") {
     // every pair within the threshold of the brute-force 60-bit
     // signature distance must be produced by the blocked join
