@@ -34,7 +34,11 @@ object Bench {
     // best-of-3 shows the AMORTIZED bucketed-join cost: rep 1 pays the
     // one-time bucketed write, reps 2-3 are the exchange-free join
     // every repeated fact-join enjoys after the layout decision
-    "join_bucketed_revenue")
+    "join_bucketed_revenue",
+    // round-4 additions: fused quality scan, gram-hash decontamination,
+    // z-key layout arithmetic, batch-vs-corpus incremental dedup
+    "text_quality_gopher", "decontam_overlap", "zorder_layout",
+    "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

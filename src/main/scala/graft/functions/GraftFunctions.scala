@@ -30,6 +30,14 @@ object GraftFunctions {
     ("bpe_count", classOf[BpeCount], exprs => BpeCount(exprs.head)),
     ("lang_scan", classOf[LangScan], exprs => LangScan(exprs.head)),
     ("quality_scan", classOf[QualityScan], exprs => QualityScan(exprs.head)),
+    ("word_ngrams", classOf[WordNgrams], exprs => {
+      // n is model shape, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "word_ngrams(text, n) requires a literal n")
+      val n = exprs(1).eval()
+      require(n != null, "word_ngrams(text, n) requires a non-null literal n")
+      WordNgrams(exprs.head, n.asInstanceOf[Number].intValue())
+    }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("minhash_sig", classOf[MinHashSig], exprs => {
       // k is model shape, not data: require a plan-time constant

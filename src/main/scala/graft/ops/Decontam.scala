@@ -27,17 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct word n-grams per doc as 60-bit hashes: (doc_id, gh). */
+  /** Distinct word n-grams per doc as 60-bit hashes: (doc_id, gh).
+    * One native `word_ngrams` scan per document — the equivalent
+    * `transform(sequence(...))` builtin composition re-tokenizes the
+    * document once per gram (the Catalyst lambda-inlining trap,
+    * docs/PLANS.md), which made this derivation the whole query's
+    * cost at sf0.1. */
   private def gramHashes(docs: DataFrame, n: Int): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("t", expr("regexp_extract_all(text, '\\\\S+', 0)"))
-      .withColumn("grams", expr(
-        s"""CASE WHEN size(t) >= $n
-           |  THEN array_distinct(transform(sequence(1, size(t) - ${n - 1}),
-           |       i -> concat_ws(' ', $parts)))
-           |  ELSE array() END""".stripMargin))
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        explode_outer(expr(s"word_ngrams(text, $n)")).as("gram"))
       .select(col("doc_id"), TextFns.h60(col("gram")).as("gh"))
   }
 
@@ -46,7 +46,13 @@ object Decontam {
     * be excluded by the caller — the gate feeds the hash-sampled eval
     * split as `benchmark` and its complement as `corpus`. */
   def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    // the gram derivation (tokenize + window + distinct + md5) is the
+    // expensive part and feeds BOTH the hit join and the totals
+    // aggregation — persist so it runs once per corpus (CacheManager
+    // dedups identical plans across calls, same convention as the
+    // shared shingle relation in Dedup.minhashLshPairs)
     val corpusGrams = gramHashes(corpus, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // distinct benchmark gram set: doc identity no longer matters
     val evalGrams = gramHashes(benchmark, n)
       .filter(col("gh").isNotNull).select("gh").distinct()

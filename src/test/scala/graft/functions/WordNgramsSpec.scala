@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native word_ngrams: differential parity against the builtin
+  * transform(sequence(...)) composition that defines its semantics. */
+class WordNgramsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def refGrams(n: Int) = {
+    val parts = (0 until n).map(j => s"element_at(t, i + $j)").mkString(", ")
+    expr(
+      s"""CASE WHEN size(t) >= $n
+         |  THEN array_distinct(transform(sequence(1, size(t) - ${n - 1}),
+         |       i -> concat_ws(' ', $parts)))
+         |  ELSE array() END""".stripMargin)
+  }
+
+  private def assertParity(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    GraftFunctions.register(spark)
+    val bad = df
+      .withColumn("t", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("ref", refGrams(n))
+      .withColumn("got", expr(s"word_ngrams(text, $n)"))
+      .filter(col("ref") =!= col("got"))
+      .select("text", "ref", "got").collect()
+    assert(bad.isEmpty, s"n=$n divergence on: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("parity with the builtin composition on the sf0.001 corpus, n=2/5/8") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(2, 5, 8)) assertParity(docs, n)
+  }
+
+  test("parity on crafted edge cases") {
+    val df = Seq(
+      "", " ", "a", "a b", "a b c", "a a a a", "x y x y x y",
+      "tab\tand\nnewline separated words here now",
+      "exactly eight words to make one gram!",
+      "dup gram dup gram dup gram dup gram dup",
+      "émigré café 中文 tokens 𝐀stral pair seven eight nine").toDF("text")
+    for (n <- Seq(1, 2, 3, 8)) assertParity(df, n)
+  }
+
+  test("literal-n guard") {
+    GraftFunctions.register(spark)
+    intercept[Exception] {
+      Seq(("a b c", 2)).toDF("text", "n")
+        .select(expr("word_ngrams(text, n)")).collect()
+    }
+  }
+}

@@ -29,6 +29,8 @@ HEADLINE = [
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
     "asof_join", "range_join", "session_window_agg", "dedup_clusters",
     "join_bucketed_revenue",
+    "text_quality_gopher", "decontam_overlap", "zorder_layout",
+    "dedup_incremental",
 ]
 
 
