@@ -130,12 +130,22 @@ object Similarity {
     * assignment with smallest-cid tie-break. */
   private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (cid, ce) =>
-      // nullif: a zero-norm row's cosines are all NULL — the structs
-      // then compare on their ncid field alone, so greatest() resolves
-      // to cell 0 deterministically; without the guard ANSI division
-      // would throw on the first zero embedding (see [[cosine]])
-      struct(round(dotLit("embedding", ce) / nullif(normLit(ce) * col("nrm"), lit(0.0)), 4).as("cs"),
-        lit(-cid).as("ncid"))
+      // zero-norm guard (ANSI divide would throw, see [[cosine]]), but
+      // WITHOUT nullif: nullif(a, 0) expands to If(a = 0, null, a) and
+      // the duplicated denominator subtree per centroid struct blew the
+      // assignment projection out of whole-stage codegen (measured
+      // 2.9s vs 1.1s on sim_topk_ivf at sf0.1). The centroid norm is a
+      // plan-time CONSTANT — test it in Scala; only the row norm needs
+      // a runtime test, and `when` on the bare column duplicates
+      // nothing. A zero-norm row (or zero centroid) gets NULL cs in
+      // every cell, the structs compare on ncid alone, and greatest()
+      // resolves to cell 0 deterministically.
+      val cn = math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce))
+      val cs =
+        if (cn == 0.0) lit(null).cast("double")
+        else when(col("nrm") =!= 0.0,
+          round(dotLit("embedding", ce) / (lit(cn) * col("nrm")), 4))
+      struct(cs.as("cs"), lit(-cid).as("ncid"))
     }: _*)
 
   /** Lloyd-iteration k-means codebook trained with DataFrame ops over a
