@@ -409,6 +409,54 @@ object Dedup {
         col("dup_of").isNull.cast("long").as("kept"))
   }
 
+  /** The existing-authority HALF of [[incrementalSuppress]], shaped so
+    * the incoming side may be a STREAMING DataFrame: output is the
+    * suppressed incoming docs only, (doc_id, dup_of = smallest matched
+    * existing doc). Everything on the incoming path is stateless
+    * row-local work (shingles, row-level `minhash_sig`, band explode)
+    * and every join is stream-STATIC (the existing corpus's band index
+    * and shingle arrays — exactly the index production maintains
+    * alongside an accepted corpus), so the only state is the final
+    * min-aggregation over matches; Structured Streaming runs it as-is.
+    *
+    * Two deliberate differences from the batch form, both
+    * streaming-forced: candidates are NOT deduplicated before the
+    * verify (dropDuplicates state on an unbounded pair stream; extra
+    * collisions only repeat a verify that the final min() absorbs),
+    * and the incoming shingle arrays ride the band rows instead of
+    * joining back (a cand⋈incoming join would be stream-stream). */
+  def suppressAgainstIndex(existing: DataFrame, incoming: DataFrame,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val exSh = TextFns.withShingles(existing)
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exBand = bandedKeys(exSh
+      .select(col("doc_id"), minhashSigCol(exSh, k).as("sig"))
+      .where(col("sig").isNotNull), bands, r)
+      .withColumnRenamed("doc_id", "auth_id")
+    val inSh = TextFns.withShingles(incoming)
+      .select(col("doc_id"), col("shingles"))
+    val inSig = inSh.select(col("doc_id"), col("shingles"),
+      minhashSigCol(inSh, k).as("sig")).where(col("sig").isNotNull)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
+    }
+    val inBand = inSig.select(col("doc_id"), col("shingles"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    inBand.join(exBand, Seq("band", "key"))
+      .join(exSh.select(col("doc_id").as("auth_id"),
+        col("shingles").as("sha")), "auth_id")
+      .withColumn("i", size(array_intersect(col("shingles"), col("sha"))))
+      .filter(jaccard(col("i"), size(col("shingles")).cast("long"),
+        size(col("sha")).cast("long")) >= threshold)
+      .groupBy("doc_id").agg(min("auth_id").as("dup_of"))
+  }
+
   /** n-bit SimHash per document over raw-text tokens (with
     * multiplicity): bit i of the signature is the sign of the vote sum
     * over token hashes' bit i. One explode + one groupBy with nBits

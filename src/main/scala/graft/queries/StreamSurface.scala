@@ -118,6 +118,22 @@ object StreamSurface {
       "complete")
   }
 
+  /** Streaming INCREMENTAL dedup: the 20% 'ingest' split arrives as a
+    * document stream and is suppressed against the other 80% as the
+    * accepted corpus — [[graft.ops.Dedup.suppressAgainstIndex]]'s
+    * stream-static shape (static band index + shingle arrays, stateless
+    * stream path, one min-aggregation). Output: the suppressed docs
+    * with their existing-corpus authority. */
+  private def streamDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isIn = graft.ops.Sampling.uniformHashPredicate(col("doc_id"), 20, "ingest")
+    val staged = stageParquet(dir, "documents.parquet")
+    val existing = s.read.schema(documentsSchema).parquet(staged).filter(!isIn)
+    val incoming = s.readStream.schema(documentsSchema).parquet(staged).filter(isIn)
+    runToTable(s,
+      graft.ops.Dedup.suppressAgainstIndex(existing, incoming, 0.8), "complete")
+  }
+
   /** Streaming exact deduplication: the corpus arrives as a stream and
     * duplicate fingerprints are suppressed with stateful
     * `dropDuplicates` — the streaming face of Dedup.exact. Output is
@@ -184,6 +200,7 @@ object StreamSurface {
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
     "stream_sample_rate" -> streamSampleRate,
+    "stream_dedup_incremental" -> streamDedupIncremental,
     "stream_sliding_window" -> streamSliding,
     "stream_sliding_pruned" -> streamSlidingPruned,
     "stream_dedup_fp" -> streamDedupFp,
@@ -219,6 +236,35 @@ object StreamSurface {
          |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
          |  count(*) AS n_points
          |FROM ev GROUP BY 1""".stripMargin,
+    // the existing-authority restriction of TextSurface's incremental
+    // oracle: candidates (incoming × existing) only, suppressed docs
+    // with min authority — intra-batch suppression is the batch gate's
+    // (dedup_incremental) concern
+    "stream_dedup_incremental" -> {
+      val k = 64; val bands = 16; val r = k / bands
+      val bandRows = (0 until bands).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws('_', " +
+          (0 until r).map(j => s"m${b * r + j}").mkString(", ") + ") AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH ${TextSurface.minhashSigCtes},
+         |bands AS ($bandRows),
+         |mem AS (SELECT doc_id,
+         |    (${TextSurface.h60sql("'ingest:' || CAST(doc_id AS VARCHAR)")} % 100 < 20) AS is_in
+         |  FROM documents),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS auth_id
+         |  FROM bands i JOIN mem mi ON mi.doc_id = i.doc_id AND mi.is_in
+         |  JOIN bands e ON e.band = i.band AND e.key = i.key
+         |  JOIN mem me ON me.doc_id = e.doc_id
+         |  WHERE NOT me.is_in),
+         |inter AS (SELECT in_id, auth_id, count(*) AS i FROM cand
+         |  JOIN s sa ON sa.doc_id = in_id
+         |  JOIN s sb ON sb.doc_id = auth_id AND sa.sh = sb.sh
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT in_id, auth_id FROM inter
+         |  JOIN sz x ON x.doc_id = in_id JOIN sz y ON y.doc_id = auth_id
+         |  WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8)
+         |SELECT in_id AS doc_id, min(auth_id) AS dup_of FROM ver GROUP BY 1""".stripMargin
+    },
     // same struct-tie first/last semantics as the batch ts_sample_delta/
     // ts_sample_rate oracles, over the full (unranged) stream
     "stream_sample_delta" ->

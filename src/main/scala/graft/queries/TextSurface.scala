@@ -204,7 +204,7 @@ object TextSurface {
        |  FROM tk WHERE len(t2) >= 3),
        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1)""".stripMargin
 
-  private def h60sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private[queries] def h60sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   /** Mirrors Dedup.minhashLshPairs at the production defaults k=64/
     * b=16 (r=4): ONE md5 per shingle reduced mod 2^30, then 64

@@ -251,6 +251,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     emitted.foreach { case (k, n) => assert(truth(k) == n, s"window $k") }
   }
 
+  test("stream-static incremental dedup matches the batch formulation") {
+    import spark.implicits._
+    val src = s"$tmp/src_incdedup"
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val incomingRows = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog, again and again today!"),
+      (11L, "entirely novel words never seen before in any accepted document batch"),
+      (14L, "the quick brown fox jumps over the lazy dog again and again today"))
+    incomingRows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = graft.ops.Dedup.suppressAgainstIndex(existing, stream, 0.8)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("inc_dedup_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("inc_dedup_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Dedup.suppressAgainstIndex(
+        existing, incomingRows.toDF("doc_id", "text"), 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((10L, 0L), (14L, 0L))) // 11 is clean
+  }
+
   test("streaming minhash signature dedup matches the batch signature set") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
