@@ -218,6 +218,12 @@ object StreamSurface {
     "mm_resize" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.resizeHalf(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))).toDF()),
+    // PCM frame sampling over the WAV subset (real RIFF parse; frames
+    // of 32 samples, every 2nd kept); oracle replays the fixture's
+    // generative arithmetic per selected frame
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleAudio(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -308,6 +314,19 @@ object StreamSurface {
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
     "mm_resize" -> mmResizeOracle,
+    // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
+    // 16-bit mono samples of the constant fill byte (id % 251), frames
+    // of 32 samples → selected frame fi has min(32, ns - 32·fi)
+    // samples and byte checksum n_in_frame · 2 · fill
+    "mm_frame_sample" ->
+      """WITH a AS (SELECT doc_id, doc_id % 251 AS fill, 64 + doc_id % 129 AS ns
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, fill, ns,
+        |    unnest(range(0, (ns + 31) // 32)) AS fi FROM a)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(least(32, ns - 32 * fi) AS BIGINT) AS n_in_frame,
+        |  CAST(least(32, ns - 32 * fi) * 2 * fill AS BIGINT) AS byte_sum
+        |FROM f WHERE fi % 2 = 0""".stripMargin,
   )
 
   /** Closed-form oracle for the planted-payload decode: mirrors

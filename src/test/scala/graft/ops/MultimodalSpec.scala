@@ -103,6 +103,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePayloadHalf(junk).toSeq == junk.toSeq)
   }
 
+  test("PCM frame sampler parses the data chunk: counts, partial tail, stride") {
+    // id=2 → WAV with ns = 64 + 2 % 129 = 66 samples, fill = 2:
+    // frames of 32 → 3 frames (32, 32, 2); stride 2 keeps frames 0, 2
+    val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 2))
+    val frames = Multimodal.frameSampleAudio(media, 32, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(f => (f.frame_idx, f.n_in_frame, f.byte_sum)).toSeq ==
+      Seq((0L, 32L, 32L * 2 * 2), (2L, 2L, 2L * 2 * 2)))
+    // stride 1 keeps all 3; total samples recompose to ns
+    val all = Multimodal.frameSampleAudio(media, 32, 1).collect()
+    assert(all.map(_.n_in_frame).sum == 66L)
+    // brute parity: byte sums recompute from the raw payload bytes
+    val payload = media.collect().head.getAs[Array[Byte]]("payload")
+    all.foreach { f =>
+      val start = 44 + f.frame_idx.toInt * 64
+      val expect = payload.slice(start, start + f.n_in_frame.toInt * 2)
+        .map(_ & 0xff).sum.toLong
+      assert(f.byte_sum == expect)
+    }
+    // images emit no frames
+    assert(Multimodal.frameSampleAudio(
+      Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0)), 32, 2)
+      .count() == 0)
+  }
+
   test("frame sampling slices cover the payload exactly") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0))
     val payload = media.collect().head.getAs[Array[Byte]]("payload")
