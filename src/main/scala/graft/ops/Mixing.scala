@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-mixture planning — given target proportions
+  * per stratum (language, source, quality band …), compute the
+  * largest achievable mixed corpus and the per-stratum sampling rates
+  * that realize it. The multilingual-pretraining construction step:
+  * targets come from the data recipe, the binding stratum (the one
+  * with the least data relative to its target) caps the total, every
+  * other stratum is downsampled to match — no stratum is ever
+  * upsampled past its supply.
+  *
+  * All arithmetic is integer basis points, so the plan gates
+  * bit-identically cross-engine:
+  *
+  *  - cap_s  = n_tokens_s · 10⁴ div target_bp_s   (total size if s binds)
+  *  - B      = min_s cap_s                        (achievable total)
+  *  - take_s = B · target_bp_s div 10⁴            (≤ n_tokens_s, proven
+  *             by the div inequality chain in MixingSpec)
+  *  - rate_bp_s = take_s · 10⁴ div n_tokens_s     (feed to
+  *             [[Sampling.stratifiedHash]] as the per-stratum percent)
+  *
+  * Shape at scale: one groupBy over the corpus (map-side partial
+  * count/sum), then arithmetic over a strata-sized relation with the
+  * scalar B broadcast back — the planning step costs one aggregation
+  * regardless of corpus size. Strata with target 0 are excluded from
+  * the min (they cap nothing) and emit rate 0.
+  */
+object Mixing {
+
+  /** Per-stratum mixing plan. `targetBp` maps stratum → basis points
+    * (callers normally make them sum to 10⁴); strata not in the map
+    * get `defaultBp`. Token counts use the `\S+` tokenizer like the
+    * rest of the text tier. */
+  def plan(docs: DataFrame, stratumCol: String,
+      targetBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    require((defaultBp +: targetBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
+      s"targets in [0, 10000] bp: $targetBp default $defaultBp")
+    val target = targetBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp): Column) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val per = docs
+      .select(col(stratumCol),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("target_bp", target.cast("long"))
+    val cap = per.filter(col("target_bp") > 0)
+      .select(min(expr("n_tokens * 10000 div target_bp")).as("budget"))
+    per.crossJoin(broadcast(cap))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("target_bp"),
+        expr("CASE WHEN target_bp > 0 THEN budget * target_bp div 10000 ELSE 0 END")
+          .as("take_tokens"),
+        expr("""CASE WHEN target_bp > 0 AND n_tokens > 0
+               |  THEN (budget * target_bp div 10000) * 10000 div n_tokens
+               |  ELSE 0 END""".stripMargin).as("rate_bp"))
+  }
+}

@@ -175,6 +175,12 @@ object TextSurface {
     // broadcast by AQE when small
     "decontam_overlap" -> ((s, dir) =>
       graft.ops.Decontam.trainEvalOverlap(docs(s, dir), 20, 8)),
+    // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
+    // language recipe against actual supply — binding stratum caps the
+    // total, rates feed stratifiedHash
+    "mix_plan" -> ((s, dir) =>
+      graft.ops.Mixing.plan(docs(s, dir), "lang",
+        Map("en" -> 4000, "de" -> 1500, "fr" -> 1500, "es" -> 1500, "zh" -> 1500))),
     // rarity-weighted top terms per doc (integer-exact tf/df scoring —
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
@@ -375,6 +381,22 @@ object TextSurface {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "mix_plan" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |    CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+        |      WHEN 'fr' THEN 1500 WHEN 'es' THEN 1500 WHEN 'zh' THEN 1500
+        |      ELSE 0 END AS BIGINT) AS target_bp
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT min(n_tokens * 10000 // target_bp) AS budget
+        |  FROM per WHERE target_bp > 0)
+        |SELECT lang, n_docs, n_tokens, target_bp,
+        |  CAST(CASE WHEN target_bp > 0 THEN budget * target_bp // 10000
+        |    ELSE 0 END AS BIGINT) AS take_tokens,
+        |  CAST(CASE WHEN target_bp > 0 AND n_tokens > 0
+        |    THEN (budget * target_bp // 10000) * 10000 // n_tokens
+        |    ELSE 0 END AS BIGINT) AS rate_bp
+        |FROM per CROSS JOIN b""".stripMargin,
     "dedup_incremental" -> incrementalOracle,
     "decontam_overlap" -> decontamOracle,
     "text_stats" -> textStatsOracle,

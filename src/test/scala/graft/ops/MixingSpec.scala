@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mixing.plan invariants on hand-built strata: the binding stratum
+  * takes everything, takes never exceed supply, achieved mixture
+  * matches targets within integer-division slack. */
+class MixingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 3 strata: a supplies 100 tokens (10 docs x 10 words), b 40, c 200
+  private def fixture = (
+    (0 until 10).map(i => (s"a$i", "a", Seq.fill(10)("w").mkString(" "))) ++
+    (0 until 4).map(i => (s"b$i", "b", Seq.fill(10)("w").mkString(" "))) ++
+    (0 until 20).map(i => (s"c$i", "c", Seq.fill(10)("w").mkString(" ")))
+  ).toDF("doc_id", "stratum", "text")
+
+  private def planOf(targets: Map[String, Int]) =
+    Mixing.plan(fixture, "stratum", targets)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+  test("binding stratum is fully taken; others downsample to the recipe") {
+    // targets 50/25/25: caps a=200, b=160, c=800 → b binds at B=160
+    val p = planOf(Map("a" -> 5000, "b" -> 2500, "c" -> 2500))
+    assert(p("b") == ((4L, 40L, 2500L, 40L, 10000L)))   // all of b
+    assert(p("a") == ((10L, 100L, 5000L, 80L, 8000L)))  // 80 of 100
+    assert(p("c") == ((20L, 200L, 2500L, 40L, 2000L)))  // 40 of 200
+    // achieved mixture = exactly the recipe here (no division slack)
+    val total = p.values.map(_._4).sum
+    assert(total == 160L)
+  }
+
+  test("takes never exceed supply and rates never exceed 10000 bp") {
+    for (t <- Seq(
+      Map("a" -> 9000, "b" -> 500, "c" -> 500),
+      Map("a" -> 100, "b" -> 9800, "c" -> 100),
+      Map("a" -> 3333, "b" -> 3333, "c" -> 3334))) {
+      val p = planOf(t)
+      p.foreach { case (s, (_, supply, _, take, rate)) =>
+        assert(take <= supply, s"stratum $s overdrawn under $t")
+        assert(rate >= 0 && rate <= 10000, s"stratum $s rate $rate under $t")
+      }
+    }
+  }
+
+  test("zero-target strata are excluded from the budget and take nothing") {
+    val p = planOf(Map("a" -> 6000, "c" -> 4000)) // b defaults to 0
+    assert(p("b") == ((4L, 40L, 0L, 0L, 0L)))
+    // caps: a=166, c=500 → a binds; c takes 166*4000 div 10⁴ = 66
+    assert(p("a")._4 == 99L)  // 166 * 6000 div 10000
+    assert(p("c")._4 == 66L)
+  }
+
+  test("rates feed stratifiedHash: sampled token mass tracks the plan") {
+    val p = planOf(Map("a" -> 5000, "b" -> 2500, "c" -> 2500))
+    // whole-percent rates from the plan (stratifiedHash takes percent)
+    val rates = p.map { case (s, (_, _, _, _, rateBp)) =>
+      s -> (rateBp / 100).toInt
+    }
+    val sampled = Sampling.stratifiedHash(fixture, "stratum", "doc_id", rates, 0)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b is kept whole; a and c land within hash-sampling tolerance of
+    // the planned doc fraction (10-doc strata → coarse, just bound it)
+    assert(sampled("b") == 4L)
+    assert(sampled.getOrElse("a", 0L) <= 10L && sampled.getOrElse("c", 0L) <= 20L)
+  }
+}
