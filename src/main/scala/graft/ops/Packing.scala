@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-then-chunk step that turns a cleaned
+  * corpus into fixed-length training sequences: documents are laid out
+  * in doc_id order as one token stream, the stream is cut into
+  * `seqLen`-token sequences, and each document maps to the span of
+  * sequences it lands in (straddling a boundary is allowed, exactly
+  * like GPT-style pretraining packing).
+  *
+  * The whole computation is one exclusive prefix-sum over token
+  * counts. The naive formulation is a global `Window.orderBy(doc_id)`
+  * — a SINGLE-PARTITION sort that serializes the entire corpus
+  * through one task at 100 TB. This implements the scalable shape, a
+  * TWO-LEVEL scan:
+  *
+  *  1. within-shard exclusive prefix (window partitioned by
+  *     `shard = doc_id div shardSize` — parallel across shards);
+  *  2. per-shard totals, prefix-scanned in a single-partition window
+  *     over the SHARD relation (corpus/shardSize rows — thousands,
+  *     not billions) and broadcast back;
+  *  3. offset = shard prefix + within-shard prefix, one projection.
+  *
+  * PackingSpec locks the decomposition against the naive global
+  * window bit-for-bit and asserts the only unpartitioned window in
+  * the plan runs over the shard relation. Zero-token documents get
+  * n_seqs = 0 at their stream position.
+  */
+object Packing {
+
+  def sequenceSpans(docs: DataFrame, seqLen: Long,
+      shardSize: Long = 1 << 20): DataFrame = {
+    require(seqLen >= 1 && shardSize >= 1)
+    val toks = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+    val inShard = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = toks.withColumn("local_off",
+      coalesce(sum("tok").over(inShard), lit(0L)))
+    // shard relation: one row per shard — small enough that its
+    // single-partition prefix window is a non-issue by construction
+    val shardTotals = toks.groupBy("shard").agg(sum("tok").as("shard_tok"))
+    val shardPrefix = shardTotals.withColumn("shard_off",
+      coalesce(sum("shard_tok").over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("shard_off"))
+    withLocal.join(broadcast(shardPrefix), "shard")
+      .withColumn("tok_offset", col("shard_off") + col("local_off"))
+      .select(col("doc_id"), col("tok").as("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $seqLen").as("start_seq"),
+        expr(s"CASE WHEN tok > 0 THEN (tok_offset + tok - 1) div $seqLen " +
+          s"ELSE tok_offset div $seqLen END").as("end_seq"),
+        expr(s"CASE WHEN tok > 0 THEN (tok_offset + tok - 1) div $seqLen " +
+          s"- tok_offset div $seqLen + 1 ELSE 0 END").as("n_seqs"))
+  }
+}

@@ -175,6 +175,11 @@ object TextSurface {
     // broadcast by AQE when small
     "decontam_overlap" -> ((s, dir) =>
       graft.ops.Decontam.trainEvalOverlap(docs(s, dir), 20, 8)),
+    // sequence packing (graft.ops.Packing): concat-then-chunk spans at
+    // 512-token sequences via the two-level distributed prefix-scan
+    // (shardSize 64 exercises multi-shard recombination at this SF)
+    "pack_sequences" -> ((s, dir) =>
+      graft.ops.Packing.sequenceSpans(docs(s, dir), 512, 64)),
     // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
     // language recipe against actual supply — binding stratum caps the
     // total, rates feed stratifiedHash
@@ -381,6 +386,23 @@ object TextSurface {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle uses the NAIVE global-window cumsum — the semantic
+    // definition the two-level scan must reproduce bit-for-bit
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |    CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |  FROM t)
+        |SELECT doc_id, tok AS n_tokens, o AS tok_offset,
+        |  o // 512 AS start_seq,
+        |  CAST(CASE WHEN tok > 0 THEN (o + tok - 1) // 512
+        |    ELSE o // 512 END AS BIGINT) AS end_seq,
+        |  CAST(CASE WHEN tok > 0 THEN (o + tok - 1) // 512 - o // 512 + 1
+        |    ELSE 0 END AS BIGINT) AS n_seqs
+        |FROM c""".stripMargin,
     "mix_plan" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,

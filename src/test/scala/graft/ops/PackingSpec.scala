@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packing.sequenceSpans: the two-level scan equals the naive global
+  * window bit-for-bit, straddles and zero-token docs behave, and the
+  * plan's only unpartitioned window runs over the shard relation. */
+class PackingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def naive(docs: org.apache.spark.sql.DataFrame, seqLen: Long) = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .withColumn("tok_offset", coalesce(sum("tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("tok").as("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $seqLen").as("start_seq"),
+        expr(s"CASE WHEN tok > 0 THEN (tok_offset + tok - 1) div $seqLen " +
+          s"ELSE tok_offset div $seqLen END").as("end_seq"),
+        expr(s"CASE WHEN tok > 0 THEN (tok_offset + tok - 1) div $seqLen " +
+          s"- tok_offset div $seqLen + 1 ELSE 0 END").as("n_seqs"))
+  }
+
+  test("two-level scan equals the global window on the corpus, several shard sizes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = naive(docs, 512).collect().map(_.toSeq).toSet
+    for (shard <- Seq(1L, 7L, 64L, 1L << 20)) {
+      val got = Packing.sequenceSpans(docs, 512, shard).collect().map(_.toSeq).toSet
+      assert(got == expected, s"shardSize=$shard diverged")
+    }
+  }
+
+  test("straddle spans and zero-token docs") {
+    // seqLen 10: doc 0 (8 tok) in seq 0; doc 1 (0 tok) at offset 8,
+    // n_seqs 0; doc 2 (5 tok) spans seqs 0-1; doc 3 (25 tok) spans 1-3
+    val docs = Seq(
+      (0L, "a b c d e f g h"), (1L, "  "), (2L, "i j k l m"),
+      (3L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
+    val r = Packing.sequenceSpans(docs, 10, 2).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(0L) == ((8L, 0L, 0L, 0L, 1L)))
+    assert(r(1L) == ((0L, 8L, 0L, 0L, 0L)))
+    assert(r(2L) == ((5L, 8L, 0L, 1L, 2L)))
+    assert(r(3L) == ((25L, 13L, 1L, 3L, 3L)))
+  }
+
+  test("the only unpartitioned window runs over the shard relation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Packing.sequenceSpans(docs, 512, 64)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // every window over doc_id must be shard-partitioned; the global
+    // one may only order by shard (the tiny per-shard relation)
+    windows.filter(_.contains("doc_id")).foreach { w =>
+      assert(w.contains("shard"), s"unpartitioned corpus window: $w")
+    }
+    assert(windows.exists(w => w.contains("shard") && !w.contains("doc_id")),
+      "expected the shard-relation prefix window")
+  }
+}
