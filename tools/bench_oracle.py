@@ -30,7 +30,7 @@ HEADLINE = [
     "asof_join", "range_join", "session_window_agg", "dedup_clusters",
     "join_bucketed_revenue",
     "text_quality_gopher", "decontam_overlap", "zorder_layout",
-    "dedup_incremental",
+    "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
 ]
 
 
