@@ -45,6 +45,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object QualityScanCodec {
 
+  // Known accepted divergence (same class as TextStatsCodec's U+0130
+  // note): vertical tab U+000B is whitespace to Java regex/this codec
+  // but a TOKEN character to DuckDB's RE2 (\s = [\t\n\f\r ]). A \v in
+  // a document would shift token counts in every Java-tokenized gate
+  // (text_stats included, long before this codec) against the oracle.
+  // The fixtures are \v-free; the ENGINE side is internally consistent
+  // (codec ≡ Spark \S+, spec-locked), which is the contract that
+  // matters for composition.
   private def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

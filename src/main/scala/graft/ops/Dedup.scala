@@ -140,16 +140,24 @@ object Dedup {
     * `spark.catalog.clearCache()` between corpora (Bench does,
     * per rep).
     */
-  /** Explode a signature relation (doc_id, sig array) into its banded
-    * LSH keys (doc_id, band, key) — the equality-join side of every
-    * MinHash variant here. */
-  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+  /** Explode a signature relation (doc_id, sig array, …) into its
+    * banded LSH keys (doc_id, carryCols…, band, key) — the
+    * equality-join side of every MinHash variant here. ONE derivation
+    * of the band/key format; `carryCols` lets the streaming variant
+    * ride its shingle arrays along instead of re-deriving the format
+    * inline (the key format must stay bit-identical across every
+    * variant AND the oracle SQL band CTEs). */
+  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val carried = carryCols.map(col)
+    sigs.select(col("doc_id") +: carried :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: carried :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
   def minhashLshPairs(docs: DataFrame, threshold: Double,
@@ -440,14 +448,7 @@ object Dedup {
       .select(col("doc_id"), col("shingles"))
     val inSig = inSh.select(col("doc_id"), col("shingles"),
       minhashSigCol(inSh, k).as("sig")).where(col("sig").isNotNull)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until r).map(j => col("sig")(b * r + j)): _*).as("key"))
-    }
-    val inBand = inSig.select(col("doc_id"), col("shingles"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("shingles"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val inBand = bandedKeys(inSig, bands, r, carryCols = Seq("shingles"))
     inBand.join(exBand, Seq("band", "key"))
       .join(exSh.select(col("doc_id").as("auth_id"),
         col("shingles").as("sha")), "auth_id")

@@ -33,7 +33,9 @@ object Mixing {
   /** Per-stratum mixing plan. `targetBp` maps stratum → basis points
     * (callers normally make them sum to 10⁴); strata not in the map
     * get `defaultBp`. Token counts use the `\S+` tokenizer like the
-    * rest of the text tier. */
+    * rest of the text tier. A declared stratum with NO corpus supply
+    * binds the budget to 0 (unachievable recipe → empty plan), never
+    * silently renormalizes. */
   def plan(docs: DataFrame, stratumCol: String,
       targetBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
     require((defaultBp +: targetBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
@@ -41,11 +43,23 @@ object Mixing {
     val target = targetBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp): Column) {
       case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // union the DECLARED strata in as zero-supply rows: a target
+    // stratum the corpus lacks entirely must still enter the budget
+    // min (cap 0 → B = 0 → every take 0) — the recipe is unachievable
+    // and the plan says so, instead of silently renormalizing onto the
+    // strata that happen to exist
+    val declared = targetBp.keys.toSeq.sorted.toDF(stratumCol)
+      .withColumn("n_docs", lit(0L)).withColumn("n_tokens", lit(0L))
     val per = docs
       .select(col(stratumCol),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
       .groupBy(stratumCol)
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .unionByName(declared)
+      .groupBy(stratumCol)
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
       .withColumn("target_bp", target.cast("long"))
     val cap = per.filter(col("target_bp") > 0)
       .select(min(expr("n_tokens * 10000 div target_bp")).as("budget"))

@@ -172,6 +172,10 @@ object Parser {
                 case ("earliest", None) => Right(Some(SelectFn.Earliest(1)))
                 case ("delta", None) => Right(Some(SelectFn.Delta))
                 case ("rate", None) => Right(Some(SelectFn.Rate))
+                // known selector, wrong arity: name the real problem —
+                // the catch-all would misreport these as unknown
+                case (known @ ("min" | "max" | "avg" | "latest" | "delta" | "rate"), Some(_)) =>
+                  Left(s"'$known' takes no argument")
                 case (other, _) => Left(s"unknown aggregate function '$other'")
               }
             } yield fn

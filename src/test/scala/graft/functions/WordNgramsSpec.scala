@@ -45,6 +45,7 @@ class WordNgramsSpec extends AnyFunSuite {
     val df = Seq(
       "", " ", "a", "a b", "a b c", "a a a a", "x y x y x y",
       "tab\tand\nnewline separated words here now",
+      "vt\u000Bsplit is java-space spec-locked here",
       "exactly eight words to make one gram!",
       "dup gram dup gram dup gram dup gram dup",
       "émigré café 中文 tokens 𝐀stral pair seven eight nine").toDF("text")

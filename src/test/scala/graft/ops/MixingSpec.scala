@@ -62,6 +62,24 @@ class MixingSpec extends AnyFunSuite {
     assert(p("c")._4 == 66L)
   }
 
+  test("a declared stratum with zero supply binds the budget to zero") {
+    // 'ja' is in the recipe but not in the corpus: the recipe is
+    // unachievable — every take must be 0 and ja must appear as a
+    // zero-supply row (silent renormalization onto present strata was
+    // the r4 review finding)
+    val p = Mixing.plan(fixture, "stratum",
+        Map("a" -> 4000, "b" -> 2000, "c" -> 2000, "ja" -> 2000))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(p.keySet == Set("a", "b", "c", "ja"))
+    assert(p("ja") == ((0L, 0L, 2000L, 0L, 0L)))
+    p.values.foreach { case (_, _, _, take, rate) =>
+      assert(take == 0L && rate == 0L)
+    }
+  }
+
   test("rates feed stratifiedHash: sampled token mass tracks the plan") {
     val p = planOf(Map("a" -> 5000, "b" -> 2500, "c" -> 2500))
     // whole-percent rates from the plan (stratifiedHash takes percent)

@@ -158,6 +158,16 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("SELECT value FROM t BETWEEN 1").isLeft)
     assert(Parser.parse("bogus query").isLeft)
     assert(Parser.parse("SELECT value FROM t LIMIT 2.5").isLeft)
+    // known selector with a spurious argument: the diagnostic must
+    // name the arity problem, not claim the function is unknown
+    Parser.parse("SELECT delta(value, 2) FROM t") match {
+      case Left(err) => assert(err.contains("'delta' takes no argument"), err)
+      case Right(s) => fail(s"should not parse: $s")
+    }
+    Parser.parse("SELECT min(value, 1) FROM t") match {
+      case Left(err) => assert(err.contains("'min' takes no argument"), err)
+      case Right(s) => fail(s"should not parse: $s")
+    }
   }
 
   test("span units scale to nanos (src/timeutil.c:50-73)") {
