@@ -71,6 +71,15 @@ class QualityScanSpec extends AnyFunSuite {
       ("tok" * 1) + " " + ("tok" * 2) + " tok toktok").toDF("text"))
   }
 
+  test("parity on generated strings (whitespace-heavy, repetitive, unicode)") {
+    val gen = org.scalacheck.Gen.listOfN(40, org.scalacheck.Gen.oneOf(
+      "a", "bb", "word", "the", "中", "é", "𝐀x", " ", "\t", "\n", "\u000B",
+      "\f", "\r", "  ", "a a", "w1 w2"))
+      .map(_.mkString(""))
+    val strings = org.scalacheck.Gen.listOfN(300, gen).sample.get
+    assertParity(strings.toDF("text"))
+  }
+
   test("derived repetition metrics on a known document") {
     GraftFunctions.register(spark)
     // 6 words, 5 2-grams ("a b" x2, "b a" x2, "b c") → d2=3,
