@@ -66,6 +66,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Matryoshka-style coarse-to-fine retrieval (MRL, Kusupati et al.
+    * 2022): score the corpus with only the first `coarseDims`
+    * dimensions (embeddings trained matryoshka-style concentrate
+    * information in the prefix), keep the top `rerank` candidates per
+    * query, rescore those with the FULL vector. The scan pass costs
+    * coarseDims/dim of the flops and memory bandwidth of brute force
+    * — at 100 TB the corpus pass is bandwidth-bound, so a 16-of-64
+    * prefix is a ~4x cheaper scan; the exact pass touches only
+    * rerank rows per query. Both cuts are deterministic: rounded
+    * score + neighbor_id tie-break, the ivf_q8 discipline; a
+    * zero-norm prefix coarse-scores at -2 (below any cosine) on both
+    * engines instead of risking NULL-ordering divergence. */
+  def mrlTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      coarseDims: Int, rerank: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("pe", slice(col("embedding"), 1, coarseDims))
+      .withColumn("nrm", normDec("embedding"))
+      .withColumn("pnrm", normDec("pe"))
+    val queries = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("pe").as("pqe"), col("nrm").as("qn"), col("pnrm").as("pqn"))
+    val coarse = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qe"), col("qn"),
+        coalesce(cosine("pqe", "pe", col("pqn"), col("pnrm")), lit(-2.0)).as("cs"))
+    val cw = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= rerank)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic hyperplanes: component d of plane p is
     * (h60("plane:p:d") mod 2001 - 1000) / 1000 ∈ [-1, 1]. Generated
     * driver-side from the shared hash so the oracle SQL can inline the

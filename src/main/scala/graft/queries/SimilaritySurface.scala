@@ -33,6 +33,8 @@ object SimilaritySurface {
     "sim_topk_ivf_q8" -> ((s, dir) =>
       Similarity.ivfTopKQ8(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
         KMEANS_ITERS, expr(TRAIN_SQL), RERANK)),
+    "sim_topk_mrl" -> ((s, dir) =>
+      Similarity.mrlTopK(emb(s, dir), col("vec_id") < 5, K, COARSE_DIMS, RERANK)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -46,6 +48,7 @@ object SimilaritySurface {
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
   private val RERANK = 50
+  private val COARSE_DIMS = 16
 
   // ---- DuckDB oracles ----
 
@@ -110,6 +113,29 @@ object SimilaritySurface {
          |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
          |  FROM base b, q WHERE b.vec_id != q.query_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
+    // coarse pass on the first COARSE_DIMS dims (list slice), exact
+    // rerank of the top-RERANK candidates; zero-norm prefixes coarse
+    // at -2 on both engines (no NULL-ordering hazard)
+    "sim_topk_mrl" ->
+      s"""WITH $baseCte,
+         |pb AS (SELECT vec_id, embedding, nrm,
+         |    embedding[1:$COARSE_DIMS] AS pe,
+         |    ${normSql(s"embedding[1:$COARSE_DIMS]")} AS pnrm
+         |  FROM base),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         |    pe AS pqe, pnrm AS pqn FROM pb WHERE vec_id < 5),
+         |coarse AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |    b.embedding, b.nrm, q.qe, q.qn,
+         |    coalesce(round(${dotSql("q.pqe", "b.pe")} / nullif(q.pqn * b.pnrm, 0), 4), -2) AS cs
+         |  FROM pb b, q WHERE b.vec_id != q.query_id),
+         |cand AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS crank
+         |  FROM coarse) WHERE crank <= $RERANK),
+         |rer AS (SELECT query_id, neighbor_id,
+         |    round(${dotSql("qe", "embedding")} / (qn * nrm), 4) AS sim FROM cand),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rer)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH $baseCte,

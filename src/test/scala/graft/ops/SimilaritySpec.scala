@@ -146,6 +146,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.6, s"q8 tight-rerank recall vs ivf: $recall")
   }
 
+  test("MRL coarse-to-fine equals brute force under a full rerank budget") {
+    // rerank >= corpus size → the coarse cut discards nothing and the
+    // exact rerank must reproduce brute force bit-for-bit
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 5)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    val mrl = Similarity.mrlTopK(emb, col("vec_id") < 3, 5,
+        coarseDims = 8, rerank = 30)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(mrl == brute)
+  }
+
+  test("MRL recall under a tight rerank budget: planted duplicate still rank 1") {
+    val r = Similarity.mrlTopK(emb, col("vec_id") === 1, 3,
+        coarseDims = 8, rerank = 5).collect()
+    // vec 0 is an exact copy of the query — its 8-dim prefix cosine is
+    // 1.0, so it survives any coarse cut and reranks to the top
+    val top = r.find(_.getLong(3) == 1L).get
+    assert(top.getLong(1) == 0L && top.getDouble(2) == 1.0)
+    // tight budget returns at most rerank candidates
+    assert(r.length <= 3)
+  }
+
   test("trained-codebook IVF recall vs brute force on all queries") {
     val queries = col("vec_id") < 30 // every vector queries
     val brute = Similarity.bruteForceTopK(emb, queries, 3)
