@@ -38,7 +38,8 @@ object Bench {
     // round-4 additions: fused quality scan, gram-hash decontamination,
     // z-key layout arithmetic, batch-vs-corpus incremental dedup
     "text_quality_gopher", "decontam_overlap", "zorder_layout",
-    "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample")
+    "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
+    "sim_topk_mrl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,6 +31,7 @@ HEADLINE = [
     "join_bucketed_revenue",
     "text_quality_gopher", "decontam_overlap", "zorder_layout",
     "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
+    "sim_topk_mrl",
 ]
 
 
