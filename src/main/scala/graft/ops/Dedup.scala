@@ -417,6 +417,30 @@ object Dedup {
         col("dup_of").isNull.cast("long").as("kept"))
   }
 
+  /** Character-level near-dup pairs by bounded edit distance — the
+    * fuzzy-matching family member token-based methods miss (1-char
+    * typos shift every containing shingle, but cost 1 edit).
+    * Candidates block on (16-char normalized prefix, ±1 length-20
+    * bucket) — an equality join plus a range filter, never all-pairs;
+    * `levenshtein` (identical integer DP in Spark and DuckDB) verifies
+    * candidates only. Standard prefix-blocking tradeoff, stated
+    * plainly: an edit inside the first 16 normalized chars moves the
+    * block and the pair is missed — sorted-neighborhood recall, with
+    * the token-level variants (ngram/minhash) covering that regime.
+    * Output (doc_a, doc_b, dist), dist ≤ maxDist. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val n = docs.select(col("doc_id"), TextFns.normText(col("text")).as("t"))
+      .withColumn("blk", substring(col("t"), 1, 16))
+      .withColumn("lb", expr("length(t) div 20"))
+    n.as("a").join(n.as("b"),
+        col("a.blk") === col("b.blk") &&
+          abs(col("a.lb") - col("b.lb")) <= 1 &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.t"), col("b.t")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The existing-authority HALF of [[incrementalSuppress]], shaped so
     * the incoming side may be a STREAMING DataFrame: output is the
     * suppressed incoming docs only, (doc_id, dup_of = smallest matched

@@ -159,6 +159,10 @@ object TextSurface {
       graft.ops.Sampling.stratifiedHash(docs(s, dir), "lang", "doc_id",
         Map("en" -> 30), defaultPct = 100)
         .select("doc_id", "lang", "source", "n_chars")),
+    // character-level edit-distance near-dups (prefix+length blocking,
+    // levenshtein verify on candidates only)
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), 20)),
     // incremental ingest dedup (graft.ops.Dedup.incrementalSuppress):
     // the 20% 'ingest'-namespace hash split arrives as a new batch
     // against the other 80% as accepted corpus; per-batch cost scales
@@ -386,6 +390,15 @@ object TextSurface {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_editdist" ->
+      s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+         |b AS (SELECT doc_id, t, substr(t, 1, 16) AS blk,
+         |    length(t) // 20 AS lb FROM n)
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(levenshtein(a.t, b2.t) AS BIGINT) AS dist
+         |FROM b a JOIN b b2 ON a.blk = b2.blk
+         |  AND abs(a.lb - b2.lb) <= 1 AND a.doc_id < b2.doc_id
+         |WHERE levenshtein(a.t, b2.t) <= 20""".stripMargin,
     // the oracle uses the NAIVE global-window cumsum — the semantic
     // definition the two-level scan must reproduce bit-for-bit
     "pack_sequences" ->

@@ -110,6 +110,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistancePairs: exact distances on planted edits; prefix-block miss documented") {
+    val fixture = Seq(
+      (0L, "shared sixteen ch prefix region alpha beta gamma delta"),
+      (1L, "shared sixteen ch prefix region alpha beta gamma delt"),  // 1 deletion
+      (2L, "shared sixteen ch prefix region alpha beta gamma DELTA!"), // norm-equal to 0
+      (3L, "Xhared sixteen ch prefix region alpha beta gamma delta"),  // edit INSIDE block → missed
+      (4L, "completely unrelated words that share no prefix at all ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(fixture, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 1L)  // one deleted char
+    assert(pairs((0L, 2L)) == 0L)  // normalization equalizes case/punct
+    assert(pairs((1L, 2L)) == 1L)
+    // doc 3 differs only in the first block char: blocking misses it —
+    // the documented sorted-neighborhood tradeoff
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("incrementalSuppress: existing authority, batch-internal keep-first, min attribution") {
     // existing corpus: docs 0 and 3; incoming batch: 10 (dup of 0),
     // 11 (unique), 12 and 13 (near-dups of each other, not of existing),
