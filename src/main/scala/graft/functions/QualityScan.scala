@@ -53,8 +53,7 @@ object QualityScanCodec {
   // The fixtures are \v-free; the ENGINE side is internally consistent
   // (codec ≡ Spark \S+, spec-locked), which is the contract that
   // matters for composition.
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  import JavaWs.isSpace
 
   /** Max distinct tokens per document (21-bit id packing, 3 ids/long). */
   val MaxDistinctTokens: Int = 1 << 21

@@ -42,12 +42,20 @@ private[functions] object BoundScan {
     cp == '_' || Character.isLetterOrDigit(cp)
 }
 
+/** The Java regex ASCII whitespace class [ \t\n\v\f\r] — ONE
+  * definition for every scan codec's `\S+` tokenizer (TextStats,
+  * QualityScan, WordNgrams). The spec-locked contract, including the
+  *  Java-vs-RE2 divergence note in QualityScanCodec, lives
+  * here; a codec with its own copy could silently desynchronize. */
+private[functions] object JavaWs {
+  def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
 object TextStatsCodec {
 
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   import BoundScan.isBoundWordCp
+  import JavaWs.isSpace
 
   /** The ten stopwords of the quality heuristic, lowercase. */
   private val STOPS: java.util.Set[String] = {

@@ -16,8 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * space-joined, distinct in first-occurrence order. */
 object WordNgramsCodec {
 
-  private def isSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  import JavaWs.isSpace
 
   def eval(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString

@@ -429,9 +429,14 @@ object Dedup {
     * the token-level variants (ngram/minhash) covering that regime.
     * Output (doc_a, doc_b, dist), dist ≤ maxDist. */
   def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    // bucket width = maxDist: dist <= maxDist implies the length diff
+    // is <= maxDist, and |len_a - len_b| <= W guarantees the div-W
+    // buckets are adjacent — so ±1 adjacency is lossless at ANY
+    // maxDist (a fixed width would silently drop long-edit pairs)
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val n = docs.select(col("doc_id"), TextFns.normText(col("text")).as("t"))
       .withColumn("blk", substring(col("t"), 1, 16))
-      .withColumn("lb", expr("length(t) div 20"))
+      .withColumn("lb", expr(s"length(t) div $maxDist"))
     n.as("a").join(n.as("b"),
         col("a.blk") === col("b.blk") &&
           abs(col("a.lb") - col("b.lb")) <= 1 &&

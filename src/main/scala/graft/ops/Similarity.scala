@@ -80,25 +80,43 @@ object Similarity {
     * engines instead of risking NULL-ordering divergence. */
   def mrlTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       coarseDims: Int, rerank: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(coarseDims >= 1, s"coarseDims must be >= 1, got $coarseDims")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("pe", slice(col("embedding"), 1, coarseDims))
-      .withColumn("nrm", normDec("embedding"))
+    // the coarse pass touches ONLY the prefix: no full-dim norm on the
+    // corpus scan, and the candidate-cut shuffle carries exactly
+    // (query_id, neighbor_id, cs) — 3 narrow columns, not vectors
+    // (shipping the full embeddings through the cut negated the
+    // bandwidth claim; r4 review finding)
+    val prefixes = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, coarseDims).as("pe"))
       .withColumn("pnrm", normDec("pe"))
-    val queries = base.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("pe").as("pqe"), col("nrm").as("qn"), col("pnrm").as("pqn"))
-    val coarse = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val queriesCoarse = prefixes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("pe").as("pqe"),
+        col("pnrm").as("pqn"))
+    val coarse = prefixes.join(broadcast(queriesCoarse),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("nrm"), col("qe"), col("qn"),
         coalesce(cosine("pqe", "pe", col("pqn"), col("pnrm")), lit(-2.0)).as("cs"))
     val cw = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("neighbor_id").asc)
     val cand = coarse.withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+    // exact pass on candidates only: the tiny candidate list broadcasts
+    // into the corpus to fetch neighbor vectors (full norms evaluated
+    // for matching rows alone), queries' full vectors broadcast in
+    val queriesFull = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", normDec("qe"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.select(col("query_id"), col("neighbor_id"),
+    embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queriesFull), "query_id")
+      .withColumn("nrm", normDec("embedding"))
+      .select(col("query_id"), col("neighbor_id"),
         cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -186,10 +186,10 @@ object TextSurface {
       graft.ops.Packing.sequenceSpans(docs(s, dir), 512, 64)),
     // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
     // language recipe against actual supply — binding stratum caps the
-    // total, rates feed stratifiedHash
+    // total, rates feed stratifiedHash (recipe shared with the oracle
+    // builder so the two cannot drift)
     "mix_plan" -> ((s, dir) =>
-      graft.ops.Mixing.plan(docs(s, dir), "lang",
-        Map("en" -> 4000, "de" -> 1500, "fr" -> 1500, "es" -> 1500, "zh" -> 1500))),
+      graft.ops.Mixing.plan(docs(s, dir), "lang", MIX_TARGETS.toMap)),
     // rarity-weighted top terms per doc (integer-exact tf/df scoring —
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
@@ -206,6 +206,11 @@ object TextSurface {
   )
 
   // ---- DuckDB oracles ----
+
+  /** The mixing recipe — ONE definition feeds the Spark query's map
+    * AND the oracle's CASE arms + declared-strata list. */
+  private val MIX_TARGETS: Seq[(String, Int)] = Seq(
+    "de" -> 1500, "en" -> 4000, "es" -> 1500, "fr" -> 1500, "zh" -> 1500)
 
   private val NORM =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
@@ -416,22 +421,32 @@ object TextSurface {
         |  CAST(CASE WHEN tok > 0 THEN (o + tok - 1) // 512 - o // 512 + 1
         |    ELSE 0 END AS BIGINT) AS n_seqs
         |FROM c""".stripMargin,
-    "mix_plan" ->
-      """WITH per AS (SELECT lang, count(*) AS n_docs,
-        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
-        |    CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
-        |      WHEN 'fr' THEN 1500 WHEN 'es' THEN 1500 WHEN 'zh' THEN 1500
-        |      ELSE 0 END AS BIGINT) AS target_bp
-        |  FROM documents GROUP BY 1),
-        |b AS (SELECT min(n_tokens * 10000 // target_bp) AS budget
-        |  FROM per WHERE target_bp > 0)
-        |SELECT lang, n_docs, n_tokens, target_bp,
-        |  CAST(CASE WHEN target_bp > 0 THEN budget * target_bp // 10000
-        |    ELSE 0 END AS BIGINT) AS take_tokens,
-        |  CAST(CASE WHEN target_bp > 0 AND n_tokens > 0
-        |    THEN (budget * target_bp // 10000) * 10000 // n_tokens
-        |    ELSE 0 END AS BIGINT) AS rate_bp
-        |FROM per CROSS JOIN b""".stripMargin,
+    // mirrors Mixing.plan INCLUDING the declared-strata union: a
+    // recipe stratum the corpus lacks enters as a zero-supply row and
+    // binds the budget to 0 on both engines
+    "mix_plan" -> {
+      val caseArms = MIX_TARGETS.map { case (l, bp) =>
+        s"WHEN '$l' THEN $bp" }.mkString(" ")
+      val declList = MIX_TARGETS.map { case (l, _) => s"'$l'" }.mkString(", ")
+      s"""WITH per0 AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |decl AS (SELECT unnest([$declList]) AS lang),
+         |per AS (SELECT lang,
+         |    CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |    CAST(CASE lang $caseArms ELSE 0 END AS BIGINT) AS target_bp
+         |  FROM decl FULL OUTER JOIN per0 USING (lang)),
+         |b AS (SELECT min(n_tokens * 10000 // target_bp) AS budget
+         |  FROM per WHERE target_bp > 0)
+         |SELECT lang, n_docs, n_tokens, target_bp,
+         |  CAST(CASE WHEN target_bp > 0 THEN budget * target_bp // 10000
+         |    ELSE 0 END AS BIGINT) AS take_tokens,
+         |  CAST(CASE WHEN target_bp > 0 AND n_tokens > 0
+         |    THEN (budget * target_bp // 10000) * 10000 // n_tokens
+         |    ELSE 0 END AS BIGINT) AS rate_bp
+         |FROM per CROSS JOIN b""".stripMargin
+    },
     "dedup_incremental" -> incrementalOracle,
     "decontam_overlap" -> decontamOracle,
     "text_stats" -> textStatsOracle,
