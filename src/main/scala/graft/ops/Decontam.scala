@@ -44,7 +44,15 @@ object Decontam {
   /** Per-corpus-doc overlap stats against `benchmark` (both inputs
     * need (doc_id, text)). Corpus docs present in the benchmark should
     * be excluded by the caller — the gate feeds the hash-sampled eval
-    * split as `benchmark` and its complement as `corpus`. */
+    * split as `benchmark` and its complement as `corpus`.
+    *
+    * Cache lifecycle contract: the corpus gram relation is persisted
+    * (MEMORY_AND_DISK) so it feeds both the hit join and the totals
+    * aggregation in one derivation; the result is lazy, so this method
+    * cannot unpersist it itself. In a long-lived session the caller
+    * owns release — `spark.catalog.clearCache()` after the result is
+    * materialized (the Verify/Bench convention), or track and
+    * unpersist via `spark.sharedState.cacheManager`. */
   def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     // the gram derivation (tokenize + window + distinct + md5) is the
     // expensive part and feeds BOTH the hit join and the totals

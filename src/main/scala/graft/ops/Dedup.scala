@@ -374,6 +374,12 @@ object Dedup {
     * matched authority id or NULL, kept verdict). Deterministic: min
     * over verified matches, threshold exact on 4dp-rounded Jaccard
     * like every MinHash gate here.
+    *
+    * Cache lifecycle contract: both shingle relations are persisted
+    * and the result is lazy — the caller releases them after
+    * materializing (`spark.catalog.clearCache()`, the Verify/Bench
+    * convention), same as [[minhashLshPairs]] and
+    * [[graft.ops.Decontam.overlap]].
     */
   def incrementalSuppress(existing: DataFrame, incoming: DataFrame,
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
@@ -461,7 +467,12 @@ object Dedup {
     * verify (dropDuplicates state on an unbounded pair stream; extra
     * collisions only repeat a verify that the final min() absorbs),
     * and the incoming shingle arrays ride the band rows instead of
-    * joining back (a cand⋈incoming join would be stream-stream). */
+    * joining back (a cand⋈incoming join would be stream-stream).
+    *
+    * Cache lifecycle contract: the existing-side shingle relation is
+    * persisted and the result is lazy — the caller releases it after
+    * the query/batch completes (`spark.catalog.clearCache()`), same
+    * as [[incrementalSuppress]]. */
   def suppressAgainstIndex(existing: DataFrame, incoming: DataFrame,
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")

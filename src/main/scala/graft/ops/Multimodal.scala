@@ -279,14 +279,15 @@ object Multimodal {
       media_id: Long, frame_idx: Long, n_in_frame: Long, byte_sum: Long)
 
   /** PCM frame sampling over the WAV subset — the audio face of
-    * video-style frame sampling: REAL RIFF parse (channels/bits/data
-    * length read from the header exactly like [[decode]]), the data
-    * chunk split into fixed frames of `frameSamples` samples, every
-    * `stride`-th frame kept with its sample count and byte checksum.
-    * Non-WAV and malformed payloads emit no frames (the sampler is a
-    * pass over opaque binary, not a validator). Row-local flatMap —
-    * no shuffle, no driver state; at 100 TB the sampler runs at scan
-    * speed like every decoder here. */
+    * video-style frame sampling: a REAL RIFF chunk walk (not fixed
+    * header offsets — 'fmt ' is located wherever it sits, so an
+    * extended fmt chunk or a LIST/INFO chunk before 'data' parses
+    * correctly instead of yielding garbage), the data chunk split into
+    * fixed frames of `frameSamples` samples, every `stride`-th frame
+    * kept with its sample count and byte checksum. Non-WAV and
+    * malformed payloads (no fmt/data chunk found) emit no frames.
+    * Row-local flatMap — no shuffle, no driver state; at 100 TB the
+    * sampler runs at scan speed like every decoder here. */
   def frameSampleAudio(media: DataFrame, frameSamples: Int = 32,
       stride: Int = 2): Dataset[AudioFrame] = {
     require(frameSamples >= 1 && stride >= 1)
@@ -295,25 +296,46 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         val n = p.length
-        if (n < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+        if (n < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
           p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E') Iterator.empty
         else {
           def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
             ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
           def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-          val bytesPerSample = math.max(le16(22) * le16(34) / 8, 1)
-          val dataBytes = math.min(le32(40), (n - 44).toLong)
-          val nSamples = dataBytes / bytesPerSample
-          val nFrames = ((nSamples + frameSamples - 1) / frameSamples).toInt
-          Iterator.range(0, nFrames, stride).map { fi =>
-            val sampleStart = fi.toLong * frameSamples
-            val inFrame = math.min(frameSamples.toLong, nSamples - sampleStart)
-            val byteStart = 44 + sampleStart * bytesPerSample
-            var sum = 0L
-            var i = byteStart.toInt
-            val end = (byteStart + inFrame * bytesPerSample).toInt
-            while (i < end) { sum += p(i) & 0xff; i += 1 }
-            AudioFrame(id, fi.toLong, inFrame, sum)
+          def tag(o: Int, t: String): Boolean =
+            p(o) == t(0) && p(o + 1) == t(1) && p(o + 2) == t(2) && p(o + 3) == t(3)
+          // walk subchunks: [4-byte tag][4-byte LE size][body, padded
+          // to even]. Record the fmt fields and the data extent; stop
+          // once both are seen.
+          var off = 12L
+          var bytesPerSample = 0L
+          var dataStart = -1L
+          var dataBytes = -1L
+          while (off + 8 <= n && (bytesPerSample == 0L || dataStart < 0)) {
+            val o = off.toInt
+            val size = le32(o + 4)
+            if (tag(o, "fmt ") && size >= 16 && off + 8 + 16 <= n)
+              bytesPerSample = math.max(le16(o + 10) * le16(o + 22) / 8, 1).toLong
+            else if (tag(o, "data")) {
+              dataStart = off + 8
+              dataBytes = math.min(size, n - dataStart)
+            }
+            off += 8 + size + (size & 1) // chunks pad to even length
+          }
+          if (bytesPerSample <= 0 || dataStart < 0) Iterator.empty
+          else {
+            val nSamples = dataBytes / bytesPerSample
+            val nFrames = ((nSamples + frameSamples - 1) / frameSamples).toInt
+            Iterator.range(0, nFrames, stride).map { fi =>
+              val sampleStart = fi.toLong * frameSamples
+              val inFrame = math.min(frameSamples.toLong, nSamples - sampleStart)
+              val byteStart = dataStart + sampleStart * bytesPerSample
+              var sum = 0L
+              var i = byteStart.toInt
+              val end = (byteStart + inFrame * bytesPerSample).toInt
+              while (i < end) { sum += p(i) & 0xff; i += 1 }
+              AudioFrame(id, fi.toLong, inFrame, sum)
+            }
           }
         }
       }

@@ -31,7 +31,8 @@ object ZOrder {
   def interleave(cols: Seq[Column], bits: Int): Column = {
     val d = cols.size
     require(d >= 2, s"z-order needs >= 2 columns, got $d")
-    require(bits >= 1 && d * bits <= 63, s"d*bits must be in [2,63], got ${d * bits}")
+    require(bits >= 1, s"bits must be >= 1, got $bits")
+    require(d * bits <= 63, s"d*bits must be <= 63, got ${d * bits}")
     cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
       (0 until bits).foldLeft(acc) { (a, i) =>
         // c & (1<<i) keeps bit i in place; shifting by i*(d-1)+j moves

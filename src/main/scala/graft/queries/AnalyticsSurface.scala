@@ -286,10 +286,15 @@ object AnalyticsSurface {
     "zorder_layout" -> ((s, dir) => {
       // Knuth multiplicative spread before the 16-bit bucket: raw keys
       // at small SFs never reach the high interleave bits (every row
-      // would land in z-bucket 0 and the gate would check nothing)
+      // would land in z-bucket 0 and the gate would check nothing).
+      // The key is masked to 16 bits BEFORE the multiply so the
+      // product never exceeds 2^16 * 2654435761 < 2^48 — unmasked,
+      // keys past ~3.5e9 (large SFs) overflow int64 and throw under
+      // ANSI mode; the low-16 multiplier (0x79B1) is odd, so the
+      // mod-65536 multiply stays a bijection and spreads just as well
       val li = t(s, dir, "lineitem")
-        .select(((col("l_orderkey") * 2654435761L) % 65536).as("ox"),
-          ((col("l_partkey") * 2654435761L) % 65536).as("oy"))
+        .select((((col("l_orderkey") % 65536) * 2654435761L) % 65536).as("ox"),
+          (((col("l_partkey") % 65536) * 2654435761L) % 65536).as("oy"))
       li.withColumn("z", graft.ops.ZOrder.interleave(Seq(col("ox"), col("oy")), 16))
         .groupBy(expr("z div 134217728").as("zb")) // 2^27: 32 buckets
         .agg(count(lit(1)).as("n"),
@@ -444,8 +449,8 @@ object AnalyticsSurface {
     // the engine-side verdict flips to 0 and the hash check fails
     "zorder_layout" -> {
       val z = graft.ops.ZOrder.interleaveSql(Seq("ox", "oy"), 16)
-      s"""WITH k AS (SELECT (l_orderkey * 2654435761) % 65536 AS ox,
-         |    (l_partkey * 2654435761) % 65536 AS oy FROM lineitem),
+      s"""WITH k AS (SELECT ((l_orderkey % 65536) * 2654435761) % 65536 AS ox,
+         |    ((l_partkey % 65536) * 2654435761) % 65536 AS oy FROM lineitem),
          |z AS (SELECT ox, oy, $z AS z FROM k)
          |SELECT z // 134217728 AS zb, count(*) AS n,
          |  min(ox) AS min_x, max(ox) AS max_x,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal decode: real BMP/PPM/WAV header parsing over planted
@@ -126,6 +127,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.frameSampleAudio(
       Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0)), 32, 2)
       .count() == 0)
+  }
+
+  test("PCM frame sampler walks RIFF chunks: extended fmt + LIST chunk parse like the canonical twin") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 66 mono 16-bit samples of a constant byte, like the id=2 fixture
+    val ns = 66
+    val fill: Byte = 7
+    val data = Array.fill(ns * 2)(fill)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (odd sizes) stays zero
+    }
+    // extended fmt: 18-byte body (cbSize=0 tail), NOT at offset 12's
+    // canonical 16-byte shape; an odd-sized LIST chunk sits before data
+    val fmt18 = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      .putShort(0.toShort).array()
+    val list = "INFOIART someone".getBytes("US-ASCII").dropRight(1) // 15 bytes: odd
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val extended = wav(chunk("fmt ", fmt18), chunk("LIST", list), chunk("data", data))
+    val canonical = wav(chunk("fmt ", fmt18.take(16)), chunk("data", data))
+    val media = Seq((1L, extended), (2L, canonical))
+      .toDF("media_id", "payload").withColumn("format", lit("wav"))
+    val frames = Multimodal.frameSampleAudio(media, 32, 2).collect()
+      .groupBy(_.media_id).view.mapValues(
+        _.sortBy(_.frame_idx).map(f => (f.frame_idx, f.n_in_frame, f.byte_sum)).toSeq)
+    assert(frames(1L) == frames(2L))
+    assert(frames(1L) == Seq((0L, 32L, 32L * 2 * fill), (2L, 2L, 2L * 2 * fill)))
+    // fmt-only (no data chunk) and truncated-garbage payloads emit nothing
+    val noData = wav(chunk("fmt ", fmt18.take(16)))
+    assert(Multimodal.frameSampleAudio(
+      Seq((3L, noData)).toDF("media_id", "payload"), 32, 1).count() == 0)
   }
 
   test("frame sampling slices cover the payload exactly") {
