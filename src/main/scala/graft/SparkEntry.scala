@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsSurface, RefSurface, SimilaritySurface, StreamSurface, TextSurface, TsqlSurface}
+import graft.queries.{AnalyticsSurface, RefSurface, SimilaritySurface, SourcesSurface, StreamSurface, TextSurface, TsqlSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     (SimilaritySurface.queries, SimilaritySurface.oracleSql),
     (AnalyticsSurface.queries, AnalyticsSurface.oracleSql),
     (StreamSurface.queries, StreamSurface.oracleSql),
+    (SourcesSurface.queries, SourcesSurface.oracleSql),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -18,8 +18,9 @@ object WordNgramsCodec {
 
   import JavaWs.isSpace
 
-  def eval(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
+  /** Maximal non-whitespace runs, in order — the raw `\S+` token walk
+    * shared by [[eval]] and [[WordBlocksCodec.eval]]. */
+  private[functions] def wsTokens(s: String): java.util.ArrayList[String] = {
     val len = s.length
     val toks = new java.util.ArrayList[String]()
     var i = 0
@@ -31,6 +32,11 @@ object WordNgramsCodec {
         toks.add(s.substring(start, i))
       }
     }
+    toks
+  }
+
+  def eval(text: UTF8String, n: Int): ArrayData = {
+    val toks = wsTokens(text.toString)
     val m = toks.size()
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
@@ -80,5 +86,62 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramsCodec.eval($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Non-overlapping n-token blocks over raw `\S+` tokens, in document
+  * order, ragged tail dropped — the unit of the duplicated-block
+  * fraction signal (the dup-line fraction of Gopher's repetition
+  * rules, over token blocks since the corpus fixture has no line
+  * structure). Oracle form: `array_to_string(toks[bi*n+1 : bi*n+n],
+  * ' ')` for bi in `range(0, len(toks) // n)`. Unlike
+  * [[WordNgramsCodec]] the output is NOT distinct: block positions and
+  * within-doc repeats are part of the signal. */
+object WordBlocksCodec {
+
+  def eval(text: UTF8String, n: Int): ArrayData = {
+    val toks = WordNgramsCodec.wsTokens(text.toString)
+    val m = toks.size() / n
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder()
+    var b = 0
+    while (b < m) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(b * n + q))
+        q += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `word_blocks(text, n)` with literal n —
+  * one text walk inside whole-stage codegen, same rationale as
+  * [[WordNgrams]]. */
+case class WordBlocks(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 256, s"word_blocks n must be in [1, 256], got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_blocks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_blocks requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordBlocksCodec.eval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBlocksCodec.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBlocks =
     copy(child = newChild)
 }

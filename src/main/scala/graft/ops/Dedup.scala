@@ -572,4 +572,44 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxHamming)
   }
+
+  /** Per-document duplicated-block fraction — the sub-document face of
+    * exact dedup (Gopher's dup-line-fraction repetition signal, over
+    * non-overlapping `blockTokens`-token blocks since the fixture text
+    * has no line structure): a document's distinct blocks are counted
+    * and each is checked for presence in ANY other document; the
+    * output fraction (integer basis points) is the cross-doc
+    * boilerplate share that doc-level exact/minhash dedup cannot see.
+    *
+    * Shape at scale: blocks come from one native `word_blocks` scan
+    * (generator explode, no lambda-inlining re-tokenization), reduce
+    * to 8-byte h60 hashes before the one shuffle (distinct on
+    * (doc_id, bh)), and the sharing test is a groupBy on the hash +
+    * one join back — the dedup_exact cost model applied at block
+    * granularity. No driver state, no cross product.
+    *
+    * Output: (doc_id, n_blocks, n_shared, shared_bp), zero-row docs
+    * kept with zeros. */
+  def duplicateBlockStats(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val blocks = docs
+      .select(col("doc_id"),
+        explode(expr(s"word_blocks(text, $blockTokens)")).as("block"))
+      .select(col("doc_id"), TextFns.h60(col("block")).as("bh"))
+      .distinct()
+    // blocks is distinct per (doc_id, bh), so count(*) per bh = the
+    // number of distinct docs carrying the block
+    val byBlock = blocks.groupBy("bh").agg(count(lit(1)).as("nd"))
+    val per = blocks.join(byBlock, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum((col("nd") >= 2).cast("long")).as("n_shared"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_bp",
+        expr("n_shared * 10000 div greatest(n_blocks, 1)"))
+  }
 }

@@ -558,4 +558,54 @@ object Similarity {
           col("a.nrm"), col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * k-means-cluster the corpus, then compare pairs ONLY within a
+    * cluster and drop every vector whose rounded cosine to a
+    * smaller-id cluster-mate reaches `threshold` (min-id survivor —
+    * the same deterministic authority rule as
+    * [[graft.ops.Dedup.incrementalSuppress]]; the paper keeps the
+    * point farthest from the centroid, any deterministic
+    * representative is equivalent for dedup purposes).
+    *
+    * Shape at scale — this is the published answer to embedding dedup
+    * over billions of vectors: the quadratic term is confined to one
+    * cell, and nCentroids grows with the corpus so cell size stays
+    * CONSTANT (n/k); candidate generation is a single equality
+    * self-join on the cell id (one shuffle by cell), the codebook
+    * trains on a bounded sample with broadcast centroids
+    * ([[trainCodebook]]'s one-narrow-job Lloyd rounds), and the
+    * assignment pass is a map against centroid literals — no
+    * all-pairs stage anywhere. Skew bound: k-means cells track data
+    * density, so a pathological cell degrades toward
+    * [[embeddingDupPairs]]' label block, never past it.
+    *
+    * Output, one row per vector: (vec_id, cell, dup_of = smallest
+    * matched cluster-mate or NULL, kept verdict).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nCentroids: Int = 8, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // one normed corpus materialization feeds training, assignment and
+    // both sides of the intra-cell join (the ivfTopK convention; the
+    // caller releases the cache after materializing, clearCache
+    // contract as on Decontam.overlap)
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val centStructs = centroidStructs(cents)
+    val assigned = base.withColumn("cell",
+      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
+    val side = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val dupOf = side.as("x").join(side.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("other"),
+        cosine("x.embedding", "y.embedding", col("x.nrm"), col("y.nrm")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id").agg(min("other").as("dup_of"))
+    assigned.select("vec_id", "cell").join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.cast("long").as("kept"))
+  }
 }

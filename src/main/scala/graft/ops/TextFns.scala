@@ -62,4 +62,38 @@ object TextFns {
     * that bit arithmetic stays in safely-positive Long range in every
     * engine). */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ---- PII scrubbing (shared Java/RE2-safe literal patterns) ----
+  //
+  // One derivation, two renderings: these exact strings compile under
+  // both Java regex (Spark codegen'd regexp_replace/extract_all) and
+  // RE2 (the DuckDB oracle) — character classes, bounded repetition,
+  // alternation-free, ASCII \b only; no lookaround or backreferences
+  // (RE2 has neither). Redaction order is fixed (email, phone, ip) so
+  // both engines rewrite the same spans identically.
+
+  /** RFC-loose email: local part, @, dotted domain, 2+ letter TLD. */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-prefix phone in the common +C-AAA-NNN-NNNN shape. */
+  val PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Dotted-quad IPv4, word-bounded so version strings inside longer
+    * dotted runs don't half-match. */
+  val IP_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact PII in place: emails, then phones, then IPv4 literals, each
+    * replaced by its tag token. Pure codegen'd regexp_replace chain —
+    * a row-local scan, the 100 TB cost model of every scrubber here. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>"),
+      IP_RE, "<IP>")
+
+  /** Match count of `re` in `c` (codegen'd; counts on the unredacted
+    * text, so per-kind counts are independent of redaction order). */
+  def countMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 }

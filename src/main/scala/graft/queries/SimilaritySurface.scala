@@ -39,6 +39,12 @@ object SimilaritySurface {
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.embeddingDupPairsLsh(emb(s, dir), DUP_THRESHOLD, NPLANES, DIM)),
+    // SemDeDup: k-means cells confine the pairwise stage; min-id
+    // survivor per cell — the oracle replays the same Lloyd rounds as
+    // the ivf gates, then the intra-cell pair join
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), DUP_THRESHOLD, NCENTROIDS,
+        KMEANS_ITERS, expr(TRAIN_SQL))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeSummary(emb(s, dir))),
   )
@@ -205,6 +211,24 @@ object SimilaritySurface {
          |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
          |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $baseCte,
+         |$kmeansCtes,
+         |sims AS (SELECT b.vec_id, c.cid,
+         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+         |  FROM base b, cents$KMEANS_ITERS c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cell, b.embedding, b.nrm
+         |  FROM assign a JOIN base b USING (vec_id)),
+         |pairs AS (SELECT x.vec_id, y.vec_id AS other
+         |  FROM av x JOIN av y ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |  WHERE round(${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 4) >= $DUP_THRESHOLD),
+         |d AS (SELECT vec_id, min(other) AS dup_of FROM pairs GROUP BY 1)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM assign a LEFT JOIN d USING (vec_id)""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

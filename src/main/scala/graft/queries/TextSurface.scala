@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -203,7 +203,42 @@ object TextSurface {
         .join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars", "quality_score")
     }),
+    // PII scrubbing (TextFns.redactPii): the fixture text carries no
+    // PII, so the gate augments each doc with deterministic id-derived
+    // email/phone/IP spans — BOTH engines derive the same augmented
+    // text, then count and redact it with the shared patterns
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = piiAugmented(col("text"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"),
+        TextFns.countMatches(aug, TextFns.EMAIL_RE).as("n_email"),
+        TextFns.countMatches(aug, TextFns.PHONE_RE).as("n_phone"),
+        TextFns.countMatches(aug, TextFns.IP_RE).as("n_ip"),
+        md5(TextFns.redactPii(aug)).as("red_fp"),
+        length(TextFns.redactPii(aug)).cast("long").as("red_len"))
+    }),
+    // duplicated-block fraction (Dedup.duplicateBlockStats): cross-doc
+    // boilerplate share per doc over non-overlapping 10-token blocks
+    "text_dup_blocks" -> ((s, dir) =>
+      Dedup.duplicateBlockStats(docs(s, dir), 10)),
   )
+
+  /** Deterministic PII augmentation — one derivation, rendered for
+    * Spark here and for DuckDB in [[PII_AUG_SQL]]; the two strings
+    * must stay field-for-field identical. */
+  private def piiAugmented(text: Column, docId: Column): Column =
+    concat(text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@ex"), (docId % 7).cast("string"),
+      lit(".org call +1-415-555-"),
+      lpad((docId % 10000).cast("string"), 4, "0"),
+      lit(" host 10."), (docId % 256).cast("string"),
+      lit(".0."), (docId % 100).cast("string"))
+
+  private val PII_AUG_SQL: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.org call +1-415-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
 
   // ---- DuckDB oracles ----
 
@@ -449,6 +484,42 @@ object TextSurface {
     },
     "dedup_incremental" -> incrementalOracle,
     "decontam_overlap" -> decontamOracle,
+    "text_pii_redact" -> {
+      def cnt(re: String) =
+        s"CAST(len(regexp_extract_all(aug, '$re')) AS BIGINT)"
+      val red = s"regexp_replace(regexp_replace(regexp_replace(aug, " +
+        s"'${TextFns.EMAIL_RE}', '<EMAIL>', 'g'), " +
+        s"'${TextFns.PHONE_RE}', '<PHONE>', 'g'), " +
+        s"'${TextFns.IP_RE}', '<IP>', 'g')"
+      s"""WITH a AS (SELECT doc_id, $PII_AUG_SQL AS aug FROM documents),
+         |r AS (SELECT doc_id, aug, $red AS red FROM a)
+         |SELECT doc_id,
+         |  ${cnt(TextFns.EMAIL_RE)} AS n_email,
+         |  ${cnt(TextFns.PHONE_RE)} AS n_phone,
+         |  ${cnt(TextFns.IP_RE)} AS n_ip,
+         |  md5(red) AS red_fp,
+         |  CAST(length(red) AS BIGINT) AS red_len
+         |FROM r""".stripMargin
+    },
+    "text_dup_blocks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |    unnest(range(0, len(toks) // 10)) AS bi FROM t),
+         |h AS (SELECT doc_id, ${h60sql(
+        "array_to_string(list_slice(toks, bi*10+1, bi*10+10), ' ')")} AS bh
+         |  FROM b),
+         |d AS (SELECT DISTINCT doc_id, bh FROM h),
+         |g AS (SELECT bh, count(*) AS nd FROM d GROUP BY 1),
+         |per AS (SELECT d.doc_id, count(*) AS n_blocks,
+         |    CAST(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |  FROM d JOIN g USING (bh) GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(n_blocks, 0) AS BIGINT) AS n_blocks,
+         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(coalesce(n_shared, 0) * 10000 //
+         |    greatest(coalesce(n_blocks, 0), 1) AS BIGINT) AS shared_bp
+         |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->

@@ -59,4 +59,43 @@ class WordNgramsSpec extends AnyFunSuite {
         .select(expr("word_ngrams(text, n)")).collect()
     }
   }
+
+  private def assertBlockParity(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+    GraftFunctions.register(spark)
+    // builtin-composition reference: floor(m/n) blocks of exactly n
+    // tokens, in order, NOT distinct (word_blocks' semantics contract)
+    val ref = expr(
+      s"""CASE WHEN size(t) >= $n
+         |  THEN transform(sequence(1, size(t) div $n),
+         |       b -> concat_ws(' ', slice(t, (b - 1) * $n + 1, $n)))
+         |  ELSE array() END""".stripMargin)
+    val bad = df
+      .withColumn("t", expr("regexp_extract_all(text, '\\\\S+', 0)"))
+      .withColumn("ref", ref)
+      .withColumn("got", expr(s"word_blocks(text, $n)"))
+      .filter(col("ref") =!= col("got"))
+      .select("text", "ref", "got").collect()
+    assert(bad.isEmpty, s"n=$n divergence on: ${bad.take(3).mkString("; ")}")
+  }
+
+  test("word_blocks parity: corpus + crafted edges (order, repeats, ragged tail)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 10)) assertBlockParity(docs, n)
+    val df = Seq(
+      "", " ", "a", "a b", "a b c d e f",
+      "dup dup dup dup dup dup", // repeated blocks PRESERVED (not distinct)
+      "tab\tand\nnewline separated words here now eight",
+      "one two three four five six seven").toDF("text")
+    for (n <- Seq(1, 2, 3, 7)) assertBlockParity(df, n)
+  }
+
+  test("word_blocks: repeats kept, tail dropped, short text empty") {
+    GraftFunctions.register(spark)
+    val got = Seq("a b a b tail").toDF("text")
+      .select(expr("word_blocks(text, 2)").as("b")).collect().head.getSeq[String](0)
+    assert(got == Seq("a b", "a b")) // 5th token is ragged tail
+    val short = Seq("just four tokens here").toDF("text")
+      .select(expr("word_blocks(text, 5)").as("b")).collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
 }

@@ -162,6 +162,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  test("duplicateBlockStats: cross-doc shared blocks counted, within-doc repeats distinct, short docs zero") {
+    val d = Seq(
+      (0L, "a b c d e f"),          // blocks(3): [a b c][d e f]
+      (1L, "a b c x y z"),          // shares [a b c] with doc 0
+      (2L, "p q"),                  // no complete block
+      (3L, "a b c a b c a b c")     // one DISTINCT block, shared cross-doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateBlockStats(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 1L, 5000L)))
+    assert(out(1L) == ((2L, 1L, 5000L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 1L, 10000L)))
+  }
+
   test("simhashPairs recall is exact at the pigeonhole bound") {
     // every pair within the threshold of the brute-force 60-bit
     // signature distance must be produced by the blocked join

@@ -214,6 +214,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("semanticDedup: planted duplicate suppressed by its min-id twin, cells consistent") {
+    val out = Similarity.semanticDedup(emb, 0.99, nCentroids = 4,
+      kmeansIters = 2, trainPred = col("vec_id") % 2 === 0).collect()
+    assert(out.length == 30) // one verdict row per vector
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    // the exact copy (vec 1 == vec 0) shares vec 0's cell and drops to it
+    assert(byId(1L)._1 == byId(0L)._1)
+    assert(byId(1L)._2.contains(0L) && byId(1L)._3 == 0L)
+    // vec 0 has no smaller-id match: kept
+    assert(byId(0L)._2.isEmpty && byId(0L)._3 == 1L)
+    // dup_of is always a smaller id; kept verdict consistent with dup_of
+    out.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getLong(2) < r.getLong(0) && r.getLong(3) == 0L)
+      else assert(r.getLong(3) == 1L)
+    }
+    // at threshold 1.01 (unreachable) everything is kept
+    val none = Similarity.semanticDedup(emb, 1.01, nCentroids = 4)
+    assert(none.filter(col("kept") === 0).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("embedding dup pairs: the planted duplicate pair is found at threshold 0.99") {
     val pairs = Similarity.embeddingDupPairs(emb, 0.99).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

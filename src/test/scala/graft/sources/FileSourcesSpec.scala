@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSONL/CSV interchange: round-trip identity, corrupt-record
+  * quarantine (PERMISSIVE) and FAILFAST rejection. */
+class FileSourcesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("body", StringType)))
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_fs_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("jsonl round trip preserves rows, types, and tricky strings") {
+    val df = Seq(
+      (1L, """quotes " and {"nested": "json"} braces"""),
+      (2L, "commas, tabs\tand unicode émigré 中文"),
+      (3L, "")).toDF("id", "body")
+    val dir = tmpDir("jrt")
+    val back = FileSources.roundTripJsonl(df, s"$dir/out")
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round trip preserves quoted/escaped fields") {
+    val df = Seq(
+      (1L, """a "quoted" value"""),
+      (2L, "comma, inside"),
+      (3L, "plain")).toDF("id", "body")
+    val dir = tmpDir("crt")
+    val back = FileSources.roundTripCsv(df, s"$dir/out")
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("permissive jsonl quarantines malformed lines instead of failing") {
+    val dir = tmpDir("bad")
+    Files.write(Paths.get(dir, "part.json"),
+      ("""{"id": 1, "body": "good"}""" + "\n" +
+        """{broken json line""" + "\n" +
+        """{"id": 3, "body": "also good"}""" + "\n").getBytes("UTF-8"))
+    // Spark refuses to filter on ONLY the corrupt column of a raw file
+    // scan (the line would have to be re-parsed); cache materializes
+    // the parsed rows first — the documented inspection pattern
+    val read = FileSources.readJsonl(spark, dir, schema).cache()
+    assert(read.count() == 3)
+    val bad = read.filter(col(FileSources.CORRUPT_COL).isNotNull).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String](FileSources.CORRUPT_COL).startsWith("{broken"))
+    // schema columns of the quarantined row are null
+    assert(bad.head.isNullAt(read.columns.indexOf("id")))
+    // good rows decode with null quarantine
+    assert(read.filter(col(FileSources.CORRUPT_COL).isNull).count() == 2)
+  }
+
+  test("failfast jsonl throws on the first malformed line") {
+    val dir = tmpDir("ff")
+    Files.write(Paths.get(dir, "part.json"),
+      ("""{"id": 1, "body": "good"}""" + "\n" + "not json\n").getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      FileSources.readJsonl(spark, dir, schema, failFast = true).collect()
+    }
+  }
+}
