@@ -39,7 +39,11 @@ object Bench {
     // z-key layout arithmetic, batch-vs-corpus incremental dedup
     "text_quality_gopher", "decontam_overlap", "zorder_layout",
     "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
-    "sim_topk_mrl")
+    "sim_topk_mrl",
+    // round-5 additions: SemDeDup cells, PII scrub scan, block-dup
+    // fraction, bloom-prefiltered blocklist suppression
+    "dedup_semantic", "text_pii_redact", "text_dup_blocks",
+    "dedup_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

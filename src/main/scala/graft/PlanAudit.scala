@@ -28,7 +28,11 @@ object PlanAudit {
       "agg_percentiles",   // sort-rank windows, no buffering aggregate
       "sim_topk_ivf_q8",   // integer candidate scoring, broadcast probes
       "text_bpe",          // single native expression over the scan
-      "ts_sample_by_pruned") // label bounds → raw-ts scan pruning (rule)
+      "ts_sample_by_pruned", // label bounds → raw-ts scan pruning (rule)
+      "dedup_semantic",    // k-means cells, intra-cell equality join
+      "text_pii_redact",   // pure regexp projection over the scan
+      "text_dup_blocks",   // word_blocks explode, one hash shuffle
+      "dedup_blocklist")   // constant bloom prefilter, candidate-only verify
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -46,6 +46,26 @@ object GraftFunctions {
       require(n != null, "word_blocks(text, n) requires a non-null literal n")
       WordBlocks(exprs.head, n.asInstanceOf[Number].intValue())
     }),
+    // Spark's own bloom sketch pair (catalyst aggregate + predicate,
+    // the machinery behind runtime row-level join filters), surfaced
+    // for explicit blocklist prefiltering: the internal registry hides
+    // them from SQL, so they get temp-function entries like ours.
+    // The TypedImperativeAggregate buffer here is ONE fixed-size
+    // global sketch (numBits caps it), not a per-group value buffer —
+    // the bounded-memory objection that bars percentile() from the
+    // exact tier does not apply.
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "bloom_agg(hash, estItems, numBits) requires literal sizes")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      }),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("minhash_sig", classOf[MinHashSig], exprs => {
       // k is model shape, not data: require a plan-time constant

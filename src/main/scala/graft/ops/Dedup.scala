@@ -573,6 +573,56 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Blocklist suppression with a bloom-sketch prefilter — the
+    * runtime-filter pattern made explicit: drop every corpus document
+    * whose normalized-content fingerprint appears in `blocklist`,
+    * without ever joining the full corpus against the blocklist.
+    *
+    * Shape at scale: the blocklist reduces to ONE fixed-size bloom
+    * sketch (`numBits` caps the aggregate buffer — 1.2 bytes/key at 1%
+    * fp gives 120 MB for a 10^8-entry blocklist, where the exact fp
+    * set would be multi-GB and past broadcast limits), broadcast via a
+    * one-row relation. The corpus pass splits on `bloom_might_contain`:
+    * non-candidates pass through at SCAN SPEED with no shuffle (blooms
+    * have no false negatives, so a miss is proof of cleanliness);
+    * only bloom candidates — true hits plus the ~1% false positives —
+    * pay the exact anti-join against the real fingerprint set. The
+    * output is EXACT regardless of bloom sizing (false positives are
+    * re-verified, spec-locked under a deliberately saturated sketch).
+    *
+    * Output: the kept documents (doc_id, lang, source, n_chars). The
+    * fingerprint relation is persisted to feed both branches — caller
+    * releases via clearCache, the shared-relation convention. */
+  def suppressBlocklist(corpus: DataFrame, blocklist: DataFrame,
+      estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val blockFps = blocklist
+      .select(md5(TextFns.normText(col("text"))).as("fp")).distinct()
+    val fps = corpus.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(TextFns.normText(col("text"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one narrow aggregation to a scalar sketch, materialized and
+    // inlined as a plan CONSTANT — might_contain requires a constant
+    // or scalar subquery, and this is exactly what Spark's own
+    // InjectRuntimeFilter does with its subquery result. The collect
+    // is bounded MODEL state (numBits/8 bytes, the centroid-collect
+    // category), never data rows.
+    val bfBytes = blockFps
+      .agg(expr(s"bloom_agg(xxhash64(fp), ${estItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val out = Seq("doc_id", "lang", "source", "n_chars")
+    if (bfBytes == null) // empty blocklist aggregates to null: keep all
+      return fps.select(out.head, out.tail: _*)
+    val tagged = fps.withColumn("mc",
+      call_function("bloom_might_contain", lit(bfBytes), xxhash64(col("fp"))))
+    // clean-by-proof branch: no shuffle ever touches these rows
+    val misses = tagged.filter(!col("mc")).select(out.head, out.tail: _*)
+    // candidates only: exact verify against the real fingerprints
+    val survivors = tagged.filter(col("mc"))
+      .join(blockFps, Seq("fp"), "left_anti").select(out.head, out.tail: _*)
+    misses.union(survivors)
+  }
+
   /** Per-document duplicated-block fraction — the sub-document face of
     * exact dedup (Gopher's dup-line-fraction repetition signal, over
     * non-overlapping `blockTokens`-token blocks since the fixture text
@@ -593,11 +643,15 @@ object Dedup {
   def duplicateBlockStats(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the block relation feeds BOTH the per-block doc counts and the
+    // per-doc rollup — persist so tokenize+hash runs once per corpus
+    // (caller releases via clearCache, the shared-relation convention)
     val blocks = docs
       .select(col("doc_id"),
         explode(expr(s"word_blocks(text, $blockTokens)")).as("block"))
       .select(col("doc_id"), TextFns.h60(col("block")).as("bh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // blocks is distinct per (doc_id, bh), so count(*) per bh = the
     // number of distinct docs carrying the block
     val byBlock = blocks.groupBy("bh").agg(count(lit(1)).as("nd"))

@@ -220,6 +220,15 @@ object TextSurface {
     // boilerplate share per doc over non-overlapping 10-token blocks
     "text_dup_blocks" -> ((s, dir) =>
       Dedup.duplicateBlockStats(docs(s, dir), 10)),
+    // blocklist suppression (Dedup.suppressBlocklist): the 10%
+    // 'blocklist' hash split is the banned set; the bloom prefilter
+    // keeps clean rows shuffle-free, exact verify keeps the gate exact
+    "dedup_blocklist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBl = graft.ops.Sampling.uniformHashPredicate(
+        col("doc_id"), 10, "blocklist")
+      Dedup.suppressBlocklist(d.filter(!isBl), d.filter(isBl))
+    }),
   )
 
   /** Deterministic PII augmentation — one derivation, rendered for
@@ -501,6 +510,17 @@ object TextSurface {
          |  CAST(length(red) AS BIGINT) AS red_len
          |FROM r""".stripMargin
     },
+    // the bloom sketch is invisible to the result by construction
+    // (false positives re-verified, no false negatives), so the oracle
+    // is the plain exact anti-join over the same fingerprint split
+    "dedup_blocklist" ->
+      s"""WITH bl AS (SELECT DISTINCT md5($NORM) AS fp FROM documents
+         |  WHERE ${h60sql("'blocklist:' || CAST(doc_id AS VARCHAR)")} % 100 < 10),
+         |c AS (SELECT doc_id, lang, source, n_chars, md5($NORM) AS fp
+         |  FROM documents
+         |  WHERE NOT (${h60sql("'blocklist:' || CAST(doc_id AS VARCHAR)")} % 100 < 10))
+         |SELECT doc_id, lang, source, n_chars FROM c
+         |WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.fp = c.fp)""".stripMargin,
     "text_dup_blocks" ->
       s"""WITH t AS (SELECT doc_id,
          |    regexp_extract_all(text, '\\S+') AS toks FROM documents),

@@ -177,6 +177,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 10000L)))
   }
 
+  test("suppressBlocklist: exact under any bloom sizing, normalization-aware") {
+    val corpus = Seq(
+      (0L, "the quick brown fox", "en", "s0", 19L),
+      (1L, "The QUICK brown fox!", "en", "s1", 20L), // normalizes to blocked
+      (2L, "totally fine document", "en", "s2", 21L),
+      (3L, "another clean one here", "en", "s3", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val blocklist = Seq((100L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    def keptIds(estItems: Long, numBits: Long): Set[Long] =
+      Dedup.suppressBlocklist(corpus, blocklist, estItems, numBits)
+        .collect().map(_.getLong(0)).toSet
+    // both normalized matches drop (no false negatives), clean docs stay
+    assert(keptIds(1L << 10, 1L << 13) == Set(2L, 3L))
+    // a deliberately SATURATED sketch (8 bits for the whole list → all
+    // corpus rows become candidates) changes the path, not the answer:
+    // false positives are re-verified by the exact join
+    assert(keptIds(1L, 8L) == Set(2L, 3L))
+    // empty blocklist keeps everything
+    assert(Dedup.suppressBlocklist(corpus, blocklist.filter("doc_id < 0"))
+      .count() == 4)
+    spark.catalog.clearCache()
+  }
+
   test("simhashPairs recall is exact at the pigeonhole bound") {
     // every pair within the threshold of the brute-force 60-bit
     // signature distance must be produced by the blocked join

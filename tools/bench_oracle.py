@@ -32,6 +32,8 @@ HEADLINE = [
     "text_quality_gopher", "decontam_overlap", "zorder_layout",
     "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
     "sim_topk_mrl",
+    "dedup_semantic", "text_pii_redact", "text_dup_blocks",
+    "dedup_blocklist",
 ]
 
 
