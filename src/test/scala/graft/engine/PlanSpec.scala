@@ -69,6 +69,34 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("semantic dedup's pairwise stage is an equality join on the cell id") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("block-dup stats derive the block relation once (cached, not re-scanned)") {
+    val p = plan("text_dup_blocks")
+    // both consumers (per-block doc counts, per-doc rollup) read the
+    // cached block relation back — the Generate feeds the cache once
+    // (the cached plan's own text reprints under each InMemoryTableScan,
+    // so count the cache READS, not word_blocks occurrences)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("blocklist suppression joins only bloom candidates (constant sketch prefilter)") {
+    val p = plan("dedup_blocklist")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the anti join sits under the candidate filter branch: the
+    // miss branch is a pure projection of the cache
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("bucketed join reads bucket-aligned — no shuffle exchange feeds the join") {
     // pin SMJ (a broadcast side would also be exchange-free, but the
     // claim under test is the bucket layout alignment)
