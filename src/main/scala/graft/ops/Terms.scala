@@ -67,4 +67,51 @@ object Terms {
         col("tf") * (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1))
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
+
+  /** Sparse document similarity via an INVERTED-INDEX candidate join —
+    * the text-side analog of the LSH bucket join: two documents are
+    * candidates iff they share a RARE feature (a distinct word-trigram
+    * shingle with document frequency in [2, maxDf]), and the score is
+    * the exact count of shared rare features.
+    *
+    * Why this scales where naive doc×doc cosine cannot: the posting
+    * list of a feature with df ≤ maxDf produces at most maxDf·(maxDf−1)/2
+    * pairs, so candidate volume is LINEAR in the index size with a
+    * constant cap per feature — the Zipf head (features in every
+    * document, which would each generate |corpus|² pairs) is excluded
+    * by the df ceiling, making the self-join skew-immune by
+    * construction. Features travel as 60-bit hashes, so the shuffle
+    * key is 8 bytes, not shingle text. This is the classic
+    * candidate-generation half of sparse tf-idf similarity; pairs it
+    * emits can feed an exact verifier (as MinHash candidates feed
+    * Jaccard) or stand alone as a shared-rare-vocabulary signal.
+    *
+    * Output: (doc_a, doc_b, n_shared_rare) for pairs sharing at least
+    * `minShared` rare features; deterministic (exact integer counts,
+    * doc_a < doc_b). */
+  def similarDocsByRareFeatures(docs: DataFrame, maxDf: Long = 10,
+      minShared: Long = 2): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // the feature relation feeds BOTH the df aggregation and the
+    // posting-list join — persist so shingling+hashing runs once per
+    // corpus (caller releases via clearCache, the shared-relation
+    // convention)
+    val features = TextFns.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), TextFns.h60(col("sh")).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = features.groupBy("th").agg(count(lit(1)).as("df"))
+    // rare-feature posting lists: df=1 can't pair, df>maxDf is the
+    // excluded head
+    val postings = features
+      .join(dfreq.filter(col("df").between(2, maxDf)), "th")
+      .select("th", "doc_id")
+    postings.as("a").join(postings.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= minShared)
+  }
 }

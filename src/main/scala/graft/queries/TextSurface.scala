@@ -220,6 +220,11 @@ object TextSurface {
     // boilerplate share per doc over non-overlapping 10-token blocks
     "text_dup_blocks" -> ((s, dir) =>
       Dedup.duplicateBlockStats(docs(s, dir), 10)),
+    // sparse doc similarity (Terms.similarDocsByRareFeatures):
+    // inverted-index candidates on rare shingles (df ≤ 10), exact
+    // shared-feature counts — the text-side LSH-bucket analog
+    "text_similar_rare" -> ((s, dir) =>
+      graft.ops.Terms.similarDocsByRareFeatures(docs(s, dir), 10, 2)),
     // blocklist suppression (Dedup.suppressBlocklist): the 10%
     // 'blocklist' hash split is the banned set; the bloom prefilter
     // keeps clean rows shuffle-free, exact verify keeps the gate exact
@@ -510,6 +515,16 @@ object TextSurface {
          |  CAST(length(red) AS BIGINT) AS red_len
          |FROM r""".stripMargin
     },
+    "text_similar_rare" ->
+      s"""WITH $SHINGLE_CTES,
+         |h AS (SELECT doc_id, ${h60sql("sh")} AS th FROM s),
+         |dfr AS (SELECT th, count(*) AS df FROM h GROUP BY 1),
+         |p AS (SELECT h.doc_id, h.th FROM h JOIN dfr USING (th)
+         |  WHERE dfr.df BETWEEN 2 AND 10),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM p a JOIN p b ON a.th = b.th AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_rare
+         |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // the bloom sketch is invisible to the result by construction
     // (false positives re-verified, no false negatives), so the oracle
     // is the plain exact anti-join over the same fingerprint split

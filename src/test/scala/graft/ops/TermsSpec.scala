@@ -67,4 +67,30 @@ class TermsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
   }
+
+  test("rare-feature similarity: df ceiling excludes the head, counts exact") {
+    // shingles (word trigrams): "alpha beta gamma" in docs 0,1,2 (df 3);
+    // "beta gamma delta" in docs 0,1 (df 2); the rest are singletons
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta zz"),
+      (2L, "alpha beta gamma other words here"),
+      (3L, "totally different content again now")
+    ).toDF("doc_id", "text")
+    def pairs(maxDf: Long, minShared: Long) =
+      Terms.similarDocsByRareFeatures(d, maxDf, minShared).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // maxDf=2: the df-3 trigram is head-excluded; only (0,1) share the
+    // df-2 trigram
+    assert(pairs(2, 1) == Set((0L, 1L, 1L)))
+    assert(pairs(2, 2) == Set.empty)
+    // maxDf=3 admits it: (0,1) share 2 features, (0,2)/(1,2) share 1
+    assert(pairs(3, 1) == Set((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 1L)))
+    assert(pairs(3, 2) == Set((0L, 1L, 2L)))
+    // candidate join stays an equality join
+    val plan = Terms.similarDocsByRareFeatures(d, 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
 }
