@@ -594,13 +594,32 @@ object Dedup {
     * fingerprint relation is persisted to feed both branches — caller
     * releases via clearCache, the shared-relation convention. */
   def suppressBlocklist(corpus: DataFrame, blocklist: DataFrame,
-      estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+      estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    suppressBlocklistImpl(corpus, blocklist, estItems, numBits, cache = true)
+
+  /** [[suppressBlocklist]] for a STREAMING corpus: every stage is
+    * stateless (constant-sketch test, stream-static left-anti verify
+    * against the static fingerprint set), so the query runs in append
+    * mode with ZERO streaming state — the blocklist path a live ingest
+    * pipeline wants. Only difference from the batch form: a streaming
+    * relation cannot be cached, so the two branches re-read the source
+    * per microbatch instead of a persisted fingerprint relation. */
+  def suppressBlocklistStream(corpus: DataFrame, blocklist: DataFrame,
+      estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    suppressBlocklistImpl(corpus, blocklist, estItems, numBits, cache = false)
+
+  private def suppressBlocklistImpl(corpus: DataFrame, blocklist: DataFrame,
+      estItems: Long, numBits: Long, cache: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // no distinct: neither the bloom build nor the left-anti verify
+    // cares about duplicate fingerprints, and the dedup costs a shuffle
     val blockFps = blocklist
-      .select(md5(TextFns.normText(col("text"))).as("fp")).distinct()
-    val fps = corpus.select(col("doc_id"), col("lang"), col("source"),
-        col("n_chars"), md5(TextFns.normText(col("text"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(md5(TextFns.normText(col("text"))).as("fp"))
+    val fpsRaw = corpus.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), md5(TextFns.normText(col("text"))).as("fp"))
+    val fps = if (cache)
+      fpsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fpsRaw
     // one narrow aggregation to a scalar sketch, materialized and
     // inlined as a plan CONSTANT — might_contain requires a constant
     // or scalar subquery, and this is exactly what Spark's own

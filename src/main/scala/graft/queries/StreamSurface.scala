@@ -196,6 +196,23 @@ object StreamSurface {
     runToTable(s, stream, "append").select("user_id", "event_type", "value")
   }
 
+  /** Streaming blocklist suppression: the corpus (minus the blocklist
+    * split) arrives as a document stream; the blocklist is static. The
+    * whole path is STATELESS — constant bloom-sketch prefilter +
+    * stream-static left-anti verify — so it runs in append mode with
+    * zero streaming state ([[graft.ops.Dedup.suppressBlocklistStream]]).
+    * Same oracle as the batch dedup_blocklist gate: stream/batch
+    * parity on the kept set. */
+  private def streamBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isBl = graft.ops.Sampling.uniformHashPredicate(col("doc_id"), 10, "blocklist")
+    val staged = stageParquet(dir, "documents.parquet")
+    val blocklist = s.read.schema(documentsSchema).parquet(staged).filter(isBl)
+    val corpus = s.readStream.schema(documentsSchema).parquet(staged).filter(!isBl)
+    runToTable(s,
+      graft.ops.Dedup.suppressBlocklistStream(corpus, blocklist), "append")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
@@ -206,6 +223,7 @@ object StreamSurface {
     "stream_dedup_fp" -> streamDedupFp,
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
+    "stream_blocklist" -> streamBlocklist,
     "session_window_agg" -> ((s, dir) =>
       graft.streaming.StreamingIngest.sessionCounts(
         Tables.load(s, dir, "events")
@@ -236,6 +254,8 @@ object StreamSurface {
          |FROM sig""".stripMargin,
     "stream_dedup_watermarked" ->
       "SELECT DISTINCT user_id, event_type, value FROM events",
+    // stream/batch parity: the batch gate's exact anti-join oracle
+    "stream_blocklist" -> TextSurface.oracleSql("dedup_blocklist"),
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
