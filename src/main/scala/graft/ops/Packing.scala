@@ -58,4 +58,41 @@ object Packing {
         expr(s"CASE WHEN tok > 0 THEN (tok_offset + tok - 1) div $seqLen " +
           s"- tok_offset div $seqLen + 1 ELSE 0 END").as("n_seqs"))
   }
+
+  /** Length-bucketed batching assignment: every document gets a bucket
+    * id in [1, nBuckets] by token-count quantile — the pre-batching
+    * step that keeps padding waste bounded (batching a 10-token doc
+    * with a 10k-token doc pads the whole batch to 10k).
+    *
+    * Two-stage shape, deliberately: the bucket BOUNDARIES are model
+    * state (nBuckets−1 interpolated quantiles of the token count —
+    * [[Percentiles]]' exact bounded-memory rank selection over ONE
+    * group), and the ASSIGNMENT is a stateless comparison map against
+    * the broadcast one-row boundary relation — scan speed, no shuffle,
+    * no global sort of the corpus. At 100 TB the exact boundary pass
+    * (a single-group sort) is the part to swap for the GK sketch tier
+    * ([[Approx.approxPercentiles]]) — the assignment stage is
+    * unchanged; the gate runs the exact tier so the oracle
+    * (quantile_cont) hash-matches.
+    *
+    * Integer token counts compare against 4dp-rounded boundary doubles
+    * identically in both engines (the interpolation is bit-identical —
+    * Percentiles object doc). Output: (doc_id, n_tokens, bucket). */
+  def lengthBuckets(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100,
+      s"nBuckets must be in [2, 100], got $nBuckets")
+    val toks = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+    val pcts = (1 until nBuckets).map(i => (s"b$i", i.toDouble / nBuckets))
+    val bounds = Percentiles.exact(
+        toks.withColumn("g", lit(1)), "g", "n_tokens", pcts)
+      .drop("g", "n")
+    // one-row model relation: the broadcast NLJ here is a constant
+    // attach, the sim_topk_brute pattern
+    toks.join(broadcast(bounds))
+      .withColumn("bucket",
+        (1 until nBuckets).map(i =>
+          (col("n_tokens") > col(s"b$i")).cast("long")).reduce(_ + _) + 1)
+      .select("doc_id", "n_tokens", "bucket")
+  }
 }

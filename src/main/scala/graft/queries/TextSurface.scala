@@ -184,6 +184,11 @@ object TextSurface {
     // (shardSize 64 exercises multi-shard recombination at this SF)
     "pack_sequences" -> ((s, dir) =>
       graft.ops.Packing.sequenceSpans(docs(s, dir), 512, 64)),
+    // length-bucketed batching (graft.ops.Packing.lengthBuckets):
+    // quantile boundaries as broadcast model state, assignment at
+    // scan speed
+    "pack_length_buckets" -> ((s, dir) =>
+      graft.ops.Packing.lengthBuckets(docs(s, dir), 4)),
     // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
     // language recipe against actual supply — binding stratum caps the
     // total, rates feed stratifiedHash (recipe shared with the oracle
@@ -515,6 +520,17 @@ object TextSurface {
          |  CAST(length(red) AS BIGINT) AS red_len
          |FROM r""".stripMargin
     },
+    "pack_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT round(quantile_cont(n_tokens, 0.25), 4) AS b1,
+        |    round(quantile_cont(n_tokens, 0.5), 4) AS b2,
+        |    round(quantile_cont(n_tokens, 0.75), 4) AS b3 FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
+        |    + CAST(n_tokens > b3 AS INT) AS BIGINT) AS bucket
+        |FROM t, b""".stripMargin,
     "text_similar_rare" ->
       s"""WITH $SHINGLE_CTES,
          |h AS (SELECT doc_id, ${h60sql("sh")} AS th FROM s),

@@ -68,4 +68,22 @@ class PackingSpec extends AnyFunSuite {
     assert(windows.exists(w => w.contains("shard") && !w.contains("doc_id")),
       "expected the shard-relation prefix window")
   }
+
+  test("length buckets: quantile boundaries split deterministically, ties stay together") {
+    // 8 docs with token counts 1,2,3,4,5,6,7,8 → quartile boundaries
+    // p25=2.75, p50=4.5, p75=6.25 → buckets (1,2)(3,4)(5,6)(7,8)
+    val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("doc_id", "text")
+    val got = Packing.lengthBuckets(docs, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+    // equal token counts always share a bucket (the batching property)
+    val tied = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val buckets = Packing.lengthBuckets(tied, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).groupBy(_._1)
+    buckets.foreach { case (_, bs) => assert(bs.map(_._2).distinct.length == 1) }
+    spark.catalog.clearCache()
+  }
 }

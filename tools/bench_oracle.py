@@ -33,7 +33,7 @@ HEADLINE = [
     "dedup_incremental", "pack_sequences", "mix_plan", "mm_frame_sample",
     "sim_topk_mrl",
     "dedup_semantic", "text_pii_redact", "text_dup_blocks",
-    "dedup_blocklist", "text_similar_rare",
+    "dedup_blocklist", "text_similar_rare", "pack_length_buckets",
 ]
 
 
