@@ -283,6 +283,35 @@ object AnalyticsSurface {
     // interleave ARITHMETIC cross-engine (per-z-bucket counts + both
     // dims' bounding boxes over lineitem keys); the locality property
     // of clustering by it is ZOrderSpec's measured claim
+    // semi-structured extraction: get_json_object runs inside codegen
+    // at scan speed — the sidecar-JSON-metadata face of the pipeline
+    // (every corpus ships provenance/stats as a JSON string column)
+    "events_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+    // multi-level aggregation: ROLLUP emits per-(type,cohort),
+    // per-type and grand-total rows in ONE partial-aggregable pass —
+    // one shuffle, not three queries; grouping_id disambiguates
+    // rolled-up NULLs from data NULLs
+    "agg_rollup_sets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .rollup("event_type", "cohort")
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"),
+          grouping_id().as("gid"))),
+    // pivot with an EXPLICIT value list (implicit pivot collects the
+    // distinct values to the driver — at scale the column set must be
+    // declared, not discovered): wide per-cohort event-type counts
+    "agg_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(5L)))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(count(lit(1)))),
     "zorder_layout" -> ((s, dir) => {
       // Knuth multiplicative spread before the 16-bit bucket: raw keys
       // at small SFs never reach the high interleave bits (every row
@@ -322,6 +351,11 @@ object AnalyticsSurface {
     graft.ops.Percentiles.exact(
       t(s, dir, "events").select(col("event_type"), col("value")),
       "event_type", "value", PCTS)
+
+  /** The fixture's closed event-type vocabulary — the pivot gate's
+    * explicit column list (one definition feeds the Spark pivot AND
+    * the oracle's CASE arms). */
+  private val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
 
   private val SUM = "round(CAST(sum(CAST(%s AS DECIMAL(30,6))) AS DOUBLE), 4)"
   private def sumSql(e: String) = SUM.format(e)
@@ -447,6 +481,22 @@ object AnalyticsSurface {
     // the sketch verdicts gate as constants: the oracle reproduces the
     // exact side; if Spark's sketch ever drifts past its error budget
     // the engine-side verdict flips to 0 and the hash check fails
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_rollup_sets" ->
+      s"""SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+         |  ${sumSql("value")} AS sum_value,
+         |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS BIGINT) AS gid
+         |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin,
+    "agg_pivot" -> {
+      val arms = EVENT_TYPES.map(v =>
+        s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(", ")
+      s"SELECT user_id % 5 AS cohort, $arms FROM events GROUP BY 1"
+    },
     "zorder_layout" -> {
       val z = graft.ops.ZOrder.interleaveSql(Seq("ox", "oy"), 16)
       s"""WITH k AS (SELECT ((l_orderkey % 65536) * 2654435761) % 65536 AS ox,
