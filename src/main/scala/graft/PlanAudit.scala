@@ -32,7 +32,11 @@ object PlanAudit {
       "dedup_semantic",    // k-means cells, intra-cell equality join
       "text_pii_redact",   // pure regexp projection over the scan
       "text_dup_blocks",   // word_blocks explode, one hash shuffle
-      "dedup_blocklist")   // constant bloom prefilter, candidate-only verify
+      "dedup_blocklist",   // constant bloom prefilter, candidate-only verify
+      "text_similar_rare", // rare-feature posting-list equality join
+      "pack_length_buckets", // broadcast quantile boundaries, scan-speed assign
+      "events_json_extract", // codegen'd JSON path over the scan
+      "agg_rollup_sets")   // one-shuffle expand + partial aggregate
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
