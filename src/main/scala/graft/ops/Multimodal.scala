@@ -316,7 +316,10 @@ object Multimodal {
             val size = le32(o + 4)
             if (tag(o, "fmt ") && size >= 16 && off + 8 + 16 <= n)
               bytesPerSample = math.max(le16(o + 10) * le16(o + 22) / 8, 1).toLong
-            else if (tag(o, "data")) {
+            else if (tag(o, "data") && dataStart < 0) {
+              // first-wins: a later duplicate data chunk (walked while
+              // still looking for fmt) must not displace the canonical
+              // first one
               dataStart = off + 8
               dataBytes = math.min(size, n - dataStart)
             }

@@ -81,8 +81,13 @@ object Packing {
   def lengthBuckets(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 100,
       s"nBuckets must be in [2, 100], got $nBuckets")
+    // the token-count relation feeds the boundary computation (twice,
+    // inside Percentiles.exact) AND the assignment join — persist so
+    // the corpus tokenize scan runs once (caller releases via
+    // clearCache, the shared-relation convention)
     val toks = docs.select(col("doc_id"),
-      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcts = (1 until nBuckets).map(i => (s"b$i", i.toDouble / nBuckets))
     val bounds = Percentiles.exact(
         toks.withColumn("g", lit(1)), "g", "n_tokens", pcts)

@@ -311,7 +311,11 @@ object AnalyticsSurface {
         .withColumn("cohort", pmod(col("user_id"), lit(5L)))
         .groupBy("cohort")
         .pivot("event_type", EVENT_TYPES)
-        .agg(count(lit(1)))),
+        .agg(count(lit(1)))
+        // pivot's two-phase rewrite NULL-fills absent (cohort, type)
+        // cells where the oracle's count(CASE ...) yields 0 — align on
+        // 0 so the gate doesn't depend on every combo existing
+        .na.fill(0, EVENT_TYPES)),
     "zorder_layout" -> ((s, dir) => {
       // Knuth multiplicative spread before the 16-bit bucket: raw keys
       // at small SFs never reach the high interleave bits (every row

@@ -55,17 +55,31 @@ object FileSources {
       .json(path)
 
   /** Write as headered CSV (quotes/escapes applied by the writer, so
-    * embedded quotes and delimiters round-trip). */
+    * embedded quotes and delimiters round-trip; whitespace trimming
+    * explicitly OFF — Spark's CSV defaults silently strip leading/
+    * trailing spaces, which would break the round-trip identity).
+    *
+    * Known limitation (documented, not defended): embedded NEWLINES in
+    * a field need multiLine=true on read, which makes files
+    * non-splittable — newline-bearing records belong in JSONL
+    * ([[writeJsonl]]), the newline-safe interchange. */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   /** Read headered CSV against an explicit schema, same quarantine
-    * contract as [[readJsonl]]. */
+    * contract as [[readJsonl]] and the same no-trim options as
+    * [[writeCsv]]. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       failFast: Boolean = false): DataFrame =
     spark.read
       .schema(if (failFast) schema else withCorrupt(schema))
       .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CORRUPT_COL)
       .csv(path)

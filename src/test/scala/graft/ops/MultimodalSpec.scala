@@ -168,6 +168,17 @@ class MultimodalSpec extends AnyFunSuite {
     val noData = wav(chunk("fmt ", fmt18.take(16)))
     assert(Multimodal.frameSampleAudio(
       Seq((3L, noData)).toDF("media_id", "payload"), 32, 1).count() == 0)
+    // first-wins: with [data][data'][fmt] ordering the walk keeps
+    // looking for fmt past the first data chunk but must NOT let the
+    // second data chunk displace the canonical first one
+    val other = Array.fill(10 * 2)(9.toByte)
+    val dataFirst = wav(chunk("data", data), chunk("data", other),
+      chunk("fmt ", fmt18.take(16)))
+    val ff = Multimodal.frameSampleAudio(
+        Seq((4L, dataFirst)).toDF("media_id", "payload"), 32, 1)
+      .collect().sortBy(_.frame_idx)
+    assert(ff.map(_.n_in_frame).sum == ns.toLong) // frames from data #1
+    assert(ff.head.byte_sum == 32L * 2 * fill)
   }
 
   test("frame sampling slices cover the payload exactly") {

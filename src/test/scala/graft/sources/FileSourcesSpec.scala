@@ -39,11 +39,13 @@ class FileSourcesSpec extends AnyFunSuite {
       df.orderBy("id").collect().toSeq)
   }
 
-  test("csv round trip preserves quoted/escaped fields") {
+  test("csv round trip preserves quoted/escaped fields and edge whitespace") {
     val df = Seq(
       (1L, """a "quoted" value"""),
       (2L, "comma, inside"),
-      (3L, "plain")).toDF("id", "body")
+      (3L, "plain"),
+      (4L, "  leading and trailing spaces  "), // default CSV options trim these
+      (5L, "\ttab-edged\t")).toDF("id", "body")
     val dir = tmpDir("crt")
     val back = FileSources.roundTripCsv(df, s"$dir/out")
     assert(back.orderBy("id").collect().toSeq ==
