@@ -164,6 +164,21 @@ object AnalyticsSurface {
     "win_top3_per_user" -> top3PerUser,
     "win_sessionize" -> sessionize,
     "agg_hourly_rollup" -> hourlyRollup,
+    // incremental view maintenance (graft.ops.Incremental): the corpus
+    // splits 80/20 by hash into "standing state" and "new batch"; each
+    // side reduces to mergeable partials and the merge reproduces the
+    // single-pass rollup bit-identically (decimal associativity) —
+    // folding a batch in never rescans the corpus
+    "agg_incremental_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"),
+        col("event_type"), col("value"), col("event_id"))
+      val isNew = graft.ops.Sampling.uniformHashPredicate(
+        col("event_id"), 20, "incr")
+      graft.ops.Incremental.merge(
+        graft.ops.Incremental.hourlyPartials(ev.filter(!isNew)),
+        graft.ops.Incremental.hourlyPartials(ev.filter(isNew)))
+    }),
     // skew-safe aggregation patterns over the LOW-cardinality
     // event_type key (a handful of values — the classic hot-reducer
     // shape at scale; see graft.ops.Skew)
@@ -430,6 +445,13 @@ object AnalyticsSurface {
         |  count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    // the merge is exact by decimal associativity, so the oracle is
+    // the plain single-pass GROUP BY over everything
+    "agg_incremental_rollup" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
     // salting only redistributes the merge; DECIMAL addition is
     // associative, so the oracle is the plain single-phase GROUP BY
     "agg_salted_rollup" ->

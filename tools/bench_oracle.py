@@ -34,7 +34,7 @@ HEADLINE = [
     "sim_topk_mrl",
     "dedup_semantic", "text_pii_redact", "text_dup_blocks",
     "dedup_blocklist", "text_similar_rare", "pack_length_buckets",
-    "events_json_extract", "agg_rollup_sets",
+    "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
 ]
 
 
