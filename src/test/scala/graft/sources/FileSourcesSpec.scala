@@ -72,6 +72,26 @@ class FileSourcesSpec extends AnyFunSuite {
     assert(read.filter(col(FileSources.CORRUPT_COL).isNull).count() == 2)
   }
 
+  test("jsonl schema evolution: a column added to the schema reads as null from old files") {
+    // old files lack `extra`; reading them with the EVOLVED schema
+    // null-fills instead of failing — the explicit-schema contract is
+    // what makes corpus-wide schema evolution a metadata change
+    val dir = tmpDir("evo")
+    FileSources.writeJsonl(Seq((1L, "a"), (2L, "b")).toDF("id", "body"), s"$dir/out")
+    val evolved = StructType(schema.fields :+
+      StructField("extra", LongType, nullable = true))
+    val read = FileSources.readJsonl(spark, s"$dir/out", evolved).cache()
+    assert(read.count() == 2)
+    assert(read.filter(col("extra").isNull).count() == 2)
+    assert(read.filter(col(FileSources.CORRUPT_COL).isNotNull).count() == 0)
+    // and rows written WITH the new column coexist in the same dir read
+    FileSources.writeJsonl(Seq((3L, "c", 9L)).toDF("id", "body", "extra"),
+      s"$dir/out2")
+    val both = FileSources.readJsonl(spark, s"$dir/out*", evolved)
+    assert(both.count() == 3)
+    assert(both.filter(col("extra") === 9L).count() == 1)
+  }
+
   test("failfast jsonl throws on the first malformed line") {
     val dir = tmpDir("ff")
     Files.write(Paths.get(dir, "part.json"),
