@@ -25,22 +25,46 @@ object Incremental {
     * DECIMAL(30,6)-semantics value sum. Input needs (event_type,
     * timestamp micros, value). */
   def hourlyPartials(events: DataFrame): DataFrame =
-    events.select(col("event_type"),
-        (col("timestamp") - col("timestamp") % 3600000000L).as("hour_ts"),
-        col("value"))
-      .groupBy("event_type", "hour_ts")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(30,6)")).as("sv"))
+    partialsAgg(events.select(col("event_type"), hourTs, col("value"))
+      .groupBy("event_type", "hour_ts"))
 
-  /** Merge partial-state relations into the final rollup: one
-    * key-equality aggregation over the (tiny) state relations, then
-    * the output rounding every gated sum takes. */
-  def merge(partials: DataFrame*): DataFrame = {
-    require(partials.nonEmpty, "merge needs at least one partial state")
+  /** [[hourlyPartials]] for several batches sharing ONE input scan:
+    * `flag` tags each row's batch and becomes a leading `split`
+    * column — filter + drop it to get each batch's partial state.
+    * (Deriving batches as separate filtered scans would read the
+    * corpus once per batch; the grouped flag reads it once.) */
+  def hourlyPartialsBy(events: DataFrame, flag: org.apache.spark.sql.Column): DataFrame =
+    partialsAgg(events.select(flag.as("split"), col("event_type"), hourTs, col("value"))
+      .groupBy("split", "event_type", "hour_ts"))
+
+  private def hourTs =
+    (col("timestamp") - col("timestamp") % 3600000000L).as("hour_ts")
+
+  private def partialsAgg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,6)")).as("sv"))
+
+  /** Combine partial-state relations into ONE partial state — closed
+    * over the state shape (event_type, hour_ts, n, sv), so yesterday's
+    * combined state absorbs today's batch directly: `state =
+    * combine(state, hourlyPartials(batch))` is the O(batch) daily fold
+    * the object doc describes. */
+  def combine(partials: DataFrame*): DataFrame = {
+    require(partials.nonEmpty, "combine needs at least one partial state")
     partials.reduce(_ unionByName _)
       .groupBy("event_type", "hour_ts")
-      .agg(sum("n").as("n"), sum("sv").as("svm"))
-      .select(col("event_type"), col("hour_ts"), col("n").cast("long").as("n"),
-        round(col("svm").cast("double"), 4).as("sum_value"))
+      .agg(sum("n").cast("long").as("n"), sum("sv").as("sv"))
   }
+
+  /** Render a partial state as the final rollup: the output rounding
+    * every gated sum takes. Finalization is NOT mergeable — fold with
+    * [[combine]], finalize once for serving. (Named to avoid
+    * overloading Object.finalize.) */
+  def finalizeRollup(state: DataFrame): DataFrame =
+    state.select(col("event_type"), col("hour_ts"), col("n"),
+      round(col("sv").cast("double"), 4).as("sum_value"))
+
+  /** One-shot convenience: combine then finalize. */
+  def merge(partials: DataFrame*): DataFrame =
+    finalizeRollup(combine(partials: _*))
 }

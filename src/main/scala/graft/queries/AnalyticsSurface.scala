@@ -170,14 +170,17 @@ object AnalyticsSurface {
     // single-pass rollup bit-identically (decimal associativity) —
     // folding a batch in never rescans the corpus
     "agg_incremental_rollup" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"),
-        col("event_type"), col("value"), col("event_id"))
+      graft.functions.GraftFunctions.register(s)
       val isNew = graft.ops.Sampling.uniformHashPredicate(
         col("event_id"), 20, "incr")
+      // ONE corpus scan: partials grouped by the split flag, then the
+      // tiny per-split state relations merge — the fold itself never
+      // re-reads the corpus, which is the operator's point
+      val bySplit = graft.ops.Incremental.hourlyPartialsBy(
+        Tables.eventSeries(s, dir), isNew)
       graft.ops.Incremental.merge(
-        graft.ops.Incremental.hourlyPartials(ev.filter(!isNew)),
-        graft.ops.Incremental.hourlyPartials(ev.filter(isNew)))
+        bySplit.filter(!col("split")).drop("split"),
+        bySplit.filter(col("split")).drop("split"))
     }),
     // skew-safe aggregation patterns over the LOW-cardinality
     // event_type key (a handful of values — the classic hot-reducer
