@@ -230,6 +230,20 @@ object TextSurface {
     // shared-feature counts — the text-side LSH-bucket analog
     "text_similar_rare" -> ((s, dir) =>
       graft.ops.Terms.similarDocsByRareFeatures(docs(s, dir), 10, 2)),
+    // the round-5 composed pipeline: blocklist suppression → quality
+    // filter → PII-redacted fingerprints — the curation chain a
+    // training corpus actually ships through, as ONE plan
+    "pipeline_curate_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBl = graft.ops.Sampling.uniformHashPredicate(
+        col("doc_id"), 10, "blocklist")
+      val kept = Dedup.suppressBlocklist(d.filter(!isBl), d.filter(isBl))
+        .select("doc_id")
+      val good = qualityGopher(s, dir)
+        .filter(col("keep") === 1).select("doc_id")
+      d.join(kept, "doc_id").join(good, "doc_id")
+        .select(col("doc_id"), md5(TextFns.redactPii(col("text"))).as("red_fp"))
+    }),
     // blocklist suppression (Dedup.suppressBlocklist): the 10%
     // 'blocklist' hash split is the banned set; the bloom prefilter
     // keeps clean rows shuffle-free, exact verify keeps the gate exact
@@ -541,6 +555,23 @@ object TextSurface {
          |  FROM p a JOIN p b ON a.th = b.th AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_rare
          |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // composes the three sub-oracles: anti-join blocklist, gopher keep
+    // (nested WITH in a subquery), PII-redact fingerprint
+    "pipeline_curate_corpus" -> {
+      val red = s"regexp_replace(regexp_replace(regexp_replace(k.text, " +
+        s"'${TextFns.EMAIL_RE}', '<EMAIL>', 'g'), " +
+        s"'${TextFns.PHONE_RE}', '<PHONE>', 'g'), " +
+        s"'${TextFns.IP_RE}', '<IP>', 'g')"
+      s"""WITH bl AS (SELECT md5($NORM) AS fp FROM documents
+         |  WHERE ${h60sql("'blocklist:' || CAST(doc_id AS VARCHAR)")} % 100 < 10),
+         |c AS (SELECT doc_id, text, md5($NORM) AS fp FROM documents
+         |  WHERE NOT (${h60sql("'blocklist:' || CAST(doc_id AS VARCHAR)")} % 100 < 10)),
+         |kept AS (SELECT doc_id, text FROM c
+         |  WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.fp = c.fp)),
+         |q AS (SELECT doc_id FROM ($qualityGopherOracle) WHERE keep = 1)
+         |SELECT k.doc_id, md5($red) AS red_fp
+         |FROM kept k JOIN q USING (doc_id)""".stripMargin
+    },
     // the bloom sketch is invisible to the result by construction
     // (false positives re-verified, no false negatives), so the oracle
     // is the plain exact anti-join over the same fingerprint split
