@@ -223,6 +223,20 @@ object Dedup {
     * default (None) keeps the fast executor-local path for
     * short-running / single-node use.
     *
+    * Small-graph fast path: a near-dup pair graph is usually TINY
+    * relative to the corpus it came from (even a 10^9-doc corpus with
+    * 0.1% near-dups yields ~10^6 edges), and the iterative loop pays
+    * 1-2 scheduler-floor jobs PER ROUND for it. When `checkpointDir`
+    * is empty and the edge count is at most `smallGraphEdges`, the
+    * edges — already a bounded set by that very threshold, the
+    * centroid-collect category — are collected once and labeled by
+    * driver-side union-find with the identical min-label semantics
+    * (UTF-8-binary min for strings = Spark's UTF8String ordering),
+    * replacing O(log diameter) rounds of jobs with ONE bounded
+    * collect. Above the threshold, or with a reliable checkpoint dir,
+    * the distributed loop runs unchanged; the pair relation is
+    * persisted so probing the size never recomputes pair generation.
+    *
     * Checkpoint hygiene (Spark's cleaner does NOT delete reliable
     * checkpoints by default, and `setCheckpointDir` is process-global
     * state): each call works in a unique sub-directory, every round's
@@ -233,9 +247,20 @@ object Dedup {
     * returned DataFrame still reads — survive the call.
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphEdges: Int = 1000000): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
+    // fast-path probe: bounded-size limit+1 collect (one job, no
+    // separate count) on a PERSISTED pair relation, so a probe miss
+    // never recomputes pair generation — the fallback's round-0
+    // edges checkpoint reads the cache instead
+    val pk = pairs.select(col("doc_a"), col("doc_b"))
+    val keyOrd = smallGraphOrdering(pk.schema.head.dataType)
+    val cached = if (checkpointDir.isEmpty && smallGraphEdges > 0 && keyOrd.isDefined)
+      Some(pk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    val src = cached.getOrElse(pk)
     val prior = sc.getCheckpointDir
     val reliable = checkpointDir.isDefined
     val subRoot = checkpointDir.map(d =>
@@ -264,8 +289,8 @@ object Dedup {
     // callers are unaffected: localCheckpoint never touches the dir).
     def body(): DataFrame =
       try {
-        val edges = save(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        val edges = save(src.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .union(src.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .distinct())
         val labels = save(edges.select(col("u").as("doc_id")).distinct()
           .withColumn("label", col("doc_id")))
@@ -287,13 +312,87 @@ object Dedup {
         // a safe "unset": its non-local-path guard touches the string.)
         if (reliable) sc.setCheckpointDir(prior.getOrElse(checkpointDir.get))
       }
-    if (reliable) reliableCkptLock.synchronized(body()) else body()
+    try {
+      cached.foreach { c =>
+        val probe = c.limit(smallGraphEdges + 1).collect()
+        if (probe.length <= smallGraphEdges)
+          return smallGraphClusters(spark, probe, pk.schema.head, keyOrd.get)
+      }
+      if (reliable) reliableCkptLock.synchronized(body()) else body()
+    } finally {
+      // both exits are safe: the fast path's result is a driver-built
+      // relation, and the iterative path's round-0 edges checkpoint is
+      // EAGER — nothing references the cache once either returns
+      cached.foreach(_.unpersist(false))
+    }
   }
 
   /** JVM-wide mutex for reliable-checkpoint clustering runs (see
     * [[duplicateClusters]] — guards the process-global checkpoint
     * dir). */
   private val reliableCkptLock = new Object
+
+  /** Orderings matching Spark's `min` over the supported cluster-key
+    * types — strings compare as UTF-8 bytes unsigned (UTF8String's
+    * binary ordering), NOT java.lang.String's UTF-16 order. Exotic key
+    * types get None and take the distributed path, whose `min` is
+    * type-correct by construction. */
+  private def smallGraphOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(Ordering.by[Any, Byte](_.asInstanceOf[Byte]))
+      case ShortType => Some(Ordering.by[Any, Short](_.asInstanceOf[Short]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case LongType => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      case _ => None
+    }
+  }
+
+  /** Driver-side union-find for pair graphs under the
+    * [[duplicateClusters]] small-graph threshold: identical min-label
+    * clustering in ONE bounded collect instead of per-round jobs. */
+  private def smallGraphClusters(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      keyField: org.apache.spark.sql.types.StructField,
+      ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, {
+      nodes += v; parent += nodes.size - 1; nodes.size - 1
+    })
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { e =>
+      val (u, v) = (find(id(e.get(0))), find(id(e.get(1))))
+      if (u != v) parent(u) = v
+    }
+    // min node per component = the exact label the iterative loop emits
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Any]
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || ord.lt(nodes(i), cur.get)) minOf(r) = nodes(i)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.indices.map(i =>
+        org.apache.spark.sql.Row(nodes(i), minOf(find(i)))): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", keyField.dataType, nullable = false),
+      StructField("cluster_id", keyField.dataType, nullable = false))))
+  }
 
   private def duplicateClustersLoop(edges: DataFrame, labels0: DataFrame,
       maxIters: Int, save: DataFrame => DataFrame,
@@ -581,8 +680,9 @@ object Dedup {
     * Shape at scale: the blocklist reduces to ONE fixed-size bloom
     * sketch (`numBits` caps the aggregate buffer — 1.2 bytes/key at 1%
     * fp gives 120 MB for a 10^8-entry blocklist, where the exact fp
-    * set would be multi-GB and past broadcast limits), broadcast via a
-    * one-row relation. The corpus pass splits on `bloom_might_contain`:
+    * set would be multi-GB and past broadcast limits), evaluated as a
+    * SCALAR SUBQUERY inside the one plan. The corpus pass splits on
+    * `bloom_might_contain`:
     * non-candidates pass through at SCAN SPEED with no shuffle (blooms
     * have no false negatives, so a miss is proof of cleanliness);
     * only bloom candidates — true hits plus the ~1% false positives —
@@ -590,9 +690,22 @@ object Dedup {
     * output is EXACT regardless of bloom sizing (false positives are
     * re-verified, spec-locked under a deliberately saturated sketch).
     *
+    * Job shape: ZERO plan-build-time jobs. The caller's single action
+    * runs the bloom subquery (which doubles as the blocklist-
+    * fingerprint cache materialization — one blocklist scan total, the
+    * anti-join reads the cache) and the corpus pass; nothing is
+    * collected to the driver. Spark's BloomFilterAggregate silently
+    * clamps its sizing to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (default 4M) / `.maxNumBits` (default 2^26 bits =
+    * 8 MB) — an oversized request would saturate without warning and
+    * quietly degrade the scan-speed fast path to a near-full anti-join
+    * (still exact, no longer fast), so sizing past the session confs
+    * FAILS LOUDLY here instead: raise those two confs for a 10^8-entry
+    * blocklist, then size the sketch.
+    *
     * Output: the kept documents (doc_id, lang, source, n_chars). The
-    * fingerprint relation is persisted to feed both branches — caller
-    * releases via clearCache, the shared-relation convention. */
+    * corpus fingerprint relation is persisted to feed both branches —
+    * caller releases via clearCache, the shared-relation convention. */
   def suppressBlocklist(corpus: DataFrame, blocklist: DataFrame,
       estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
     suppressBlocklistImpl(corpus, blocklist, estItems, numBits, cache = true)
@@ -601,39 +714,70 @@ object Dedup {
     * stateless (constant-sketch test, stream-static left-anti verify
     * against the static fingerprint set), so the query runs in append
     * mode with ZERO streaming state — the blocklist path a live ingest
-    * pipeline wants. Only difference from the batch form: a streaming
+    * pipeline wants. Two differences from the batch form: a streaming
     * relation cannot be cached, so the two branches re-read the source
-    * per microbatch instead of a persisted fingerprint relation. */
+    * per microbatch; and streaming plans cannot host scalar
+    * subqueries, so the sketch is FROZEN at plan-build time (one
+    * bounded head() collect of the numBits/8-byte sketch). The
+    * blocklist must therefore be IMMUTABLE for the lifetime of the
+    * query: rows added to the blocklist files after start would be
+    * bloom misses and pass through "clean by proof" forever, while the
+    * per-microbatch exact verify would see them — mixed-staleness
+    * semantics. Restart the query to pick up a new blocklist snapshot. */
   def suppressBlocklistStream(corpus: DataFrame, blocklist: DataFrame,
       estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
     suppressBlocklistImpl(corpus, blocklist, estItems, numBits, cache = false)
 
   private def suppressBlocklistImpl(corpus: DataFrame, blocklist: DataFrame,
       estItems: Long, numBits: Long, cache: Boolean): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // loud-fail instead of BloomFilterAggregate's silent Math.min clamp
+    // (see scaladoc): a saturated sketch is a perf cliff, not an error
+    // the results would ever surface
+    def conf(k: String, dflt: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+    val maxItems = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits = conf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    require(estItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (estItems=$estItems, numBits=$numBits) exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems / " +
+        s"maxNumBits=$maxBits — Spark would silently clamp and saturate " +
+        "the sketch; raise the confs to size for a larger blocklist")
     // no distinct: neither the bloom build nor the left-anti verify
-    // cares about duplicate fingerprints, and the dedup costs a shuffle
-    val blockFps = blocklist
+    // cares about duplicate fingerprints, and the dedup costs a shuffle.
+    // Cached (batch mode) so the bloom subquery's scan IS the
+    // materialization the anti-join then reuses.
+    val blockFpsRaw = blocklist
       .select(md5(TextFns.normText(col("text"))).as("fp"))
+    val blockFps = if (cache)
+      blockFpsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else blockFpsRaw
     val fpsRaw = corpus.select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"), md5(TextFns.normText(col("text"))).as("fp"))
     val fps = if (cache)
       fpsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else fpsRaw
-    // one narrow aggregation to a scalar sketch, materialized and
-    // inlined as a plan CONSTANT — might_contain requires a constant
-    // or scalar subquery, and this is exactly what Spark's own
-    // InjectRuntimeFilter does with its subquery result. The collect
-    // is bounded MODEL state (numBits/8 bytes, the centroid-collect
-    // category), never data rows.
-    val bfBytes = blockFps
+    // the sketch: one narrow aggregation to a scalar value —
+    // might_contain requires a constant or scalar subquery, and this is
+    // exactly what Spark's own InjectRuntimeFilter emits. Batch plans
+    // carry it as an in-plan scalar subquery (no driver round-trip, no
+    // plan-build job); streaming plans can't, so there the sketch is
+    // frozen at build time via one bounded head() collect (numBits/8
+    // bytes of MODEL state, the centroid-collect category).
+    val bfAgg = blockFps
       .agg(expr(s"bloom_agg(xxhash64(fp), ${estItems}L, ${numBits}L)").as("bf"))
-      .head().getAs[Array[Byte]]("bf")
     val out = Seq("doc_id", "lang", "source", "n_chars")
-    if (bfBytes == null) // empty blocklist aggregates to null: keep all
+    val bfCol: Option[Column] =
+      if (cache) Some(bfAgg.scalar())
+      else Option(bfAgg.head().getAs[Array[Byte]]("bf")).map(lit(_))
+    if (bfCol.isEmpty) // empty blocklist aggregates to null: keep all
       return fps.select(out.head, out.tail: _*)
-    val tagged = fps.withColumn("mc",
-      call_function("bloom_might_contain", lit(bfBytes), xxhash64(col("fp"))))
+    // an EMPTY blocklist makes the subquery NULL → might_contain NULL →
+    // coalesce false → every row is a miss: correct (nothing is banned)
+    val tagged = fps.withColumn("mc", coalesce(
+      call_function("bloom_might_contain", bfCol.get, xxhash64(col("fp"))),
+      lit(false)))
     // clean-by-proof branch: no shuffle ever touches these rows
     val misses = tagged.filter(!col("mc")).select(out.head, out.tail: _*)
     // candidates only: exact verify against the real fingerprints

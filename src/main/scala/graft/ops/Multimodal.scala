@@ -314,7 +314,11 @@ object Multimodal {
           while (off + 8 <= n && (bytesPerSample == 0L || dataStart < 0)) {
             val o = off.toInt
             val size = le32(o + 4)
-            if (tag(o, "fmt ") && size >= 16 && off + 8 + 16 <= n)
+            // first-wins like the data rule below: a second fmt chunk
+            // encountered while still searching for data must not
+            // displace the canonical first one
+            if (tag(o, "fmt ") && size >= 16 && off + 8 + 16 <= n &&
+                bytesPerSample == 0L)
               bytesPerSample = math.max(le16(o + 10) * le16(o + 22) / 8, 1).toLong
             else if (tag(o, "data") && dataStart < 0) {
               // first-wins: a later duplicate data chunk (walked while

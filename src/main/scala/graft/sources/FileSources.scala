@@ -54,10 +54,22 @@ object FileSources {
       .option("columnNameOfCorruptRecord", CORRUPT_COL)
       .json(path)
 
+  /** CSV null token, distinct from the empty string: with Spark's
+    * defaults the writer renders NULL and "" identically (empty) and
+    * the reader maps the empty token back to null, so a non-null empty
+    * string silently becomes NULL across a round-trip. Writing nulls
+    * as `\N` (the classic interchange convention) and keeping quoted
+    * `""` for empty strings makes both survive. Residual limitation
+    * (documented, not defended): a field whose entire VALUE is the
+    * literal two-character sequence `\N` reads back as NULL — far
+    * narrower than losing every empty string. */
+  val CSV_NULL_TOKEN = "\\N"
+
   /** Write as headered CSV (quotes/escapes applied by the writer, so
     * embedded quotes and delimiters round-trip; whitespace trimming
     * explicitly OFF — Spark's CSV defaults silently strip leading/
-    * trailing spaces, which would break the round-trip identity).
+    * trailing spaces, which would break the round-trip identity; nulls
+    * as [[CSV_NULL_TOKEN]] so empty strings stay distinct from NULL).
     *
     * Known limitation (documented, not defended): embedded NEWLINES in
     * a field need multiLine=true on read, which makes files
@@ -68,11 +80,13 @@ object FileSources {
       .option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", CSV_NULL_TOKEN)
+      .option("emptyValue", "\"\"")
       .csv(path)
 
   /** Read headered CSV against an explicit schema, same quarantine
-    * contract as [[readJsonl]] and the same no-trim options as
-    * [[writeCsv]]. */
+    * contract as [[readJsonl]] and the same no-trim/null-token options
+    * as [[writeCsv]]. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       failFast: Boolean = false): DataFrame =
     spark.read
@@ -80,6 +94,8 @@ object FileSources {
       .option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", CSV_NULL_TOKEN)
+      .option("emptyValue", "")
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CORRUPT_COL)
       .csv(path)

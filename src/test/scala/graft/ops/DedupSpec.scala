@@ -93,6 +93,34 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(0L) && labels.size == 10)
   }
 
+  test("duplicateClusters small-graph fast path agrees with the distributed loop") {
+    import spark.implicits._
+    // a component mixing chain + cycle + cross-edge, plus two pairs
+    val pairs = Seq((5L, 9L), (9L, 2L), (2L, 5L), (9L, 11L), (20L, 21L),
+      (30L, 31L), (31L, 30L)).toDF("doc_a", "doc_b")
+    def run(threshold: Int) = Dedup.duplicateClusters(pairs, smallGraphEdges = threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run(1000000)
+    val dist = run(0) // threshold 0 disables the fast path entirely
+    assert(fast == dist)
+    assert(fast == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 11L -> 2L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+    // string keys: min label under UTF8-binary ordering
+    val sp = Seq(("b", "a"), ("c", "b"), ("z", "y")).toDF("doc_a", "doc_b")
+    val sGot = Dedup.duplicateClusters(sp).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "y", "y" -> "y"))
+  }
+
+  test("suppressBlocklist rejects sizing past the bloom clamp confs (loud, not silent)") {
+    val corpus = Seq((0L, "x", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bl = Seq((1L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.suppressBlocklist(corpus, bl, estItems = 1L << 40, numBits = 1L << 23)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("duplicateClusters with a reliable checkpoint dir converges identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString

@@ -179,6 +179,18 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.frame_idx)
     assert(ff.map(_.n_in_frame).sum == ns.toLong) // frames from data #1
     assert(ff.head.byte_sum == 32L * 2 * fill)
+    // fmt is first-wins too (symmetric with the data rule): a
+    // malformed dual-fmt file [fmt 16-bit][fmt' 8-bit][data] decodes
+    // with the FIRST fmt — 66 16-bit samples, not 132 8-bit ones
+    val fmt8 = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(8000).putShort(1.toShort).putShort(8.toShort).array()
+    val dualFmt = wav(chunk("fmt ", fmt18.take(16)), chunk("fmt ", fmt8),
+      chunk("data", data))
+    val df2 = Multimodal.frameSampleAudio(
+        Seq((5L, dualFmt)).toDF("media_id", "payload"), 32, 1)
+      .collect().sortBy(_.frame_idx)
+    assert(df2.map(_.n_in_frame).sum == ns.toLong)
   }
 
   test("frame sampling slices cover the payload exactly") {

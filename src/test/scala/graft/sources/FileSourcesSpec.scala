@@ -45,11 +45,29 @@ class FileSourcesSpec extends AnyFunSuite {
       (2L, "comma, inside"),
       (3L, "plain"),
       (4L, "  leading and trailing spaces  "), // default CSV options trim these
-      (5L, "\ttab-edged\t")).toDF("id", "body")
+      (5L, "\ttab-edged\t"),
+      (6L, "")).toDF("id", "body") // "" != NULL: default options lose this
     val dir = tmpDir("crt")
     val back = FileSources.roundTripCsv(df, s"$dir/out")
     assert(back.orderBy("id").collect().toSeq ==
       df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round trip keeps NULL and empty string distinct") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, ""),
+      org.apache.spark.sql.Row(3L, "x"))
+    val df = spark.createDataFrame(rows, schema)
+    val dir = tmpDir("crtnull")
+    val got = FileSources.roundTripCsv(df, s"$dir/out")
+      .orderBy("id").collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(got.toSeq == Seq(1L -> None, 2L -> Some(""), 3L -> Some("x")))
   }
 
   test("permissive jsonl quarantines malformed lines instead of failing") {
