@@ -79,12 +79,26 @@ object Terms {
     * pairs, so candidate volume is LINEAR in the index size with a
     * constant cap per feature — the Zipf head (features in every
     * document, which would each generate |corpus|² pairs) is excluded
-    * by the df ceiling, making the self-join skew-immune by
+    * by the df ceiling, making candidate generation skew-immune by
     * construction. Features travel as 60-bit hashes, so the shuffle
     * key is 8 bytes, not shingle text. This is the classic
     * candidate-generation half of sparse tf-idf similarity; pairs it
     * emits can feed an exact verifier (as MinHash candidates feed
     * Jaccard) or stand alone as a shared-rare-vocabulary signal.
+    *
+    * Pair emission is POSTING-LIST LOCAL, not a self-join: the rare
+    * instance relation groups to (feature → doc list) — provably
+    * ≤ maxDf entries per list, the df ceiling was applied BEFORE the
+    * collect — and each list expands to its ordered pairs in-row.
+    * The rare join's shuffle already partitions by `th`, so the
+    * grouping reuses that partitioning (no extra exchange), and the
+    * SMJ sort + second scan of the instance relation that a self-join
+    * would pay disappear. The in-row expansion is an interpreted
+    * higher-order lambda (the dot_dec finding, PLANS.md) — fine here
+    * because lists are ≤ maxDf elements, and pair MULTIPLICITY matches
+    * the join semantics exactly: every occurrence pair with
+    * value_a < value_b, so duplicate (doc, feature) instances count
+    * the same as the self-join counted them.
     *
     * Output: (doc_a, doc_b, n_shared_rare) for pairs sharing at least
     * `minShared` rare features; deterministic (exact integer counts,
@@ -94,8 +108,8 @@ object Terms {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // the feature relation feeds BOTH the df aggregation and the
-    // posting-list join — persist so shingling+hashing runs once per
-    // corpus (caller releases via clearCache, the shared-relation
+    // posting-list grouping — persist so shingling+hashing runs once
+    // per corpus (caller releases via clearCache, the shared-relation
     // convention)
     val features = TextFns.withShingles(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
@@ -103,13 +117,19 @@ object Terms {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = features.groupBy("th").agg(count(lit(1)).as("df"))
     // rare-feature posting lists: df=1 can't pair, df>maxDf is the
-    // excluded head
+    // excluded head — filtered BEFORE the collect, so no list can
+    // exceed maxDf elements (a Zipf-head feature never reaches a
+    // collect buffer)
     val postings = features
       .join(dfreq.filter(col("df").between(2, maxDf)), "th")
-      .select("th", "doc_id")
-    postings.as("a").join(postings.as("b"),
-        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("th").agg(collect_list(col("doc_id")).as("docs"))
+    postings
+      .select(explode(expr(
+        "flatten(transform(docs, x -> " +
+          "filter(transform(docs, y -> " +
+          "if(x < y, named_struct('doc_a', x, 'doc_b', y), null)), " +
+          "p -> p is not null)))")).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_rare"))
       .filter(col("n_shared_rare") >= minShared)

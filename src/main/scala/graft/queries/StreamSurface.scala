@@ -242,6 +242,13 @@ object StreamSurface {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSampleAudio(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // compressed-format tier: full PNG decode (zlib inflate + all five
+    // scanline de-filters + CRC'd chunk walk). The encoder cycles the
+    // filter type per row, so the pixel checksum only matches the
+    // closed-form oracle if every de-filter reconstructs correctly.
+    "mm_png" -> ((s, dir) =>
+      Multimodal.extractPngFeatures(
+        Multimodal.pngFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,6 +341,20 @@ object StreamSurface {
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
     "mm_resize" -> mmResizeOracle,
+    // PNG closed form: geometry from the shared fixture arithmetic;
+    // filter_sum = Σ_{y<h} (y mod 5) = (h div 5)·10 + r(r−1)/2 with
+    // r = h mod 5; pixel checksum = 3·w·h·fill (the constant-fill raw
+    // image the de-filters must reconstruct); two IDAT chunks planted.
+    "mm_png" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill,
+        |  16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h FROM documents)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+        |  CAST(2 AS BIGINT) AS n_idat,
+        |  CAST((h // 5) * 10 + ((h % 5) * ((h % 5) - 1)) // 2 AS BIGINT) AS filter_sum,
+        |  CAST(3 * w * h * fill AS BIGINT) AS pixel_checksum
+        |FROM m""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -193,6 +193,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df2.map(_.n_in_frame).sum == ns.toLong)
   }
 
+  test("PNG: planted payloads decode through inflate + all five de-filters") {
+    // heights ≥ 16 guarantee every filter type 0-4 appears (y % 5)
+    val media = Multimodal.pngFromDocuments(docs).repartition(3)
+    val feats = Multimodal.extractPngFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L)) {
+      val w = 16 + id % 97; val h = 16 + id % 53; val fill = id % 251
+      val f = feats(id)
+      assert(f.format == "png", s"id=$id")
+      assert(f.width == w && f.height == h, s"id=$id")
+      assert(f.bit_depth == 8 && f.color_type == 2, s"id=$id")
+      assert(f.n_idat == 2, s"id=$id") // multi-IDAT concat exercised
+      // Σ_{y<h} (y%5): full cycles of 10 plus the partial-run triangle
+      val r = h % 5
+      assert(f.filter_sum == (h / 5) * 10 + r * (r - 1) / 2, s"id=$id")
+      // the raw image is constant fill: only a correct reconstruction
+      // through Sub/Up/Average/Paeth lands on exactly this sum
+      assert(f.pixel_checksum == 3 * w * h * fill, s"id=$id")
+    }
+  }
+
+  test("PNG: corrupt and malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildPngPayload(3L)
+    def mutate(i: Int, b: Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = b; c
+    }
+    val cases = Seq(
+      5L -> Array[Byte](1, 2, 3),                 // not a PNG at all
+      6L -> good.take(40),                        // truncated mid-chunk
+      7L -> mutate(1, 'Q'.toByte),                // broken signature
+      // flip a byte inside the first IDAT body: CRC check must catch it
+      8L -> mutate(8 + 25 + 12, (good(8 + 25 + 12) ^ 0x55).toByte),
+      // flip IHDR's bit-depth field (byte 8+8+8=24) — CRC catches too
+      9L -> mutate(24, 16.toByte))
+    val media = cases.map { case (id, p) => (id, p) }.toDF("media_id", "payload")
+    val out = Multimodal.extractPngFeatures(media).collect()
+    assert(out.length == cases.length)
+    assert(out.forall(f => f.format == "unknown" && f.width == -1 &&
+      f.pixel_checksum == -1))
+    // and a BMP payload is a clean unknown for the PNG decoder
+    assert(Multimodal.decodePng(0L, Multimodal.buildPayload(0L)).format == "unknown")
+  }
+
+  test("PNG: ancillary chunks are skipped, single-IDAT decodes too") {
+    // rebuild id=4's PNG as [IHDR][tEXt][one IDAT][IEND]: same pixels
+    val id = 4L
+    val w = 16 + id % 97; val h = 16 + id % 53
+    val orig = Multimodal.buildPngPayload(id)
+    // parse orig to recover the two IDAT bodies, then re-chunk
+    def be32(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    var off = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    var ihdrBody: Array[Byte] = null
+    while (off + 12 <= orig.length) {
+      val len = be32(orig, off)
+      val tag = new String(orig, off + 4, 4, "US-ASCII")
+      if (tag == "IHDR") ihdrBody = orig.slice(off + 8, off + 8 + len)
+      if (tag == "IDAT") idat.write(orig, off + 8, len)
+      off += 12 + len
+    }
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val rebuilt = orig.take(8) ++ chunk("IHDR", ihdrBody) ++
+      chunk("tEXt", "Comment graft".getBytes("US-ASCII")) ++
+      chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val f = Multimodal.decodePng(id, rebuilt)
+    assert(f.format == "png" && f.width == w && f.height == h)
+    assert(f.n_idat == 1)
+    assert(f.pixel_checksum == 3 * w * h * (id % 251))
+  }
+
   test("frame sampling slices cover the payload exactly") {
     val media = Multimodal.mediaFromDocuments(docs.filter($"doc_id" === 0))
     val payload = media.collect().head.getAs[Array[Byte]]("payload")

@@ -87,10 +87,16 @@ class TermsSpec extends AnyFunSuite {
     // maxDf=3 admits it: (0,1) share 2 features, (0,2)/(1,2) share 1
     assert(pairs(3, 1) == Set((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 1L)))
     assert(pairs(3, 2) == Set((0L, 1L, 2L)))
-    // candidate join stays an equality join
+    // posting-list expansion: the rare-df filter join is the ONLY join
+    // in the plan (no postings self-join), and nothing degenerates to a
+    // cartesian/NLJ
     val plan = Terms.similarDocsByRareFeatures(d, 3, 1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join (rare-df filter), got $joins:\n" +
       plan.take(2000))
   }
 }
