@@ -28,6 +28,22 @@ object ErrCode extends Enumeration {
       UnknownKey, NoActiveDb, Unsupported, ParseError = Value
 }
 
+/** Per-SESSION statement state — today just the active database.
+  *
+  * The reference keeps the active db process-global because its server
+  * is a single-threaded select() loop where one statement runs at a
+  * time (src/dbcontext.c:153-167, src/server.c:160-266). This server
+  * is thread-per-connection, so global active-db state would let one
+  * client's `USE` silently redirect another client's in-flight
+  * statements. Each connection gets its own TsSession; single-session
+  * embedders (REPL, the tsql_* gate surface, specs) use the executor's
+  * [[StatementExecutor.defaultSession]] implicitly via the one-argument
+  * entry points. `@volatile` because a connection's reads and the
+  * statement execution may touch the field from different threads. */
+final class TsSession {
+  @volatile var activeDb: Option[String] = None
+}
+
 /** Statement → DataFrame-plan executor: the Spark analog of the
   * reference's stmt_execute dispatch (src/statement_execute.c:476-513),
   * except every parsed-but-stubbed clause (WHERE, SAMPLE BY, LIMIT, avg,
@@ -42,24 +58,37 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
   import ExecResult._
   import StatementExecutor.OneShotMaxRows
 
-  def executeSql(sql: String): ExecResult =
+  /** The embedder's session (REPL, gate surface, specs): one caller,
+    * one session — the single-argument entry points below bind to it. */
+  val defaultSession = new TsSession
+
+  def executeSql(sql: String): ExecResult = executeSql(sql, defaultSession)
+
+  def executeSql(sql: String, session: TsSession): ExecResult =
     Parser.parse(sql) match {
       case Left(err) => Err(ErrCode.ParseError, err)
-      case Right(stmt) => execute(stmt)
+      case Right(stmt) => execute(stmt, session)
     }
 
-  def execute(stmt: Statement): ExecResult = stmt match {
+  def execute(stmt: Statement): ExecResult = execute(stmt, defaultSession)
+
+  def execute(stmt: Statement, session: TsSession): ExecResult = stmt match {
 
     case Statement.CreateDb(name) =>
       catalog.createDb(name)
+      // first database this SESSION creates becomes its active db
+      // (reference src/dbcontext.c:112-118, scoped per-session here)
+      if (session.activeDb.isEmpty) session.activeDb = Some(name)
       Ack(s"database '$name' created")
 
     case Statement.UseDb(name) =>
-      if (catalog.useDb(name)) Ack(s"using '$name'")
-      else Err(ErrCode.DbNotFound, s"database '$name' not found")
+      if (catalog.dbExists(name)) {
+        session.activeDb = Some(name)
+        Ack(s"using '$name'")
+      } else Err(ErrCode.DbNotFound, s"database '$name' not found")
 
     case Statement.CreateTs(name, retention, policy) =>
-      withDb { db =>
+      withDb(session) { db =>
         val retNs = retention match {
           case Some(expr) => TimeEval.eval(expr, now) match {
             case Left(e) => return Err(ErrCode.ParseError, e)
@@ -76,7 +105,7 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
       }
 
     case Statement.Insert(name, rows) =>
-      withSeries(name) { (db, _) =>
+      withSeries(name, session) { (db, _) =>
         val (resolved, errors) = resolveRows(rows)
         import spark.implicits._
         val n = catalog.insert(db, name, resolved.toDF("timestamp", "value"))
@@ -84,7 +113,7 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
       }
 
     case Statement.Select(name, fn, between, where, sampleBy, limit) =>
-      withSeries(name) { (db, _) =>
+      withSeries(name, session) { (db, _) =>
         // range (closed interval, reference src/partition.c:203-212) is
         // resolved BEFORE the read so the catalog can prune bucket
         // partitions at plan time
@@ -211,13 +240,16 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
     case Statement.Delete(name, None) =>
       // bare DELETE x drops database x (reference src/statement_parse.c:943-957)
       if (catalog.dropDb(name)) {
+        // clear dangling references in BOTH scopes: this session's
+        // active db and the catalog's embedder-global one
+        if (session.activeDb.contains(name)) session.activeDb = None
         if (catalog.activeDb.contains(name)) catalog.activeDb = None
         Ack(s"database '$name' deleted")
       } else Err(ErrCode.DbNotFound, s"database '$name' not found")
 
     case Statement.Meta("databases") => Listing(catalog.listDbs())
     case Statement.Meta("timeseries") =>
-      withDb(db => Listing(catalog.listSeries(db)))
+      withDb(session)(db => Listing(catalog.listSeries(db)))
     case Statement.Meta(other) =>
       Err(ErrCode.Unsupported, s"unknown meta command .$other")
   }
@@ -237,14 +269,16 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
     (resolved, errors)
   }
 
-  private def withDb(f: String => ExecResult): ExecResult =
-    catalog.activeDb match {
+  private def withDb(session: TsSession)(f: String => ExecResult): ExecResult =
+    session.activeDb match {
       case Some(db) => f(db)
       case None => Err(ErrCode.NoActiveDb, "no active database (USE <db> first)")
     }
 
-  private[engine] def withSeries(name: String)(f: (String, SeriesMeta) => ExecResult): ExecResult =
-    withDb { db =>
+  private[engine] def withSeries(name: String,
+      session: TsSession = defaultSession)(
+      f: (String, SeriesMeta) => ExecResult): ExecResult =
+    withDb(session) { db =>
       catalog.seriesMeta(db, name) match {
         case Some(meta) => f(db, meta)
         case None =>

@@ -16,9 +16,11 @@ import graft.protocol.{Wire, WireResponse}
   *
   * Differences from the reference, by design:
   *  - a thread per connection instead of a single-threaded select()
-  *    loop — Spark's driver schedules concurrent jobs safely, and the
-  *    session/catalog state (active db) is process-global in both
-  *    implementations;
+  *    loop — Spark's driver schedules concurrent jobs safely, and each
+  *    connection carries its own [[graft.engine.TsSession]] so one
+  *    client's `USE` cannot redirect another client's statements (the
+  *    reference's process-global active db is safe only because its
+  *    select() loop runs one statement at a time);
   *  - results with more than one 1000-record batch stream as `~` chunks
   *    (the reference streams full scans the same way,
   *    src/statement_execute.c:332, batch bound src/timeseries.c:1040);
@@ -78,6 +80,9 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
     val in = new java.io.BufferedInputStream(sock.getInputStream)
     val out = new CountingOutputStream(
       new java.io.BufferedOutputStream(sock.getOutputStream))
+    // per-connection session: this client's USE/CREATEDB set ITS active
+    // db only — concurrent clients never observe each other's state
+    val session = new graft.engine.TsSession
     try {
       var open = true
       while (open) readRequestBytes(in) match {
@@ -95,7 +100,7 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
               // like the reference's per-statement error string, not
               // drop the connection silently
               val before = out.count
-              try respond(out, exec.executeSql(query))
+              try respond(out, exec.executeSql(query, session))
               catch {
                 case scala.util.control.NonFatal(e) =>
                   if (out.count == before) {

@@ -171,6 +171,85 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("concurrent clients: per-session active-db isolation, clean stream framing") {
+    // shared big series for interleaved stream reads (created through
+    // one bootstrap client so the path under test is the wire protocol)
+    val boot = new Client
+    try {
+      boot.send("CREATEDB shared_stream_db"); boot.readResponse()
+      boot.send("USE shared_stream_db"); boot.readResponse()
+      boot.send("CREATE wide"); boot.readResponse()
+      import spark.implicits._
+      catalog.insert("shared_stream_db", "wide",
+        (0 until 2500).map(i => (50000L + i, i.toDouble)).toDF("timestamp", "value"))
+    } finally boot.close()
+
+    val nClients = 6
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until nClients).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          val c = new Client
+          try {
+            // CREATEDB must bind THIS session's active db (no USE) even
+            // while peers CREATEDB/USE different databases concurrently
+            c.send(s"CREATEDB conc_$i")
+            assert(c.readResponse() ==
+              WireResponse.Str(0, s"database 'conc_$i' created"))
+            c.send("CREATE s")
+            assert(c.readResponse() ==
+              WireResponse.Str(0, "timeseries 's' created"))
+            val base = 1000L * (i + 1)
+            c.send(s"INSERT INTO s VALUES ($base, $i.5), (${base + 1}, $i.25)")
+            assert(c.readResponse() ==
+              WireResponse.Str(0, "2 point(s) inserted, 0 error(s)"))
+            // isolation: only THIS session's rows, despite peers running
+            // inserts/selects on their own active dbs at the same time
+            c.send("SELECT value FROM s")
+            assert(c.readResponse() ==
+              WireResponse.Arr(Seq((base, i + 0.5), (base + 1, i + 0.25))))
+            // interleaved streaming: a multi-chunk scan must frame
+            // cleanly while other sessions' traffic shares the server
+            c.send("USE shared_stream_db")
+            assert(c.readResponse() ==
+              WireResponse.Str(0, "using 'shared_stream_db'"))
+            c.send("SELECT value FROM wide")
+            val all = c.readStream(c.readResponse())
+            assert(all.length == 2500)
+            assert(all == (0 until 2500).map(j => (50000L + j, j.toDouble)))
+            // and back: the USE above redirected only this session
+            c.send(s"USE conc_$i")
+            c.readResponse()
+            c.send("SELECT min(value) FROM s")
+            assert(c.readResponse() ==
+              WireResponse.Arr(Seq((base + 1, i + 0.25))))
+          } finally c.close()
+        } catch { case t: Throwable => failures.add(t) }
+      }, s"conc-client-$i")
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "client thread timed out")
+    if (!failures.isEmpty) {
+      val t = failures.peek()
+      fail(t.toString + "\n" + t.getStackTrace.take(8).mkString("\n"))
+    }
+    // the bootstrap/global state was never touched by the six sessions:
+    // a fresh client still starts with NO active db
+    val fresh = new Client
+    try {
+      fresh.send("SELECT value FROM s")
+      fresh.readResponse() match {
+        case WireResponse.Str(rc, msg) =>
+          assert(rc == 1 && msg.contains("NoActiveDb"))
+        case other => fail(s"expected NoActiveDb error, got $other")
+      }
+    } finally fresh.close()
+  }
+
   test("scalar avg answers as a string row") {
     val c = new Client
     try {
