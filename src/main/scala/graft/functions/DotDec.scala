@@ -32,6 +32,30 @@ object VecCodec {
     if (b.numElements() != n)
       throw new IllegalArgumentException(
         s"dot_dec: length mismatch ${n} vs ${b.numElements()}")
+    // Fast path: each product rounded to fix12 units ([[toFix12]] —
+    // bit-identical to the BigDecimal setScale(12, HALF_UP) form by its
+    // guard-band proof), summed exactly in a long. Unit-norm embedding
+    // products are ≤ 1, so the sum stays far below Long.MaxValue; any
+    // input large enough to overflow the units (|product| ≳ 9.2·10⁶) or
+    // the running sum throws ArithmeticException and lands on the exact
+    // BigDecimal path below — same rounding, arbitrary magnitude. The
+    // per-element BigDecimal allocation this avoids dominated the
+    // pairwise-cosine stages (3 allocations/element; the k-means
+    // treeAggregate at Similarity.scala:311 already accumulates this
+    // way).
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i))
+          throw new IllegalArgumentException(s"dot_dec: null element at $i")
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc = Math.addExact(acc, toFix12(x * y))
+        i += 1
+      }
+      return java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    } catch { case _: ArithmeticException => () }
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {

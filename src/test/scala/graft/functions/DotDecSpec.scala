@@ -52,6 +52,24 @@ class DotDecSpec extends AnyFunSuite {
     assert(VecCodec.dotDecConst(Array(1.0, 2.0, 3.0, 4.0), v) == 15.0)
   }
 
+  test("dot_dec overflow fallback: huge magnitudes still match the lambda form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // products ~1e15 overflow the fix12 long fast path (toFix12 throws
+    // past |x| ≈ 9.2e6) and must land on the exact BigDecimal path with
+    // identical rounding — and a sum that overflows the long
+    // accumulator mid-stream (alternating huge positives) too
+    val rows = Seq(
+      (1L, Array.fill(8)(3.0e7), Array.fill(8)(4.0e7)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 2.9e6 else 1.0),
+        Array.tabulate(64)(i => if (i % 2 == 0) 3.1e6 else 1.7e-7)),
+      (3L, Array.fill(4)(-9.9e6), Array.fill(4)(9.9e6)))
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("native", expr("dot_dec(a, b)"))
+      .withColumn("lambda", expr(lambdaForm))
+    assert(df.filter(col("native") =!= col("lambda")).count() == 0)
+  }
+
   test("toFix12 and round4 fast paths are bit-identical to the BigDecimal forms") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     def slowFix(x: Double): Long = JBD.valueOf(x)

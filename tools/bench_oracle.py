@@ -7,10 +7,13 @@ numbers.
 
 Usage: python3 tools/bench_oracle.py <verifyOutDir> <sfDir> [runs]
   <verifyOutDir> must contain oracle_sql.json (written by graft.Verify).
+  GRAFT_BENCH_ONLY=a,b,c restricts to a subset of the headline list
+  (same contract as graft.Bench's SPARK_GRAFT_BENCH_ONLY).
 Timing: best of `runs` (default 3) fully-materialized executions per
 query, single DuckDB connection, all cores.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -40,6 +43,8 @@ HEADLINE = [
 
 
 def main(out_dir: str, sf_dir: str, runs: int = 3) -> int:
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    names = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -48,7 +53,7 @@ def main(out_dir: str, sf_dir: str, runs: int = 3) -> int:
     total = 0.0
     print(f"| query | duckdb sec (best of {runs}) |")
     print("|---|---|")
-    for name in HEADLINE:
+    for name in names:
         sql = oracle.get(name)
         if sql is None:
             print(f"| {name} | (no oracle) |")
