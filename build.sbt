@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // forward stdin to forked mains (cli.Repl)
+// Pass forked-main stdout through undecorated: the bench driver parses
+// graft.Bench's single JSON line from the process tail, and sbt's
+// default LoggedOutput would prefix it with "[info] ".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

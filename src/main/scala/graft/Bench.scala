@@ -52,7 +52,9 @@ object Bench {
     "dedup_semantic", "text_pii_redact", "text_dup_blocks",
     "dedup_blocklist", "text_similar_rare", "pack_length_buckets",
     "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
-    "pipeline_curate_corpus")
+    "pipeline_curate_corpus",
+    // round-6 additions: unigram-LM perplexity-band filter, IVF-PQ ADC
+    "text_lm_surprisal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

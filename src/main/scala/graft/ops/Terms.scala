@@ -55,6 +55,63 @@ object Terms {
       .select("doc_id", "term", "tf", "df", "score6", "rank")
   }
 
+  /** Unigram-LM cross-entropy surrogate (the CCNet-class perplexity
+    * quality signal), integer-exact so it hash-gates across engines.
+    *
+    * The model is the corpus's own unigram distribution; a document's
+    * score is its mean per-token surprisal under that model — fluent,
+    * typical text scores low, degenerate or out-of-distribution text
+    * scores high. True surprisal is −log₂ p(term) = log₂(total/cnt),
+    * a transcendental that cannot hash-gate (see object doc); the
+    * gated form quantizes each term's surprisal to WHOLE BITS:
+    *
+    *   bits(term) = floor(log₂(total div cnt)) = length(bin(total div cnt)) − 1
+    *
+    * `bin` of a positive BIGINT (no leading zeros) is identical in
+    * Spark and DuckDB, so bits is exact integer arithmetic within one
+    * bit of true surprisal — the quantization, not an approximation of
+    * it, is the defined metric. Per document:
+    *
+    *   sum_bits       = Σ_term tf · bits(term)
+    *   mean_centibits = (sum_bits · 100) div n_tokens
+    *   keep           = mean_centibits inside [minCb, maxCb] — both
+    *                    tails cut, like a perplexity band filter (the
+    *                    low tail is boilerplate/repetition, the high
+    *                    tail is noise/OOD), thresholds calibrated by
+    *                    the caller per corpus.
+    *
+    * Scale shape: reuses the termFreq aggregate (one explode + one
+    * (doc_id, term) combine); the vocabulary relation aggregates on
+    * term WITH map-side partial combine (Zipf-head safe, same as df in
+    * [[topTermsByRarity]]); `total` is a one-row aggregate attached by
+    * broadcast (the pack_length_buckets constant-attach pattern — a
+    * 1-row BroadcastNestedLoopJoin, not a driver collect); the
+    * tf⋈vocab join is an equality join on term (AQE broadcasts the
+    * vocab side when it fits — vocab is sublinear in corpus size);
+    * the final per-doc aggregate is one well-spread groupBy. Nothing
+    * quadratic, nothing driver-side, ~3 shuffles total on top of the
+    * token fan-out.
+    *
+    * Output: (doc_id, n_tokens, sum_bits, mean_centibits, keep),
+    * empty-token documents absent (no tokens → no distribution mass),
+    * matching the oracle CTE chain exactly. */
+  def unigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
+    val tf = termFreq(docs)
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .withColumn("bits", length(bin(expr("total div cnt"))).cast("long") - 1L)
+      .select("term", "bits")
+    tf.join(bits, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_centibits", expr("sum_bits * 100 div n_tokens"))
+      .withColumn("keep",
+        col("mean_centibits").between(minCb, maxCb).cast("long"))
+      .select("doc_id", "n_tokens", "sum_bits", "mean_centibits", "keep")
+  }
+
   /** Standard smoothed tf-idf: tf · (ln((N+1)/(df+1)) + 1). Double
     * scores — use in-Spark; the libm ln makes it non-portable for
     * hash-gating (see object doc). N is passed by the caller (one

@@ -199,6 +199,14 @@ object TextSurface {
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
       graft.ops.Terms.topTermsByRarity(docs(s, dir), 3)),
+    // unigram-LM perplexity-band quality filter (whole-bit surprisal —
+    // the cross-engine-gateable face of CCNet LM filtering; see
+    // graft.ops.Terms.unigramSurprisal). Band calibrated on this
+    // corpus: near-uniform vocab puts docs at 400-450 centibits/token
+    // (31 words ≈ 2⁵ → floor(log₂) = 4 for common terms), so the 403
+    // ceiling cuts the rarer-term-heavy tail (~37% of sf0.01).
+    "text_lm_surprisal" -> ((s, dir) =>
+      graft.ops.Terms.unigramSurprisal(docs(s, dir), LM_MIN_CB, LM_MAX_CB)),
     "pipeline_clean_corpus" -> ((s, dir) => {
       val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
       val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
@@ -282,6 +290,10 @@ object TextSurface {
 
   private val NORM =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  // unigram-surprisal keep band, centibits/token (see Terms scaladoc)
+  private val LM_MIN_CB = 300L
+  private val LM_MAX_CB = 403L
 
   /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
   private val SHINGLE_CTES =
@@ -691,6 +703,24 @@ object TextSurface {
          |  CAST(df AS BIGINT) AS df, CAST(score6 AS BIGINT) AS score6,
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "text_lm_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM vocab),
+         |bits AS (SELECT term, length(bin(CAST(total // cnt AS BIGINT))) - 1 AS bits
+         |  FROM vocab, tot),
+         |d AS (SELECT t.doc_id, sum(t.tf) AS n_tokens,
+         |    sum(t.tf * b.bits) AS sum_bits
+         |  FROM tf t JOIN bits b USING (term) GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(sum_bits AS BIGINT) AS sum_bits,
+         |  CAST(sum_bits * 100 // n_tokens AS BIGINT) AS mean_centibits,
+         |  CAST(CASE WHEN sum_bits * 100 // n_tokens BETWEEN $LM_MIN_CB AND $LM_MAX_CB
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM d""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_score
          |FROM documents d JOIN ($textStatsOracle) q USING (doc_id)

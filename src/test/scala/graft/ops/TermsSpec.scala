@@ -99,4 +99,39 @@ class TermsSpec extends AnyFunSuite {
     assert(joins == 1, s"expected exactly one join (rare-df filter), got $joins:\n" +
       plan.take(2000))
   }
+
+  test("unigram surprisal: whole-bit hand computation, band verdict, empty doc absent") {
+    // tokens: apple 2, banana 2, cherry 3, demand 1 → total 8
+    // bits = len(bin(8 div cnt)) - 1: apple/banana 2, cherry 1, demand 3
+    // d1 [apple×2, banana]: sum 6, mean 600 div 3 = 200
+    // d2 [banana, cherry]:  sum 3, mean 300 div 2 = 150
+    // d3 [cherry×2, demand]: sum 5, mean 500 div 3 = 166
+    val got = Terms.unigramSurprisal(docs, 160L, 250L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 3L, 6L, 200L, 1L),
+      (2L, 2L, 3L, 150L, 0L), // below the band floor
+      (3L, 3L, 5L, 166L, 1L))) // d4 (no tokens) absent
+  }
+
+  test("unigram surprisal: rare-vocabulary doc scores above common-vocabulary doc") {
+    // "the" dominates the corpus (cnt 12 of 16); each rare term appears
+    // once — the rare-heavy doc must carry strictly more bits/token
+    val d = Seq(
+      (1L, "the the the the the the the the the the the the"),
+      (2L, "qq ww ee rr")).toDF("doc_id", "text")
+    val m = Terms.unigramSurprisal(d, 0L, 9999L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(2L) > m(1L), m.toString)
+  }
+
+  test("unigram surprisal: the only NLJ is the 1-row total attach") {
+    val plan = Terms.unigramSurprisal(docs, 160L, 250L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val nljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nljs <= 1, s"expected at most the constant-attach NLJ, got $nljs:\n" +
+      plan.take(2000))
+  }
 }
