@@ -182,9 +182,11 @@ object Similarity {
     lit(math.sqrt(graft.functions.VecCodec.dotDecConst(v, v)))
 
   /** Per-row array of (rounded cosine to centroid, -cid) structs for a
-    * literal codebook; `greatest` over it = deterministic max-cosine
-    * assignment with smallest-cid tie-break. */
-  private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
+    * literal codebook over arbitrary embedding/norm columns; `greatest`
+    * over it = deterministic max-cosine assignment with smallest-cid
+    * tie-break. */
+  private def centroidStructsOn(embCol: String, nrmCol: String,
+      cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (cid, ce) =>
       // zero-norm guard (ANSI divide would throw, see [[cosine]]), but
       // WITHOUT nullif: nullif(a, 0) expands to If(a = 0, null, a) and
@@ -199,10 +201,13 @@ object Similarity {
       val cn = math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce))
       val cs =
         if (cn == 0.0) lit(null).cast("double")
-        else when(col("nrm") =!= 0.0,
-          round(dotLit("embedding", ce) / (lit(cn) * col("nrm")), 4))
+        else when(col(nrmCol) =!= 0.0,
+          round(dotLit(embCol, ce) / (lit(cn) * col(nrmCol)), 4))
       struct(cs.as("cs"), lit(-cid).as("ncid"))
     }: _*)
+
+  private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
+    centroidStructsOn("embedding", "nrm", cents)
 
   /** Lloyd-iteration k-means codebook trained with DataFrame ops over a
     * deterministic training sample.
@@ -474,6 +479,224 @@ object Similarity {
       .filter(col("crank") <= rerank)
       .select(col("query_id"), col("neighbor_id"),
         cosine("qe", "ne", col("qn"), col("nn")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Product-quantization sub-codebooks: the embedding splits into
+    * `nSub` contiguous subspaces; each gets its own `kSub`-centroid
+    * spherical-k-means codebook over the training slice.
+    *
+    * All `nSub` codebooks train in ONE fused treeAggregate job per
+    * Lloyd round (the [[trainCodebookOn]] accumulator, widened to
+    * nSub × kSub cells of subDim limb-sums) — training cost does not
+    * grow with nSub, and at 100 TB each round is still a single
+    * broadcast-and-aggregate pass over the sample. Arithmetic is the
+    * same bit-locked chain (toFix12 products, exact limb sums, round4
+    * cosines, round6 means, smallest-cid ties, empty cells keep their
+    * centroid), so an oracle CTE chain per subspace re-derives
+    * identical codebooks. Init: sub-centroid j of subspace m is the
+    * m-th slice of vector j (j < kSub).
+    *
+    * Returns one (cid, centroid) codebook per subspace, cids 0..kSub-1
+    * in ascending order.
+    */
+  private def trainSubCodebooksOn(base: DataFrame, nSub: Int, kSub: Int,
+      iters: Int, trainPred: Column): Seq[Seq[(Long, Array[Double])]] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.functions.VecCodec.{round4, toFix12}
+    def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+    val initRows = base.filter(col("vec_id") < kSub).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val dim = initRows.head._2.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    var books: Array[Array[(Long, Array[Double])]] = Array.tabulate(nSub) { m =>
+      initRows.map { case (cid, v) => (cid, v.slice(m * subDim, (m + 1) * subDim)) }
+    }
+    val sc = base.sparkSession.sparkContext
+    val trainRdd = base.filter(trainPred).select("embedding").rdd
+
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(books.map(_.map { case (cid, ce) =>
+        (cid, ce, math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
+      }))
+      val zero = (Array.ofDim[Long](nSub, kSub),
+        Array.fill(nSub, kSub)(new Array[Long](subDim)),
+        Array.fill(nSub, kSub)(new Array[Long](subDim)))
+      val (counts, his, los) = trainRdd.treeAggregate(zero)(
+        seqOp = { case (acc, row) =>
+          val e = row.getSeq[Float](0)
+          var m = 0
+          while (m < nSub) {
+            val off = m * subDim
+            // subvector norm: exact fixed-12 sum of squares → double →
+            // sqrt, the normDec/normSql chain on the slice
+            var snFix = 0L
+            var d = 0
+            while (d < subDim) {
+              val x = e(off + d).toDouble
+              snFix = Math.addExact(snFix, toFix12(x * x)); d += 1
+            }
+            val sn = math.sqrt(JBD.valueOf(snFix, 12).doubleValue())
+            val cs = bc.value(m)
+            var bestIdx = -1; var bestCs = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cs.length) {
+              val (_, ce, cn) = cs(ci)
+              var dotFix = 0L
+              d = 0
+              while (d < subDim) {
+                dotFix = Math.addExact(dotFix, toFix12(e(off + d).toDouble * ce(d))); d += 1
+              }
+              val denom = cn * sn
+              val sim = if (denom == 0.0) Double.NaN
+                else round4(JBD.valueOf(dotFix, 12).doubleValue() / denom)
+              if (sim > bestCs) { bestCs = sim; bestIdx = ci } // ties keep smaller cid
+              ci += 1
+            }
+            if (bestIdx < 0) bestIdx = 0 // zero-norm slice: cell 0, see trainCodebookOn
+            acc._1(m)(bestIdx) += 1
+            val hi = acc._2(m)(bestIdx); val lo = acc._3(m)(bestIdx)
+            d = 0
+            while (d < subDim) {
+              graft.functions.Limbs.addValue(hi, lo, d, toFix12(e(off + d).toDouble))
+              d += 1
+            }
+            m += 1
+          }
+          acc
+        },
+        combOp = { case ((c1, h1, l1), (c2, h2, l2)) =>
+          var m = 0
+          while (m < nSub) {
+            var i = 0
+            while (i < kSub) {
+              c1(m)(i) += c2(m)(i)
+              var d = 0
+              while (d < subDim) {
+                graft.functions.Limbs.addPair(h1(m)(i), l1(m)(i), d, h2(m)(i)(d), l2(m)(i)(d))
+                d += 1
+              }
+              i += 1
+            }
+            m += 1
+          }
+          (c1, h1, l1)
+        })
+      bc.destroy()
+      books = Array.tabulate(nSub) { m =>
+        books(m).zipWithIndex.map { case ((cid, old), i) =>
+          if (counts(m)(i) == 0) (cid, old)
+          else (cid, Array.tabulate(subDim) { d =>
+            val sum = JBD.valueOf(his(m)(i)(d)).scaleByPowerOfTen(18)
+              .add(JBD.valueOf(los(m)(i)(d))).scaleByPowerOfTen(-12)
+            round6(sum.doubleValue() / counts(m)(i))
+          })
+        }
+      }
+    }
+    books.map(_.toSeq).toSeq
+  }
+
+  /** IVF-PQ with asymmetric-distance (ADC) candidate scoring — the
+    * memory-bound serving shape of a billion-vector ANN index (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+    *
+    *  1. coarse quantizer: the [[ivfTopK]] codebook and cell
+    *     assignment (nProbe best cells per query);
+    *  2. product quantizer: [[trainSubCodebooksOn]] sub-codebooks; the
+    *     corpus side carries ONE small code per subspace (nSub codes ≈
+    *     nSub bytes at kSub ≤ 256) instead of the dim×4-byte vector —
+    *     the candidate stage reads codes + the stored norm only, a
+    *     ~dim·4/nSub compression of the scan that dominates at scale;
+    *  3. ADC: each query precomputes one lookup table per subspace
+    *     (exact-decimal dot of its subvector against every
+    *     sub-centroid — nSub × kSub doubles of per-query model state);
+    *     a candidate's approximate cosine is the table-sum over its
+    *     codes divided by the TRUE stored norms, rounded to 4 dp for a
+    *     bit-stable top-`rerank` cut (ties → neighbor_id; a zero norm
+    *     scores -2, below any cosine — the mrl convention);
+    *  4. only the surviving rerank list pays the exact fp32 cosine;
+    *     final top-k ranks by (sim, neighbor_id) like every search
+    *     path.
+    *
+    * Output: (query_id, neighbor_id, sim, rank). With `rerank` ≥ the
+    * probed-candidate count this equals [[ivfTopK]] exactly (same
+    * cells, exact rescore) — SimilaritySpec locks that and the recall
+    * under a tight budget.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      nSub: Int = 4, kSub: Int = 4, rerank: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val books = trainSubCodebooksOn(base, nSub, kSub, kmeansIters, trainPred)
+    val subDim = books.head.head._2.length
+
+    // corpus side: coarse cell + per-subspace codes, computed in one
+    // narrow scan; the join projection keeps only (vec_id, cell, nrm,
+    // codes) — the PQ compression is what the candidate stage reads
+    val centStructs = centroidStructs(cents)
+    var coded = base.withColumn("cell",
+      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
+    for (m <- 0 until nSub) {
+      coded = coded
+        .withColumn(s"pe$m", slice(col("embedding"), m * subDim + 1, subDim))
+        .withColumn(s"pn$m", normDec(s"pe$m"))
+      val ss = centroidStructsOn(s"pe$m", s"pn$m", books(m))
+      coded = coded.withColumn(s"code$m",
+        -greatest(books(m).indices.map(i => ss.getItem(i)): _*).getField("ncid"))
+    }
+
+    // query side: probe cells + one ADC table per subspace (arrays of
+    // exact-decimal dots against the sub-centroids, cid order)
+    val sortedCents = sort_array(centStructs, asc = false)
+    var probes = coded.filter(queryPred)
+      .withColumn("probe_cells",
+        array((0 until nProbe).map(i =>
+          -sortedCents.getItem(i).getField("ncid")): _*))
+    for (m <- 0 until nSub)
+      probes = probes.withColumn(s"adc$m",
+        array(books(m).map { case (_, ce) => dotLit(s"pe$m", ce) }: _*))
+
+    val probeCols = Seq(col("vec_id").as("query_id"), col("nrm").as("qn")) ++
+      (0 until nSub).map(m => col(s"adc$m")) :+
+      explode(col("probe_cells")).as("pcell")
+    // table-sum in fixed subspace order — the oracle adds left-to-right
+    // in the same order, so the double sum is bit-identical
+    val adcSum = (0 until nSub).map(m =>
+      element_at(col(s"adc$m"), col(s"c.code$m").cast("int") + 1)).reduceLeft(_ + _)
+    val scored = broadcast(probes.select(probeCols: _*))
+      .join(coded.as("c"), col("c.cell") === col("pcell") &&
+        col("c.vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        coalesce(round(adcSum / nullif(col("qn") * col("c.nrm"), lit(0.0)), 4),
+          lit(-2.0)).as("score"))
+
+    val cand = scored.withColumn("crank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("crank") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact pass on the rerank list only (the mrlTopK shape): tiny
+    // candidate list broadcasts into the persisted corpus
+    val queriesFull = base.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queriesFull), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))

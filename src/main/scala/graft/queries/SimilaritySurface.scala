@@ -35,6 +35,9 @@ object SimilaritySurface {
         KMEANS_ITERS, expr(TRAIN_SQL), RERANK)),
     "sim_topk_mrl" -> ((s, dir) =>
       Similarity.mrlTopK(emb(s, dir), col("vec_id") < 5, K, COARSE_DIMS, RERANK)),
+    "sim_topk_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
+        KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -55,6 +58,8 @@ object SimilaritySurface {
   private val TRAIN_SQL = "vec_id % 2 = 0"
   private val RERANK = 50
   private val COARSE_DIMS = 16
+  private val NSUB = 4
+  private val KSUB = 4
 
   // ---- DuckDB oracles ----
 
@@ -110,6 +115,53 @@ object SimilaritySurface {
     }
     (Seq(init) ++ iters).mkString(",\n")
   }
+
+  /** Per-subspace PQ codebook training chain, mirroring the fused
+    * Lloyd rounds of Similarity.trainSubCodebooksOn for subspace `m`:
+    * the same k-means CTE pattern as [[kmeansCtes]], over the 1-based
+    * inclusive slice of the embedding, KSUB centroids initialized from
+    * the first KSUB vectors' slices. Ends in pq{m}c{KMEANS_ITERS}. */
+  private def pqKmeansCtes(m: Int): String = {
+    val subDim = DIM / NSUB
+    val lo = m * subDim + 1
+    val sl = s"embedding[$lo:${m * subDim + subDim}]"
+    val meanCols = (1 to subDim).map(d =>
+      s"round(CAST(sum(CAST(CAST(se[$d] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS m$d")
+      .mkString(", ")
+    val meanList = (1 to subDim).map(d => s"x.m$d").mkString(", ")
+    val init =
+      s"""pq${m}b AS (SELECT vec_id, $sl AS se, ${normSql(sl)} AS sn FROM base),
+         |pq${m}t AS (SELECT * FROM pq${m}b WHERE $TRAIN_SQL),
+         |pq${m}c0 AS (SELECT vec_id AS cid, list_transform(se, x -> CAST(x AS DOUBLE)) AS ce, sn AS cn
+         |  FROM pq${m}b WHERE vec_id < $KSUB)""".stripMargin
+    val iters = (0 until KMEANS_ITERS).map { i =>
+      s"""pq${m}s$i AS (SELECT t.vec_id, t.se, c.cid,
+         |    round(${dotSql("t.se", "c.ce")} / (t.sn * c.cn), 4) AS cs
+         |  FROM pq${m}t t, pq${m}c$i c),
+         |pq${m}a$i AS (SELECT vec_id, se, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM pq${m}s$i),
+         |pq${m}m$i AS (SELECT cid, $meanCols FROM pq${m}a$i WHERE rn = 1 GROUP BY cid),
+         |pq${m}c${i + 1} AS (SELECT cid, ce, ${normSql("ce")} AS cn FROM (
+         |  SELECT o.cid, CASE WHEN x.cid IS NULL THEN o.ce ELSE [$meanList] END AS ce
+         |  FROM pq${m}c$i o LEFT JOIN pq${m}m$i x ON x.cid = o.cid))""".stripMargin
+    }
+    (Seq(init) ++ iters).mkString(",\n")
+  }
+
+  /** Code assignment (max rounded cosine to the trained sub-centroids,
+    * ties → smallest cid) and the per-query ADC table (exact-decimal
+    * dot of the query slice against every sub-centroid) for subspace
+    * `m`. */
+  private def pqCodeAdcCtes(m: Int): String =
+    s"""pq${m}sims AS (SELECT b.vec_id, c.cid,
+       |    round(${dotSql("b.se", "c.ce")} / (b.sn * c.cn), 4) AS cs
+       |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c),
+       |pq${m}code AS (SELECT vec_id, cid AS code FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM pq${m}sims) WHERE rn = 1),
+       |pq${m}adc AS (SELECT b.vec_id AS query_id, c.cid AS code,
+       |    ${dotSql("b.se", "c.ce")} AS av
+       |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c WHERE b.vec_id < 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -211,6 +263,44 @@ object SimilaritySurface {
          |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
          |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin,
+    // mirrors Similarity.ivfPqTopK: coarse IVF cells/probes exactly as
+    // sim_topk_ivf; per-subspace PQ codebooks re-derived by the pq CTE
+    // chains; candidates scored by the ADC table-sum (subspace order,
+    // left-to-right double adds) over TRUE stored norms, rounded to 4
+    // for a bit-stable top-RERANK cut; exact cosine on the rerank list
+    "sim_topk_ivf_pq" ->
+      s"""WITH $baseCte,
+         |$kmeansCtes,
+         |${(0 until NSUB).map(pqKmeansCtes).mkString(",\n")},
+         |${(0 until NSUB).map(pqCodeAdcCtes).mkString(",\n")},
+         |sims AS (SELECT b.vec_id, c.cid,
+         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+         |  FROM base b, cents$KMEANS_ITERS c),
+         |ranked_cells AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims),
+         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+         |  WHERE rn <= $NPROBE AND vec_id < 5),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    coalesce(round((${(0 until NSUB).map(m => s"a$m.av").mkString(" + ")})
+         |      / nullif(q.nrm * b.nrm, 0), 4), -2) AS score
+         |  FROM cand c
+         |${(0 until NSUB).map(m => s"  JOIN pq${m}code k$m ON k$m.vec_id = c.neighbor_id").mkString("\n")}
+         |${(0 until NSUB).map(m => s"  JOIN pq${m}adc a$m ON a$m.query_id = c.query_id AND a$m.code = k$m.code").mkString("\n")}
+         |  JOIN base q ON q.vec_id = c.query_id
+         |  JOIN base b ON b.vec_id = c.neighbor_id),
+         |topr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
+         |  FROM scored),
+         |pairs AS (SELECT t.query_id, t.neighbor_id,
+         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+         |  FROM topr t JOIN base q ON q.vec_id = t.query_id
+         |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
+         |rr3 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim, rank FROM rr3 WHERE rank <= $K""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $baseCte,
          |$kmeansCtes,

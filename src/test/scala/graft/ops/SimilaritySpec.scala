@@ -146,6 +146,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.6, s"q8 tight-rerank recall vs ivf: $recall")
   }
 
+  test("IVF-PQ matches plain IVF given a full rerank budget") {
+    val queries = col("vec_id") < 10
+    // rerank >= corpus: ADC only pre-orders candidates within the same
+    // probed cells, so the exact rerank must reproduce plain IVF
+    // bit-for-bit (sim and rank included)
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    val pqFull = Similarity.ivfPqTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2, nSub = 4, kSub = 4, rerank = 64)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(pqFull == ivf, s"PQ with full rerank diverged: ${pqFull diff ivf}")
+  }
+
+  test("IVF-PQ tight rerank: planted duplicate survives the ADC cut; recall holds") {
+    // vec 1 copies vec 0: identical subvectors → identical codes, so
+    // its ADC score ties the query's own self-similarity class and it
+    // survives any rerank >= 1, then exact-reranks to the top
+    val top = Similarity.ivfPqTopK(emb, col("vec_id") === 0, 3,
+        nCentroids = 4, nProbe = 2, kmeansIters = 2,
+        nSub = 4, kSub = 4, rerank = 3).orderBy("rank").collect()
+    assert(top.nonEmpty)
+    assert(top(0).getLong(1) == 1L && top(0).getDouble(2) == 1.0)
+    val queries = col("vec_id") < 10
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqTight = Similarity.ivfPqTopK(emb, queries, 3, nCentroids = 4, nProbe = 2,
+        kmeansIters = 2, nSub = 4, kSub = 4, rerank = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect pqTight).size.toDouble / ivf.size
+    assert(recall > 0.5, s"PQ tight-rerank recall vs ivf: $recall")
+  }
+
+  test("IVF-PQ is deterministic across invocations") {
+    def run() = Similarity.ivfPqTopK(emb, col("vec_id") < 5, 3,
+        nCentroids = 4, nProbe = 2, kmeansIters = 2,
+        nSub = 4, kSub = 4, rerank = 8)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(run() == run())
+  }
+
   test("MRL coarse-to-fine equals brute force under a full rerank budget") {
     // rerank >= corpus size → the coarse cut discards nothing and the
     // exact rerank must reproduce brute force bit-for-bit
