@@ -213,7 +213,25 @@ object StreamSurface {
       graft.ops.Dedup.suppressBlocklistStream(corpus, blocklist), "append")
   }
 
+  /** Stream-stream interval join: click→view attribution within 30
+    * minutes over the live events stream — both sides watermarked so
+    * join state is evictable ([[graft.streaming.StreamingIngest
+    * .attributeWithin]]). The staged source delivers one batch, so
+    * every match emits and the batch self-join oracle applies
+    * (stream/batch parity for the inner interval join). */
+  private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsSchema)
+      .parquet(stageParquet(dir, "events.parquet"))
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("etime"),
+        col("user_id"), col("event_type"))
+    runToTable(s,
+      graft.streaming.StreamingIngest.attributeWithin(src, "click", "view"),
+      "append")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
     "stream_sample_rate" -> streamSampleRate,
@@ -252,6 +270,15 @@ object StreamSurface {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the batch self-join twin of the streaming interval join, in
+    // epoch-micros (30 min = 1.8e9 us; closed interval both ends)
+    "stream_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type FROM events),
+        |c AS (SELECT event_id AS effect_id, user_id, t_us AS ct FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS cause_id, user_id, t_us AS vt FROM e WHERE event_type = 'view')
+        |SELECT c.effect_id, v.cause_id, c.user_id, c.ct - v.vt AS gap_us
+        |FROM c JOIN v ON v.user_id = c.user_id
+        |  AND v.vt BETWEEN c.ct - 1800000000 AND c.ct""".stripMargin,
     "stream_dedup_fp" ->
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
         |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin,

@@ -85,6 +85,42 @@ object StreamingIngest {
         col("n"))
   }
 
+  /** Stream-stream interval join — effect→cause attribution (e.g.
+    * click→view) within a bounded time gap, the canonical two-stream
+    * correlation. Both sides carry event-time watermarks and the join
+    * condition bounds the gap, which is exactly what lets Spark evict
+    * join state older than watermark + gap — the property that makes a
+    * stream-stream join runnable indefinitely at scale (an unbounded
+    * join would accumulate every row ever seen as state). Inner join
+    * only: matches emit as both sides arrive, deterministically;
+    * outer-join rows would emit on watermark advancement, which is
+    * arrival-timing-dependent. At scale the join shuffles both streams
+    * on user_id per micro-batch — the same exchange a batch join pays,
+    * with state bounded by (gap + watermark) × per-user event rate.
+    *
+    * `events`: (event_id, etime timestamp, user_id, event_type).
+    * Output: (effect_id, cause_id, user_id, gap_us ≥ 0), one row per
+    * cause event of the same user in [effect − gap, effect].
+    */
+  def attributeWithin(events: DataFrame, effectType: String, causeType: String,
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val effects = events.filter(col("event_type") === effectType)
+      .select(col("event_id").as("effect_id"), col("user_id"),
+        col("etime").as("effect_time"))
+      .withWatermark("effect_time", watermark)
+    val causes = events.filter(col("event_type") === causeType)
+      .select(col("event_id").as("cause_id"), col("user_id").as("cause_user"),
+        col("etime").as("cause_time"))
+      .withWatermark("cause_time", watermark)
+    effects.join(causes,
+        col("user_id") === col("cause_user") &&
+          col("cause_time") >= col("effect_time") - expr(s"INTERVAL $gap") &&
+          col("cause_time") <= col("effect_time"))
+      .select(col("effect_id"), col("cause_id"), col("user_id"),
+        (unix_micros(col("effect_time")) - unix_micros(col("cause_time")))
+          .as("gap_us"))
+  }
+
   final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
   final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
   final case class UserSnapshot(user_id: Long, n_events: Long,

@@ -300,4 +300,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream-stream interval join matches the batch self-join, boundaries closed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = s"$tmp/src_ivjoin"
+    val base = 1700000000000000L // epoch micros
+    val min = 60000000L
+    // user 1: views at t0, t0+10m, t0+31m; click at t0+30m → the 31m
+    // view precedes the click (excluded: cause must be <= effect); t0
+    // view is exactly 30m before (included: closed lower bound); the
+    // t0+30m click itself pairs with nothing of type click.
+    // user 2: view at t0, click at t0+45m → outside the gap, no match.
+    val rows = Seq(
+      (100L, base, 1L, "view"),
+      (101L, base + 10 * min, 1L, "view"),
+      (102L, base + 31 * min, 1L, "view"),
+      (103L, base + 30 * min, 1L, "click"),
+      (200L, base, 2L, "view"),
+      (201L, base + 45 * min, 2L, "click"))
+    rows.toDF("event_id", "t_us", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    def timed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), timestamp_micros(col("t_us")).as("etime"),
+        col("user_id"), col("event_type"))
+    val stream = timed(spark.readStream.schema(schema).parquet(src))
+    val q = StreamingIngest.attributeWithin(stream, "click", "view")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivjoin_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ivjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the same plan over the batch DataFrame (attributeWithin is
+    // mode-agnostic — identical code path, Spark's parity guarantee)
+    val batch = StreamingIngest.attributeWithin(
+        timed(rows.toDF("event_id", "t_us", "user_id", "event_type")),
+        "click", "view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (103L, 100L, 1L, 30 * min), // exactly gap before: closed bound
+      (103L, 101L, 1L, 20 * min)))
+  }
 }
