@@ -485,38 +485,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Product-quantization sub-codebooks: the embedding splits into
-    * `nSub` contiguous subspaces; each gets its own `kSub`-centroid
-    * spherical-k-means codebook over the training slice.
+  /** Fused training of the IVF coarse codebook AND the `nSub`
+    * product-quantization sub-codebooks: group 0 is the full-dim
+    * coarse quantizer (k = nCentroids), groups 1..nSub are the
+    * contiguous-subspace spherical-k-means codebooks (k = kSub each).
     *
-    * All `nSub` codebooks train in ONE fused treeAggregate job per
-    * Lloyd round (the [[trainCodebookOn]] accumulator, widened to
-    * nSub × kSub cells of subDim limb-sums) — training cost does not
-    * grow with nSub, and at 100 TB each round is still a single
+    * ALL groups train in ONE treeAggregate job per Lloyd round — one
+    * init collect and `iters` passes total, the same job count as
+    * coarse-only [[trainCodebookOn]]; separate trainers paid a second
+    * collect + `iters` more jobs of local-mode scheduling floor for
+    * <0.1 s of extra compute. At 100 TB each round is still a single
     * broadcast-and-aggregate pass over the sample. Arithmetic is the
-    * same bit-locked chain (toFix12 products, exact limb sums, round4
-    * cosines, round6 means, smallest-cid ties, empty cells keep their
-    * centroid), so an oracle CTE chain per subspace re-derives
-    * identical codebooks. Init: sub-centroid j of subspace m is the
-    * m-th slice of vector j (j < kSub).
+    * bit-locked [[trainCodebookOn]] chain per group (toFix12 products,
+    * exact limb sums, in-pass norms — identical decimal values to the
+    * normDec column — round4 cosines, round6 means, smallest-cid ties,
+    * empty cells keep their centroid), so the coarse book equals
+    * trainCodebookOn's exactly and an oracle CTE chain per subspace
+    * re-derives the sub-books. Init: centroid j of a group is vector
+    * j's slice (j < k).
     *
-    * Returns one (cid, centroid) codebook per subspace, cids 0..kSub-1
-    * in ascending order.
+    * Returns (coarse codebook, one codebook per subspace), cids
+    * ascending within each.
     */
-  private def trainSubCodebooksOn(base: DataFrame, nSub: Int, kSub: Int,
-      iters: Int, trainPred: Column): Seq[Seq[(Long, Array[Double])]] = {
+  private def trainIvfPqCodebooksOn(base: DataFrame, nCentroids: Int,
+      nSub: Int, kSub: Int, iters: Int, trainPred: Column)
+      : (Seq[(Long, Array[Double])], Seq[Seq[(Long, Array[Double])]]) = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     import graft.functions.VecCodec.{round4, toFix12}
     def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
 
-    val initRows = base.filter(col("vec_id") < kSub).select("vec_id", "embedding")
+    val maxK = math.max(nCentroids, kSub)
+    val initRows = base.filter(col("vec_id") < maxK).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
     val dim = initRows.head._2.length
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val subDim = dim / nSub
-    var books: Array[Array[(Long, Array[Double])]] = Array.tabulate(nSub) { m =>
-      initRows.map { case (cid, v) => (cid, v.slice(m * subDim, (m + 1) * subDim)) }
+    // group g: (offset, length) into the embedding; g=0 coarse full-dim
+    val offs = Array(0) ++ (0 until nSub).map(_ * subDim)
+    val lens = Array(dim) ++ Array.fill(nSub)(subDim)
+    val ks = Array(nCentroids) ++ Array.fill(nSub)(kSub)
+    val nGroups = 1 + nSub
+    var books: Array[Array[(Long, Array[Double])]] = Array.tabulate(nGroups) { g =>
+      initRows.take(ks(g)).map { case (cid, v) =>
+        (cid, v.slice(offs(g), offs(g) + lens(g)))
+      }
     }
     val sc = base.sparkSession.sparkContext
     val trainRdd = base.filter(trainPred).select("embedding").rdd
@@ -525,32 +538,32 @@ object Similarity {
       val bc = sc.broadcast(books.map(_.map { case (cid, ce) =>
         (cid, ce, math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
       }))
-      val zero = (Array.ofDim[Long](nSub, kSub),
-        Array.fill(nSub, kSub)(new Array[Long](subDim)),
-        Array.fill(nSub, kSub)(new Array[Long](subDim)))
+      val zero = (Array.tabulate(nGroups)(g => new Array[Long](ks(g))),
+        Array.tabulate(nGroups)(g => Array.fill(ks(g))(new Array[Long](lens(g)))),
+        Array.tabulate(nGroups)(g => Array.fill(ks(g))(new Array[Long](lens(g)))))
       val (counts, his, los) = trainRdd.treeAggregate(zero)(
         seqOp = { case (acc, row) =>
           val e = row.getSeq[Float](0)
-          var m = 0
-          while (m < nSub) {
-            val off = m * subDim
-            // subvector norm: exact fixed-12 sum of squares → double →
-            // sqrt, the normDec/normSql chain on the slice
+          var g = 0
+          while (g < nGroups) {
+            val off = offs(g); val len = lens(g)
+            // slice norm: exact fixed-12 sum of squares → double →
+            // sqrt, the normDec/normSql chain
             var snFix = 0L
             var d = 0
-            while (d < subDim) {
+            while (d < len) {
               val x = e(off + d).toDouble
               snFix = Math.addExact(snFix, toFix12(x * x)); d += 1
             }
             val sn = math.sqrt(JBD.valueOf(snFix, 12).doubleValue())
-            val cs = bc.value(m)
+            val cs = bc.value(g)
             var bestIdx = -1; var bestCs = Double.NegativeInfinity
             var ci = 0
             while (ci < cs.length) {
               val (_, ce, cn) = cs(ci)
               var dotFix = 0L
               d = 0
-              while (d < subDim) {
+              while (d < len) {
                 dotFix = Math.addExact(dotFix, toFix12(e(off + d).toDouble * ce(d))); d += 1
               }
               val denom = cn * sn
@@ -560,47 +573,47 @@ object Similarity {
               ci += 1
             }
             if (bestIdx < 0) bestIdx = 0 // zero-norm slice: cell 0, see trainCodebookOn
-            acc._1(m)(bestIdx) += 1
-            val hi = acc._2(m)(bestIdx); val lo = acc._3(m)(bestIdx)
+            acc._1(g)(bestIdx) += 1
+            val hi = acc._2(g)(bestIdx); val lo = acc._3(g)(bestIdx)
             d = 0
-            while (d < subDim) {
+            while (d < len) {
               graft.functions.Limbs.addValue(hi, lo, d, toFix12(e(off + d).toDouble))
               d += 1
             }
-            m += 1
+            g += 1
           }
           acc
         },
         combOp = { case ((c1, h1, l1), (c2, h2, l2)) =>
-          var m = 0
-          while (m < nSub) {
+          var g = 0
+          while (g < nGroups) {
             var i = 0
-            while (i < kSub) {
-              c1(m)(i) += c2(m)(i)
+            while (i < ks(g)) {
+              c1(g)(i) += c2(g)(i)
               var d = 0
-              while (d < subDim) {
-                graft.functions.Limbs.addPair(h1(m)(i), l1(m)(i), d, h2(m)(i)(d), l2(m)(i)(d))
+              while (d < lens(g)) {
+                graft.functions.Limbs.addPair(h1(g)(i), l1(g)(i), d, h2(g)(i)(d), l2(g)(i)(d))
                 d += 1
               }
               i += 1
             }
-            m += 1
+            g += 1
           }
           (c1, h1, l1)
         })
       bc.destroy()
-      books = Array.tabulate(nSub) { m =>
-        books(m).zipWithIndex.map { case ((cid, old), i) =>
-          if (counts(m)(i) == 0) (cid, old)
-          else (cid, Array.tabulate(subDim) { d =>
-            val sum = JBD.valueOf(his(m)(i)(d)).scaleByPowerOfTen(18)
-              .add(JBD.valueOf(los(m)(i)(d))).scaleByPowerOfTen(-12)
-            round6(sum.doubleValue() / counts(m)(i))
+      books = Array.tabulate(nGroups) { g =>
+        books(g).zipWithIndex.map { case ((cid, old), i) =>
+          if (counts(g)(i) == 0) (cid, old)
+          else (cid, Array.tabulate(lens(g)) { d =>
+            val sum = JBD.valueOf(his(g)(i)(d)).scaleByPowerOfTen(18)
+              .add(JBD.valueOf(los(g)(i)(d))).scaleByPowerOfTen(-12)
+            round6(sum.doubleValue() / counts(g)(i))
           })
         }
       }
     }
-    books.map(_.toSeq).toSeq
+    (books(0).toSeq, books.drop(1).map(_.toSeq).toSeq)
   }
 
   /** IVF-PQ with asymmetric-distance (ADC) candidate scoring — the
@@ -637,8 +650,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
-    val books = trainSubCodebooksOn(base, nSub, kSub, kmeansIters, trainPred)
+    val (cents, books) =
+      trainIvfPqCodebooksOn(base, nCentroids, nSub, kSub, kmeansIters, trainPred)
     val subDim = books.head.head._2.length
 
     // corpus side: coarse cell + per-subspace codes, computed in one
