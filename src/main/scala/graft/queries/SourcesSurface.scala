@@ -39,6 +39,25 @@ object SourcesSurface {
           .select(col("event_id"), expr("ts div 1000").as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props")),
         tmp(dir, "csv"))),
+    // embeddings through ORC: the array<float> column proves nested
+    // types survive the columnar binary round-trip — the shape neither
+    // text format gates. The driver's compare hashes scalar cells, so
+    // the array itself is gated through an order-sensitive per-row
+    // fingerprint (fixed-point 1e-6 floor of every element — float→
+    // double is exact and floor is engine-stable, the scale6/err6
+    // convention) plus the element count; any byte corruption or
+    // element reorder in the round trip changes the md5.
+    "orc_roundtrip" -> ((s, dir) => {
+      val rt = FileSources.roundTripOrc(
+        Tables.load(s, dir, "embeddings")
+          .select("vec_id", "embedding", "label"),
+        tmp(dir, "orc"))
+      rt.select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        md5(concat_ws(",", transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long").cast("string"))))
+          .as("emb_fp"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -47,5 +66,11 @@ object SourcesSurface {
     "csv_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |  value, props FROM events""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT vec_id, label, len(embedding) AS n_dims,
+        |  md5(array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)),
+        |    ',')) AS emb_fp
+        |FROM embeddings""".stripMargin,
   )
 }

@@ -100,6 +100,26 @@ object FileSources {
       .option("columnNameOfCorruptRecord", CORRUPT_COL)
       .csv(path)
 
+  /** Write as ORC — the columnar binary interchange tier: typed
+    * columns including nested arrays/structs that CSV cannot carry and
+    * JSONL only carries via re-parsing, stripe-level min/max indexes
+    * that serve predicate pushdown (filters reach the scan as
+    * PushedFilters — spec-locked), splittable stripes so reads
+    * parallelize like parquet. One file per partition, matching the
+    * other sinks. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC against an explicit expected schema. ORC files are
+    * self-describing, but the catalog stays the schema authority (the
+    * [[readJsonl]] discipline): the passed schema pins column types
+    * and prunes the scan to exactly those columns; a type mismatch
+    * fails at analysis instead of silently widening. No quarantine
+    * column — ORC is binary-framed, so a corrupt stripe is an I/O
+    * error, not a recoverable bad line. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Write `df` as JSONL and read it back with `df`'s own schema —
     * the identity whose gate proves the sink/source pair preserves
     * every column bit-exactly. Returns the re-read frame without the
@@ -114,6 +134,14 @@ object FileSources {
   def roundTripCsv(df: DataFrame, path: String): DataFrame = {
     writeCsv(df, path)
     readCsv(df.sparkSession, path, df.schema)
+      .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** ORC twin of [[roundTripJsonl]] — exercised over nested-array
+    * columns in the gate, the shape the text formats can't prove. */
+  def roundTripOrc(df: DataFrame, path: String): DataFrame = {
+    writeOrc(df, path)
+    readOrc(df.sparkSession, path, df.schema)
       .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
   }
 }

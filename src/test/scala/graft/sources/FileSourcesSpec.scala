@@ -118,4 +118,37 @@ class FileSourcesSpec extends AnyFunSuite {
       FileSources.readJsonl(spark, dir, schema, failFast = true).collect()
     }
   }
+
+  test("orc round trip preserves nested arrays, nulls, and empty strings") {
+    val df = Seq(
+      (1L, Seq(1.5f, -2.25f, 0f), Option("plain")),
+      (2L, Seq.empty[Float], Option("")),   // empty array AND empty string
+      (3L, Seq(Float.MinPositiveValue), Option.empty[String]))
+      .toDF("id", "vals", "tag")
+    val dir = tmpDir("ort")
+    val back = FileSources.roundTripOrc(df, s"$dir/out")
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // NULL and "" stay distinct (the CSV hazard ORC is immune to)
+    val byId = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getString(2) == "")
+    assert(byId(3L).isNullAt(2))
+  }
+
+  test("orc scans carry predicate pushdown and schema projection") {
+    val df = (1L to 100L).map(i => (i, s"body$i", i % 7)).toDF("id", "body", "grp")
+    val dir = tmpDir("opd")
+    FileSources.writeOrc(df, s"$dir/out")
+    val narrow = StructType(Seq(
+      StructField("id", LongType), StructField("grp", LongType)))
+    val q = FileSources.readOrc(spark, s"$dir/out", narrow)
+      .filter(col("grp") === 3L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("grp"),
+      s"filter not pushed to the ORC scan:\n$plan")
+    // projection pruned to the requested schema — body never read
+    assert(plan.contains("ReadSchema") && !plan.contains("body"),
+      s"scan not pruned:\n$plan")
+    assert(q.count() == df.filter(col("grp") === 3L).count())
+  }
 }
