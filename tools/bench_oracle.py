@@ -38,7 +38,7 @@ HEADLINE = [
     "dedup_semantic", "text_pii_redact", "text_dup_blocks",
     "dedup_blocklist", "text_similar_rare", "pack_length_buckets",
     "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
-    "pipeline_curate_corpus", "text_lm_surprisal",
+    "pipeline_curate_corpus", "text_lm_surprisal", "sim_topk_ivf_pq",
 ]
 
 
