@@ -67,4 +67,32 @@ object Incremental {
   /** One-shot convenience: combine then finalize. */
   def merge(partials: DataFrame*): DataFrame =
     finalizeRollup(combine(partials: _*))
+
+  /** Incremental JOIN maintenance — the view-delta identity
+    * Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    * (A, B = the materialized bases, ΔA/ΔB = the arriving batches):
+    * the standing joined view absorbs a batch by appending exactly
+    * these rows, never by re-joining the full bases.
+    *
+    * Shape at scale: every term has a delta on at least one side, so
+    * each join is delta-sized — the deltas broadcast (their side of
+    * each term is hinted) and the BASES are only scanned, never
+    * shuffled; per-batch cost is ∝ |Δ| · match-rate plus two base
+    * scans, while a naive refresh pays the full A ⋈ B shuffle again.
+    * (With bucketed bases even the scan side prunes to matching
+    * buckets — compose with TsCatalog bucketing where applicable.)
+    * The three terms are disjoint by construction (a row pairs old-new,
+    * new-old, or new-new), so the union needs no dedup.
+    *
+    * `keys`: equi-join columns. Column sets of A/B must be disjoint
+    * apart from the keys (standard view schema). Output: the delta
+    * rows of the joined view, schema = join output schema.
+    */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, keys: Seq[String]): DataFrame = {
+    val t1 = broadcast(aDelta).join(bOld, keys)
+    val t2 = aOld.join(broadcast(bDelta), keys)
+    val t3 = broadcast(aDelta).join(bDelta, keys)
+    t1.unionByName(t2).unionByName(t3)
+  }
 }

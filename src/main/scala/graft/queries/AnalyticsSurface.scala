@@ -182,6 +182,23 @@ object AnalyticsSurface {
         bySplit.filter(!col("split")).drop("split"),
         bySplit.filter(col("split")).drop("split"))
     }),
+    // incremental JOIN maintenance: orders and customer each split by
+    // hash into standing base + arriving batch; the gate returns the
+    // delta rows of the joined view (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — what a
+    // standing orders⋈customer view appends for this batch, computed
+    // without re-joining the bases
+    "join_incremental" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+      val oNew = graft.ops.Sampling.uniformHashPredicate(col("o_orderkey"), 5, "ivmo")
+      val cNew = graft.ops.Sampling.uniformHashPredicate(col("o_custkey"), 10, "ivmc")
+      graft.ops.Incremental.joinDelta(
+        o.filter(!oNew), o.filter(oNew),
+        c.filter(!cNew), c.filter(cNew), Seq("o_custkey"))
+    }),
     // skew-safe aggregation patterns over the LOW-cardinality
     // event_type key (a handful of values — the classic hot-reducer
     // shape at scale; see graft.ops.Skew)
@@ -455,6 +472,18 @@ object AnalyticsSurface {
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2""".stripMargin),
+    // the three delta terms cover exactly the joined pairs where at
+    // least one side is new — the full-join WHERE is the oracle twin
+    "join_incremental" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         |    ${TextSurface.h60sql("'ivmo:' || CAST(o_orderkey AS VARCHAR)")} % 100 < 5 AS o_new
+         |  FROM orders),
+         |c AS (SELECT c_custkey AS o_custkey, c_name, c_mktsegment,
+         |    ${TextSurface.h60sql("'ivmc:' || CAST(c_custkey AS VARCHAR)")} % 100 < 10 AS c_new
+         |  FROM customer)
+         |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+         |FROM o JOIN c USING (o_custkey)
+         |WHERE o.o_new OR c.c_new""".stripMargin,
     // salting only redistributes the merge; DECIMAL addition is
     // associative, so the oracle is the plain single-phase GROUP BY
     "agg_salted_rollup" ->

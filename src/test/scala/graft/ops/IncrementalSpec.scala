@@ -72,4 +72,31 @@ class IncrementalSpec extends AnyFunSuite {
     val empty = Incremental.hourlyPartials(events.filter("event_id < 0"))
     assert(canon(Incremental.merge(base, empty)) == single)
   }
+
+  test("joinDelta equals full-join minus old-join, terms disjoint, empty deltas empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // keys 1..6; a-row (k, tag), b-row (k, name); deltas overlap on
+    // keys 2 (both new), 3 (only a new), 4 (only b new); key 6 new on
+    // the a side has NO b match at all
+    val aOld = Seq((1L, "a1"), (3L, "a3"), (4L, "a4"), (5L, "a5")).toDF("k", "a_tag")
+    val aNew = Seq((2L, "a2"), (3L, "a3n"), (6L, "a6")).toDF("k", "a_tag")
+    val bOld = Seq((1L, "b1"), (2L, "b2o"), (3L, "b3"), (5L, "b5")).toDF("k", "b_name")
+    val bNew = Seq((2L, "b2n"), (4L, "b4")).toDF("k", "b_name")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "a_tag", "b_name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val delta = rows(Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k")))
+    val full = rows(aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k")))
+    val old = rows(aOld.join(bOld, Seq("k")))
+    // identity: the view after the batch = old view ∪ delta
+    assert(delta.toSet == (full.toSet diff old.toSet))
+    // the three terms are disjoint → no dup rows from the union
+    assert(delta.length == delta.toSet.size)
+    // unmatched new key (6) contributes nothing; old-old pairs never appear
+    assert(!delta.exists(_._1 == 6L) && !delta.exists(r => r._2 == "a1"))
+    // empty deltas → empty view delta
+    assert(Incremental.joinDelta(aOld, aNew.filter(col("k") < 0),
+      bOld, bNew.filter(col("k") < 0), Seq("k")).isEmpty)
+  }
 }
