@@ -288,6 +288,23 @@ object AnalyticsSurface {
     // formulation; both engines compute the same linear interpolation,
     // rounded to 4 dp against ulp drift)
     "agg_percentiles" -> percentilesExact,
+    // exact second moments per type: decimal sum + decimal
+    // sum-of-squares (DECIMAL(18,6) so the square's width fits both
+    // engines' 38-digit cap) reduce in ONE partial-aggregable pass;
+    // the final mean/variance/stddev arithmetic runs in DOUBLE with
+    // the identical operation order as the oracle text, so every IEEE
+    // step is bit-equal and round(.,4) closes the gate
+    "agg_variance" -> ((s, dir) => {
+      val d = col("value").cast("decimal(18,6)")
+      val meanD = col("sv").cast("double") / col("n")
+      val varD = col("ssq").cast("double") / col("n") - meanD * meanD
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(d).as("sv"), sum(d * d).as("ssq"))
+        .select(col("event_type"), col("n"),
+          round(meanD, 4).as("mean_value"),
+          round(varD, 4).as("var_pop"),
+          round(sqrt(greatest(varD, lit(0.0))), 4).as("std_pop"))
+    }),
     // the sketch tier (graft.ops.Approx), gated through the in-plan
     // verification harness: the query computes the exact side next to
     // the sketch and emits integer "estimate within budget" verdicts,
@@ -472,6 +489,20 @@ object AnalyticsSurface {
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2""".stripMargin),
+    // double arithmetic in the same textual order as the Spark plan:
+    // every IEEE step matches bit-for-bit before the final round
+    "agg_variance" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ssq
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_value,
+        |  round(CAST(ssq AS DOUBLE) / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 4) AS var_pop,
+        |  round(sqrt(greatest(CAST(ssq AS DOUBLE) / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 0)), 4) AS std_pop
+        |FROM g""".stripMargin,
     // the three delta terms cover exactly the joined pairs where at
     // least one side is new — the full-join WHERE is the oracle twin
     "join_incremental" ->
