@@ -112,6 +112,59 @@ object Terms {
       .select("doc_id", "n_tokens", "sum_bits", "mean_centibits", "keep")
   }
 
+  /** Bigram conditional surprisal — the next-order LM quality signal
+    * above [[unigramSurprisal]]: a document scores by how predictable
+    * each word is GIVEN its predecessor, so formulaic boilerplate
+    * (high-probability continuations) scores low even when its
+    * unigrams are unremarkable, and word-salad scores high even when
+    * every word is common. Same whole-bit quantization:
+    *
+    *   bits(w₁w₂) = floor(log₂(cnt(w₁·) / cnt(w₁w₂)))
+    *              = length(bin(cnt1 div cnt2)) − 1
+    *
+    * with cnt1 = corpus occurrences of bigrams starting w₁ (the
+    * conditional context mass) and cnt2 = occurrences of the bigram —
+    * exact integer arithmetic, hash-gateable (the transcendental
+    * argument in [[unigramSurprisal]]).
+    *
+    * Scale shape: the token array materializes ONCE per document
+    * (normTokens); bigrams are a transform over that array — one
+    * concat per gram, never a re-tokenize (the WordNgrams lesson) —
+    * then one (doc_id, bigram) combine. The model aggregates on
+    * bigram and on its first word, both with map-side partial combine
+    * (Zipf-head safe); joins are equality joins on the bigram/word
+    * keys (AQE broadcasts the model when it fits — vocab² is sparse,
+    * sublinear in corpus size); final per-doc aggregate is one
+    * well-spread groupBy. Documents with fewer than two tokens are
+    * absent (no bigram mass), matching the oracle.
+    *
+    * Output: (doc_id, n_bigrams, sum_bits, mean_centibits, keep). */
+  def bigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFns.normTokens(col("text")).as("ts"))
+    // '' appears only as the sole token of an empty normalization, so
+    // the guard never breaks adjacency of real tokens
+    val bg = toks.filter(size(col("ts")) >= 2 && col("ts").getItem(0) =!= "")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("bigram"))
+    val btf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val model = btf.groupBy("bigram").agg(sum("tf").as("cnt2"))
+    val ctx = model.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("cnt2").as("cnt1"))
+    val bits = model.join(ctx, substring_index(col("bigram"), " ", 1) === col("w1"))
+      .withColumn("bits", length(bin(expr("cnt1 div cnt2"))).cast("long") - 1L)
+      .select("bigram", "bits")
+    btf.join(bits, "bigram")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_centibits", expr("sum_bits * 100 div n_bigrams"))
+      .withColumn("keep",
+        col("mean_centibits").between(minCb, maxCb).cast("long"))
+      .select("doc_id", "n_bigrams", "sum_bits", "mean_centibits", "keep")
+  }
+
   /** Standard smoothed tf-idf: tf · (ln((N+1)/(df+1)) + 1). Double
     * scores — use in-Spark; the libm ln makes it non-portable for
     * hash-gating (see object doc). N is passed by the caller (one

@@ -207,6 +207,11 @@ object TextSurface {
     // ceiling cuts the rarer-term-heavy tail (~37% of sf0.01).
     "text_lm_surprisal" -> ((s, dir) =>
       graft.ops.Terms.unigramSurprisal(docs(s, dir), LM_MIN_CB, LM_MAX_CB)),
+    // bigram conditional band: sf0.01 spans 408-468 cb/bigram with
+    // median 432; [415, 445] cuts both tails (boilerplate-predictable
+    // low end, word-salad high end)
+    "text_lm_bigram" -> ((s, dir) =>
+      graft.ops.Terms.bigramSurprisal(docs(s, dir), BG_MIN_CB, BG_MAX_CB)),
     "pipeline_clean_corpus" -> ((s, dir) => {
       val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
       val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
@@ -294,6 +299,10 @@ object TextSurface {
   // unigram-surprisal keep band, centibits/token (see Terms scaladoc)
   private val LM_MIN_CB = 300L
   private val LM_MAX_CB = 403L
+
+  // bigram-surprisal keep band, centibits/bigram
+  private val BG_MIN_CB = 415L
+  private val BG_MAX_CB = 445L
 
   /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
   private val SHINGLE_CTES =
@@ -719,6 +728,29 @@ object TextSurface {
          |  CAST(sum_bits AS BIGINT) AS sum_bits,
          |  CAST(sum_bits * 100 // n_tokens AS BIGINT) AS mean_centibits,
          |  CAST(CASE WHEN sum_bits * 100 // n_tokens BETWEEN $LM_MIN_CB AND $LM_MAX_CB
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM d""".stripMargin,
+    // mirrors Terms.bigramSurprisal: bigrams from the once-split token
+    // list, conditional context mass per first word, whole-bit
+    // quantization — all integer
+    "text_lm_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS ts FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         |  FROM toks WHERE len(ts) >= 2 AND ts[1] <> ''),
+         |btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+         |model AS (SELECT bigram, sum(tf) AS cnt2 FROM btf GROUP BY 1),
+         |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt2) AS cnt1
+         |  FROM model GROUP BY 1),
+         |bits AS (SELECT m.bigram, length(bin(CAST(c.cnt1 // m.cnt2 AS BIGINT))) - 1 AS bits
+         |  FROM model m JOIN ctx c ON split_part(m.bigram, ' ', 1) = c.w1),
+         |d AS (SELECT t.doc_id, sum(t.tf) AS n_bigrams,
+         |    sum(t.tf * b.bits) AS sum_bits
+         |  FROM btf t JOIN bits b USING (bigram) GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(sum_bits AS BIGINT) AS sum_bits,
+         |  CAST(sum_bits * 100 // n_bigrams AS BIGINT) AS mean_centibits,
+         |  CAST(CASE WHEN sum_bits * 100 // n_bigrams BETWEEN $BG_MIN_CB AND $BG_MAX_CB
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM d""".stripMargin,
     "pipeline_clean_corpus" ->

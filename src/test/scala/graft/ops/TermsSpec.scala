@@ -134,4 +134,34 @@ class TermsSpec extends AnyFunSuite {
     assert(nljs <= 1, s"expected at most the constant-attach NLJ, got $nljs:\n" +
       plan.take(2000))
   }
+
+  test("bigram surprisal: whole-bit hand computation, band verdict, short docs absent") {
+    // bigrams: d1 "a b"×2 + "b a"; d2 "a b" + "b c"
+    // model cnt2: "a b"=3, "b a"=1, "b c"=1; ctx cnt1: a=3, b=2
+    // bits: "a b" → 3 div 3 = 1 → 0; "b a"/"b c" → 2 div 1 = 2 → 1
+    // d1: n=3, sum=1, mean = 100 div 3 = 33; d2: n=2, sum=1, mean=50
+    val d = Seq(
+      (1L, "a b a b"), (2L, "a b c"),
+      (3L, "c"),   // single token: no bigram mass
+      (4L, "  ")). // empty normalization
+      toDF("doc_id", "text")
+    val got = Terms.bigramSurprisal(d, 40L, 60L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 3L, 1L, 33L, 0L),
+      (2L, 2L, 1L, 50L, 1L)))
+  }
+
+  test("bigram surprisal: branching contexts score above deterministic continuations") {
+    // doc A repeats one continuation of t (t→a always); doc B branches
+    // t four ways — conditional surprisal must rank B strictly higher
+    // even though B's unigrams are no rarer per-position
+    val d = Seq(
+      (1L, "t a t a t a t a"),
+      (2L, "t b t c t d t e")).toDF("doc_id", "text")
+    val m = Terms.bigramSurprisal(d, 0L, 9999L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m(2L) > m(1L), m.toString)
+  }
 }
