@@ -558,6 +558,135 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodePng(id, payload) })
   }
 
+  // ---- JPEG (JFIF) tier ----
+
+  private[ops] def jpegEntropyBytes(id: Long): Int = (10 + id % 40).toInt
+
+  /** A structurally real baseline JFIF payload: SOI, APP0(JFIF 1.1),
+    * one DQT (64-byte table of the fill value), SOF0 (8-bit, 3
+    * components, fixture geometry), SOS (3 components) followed by an
+    * entropy run of fill bytes (fill ≤ 250, so no 0xFF needs byte
+    * stuffing), EOI. Not a renderable image — the entropy run is not
+    * valid Huffman data — but every SEGMENT is well-formed, which is
+    * what a metadata walk consumes; pixel-level ground truth lives in
+    * the BMP/PPM/PNG tiers. */
+  private[ops] def buildJpegPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id).toByte
+    val w = imgW(id); val h = imgH(id); val el = jpegEntropyBytes(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0, len incl. the length field
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0); be16(1); be16(1) // aspect-ratio units, 1:1 density
+    out.write(0); out.write(0) // no thumbnail
+    marker(0xdb); be16(67); out.write(0) // DQT: pq=0/tq=0 + 64 entries
+    var i = 0
+    while (i < 64) { out.write(fill & 0xff); i += 1 }
+    marker(0xc0); be16(8 + 3 * 3) // SOF0
+    out.write(8); be16(h); be16(w); out.write(3)
+    var c = 1
+    while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+    marker(0xda); be16(6 + 2 * 3) // SOS
+    out.write(3)
+    c = 1
+    while (c <= 3) { out.write(c); out.write(0); c += 1 }
+    out.write(0); out.write(63); out.write(0) // spectral selection
+    i = 0
+    while (i < el) { out.write(fill & 0xff); i += 1 }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  def jpegFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildJpegPayload(id), "image/jpeg", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  /** Decoded-JPEG metadata. `n_segments` counts marker segments walked
+    * before SOS (proves the length-framed walk), `entropy_bytes` the
+    * entropy-coded run scanned up to EOI (proves the stuffed-byte
+    * scan), `dqt_sum` the quantization-table byte sum (proves segment
+    * CONTENT was read, not skipped). */
+  final case class JpegFeatures(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      bit_precision: Long,
+      n_components: Long,
+      n_segments: Long,
+      entropy_bytes: Long,
+      dqt_sum: Long)
+
+  /** Real JFIF marker walk: SOI, big-endian length-framed segments
+    * (DQT table summed, SOF0..SOF15 parsed for geometry), SOS entropy
+    * scan honoring 0xFF00 byte stuffing and restart markers, EOI.
+    * Malformed/truncated payloads yield "unknown" with -1 geometry —
+    * row-level tolerance, never a thrown job failure. */
+  private[ops] def decodeJpeg(id: Long, p: Array[Byte]): JpegFeatures = {
+    val bad = JpegFeatures(id, "unknown", -1, -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    if (n < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return bad
+    def be16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    var off = 2
+    var w = -1L; var h = -1L; var prec = -1L; var ncomp = -1L
+    var nSeg = 0L; var dqtSum = -1L
+    while (off + 4 <= n) {
+      if ((p(off) & 0xff) != 0xff) return bad
+      val m = p(off + 1) & 0xff
+      if (m == 0xd9) return bad // EOI before any SOS: no image
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > n) return bad
+      m match {
+        case 0xdb => // DQT: sum table bytes (skip the pq/tq id byte)
+          if (dqtSum < 0) dqtSum = 0
+          var i = off + 5
+          while (i < off + 2 + len) { dqtSum += p(i) & 0xff; i += 1 }
+        case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          if (len < 8) return bad
+          prec = p(off + 4) & 0xff
+          h = be16(off + 5); w = be16(off + 7)
+          ncomp = p(off + 9) & 0xff
+        case 0xda => // SOS: entropy scan to EOI
+          if (w < 0 || h < 0) return bad // SOS before SOF
+          var i = off + 2 + len
+          var eb = 0L
+          while (i + 1 < n) {
+            val b = p(i) & 0xff
+            if (b == 0xff) {
+              val nx = p(i + 1) & 0xff
+              if (nx == 0xd9)
+                return JpegFeatures(id, "jpeg", w, h, prec, ncomp, nSeg, eb, dqtSum)
+              else if (nx == 0x00 || (nx >= 0xd0 && nx <= 0xd7)) {
+                eb += 2; i += 2 // stuffed 0xFF / restart marker
+              } else return bad
+            } else { eb += 1; i += 1 }
+          }
+          return bad // ran out without EOI
+        case _ => // APPn/COM/DHT/…: length-framed, skip
+      }
+      nSeg += 1
+      off += 2 + len
+    }
+    bad
+  }
+
+  /** Batch JPEG metadata extraction, same row-local shape as
+    * [[extractPngFeatures]]. */
+  def extractJpegFeatures(media: DataFrame): Dataset[JpegFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeJpeg(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

@@ -267,6 +267,13 @@ object StreamSurface {
     "mm_png" -> ((s, dir) =>
       Multimodal.extractPngFeatures(
         Multimodal.pngFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // JFIF marker-walk tier: length-framed segment walk (DQT content
+    // summed, SOF geometry), entropy scan with byte-stuffing to EOI —
+    // metadata extraction without pixel decode, the common production
+    // shape for image corpus triage
+    "mm_jpeg" -> ((s, dir) =>
+      Multimodal.extractJpegFeatures(
+        Multimodal.jpegFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,6 +388,19 @@ object StreamSurface {
         |  CAST(2 AS BIGINT) AS n_idat,
         |  CAST((h // 5) * 10 + ((h % 5) * ((h % 5) - 1)) // 2 AS BIGINT) AS filter_sum,
         |  CAST(3 * w * h * fill AS BIGINT) AS pixel_checksum
+        |FROM m""".stripMargin,
+    // closed form from the generative arithmetic: geometry + the
+    // constant segment/component counts + DQT = 64 fill bytes +
+    // entropy run length
+    "mm_jpeg" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill,
+        |  16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h,
+        |  10 + doc_id % 40 AS el FROM documents)
+        |SELECT doc_id AS media_id, 'jpeg' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_precision, CAST(3 AS BIGINT) AS n_components,
+        |  CAST(3 AS BIGINT) AS n_segments, CAST(el AS BIGINT) AS entropy_bytes,
+        |  CAST(64 * fill AS BIGINT) AS dqt_sum
         |FROM m""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames

@@ -281,4 +281,48 @@ class MultimodalSpec extends AnyFunSuite {
     val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
     assert(joined.toSeq == payload.toSeq)
   }
+
+  test("JPEG: marker walk reads geometry, DQT content, and the entropy run") {
+    val media = Multimodal.jpegFromDocuments(docs).repartition(3)
+    val feats = Multimodal.extractJpegFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L)) {
+      val f = feats(id)
+      assert(f.format == "jpeg", s"id=$id")
+      assert(f.width == 16 + id % 97 && f.height == 16 + id % 53, s"id=$id")
+      assert(f.bit_precision == 8 && f.n_components == 3, s"id=$id")
+      assert(f.n_segments == 3, s"id=$id") // APP0, DQT, SOF0
+      assert(f.entropy_bytes == 10 + id % 40, s"id=$id")
+      assert(f.dqt_sum == 64 * (id % 251), s"id=$id")
+    }
+  }
+
+  test("JPEG: byte stuffing and restart markers count as entropy data") {
+    // splice FF 00 (stuffed literal) and FF D0 (RST0) into the entropy
+    // run of a planted payload: both must scan as data, not terminate
+    val good = Multimodal.buildJpegPayload(7L)
+    val eb = 10 + 7 % 40
+    val insertAt = good.length - 2 - eb / 2 // inside the entropy run
+    val spliced = good.take(insertAt) ++
+      Array(0xff.toByte, 0x00.toByte, 0xff.toByte, 0xd0.toByte) ++
+      good.drop(insertAt)
+    val f = Multimodal.decodeJpeg(7L, spliced)
+    assert(f.format == "jpeg" && f.entropy_bytes == eb + 4)
+  }
+
+  test("JPEG: malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildJpegPayload(3L)
+    val cases = Seq(
+      Array[Byte](1, 2, 3),                    // not a JPEG
+      good.take(30),                           // truncated mid-segment
+      good.dropRight(2),                       // entropy run without EOI
+      good.take(2) ++ Array(0xff.toByte, 0xd9.toByte), // EOI, no SOS
+      // SOS spliced in before any SOF: geometry unknown → reject
+      good.take(2) ++ good.drop(good.length - 2 - (10 + 3 % 40) - 14))
+    cases.zipWithIndex.foreach { case (p, i) =>
+      assert(Multimodal.decodeJpeg(i.toLong, p).format == "unknown", s"case $i")
+    }
+    // a BMP payload is a clean unknown for the JPEG decoder
+    assert(Multimodal.decodeJpeg(0L, Multimodal.buildPayload(0L)).format == "unknown")
+  }
 }
