@@ -64,4 +64,27 @@ object Sampling {
     }
     df.filter(pct(col(idCol), namespace) < rate)
   }
+
+  /** WEIGHT-proportional Bernoulli sampling: row kept iff
+    * h(id) mod 10000 < weight_bp, so P(keep) = weight_bp / 10000 per
+    * row with any per-row weight expression (quality score, length
+    * band, recency …) — the quality-weighted retention primitive.
+    * Integer-exact where the classic weighted-reservoir key
+    * u^(1/w) is not: pow/ln are libm transcendentals whose low bits
+    * differ across engines, so an A-ES-style key cannot hash-gate;
+    * the threshold form keeps all of [[uniformHash]]'s guarantees
+    * (reproducible, retry-stable, growth-stable) and its monotone
+    * law — lowering a row's weight can only remove it, never admit
+    * it (spec-locked). Still a stateless scan predicate: the weight
+    * is a per-row column expression, nothing joins or shuffles.
+    *
+    * Weights clamp to [0, 10000]: 0 never keeps, 10000 always keeps.
+    */
+  def weightedHash(df: DataFrame, idCol: String, weightBp: Column,
+      namespace: String = "wsample"): DataFrame = {
+    val w = greatest(lit(0L), least(lit(10000L), weightBp.cast("long")))
+    df.filter(
+      pmod(TextFns.h60(concat(lit(s"$namespace:"), col(idCol).cast("string"))),
+        lit(10000L)) < w)
+  }
 }

@@ -151,6 +151,13 @@ object TextSurface {
     "sample_corpus" -> ((s, dir) =>
       graft.ops.Sampling.uniformHash(docs(s, dir), "doc_id", 10)
         .select("doc_id", "lang", "source", "n_chars")),
+    // weight-proportional retention, weight = 10·n_chars bp (length-
+    // proportional keep probability, 5%-55% across the fixture) — the
+    // integer-exact form of quality-weighted sampling
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedHash(docs(s, dir), "doc_id",
+          col("n_chars") * 10)
+        .select("doc_id", "lang", "source", "n_chars")),
     // stratified rebalancing: the dominant language (en, ~45% of the
     // fixture) downsampled to 30% while every other stratum keeps 100%
     // — the multilingual-corpus construction primitive. Same stateless
@@ -697,6 +704,10 @@ object TextSurface {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
          |  < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""".stripMargin,
+    "sample_weighted" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${h60sql("'wsample:' || CAST(doc_id AS VARCHAR)")} % 10000
+         |  < greatest(0, least(10000, n_chars * 10))""".stripMargin,
     "text_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
          |  FROM documents),

@@ -83,4 +83,32 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("weighted sampling: keep rate tracks the weight, monotone in weight") {
+    import org.apache.spark.sql.functions._
+    // constant weight w bp ≈ uniform w/10000 sampling
+    val w30 = Sampling.weightedHash(corpus, "doc_id", lit(3000))
+      .collect().map(_.getLong(0)).toSet
+    assert(w30.size > 480 && w30.size < 720, w30.size.toString) // ~30% of 2000
+    // monotone law: lowering every weight only removes rows
+    val w10 = Sampling.weightedHash(corpus, "doc_id", lit(1000))
+      .collect().map(_.getLong(0)).toSet
+    assert(w10.subsetOf(w30))
+    assert(w10.size > 120 && w10.size < 280, w10.size.toString)
+    // per-row weights: rows with weight 0 never kept, 10000 always kept
+    val mixed = Sampling.weightedHash(corpus, "doc_id",
+        when(col("doc_id") % 2 === 0, lit(10000)).otherwise(lit(0)))
+      .collect().map(_.getLong(0))
+    assert(mixed.length == 1000 && mixed.forall(_ % 2 == 0))
+    // clamp: out-of-range weights behave as the endpoints
+    assert(Sampling.weightedHash(corpus, "doc_id", lit(-5)).count() == 0)
+    assert(Sampling.weightedHash(corpus, "doc_id", lit(99999)).count() == 2000)
+  }
+
+  test("weighted sampling stays a shuffle-free scan predicate") {
+    import org.apache.spark.sql.functions._
+    val plan = Sampling.weightedHash(corpus, "doc_id", lit(5000))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
