@@ -38,6 +38,14 @@ object GraftFunctions {
       require(n != null, "word_ngrams(text, n) requires a non-null literal n")
       WordNgrams(exprs.head, n.asInstanceOf[Number].intValue())
     }),
+    ("word_ngrams_all", classOf[WordNgramsAll], exprs => {
+      // n is model shape, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "word_ngrams_all(text, n) requires a literal n")
+      val n = exprs(1).eval()
+      require(n != null, "word_ngrams_all(text, n) requires a non-null literal n")
+      WordNgramsAll(exprs.head, n.asInstanceOf[Number].intValue())
+    }),
     ("word_blocks", classOf[WordBlocks], exprs => {
       // n is model shape, not data: require a plan-time constant
       require(exprs.length == 2 && exprs(1).foldable,

@@ -89,6 +89,62 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL sliding word n-grams (with repeats, in document order) over
+  * raw `\S+` tokens — [[WordNgramsCodec]] without the distinct: n-gram
+  * MULTIPLICITY is the signal for language-model counting
+  * (Terms.bigramSurprisal), where the interpreted
+  * `transform(sequence(...))` composition paid per-gram lambda
+  * dispatch (~3x at sf1, the dot_dec lesson). Oracle form:
+  * `list_transform(range(1, len(ts) - n + 2), i -> ts[i] || ' ' ||
+  * ... || ts[i+n-1])`. */
+object WordNgramsAllCodec {
+
+  def eval(text: UTF8String, n: Int): ArrayData = {
+    val toks = WordNgramsCodec.wsTokens(text.toString)
+    val m = toks.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(toks.get(j + q))
+        q += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `word_ngrams_all(text, n)` — the
+  * non-distinct sibling of [[WordNgrams]], same codegen rationale. */
+case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 64, s"word_ngrams_all n must be in [1, 64], got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams_all requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramsAllCodec.eval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramsAllCodec.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
+    copy(child = newChild)
+}
+
 /** Non-overlapping n-token blocks over raw `\S+` tokens, in document
   * order, ragged tail dropped — the unit of the duplicated-block
   * fraction signal (the dup-line fraction of Gopher's repetition

@@ -96,6 +96,12 @@ object Terms {
     * empty-token documents absent (no tokens → no distribution mass),
     * matching the oracle CTE chain exactly. */
   def unigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
+    // NO explicit persist: the tf aggregation's exchange is reused
+    // across the model and scoring branches (AQE ReusedExchange), and
+    // measured at sf1 both a tf cache (6.5 s) and a vocab cache
+    // (6.3 s) LOSE to exchange reuse (4.6 s) — caching replaces free
+    // shuffle-file reuse with cache-write bandwidth and divergent
+    // plans that no longer match
     val tf = termFreq(docs)
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
@@ -140,14 +146,17 @@ object Terms {
     *
     * Output: (doc_id, n_bigrams, sum_bits, mean_centibits, keep). */
   def bigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextFns.normTokens(col("text")).as("ts"))
-    // '' appears only as the sole token of an empty normalization, so
-    // the guard never breaks adjacency of real tokens
-    val bg = toks.filter(size(col("ts")) >= 2 && col("ts").getItem(0) =!= "")
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), " +
-          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-        .as("bigram"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // ALL bigrams (with repeats) from ONE native walk of the
+    // normalized text — the transform(sequence(...)) composition paid
+    // per-gram interpreted-lambda dispatch (measured ~3x at sf1, the
+    // dot_dec lesson); fewer-than-two-token docs yield an empty array
+    // and drop at the explode, matching the oracle's len guard
+    val bg = docs.select(col("doc_id"),
+      explode(call_function("word_ngrams_all",
+        TextFns.normText(col("text")), lit(2))).as("bigram"))
+    // NO explicit persist — exchange reuse shares the btf shuffle
+    // across branches (see unigramSurprisal's measured comparison)
     val btf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
     val model = btf.groupBy("bigram").agg(sum("tf").as("cnt2"))
     val ctx = model.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))

@@ -98,4 +98,24 @@ class WordNgramsSpec extends AnyFunSuite {
       .select(expr("word_blocks(text, 5)").as("b")).collect().head.getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("word_ngrams_all: keeps repeats and order; distinct of it equals word_ngrams") {
+    GraftFunctions.register(spark)
+    val all = Seq("a b a b a").toDF("text")
+      .select(expr("word_ngrams_all(text, 2)").as("g")).collect().head.getSeq[String](0)
+    assert(all == Seq("a b", "b a", "a b", "b a")) // multiplicity + order
+    // corpus differential: array_distinct(all) ≡ the distinct expression
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(2, 5)) {
+      val bad = docs
+        .withColumn("ref", expr(s"word_ngrams(text, $n)"))
+        .withColumn("got", expr(s"array_distinct(word_ngrams_all(text, $n))"))
+        .filter(col("ref") =!= col("got")).count()
+      assert(bad == 0L, s"n=$n")
+    }
+    // short/empty texts yield empty arrays
+    val edges = Seq("", " ", "a").toDF("text")
+      .select(expr("word_ngrams_all(text, 2)").as("g")).collect()
+    assert(edges.forall(_.getSeq[String](0).isEmpty))
+  }
 }

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_blocklist", "text_similar_rare", "pack_length_buckets",
     "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
     "pipeline_curate_corpus", "text_lm_surprisal", "sim_topk_ivf_pq",
+    "text_lm_bigram",
 ]
 
 
