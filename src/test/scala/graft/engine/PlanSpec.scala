@@ -76,6 +76,31 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ candidate generation and rerank are equality joins only") {
+    val p = plan("sim_topk_ivf_pq")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    spark.catalog.clearCache()
+  }
+
+  test("incremental join delta broadcasts every delta side (bases never shuffle)") {
+    val p = plan("join_incremental")
+    // three BroadcastHashJoins (one per delta term); a SortMergeJoin
+    // would mean a base was shuffled for delta-sized work
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("bigram LM model reuses the frequency exchange across branches") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = graft.ops.Terms.bigramSurprisal(docs, 415L, 445L)
+    q.collect() // AQE reuse only appears in the final adaptive plan
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
   test("block-dup stats derive the block relation once (cached, not re-scanned)") {
     val p = plan("text_dup_blocks")
     // both consumers (per-block doc counts, per-doc rollup) read the
