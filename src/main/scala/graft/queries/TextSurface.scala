@@ -219,6 +219,22 @@ object TextSurface {
     // low end, word-salad high end)
     "text_lm_bigram" -> ((s, dir) =>
       graft.ops.Terms.bigramSurprisal(docs(s, dir), BG_MIN_CB, BG_MAX_CB)),
+    // round-6 composed curation: BOTH LM bands + weight-proportional
+    // retention in ONE plan — the surprisal models join on doc_id
+    // (each exchange-reused internally), the weighted predicate stays
+    // a scan filter on the corpus side
+    "pipeline_lm_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val uni = graft.ops.Terms.unigramSurprisal(d, LM_MIN_CB, LM_MAX_CB)
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("mean_centibits").as("uni_cb"))
+      val bi = graft.ops.Terms.bigramSurprisal(d, BG_MIN_CB, BG_MAX_CB)
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("mean_centibits").as("bi_cb"))
+      graft.ops.Sampling.weightedHash(d, "doc_id", col("n_chars") * 10)
+        .select("doc_id", "lang", "source", "n_chars")
+        .join(uni, "doc_id").join(bi, "doc_id")
+    }),
     "pipeline_clean_corpus" -> ((s, dir) => {
       val quality = textStats(s, dir).select(col("doc_id"), col("quality_score"))
       val losers = Dedup.minhashLshPairs(docs(s, dir), 0.8)
@@ -490,6 +506,46 @@ object TextSurface {
        |FROM mem d LEFT JOIN mt ON mt.in_id = d.doc_id WHERE d.is_in""".stripMargin
   }
 
+  private val lmSurprisalOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term <> '' GROUP BY 1, 2),
+       |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS total FROM vocab),
+       |bits AS (SELECT term, length(bin(CAST(total // cnt AS BIGINT))) - 1 AS bits
+       |  FROM vocab, tot),
+       |d AS (SELECT t.doc_id, sum(t.tf) AS n_tokens,
+       |    sum(t.tf * b.bits) AS sum_bits
+       |  FROM tf t JOIN bits b USING (term) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(sum_bits AS BIGINT) AS sum_bits,
+       |  CAST(sum_bits * 100 // n_tokens AS BIGINT) AS mean_centibits,
+       |  CAST(CASE WHEN sum_bits * 100 // n_tokens BETWEEN $LM_MIN_CB AND $LM_MAX_CB
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d""".stripMargin
+
+  private val lmBigramOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS ts FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+       |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+       |  FROM toks WHERE len(ts) >= 2 AND ts[1] <> ''),
+       |btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |model AS (SELECT bigram, sum(tf) AS cnt2 FROM btf GROUP BY 1),
+       |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt2) AS cnt1
+       |  FROM model GROUP BY 1),
+       |bits AS (SELECT m.bigram, length(bin(CAST(c.cnt1 // m.cnt2 AS BIGINT))) - 1 AS bits
+       |  FROM model m JOIN ctx c ON split_part(m.bigram, ' ', 1) = c.w1),
+       |d AS (SELECT t.doc_id, sum(t.tf) AS n_bigrams,
+       |    sum(t.tf * b.bits) AS sum_bits
+       |  FROM btf t JOIN bits b USING (bigram) GROUP BY 1)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(sum_bits AS BIGINT) AS sum_bits,
+       |  CAST(sum_bits * 100 // n_bigrams AS BIGINT) AS mean_centibits,
+       |  CAST(CASE WHEN sum_bits * 100 // n_bigrams BETWEEN $BG_MIN_CB AND $BG_MAX_CB
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_editdist" ->
       s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
@@ -723,51 +779,25 @@ object TextSurface {
          |  CAST(df AS BIGINT) AS df, CAST(score6 AS BIGINT) AS score6,
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
-    "text_lm_surprisal" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |  WHERE term <> '' GROUP BY 1, 2),
-         |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
-         |tot AS (SELECT sum(cnt) AS total FROM vocab),
-         |bits AS (SELECT term, length(bin(CAST(total // cnt AS BIGINT))) - 1 AS bits
-         |  FROM vocab, tot),
-         |d AS (SELECT t.doc_id, sum(t.tf) AS n_tokens,
-         |    sum(t.tf * b.bits) AS sum_bits
-         |  FROM tf t JOIN bits b USING (term) GROUP BY 1)
-         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |  CAST(sum_bits AS BIGINT) AS sum_bits,
-         |  CAST(sum_bits * 100 // n_tokens AS BIGINT) AS mean_centibits,
-         |  CAST(CASE WHEN sum_bits * 100 // n_tokens BETWEEN $LM_MIN_CB AND $LM_MAX_CB
-         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM d""".stripMargin,
+    "text_lm_surprisal" -> lmSurprisalOracle,
     // mirrors Terms.bigramSurprisal: bigrams from the once-split token
     // list, conditional context mass per first word, whole-bit
     // quantization — all integer
-    "text_lm_bigram" ->
-      s"""WITH toks AS (SELECT doc_id, string_split($NORM, ' ') AS ts FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-         |    i -> ts[i] || ' ' || ts[i+1])) AS bigram
-         |  FROM toks WHERE len(ts) >= 2 AND ts[1] <> ''),
-         |btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
-         |model AS (SELECT bigram, sum(tf) AS cnt2 FROM btf GROUP BY 1),
-         |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(cnt2) AS cnt1
-         |  FROM model GROUP BY 1),
-         |bits AS (SELECT m.bigram, length(bin(CAST(c.cnt1 // m.cnt2 AS BIGINT))) - 1 AS bits
-         |  FROM model m JOIN ctx c ON split_part(m.bigram, ' ', 1) = c.w1),
-         |d AS (SELECT t.doc_id, sum(t.tf) AS n_bigrams,
-         |    sum(t.tf * b.bits) AS sum_bits
-         |  FROM btf t JOIN bits b USING (bigram) GROUP BY 1)
-         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-         |  CAST(sum_bits AS BIGINT) AS sum_bits,
-         |  CAST(sum_bits * 100 // n_bigrams AS BIGINT) AS mean_centibits,
-         |  CAST(CASE WHEN sum_bits * 100 // n_bigrams BETWEEN $BG_MIN_CB AND $BG_MAX_CB
-         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM d""".stripMargin,
+    "text_lm_bigram" -> lmBigramOracle,
     "pipeline_clean_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality_score
          |FROM documents d JOIN ($textStatsOracle) q USING (doc_id)
          |WHERE q.quality_score >= 74000
          |  AND d.doc_id NOT IN (SELECT doc_b FROM ($minhashOracle))""".stripMargin,
+    // composes the round-6 trio: both LM band verdicts + the
+    // weight-proportional retention predicate, one statement
+    "pipeline_lm_curate" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  u.mean_centibits AS uni_cb, b.mean_centibits AS bi_cb
+         |FROM documents d
+         |JOIN ($lmSurprisalOracle) u ON u.doc_id = d.doc_id AND u.keep = 1
+         |JOIN ($lmBigramOracle) b ON b.doc_id = d.doc_id AND b.keep = 1
+         |WHERE ${h60sql("'wsample:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+         |  < greatest(0, least(10000, d.n_chars * 10))""".stripMargin,
   )
 }
