@@ -182,6 +182,11 @@ object AnalyticsSurface {
         bySplit.filter(!col("split")).drop("split"),
         bySplit.filter(col("split")).drop("split"))
     }),
+    // rolling z-score anomaly flags per user series (trailing-frame
+    // causal verdict, exact decimal window partials — see
+    // graft.ops.Anomaly)
+    "win_anomaly" -> ((s, dir) =>
+      graft.ops.Anomaly.rollingZScore(Tables.eventSeries(s, dir))),
     // incremental JOIN maintenance: orders and customer each split by
     // hash into standing base + arriving batch; the gate returns the
     // delta rows of the joined view (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — what a
@@ -489,6 +494,24 @@ object AnalyticsSurface {
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2""".stripMargin),
+    // trailing-window frame identical to the Spark Window spec; the
+    // mean/variance/threshold chain in the same IEEE op order
+    "win_anomaly" ->
+      (EV + """SELECT user_id, ts_us, value, event_id,
+        |  CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(CASE WHEN n_prev > 0
+        |    THEN floor(sv * 1000000 / n_prev) END AS BIGINT) AS mean6,
+        |  CAST(CASE WHEN n_prev >= 8
+        |      AND (value - sv / n_prev) * (value - sv / n_prev)
+        |        > 9 * (ssq / n_prev - (sv / n_prev) * (sv / n_prev))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM (SELECT user_id, timestamp AS ts_us, value, event_id,
+        |    count(*) OVER fr AS n_prev,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS ssq
+        |  FROM ev
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY timestamp, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))""".stripMargin),
     // double arithmetic in the same textual order as the Spark plan:
     // every IEEE step matches bit-for-bit before the final round
     "agg_variance" ->
