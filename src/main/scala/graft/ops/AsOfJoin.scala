@@ -63,4 +63,45 @@ object AsOfJoin {
       projected: Seq[String]): DataFrame =
     backward(left, right, key, tsCol, rightValCol, asofCol)
       .select((projected :+ asofCol).map(col): _*)
+
+  /** FORWARD as-of join — for every left row, the right row's value at
+    * the SMALLEST right timestamp >= the left timestamp, per key (the
+    * next-quote / next-observation lookup; DuckDB expresses it as
+    * `ASOF JOIN ... ON l.ts <= r.ts`). The mirror of [[backward]]:
+    * same union + ONE keyed window, frame flipped to [current row,
+    * unbounded following] with a first-non-null carry — identical
+    * scale shape, zero cross products. At equal timestamps the right
+    * row sorts AFTER the left row so it is inside the forward frame
+    * (inclusive >=); equal-timestamp right duplicates tie-break by
+    * value ascending, so the matched value is the MINIMUM — dedup the
+    * right side first for other policies. Null right values dropped as
+    * in [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String): DataFrame = {
+    val rv = "_asof_rv"
+    val side = "_asof_side"
+    val vType = right.schema(rightValCol).dataType
+    val l = left
+      .withColumn(side, lit(0))
+      .withColumn(rv, lit(null).cast(vType))
+    val r = right.filter(col(rightValCol).isNotNull).select(
+      col(key), col(tsCol).cast("long").as(tsCol),
+      col(rightValCol).cast(vType).as(rv))
+      .withColumn(side, lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(side).asc, col(rv).asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn(asofCol, first(col(rv), ignoreNulls = true).over(w))
+      .filter(col(side) === 0)
+      .drop(side, rv)
+  }
+
+  /** [[forward]] with the gate projection, mirroring
+    * [[backwardProjected]]. */
+  def forwardProjected(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String,
+      projected: Seq[String]): DataFrame =
+    forward(left, right, key, tsCol, rightValCol, asofCol)
+      .select((projected :+ asofCol).map(col): _*)
 }

@@ -231,6 +231,20 @@ object AnalyticsSurface {
         "user_id", "timestamp", "click_value", "last_click",
         Seq("user_id", "timestamp", "value"))
     }),
+    // the FORWARD mirror: next click at-or-after each event
+    "asof_join_forward" -> ((s, dir) => {
+      val all = t(s, dir, "events").select(
+        expr("ts div 1000").as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      val leftEv = all.filter(col("event_type") =!= "click")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max("value").as("click_value"))
+      graft.ops.AsOfJoin.forwardProjected(leftEv, clicks,
+        "user_id", "timestamp", "click_value", "next_click",
+        Seq("user_id", "timestamp", "value"))
+    }),
     // the SAME as-of join under heavy key skew: half of all users
     // collapse onto one hot key (user 0 holds ~50% of both sides).
     // The union+window formulation is skew-robust BY SHAPE — work per
@@ -558,6 +572,13 @@ object AnalyticsSurface {
         |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin),
+    "asof_join_forward" ->
+      (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),
+        |r AS (SELECT user_id, timestamp, max(value) AS click_value FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.timestamp, l.value, r.click_value AS next_click
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.timestamp <= r.timestamp""".stripMargin),
     "asof_join_skew" ->
       ("""WITH ev AS (SELECT epoch_us(ts) AS timestamp,
          |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,

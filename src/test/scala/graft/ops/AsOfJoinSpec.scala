@@ -118,4 +118,39 @@ class AsOfJoinSpec extends AnyFunSuite {
       plan.take(2000))
     assert(plan.contains("Window"), plan.take(2000))
   }
+
+  test("forward as-of: inclusive boundary, next observation, null without later right row") {
+    val got = AsOfJoin.forward(trades, quotes, "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "value", "q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    assert(got == Set(
+      (1L, 100L, Some(2.0)), // next quote is at 200
+      (1L, 200L, Some(2.0)), // EQUAL timestamp quote matches (inclusive)
+      (1L, 300L, None),      // no later quote
+      (2L, 150L, Some(9.0)), // the strictly-later quote now matches
+      (3L, 50L, None)))      // no quotes for the key
+  }
+
+  test("forward matches the brute-force definition on a random fixture") {
+    val rnd = new scala.util.Random(13)
+    val l = (0 until 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val r = (0 until 200).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      // dedup (key, ts) keeping min value — forward's documented tie policy
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), v) => (k, t, v.map(_._3).min) }.toSeq
+    val got = AsOfJoin.forward(
+        l.toDF("user_id", "timestamp", "value"),
+        r.toDF("user_id", "timestamp", "qv"),
+        "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "value", "q").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .sortBy(x => (x._1, x._2, x._3))
+    val brute = l.map { case (k, t, v) =>
+      val later = r.filter(q => q._1 == k && q._2 >= t)
+      (k, t, v, if (later.isEmpty) None else Some(later.minBy(_._2)._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == brute)
+  }
 }
