@@ -313,6 +313,38 @@ object AnalyticsSurface {
     // the final mean/variance/stddev arithmetic runs in DOUBLE with
     // the identical operation order as the oracle text, so every IEEE
     // step is bit-equal and round(.,4) closes the gate
+    // exact two-column second moments: decimal sums of x, y, xy, x²,
+    // y² in one partial-aggregable pass; covariance/correlation in
+    // oracle-identical IEEE order, shipped as FLOORED micros (the
+    // win_anomaly rule-3 lesson — cov is an exact rational of
+    // low-precision inputs and float round() flips half-boundaries)
+    "agg_corr" -> ((s, dir) => {
+      // products take the dot_dec discipline — ONE IEEE double
+      // multiply then the engines' shared double→DECIMAL(30,12) cast —
+      // because a decimal×decimal at this width overflows DuckDB's
+      // int64 decimal storage (the 38-digit cap is on the RESULT, the
+      // multiply itself runs in the operand width there)
+      val xd = col("l_quantity").cast("double")
+      val yd = col("l_extendedprice").cast("double")
+      val x = xd.cast("decimal(18,6)")
+      val y = yd.cast("decimal(18,6)")
+      val n = col("n")
+      val cov = col("sxy").cast("double") / n -
+        (col("sx").cast("double") / n) * (col("sy").cast("double") / n)
+      val vx = col("sxx").cast("double") / n -
+        (col("sx").cast("double") / n) * (col("sx").cast("double") / n)
+      val vy = col("syy").cast("double") / n -
+        (col("sy").cast("double") / n) * (col("sy").cast("double") / n)
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum((xd * yd).cast("decimal(30,12)")).as("sxy"),
+          sum((xd * xd).cast("decimal(30,12)")).as("sxx"),
+          sum((yd * yd).cast("decimal(30,12)")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          floor(cov * 1000000).cast("long").as("cov6"),
+          floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 1000000)
+            .cast("long").as("corr6"))
+    }),
     "agg_variance" -> ((s, dir) => {
       val d = col("value").cast("decimal(18,6)")
       val meanD = col("sv").cast("double") / col("n")
@@ -526,6 +558,27 @@ object AnalyticsSurface {
         |  FROM ev
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY timestamp, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))""".stripMargin),
+    // same decimal accumulators and IEEE op order as the Spark plan;
+    // floored micros close the gate without a float round
+    "agg_corr" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,12))) AS sxy,
+        |    sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS sxx,
+        |    sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,12))) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((CAST(sxy AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * 1000000) AS BIGINT) AS cov6,
+        |  CAST(floor((CAST(sxy AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        |    / nullif(sqrt((CAST(sxx AS DOUBLE) / n
+        |        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |      * (CAST(syy AS DOUBLE) / n
+        |        - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 0)
+        |    * 1000000) AS BIGINT) AS corr6
+        |FROM g""".stripMargin,
     // double arithmetic in the same textual order as the Spark plan:
     // every IEEE step matches bit-for-bit before the final round
     "agg_variance" ->
