@@ -829,4 +829,69 @@ object Dedup {
       .withColumn("shared_bp",
         expr("n_shared * 10000 div greatest(n_blocks, 1)"))
   }
+
+  /** Per-document duplicated-SPAN coverage — the overlapping-window
+    * sharpening of [[duplicateBlockStats]] (the span-level signal of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022: a token is boilerplate iff SOME cross-doc-repeated
+    * `spanTokens`-gram covers it, wherever the repeat is aligned —
+    * fixed blocks miss repeats that straddle a block boundary).
+    *
+    * A gram (all `spanTokens`-token windows, stride 1) is duplicated
+    * iff it occurs in >= 2 distinct documents; a doc's covered-token
+    * count is the size of the UNION of the intervals [pos, pos+n) of
+    * its duplicated grams — computed with a per-doc running-max window
+    * (contribution = pos + n − max(pos, prev running max end), clamped
+    * at 0), not by exploding per-token rows.
+    *
+    * Shape at scale: the gram relation is ~one row per token but
+    * reduces to (doc_id, pos, 8-byte h60) before its one shuffle; the
+    * duplicated-gram set is a groupBy on the hash over the DISTINCT
+    * (doc, gram) projection; only positions of DUPLICATED grams (the
+    * boilerplate subset, a small fraction of a clean web corpus) enter
+    * the keyed interval-union window. No global sort, no cross product,
+    * no per-token explode.
+    *
+    * Output: (doc_id, n_tokens, covered_tokens, covered_bp); docs with
+    * no duplicated span (or fewer than `spanTokens` tokens) kept with
+    * zero coverage. */
+  def dupSpanCoverage(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val n = spanTokens
+    // (doc_id, pos, gh): position-indexed gram hashes — feeds BOTH the
+    // duplicated-gram census and the coverage window; persist so the
+    // tokenize+hash scan runs once (caller releases via clearCache)
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"word_ngrams_all(text, $n)")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TextFns.h60(col("gram")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct (doc, gram) first so within-doc repeats don't count as
+    // cross-doc sharing; count(*) per gh then = distinct carrying docs
+    val dup = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    // interval union per doc over duplicated positions only: running
+    // max of previous interval ends; each row adds its uncovered tail
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = grams.join(dup, "gh")
+      .withColumn("pe", max(col("pos") + lit(n.toLong)).over(w))
+      .withColumn("add", greatest(lit(0L),
+        col("pos") + lit(n.toLong) -
+          greatest(col("pos"), coalesce(col("pe"), col("pos")))))
+      .groupBy("doc_id").agg(sum("add").as("covered_tokens"))
+    // denominator from the SAME `\S+` walk the grams use (1-grams), so
+    // coverage_bp is exact under any whitespace quirk in the text
+    docs.select(col("doc_id"),
+        expr("size(word_ngrams_all(text, 1))").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_bp",
+        expr("covered_tokens * 10000 div greatest(n_tokens, 1)"))
+  }
 }

@@ -261,6 +261,11 @@ object TextSurface {
     // boilerplate share per doc over non-overlapping 10-token blocks
     "text_dup_blocks" -> ((s, dir) =>
       Dedup.duplicateBlockStats(docs(s, dir), 10)),
+    // duplicated-SPAN coverage (Dedup.dupSpanCoverage): overlapping
+    // 10-gram windows + per-doc interval union — the alignment-free
+    // span-dedup signal fixed blocks miss at block boundaries
+    "text_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanCoverage(docs(s, dir), 10)),
     // sparse doc similarity (Terms.similarDocsByRareFeatures):
     // inverted-index candidates on rare shingles (df ≤ 10), exact
     // shared-feature counts — the text-side LSH-bucket analog
@@ -686,6 +691,33 @@ object TextSurface {
          |  CAST(coalesce(n_shared, 0) * 10000 //
          |    greatest(coalesce(n_blocks, 0), 1) AS BIGINT) AS shared_bp
          |FROM documents LEFT JOIN per USING (doc_id)""".stripMargin,
+    // interval-union coverage: same running-max window form as the
+    // Spark plan (pe = max prior interval end; each row adds its
+    // uncovered tail) — all-integer, so the hashes match bit-for-bit
+    "text_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 9, 0))) AS pos FROM t),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${h60sql(
+        "array_to_string(list_slice(toks, pos+1, pos+10), ' ')")} AS gh
+         |  FROM g),
+         |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM h)
+         |  GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, pos,
+         |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |  FROM h JOIN dup USING (gh)),
+         |per AS (SELECT doc_id, sum(greatest(0,
+         |    pos + 10 - greatest(pos, coalesce(pe, pos)))) AS covered
+         |  FROM cov GROUP BY 1),
+         |tok AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents)
+         |SELECT tok.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(covered, 0) * 10000 //
+         |    greatest(n_tokens, 1) AS BIGINT) AS covered_bp
+         |FROM tok LEFT JOIN per USING (doc_id)""".stripMargin,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
