@@ -77,12 +77,18 @@ object Bench {
     // warm-up: session + parquet reader + the codegen paths every query
     // shares (scan, sort, hash aggregate) — so the FIRST timed query
     // isn't charged for one-time JVM/Janino initialization. No headline
-    // query plan is executed here.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
-    val evWarm = graft.core.Tables.eventSeries(spark, sfDir)
-    evWarm.orderBy("timestamp").limit(1).collect()
-    evWarm.groupBy((org.apache.spark.sql.functions.col("timestamp") % 2).as("k"))
-      .count().write.mode("overwrite").format("noop").save()
+    // query plan is executed here. A failed warm-up must DEGRADE to
+    // cold-start timings, never kill the run (r6: one bad table
+    // definition here zeroed the whole round's perf signal).
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      val evWarm = graft.core.Tables.eventSeries(spark, sfDir)
+      evWarm.orderBy("timestamp").limit(1).collect()
+      evWarm.groupBy((org.apache.spark.sql.functions.col("timestamp") % 2).as("k"))
+        .count().write.mode("overwrite").format("noop").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing cold): ${e.getMessage}")
+    }
 
     // a failed query records the sentinel -1 (and lands in "errors")
     // instead of its near-zero elapsed time — a crash must never make

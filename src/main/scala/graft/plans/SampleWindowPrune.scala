@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPla
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: derive scannable timestamp bounds from a range
   * predicate on a SAMPLE BY window LABEL.
@@ -79,7 +79,13 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
         spark.experimental.extraOptimizations :+ this
 
   /** The timestamp operand inside the window arithmetic: a bare column
-    * (scale 1) or a truncating unit projection `raw div scale`. */
+    * (scale 1), a truncating unit projection `raw div scale` (the
+    * micros-over-nanos-Long fixture encoding), or the EXACT micros
+    * projection `unix_micros(cast(raw as timestamp))` over a
+    * TIMESTAMP_NTZ raw column (the micros fixture encoding — scale 1,
+    * bijective, so every translation below is exact). Bounds emitted
+    * against a non-Long raw column are typed literals of the column's
+    * own type ([[rawLit]]) so they stay pushable bare comparisons. */
   private def tsOperand(e: Expression): Option[(AttributeReference, Long)] =
     e match {
       case a: AttributeReference => Some((a, 1L))
@@ -87,8 +93,21 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
       // long literal divisor is the only shape that reaches the optimizer
       case IntegralDivide(a: AttributeReference,
           Literal(d: Long, LongType), _) if d > 0 => Some((a, d))
+      case UnixMicros(c: Cast) if c.dataType == TimestampType =>
+        c.child match {
+          case a: AttributeReference if a.dataType == TimestampNTZType =>
+            Some((a, 1L))
+          case _ => None
+        }
       case _ => None
     }
+
+  /** A literal comparable to the raw column in its own type. Both
+    * LongType and TimestampNTZType carry a Long internally (epoch-nanos
+    * vs epoch-micros — `v` is always already in the raw column's own
+    * unit by the time it gets here). */
+  private def rawLit(ts: AttributeReference, v: Long): Literal =
+    Literal(v, ts.dataType)
 
   /** Matches `(t - pmod(t, i)) + i` → (raw attribute, interval, scale). */
   private def windowShape(e: Expression)
@@ -196,25 +215,25 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
     val topEscape: Option[Expression] =
       if (wHigh <= Long.MaxValue / scale)
         safe(Math.addExact(Math.multiplyExact(wHigh - 1, scale), 1L))
-          .map(v => GreaterThanOrEqual(ts, Literal(v, LongType)))
+          .map(v => GreaterThanOrEqual(ts, rawLit(ts, v)))
       else None
     val bottomEscape: Option[Expression] =
       if (wLow > Long.MinValue / scale)
         safe(Math.multiplyExact(wLow, scale))
-          .map(v => LessThan(ts, Literal(v, LongType)))
+          .map(v => LessThan(ts, rawLit(ts, v)))
       else None
 
     // label ≥ A ⇒ t ≥ ceil_s(A) − w ⇒ raw ≥ (X−1)·scale + 1
     val loPred = lower.flatMap(ceilMul).flatMap(cm => safe {
       val x = Math.subtractExact(cm, w)
       Math.addExact(Math.multiplyExact(Math.subtractExact(x, 1L), scale), 1L)
-    }).map(v => GreaterThanOrEqual(ts, Literal(v, LongType)): Expression)
+    }).map(v => GreaterThanOrEqual(ts, rawLit(ts, v)): Expression)
       .map(p => bottomEscape.fold(p)(esc => Or(p, esc)))
     // label ≤ B ⇒ t < floor_s(B) − minJ·s ⇒ raw < U·scale
     val hiPred = upper.flatMap(floorMul).flatMap(fm => safe(
       Math.multiplyExact(
         Math.subtractExact(fm, Math.multiplyExact(minJ, s)), scale)))
-      .map(v => LessThan(ts, Literal(v, LongType)): Expression)
+      .map(v => LessThan(ts, rawLit(ts, v)): Expression)
       .map(p => topEscape.fold(p)(esc => Or(p, esc)))
     loPred.toSeq ++ hiPred.toSeq
   }
@@ -287,6 +306,19 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
                   if al.exprId == a.exprId && d > 0 && inlineScale == 1 &&
                     pchild.outputSet.contains(raw) =>
                 Resolved(raw, d, true)
+              // exact micros projection over a TIMESTAMP_NTZ raw column
+              // (the micros fixture encoding) — scale 1, bounds become
+              // NTZ-typed literals via rawLit
+              case al @ Alias(UnixMicros(c: Cast), _)
+                  if al.exprId == a.exprId && inlineScale == 1 &&
+                    c.dataType == TimestampType &&
+                    (c.child match {
+                      case raw: AttributeReference =>
+                        raw.dataType == TimestampNTZType &&
+                          pchild.outputSet.contains(raw)
+                      case _ => false
+                    }) =>
+                Resolved(c.child.asInstanceOf[AttributeReference], 1L, true)
               case al @ Alias(raw: AttributeReference, _)
                   if al.exprId == a.exprId && inlineScale == 1 &&
                     pchild.outputSet.contains(raw) =>

@@ -219,8 +219,9 @@ object AnalyticsSurface {
     // recent click value at-or-before it (graft.ops.AsOfJoin — oracle
     // uses DuckDB's NATIVE ASOF JOIN, a true differential test)
     "asof_join" -> ((s, dir) => {
-      val all = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"), col("user_id"),
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"), col("user_id"),
         col("event_type"), col("value"))
       val leftEv = all.filter(col("event_type") =!= "click")
         .select("user_id", "timestamp", "value")
@@ -233,8 +234,9 @@ object AnalyticsSurface {
     }),
     // the FORWARD mirror: next click at-or-after each event
     "asof_join_forward" -> ((s, dir) => {
-      val all = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"), col("user_id"),
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"), col("user_id"),
         col("event_type"), col("value"))
       val leftEv = all.filter(col("event_type") =!= "click")
         .select("user_id", "timestamp", "value")
@@ -253,8 +255,9 @@ object AnalyticsSurface {
     // hot key costs its row share, nothing quadratic. Gate locks the
     // values; AsOfJoinSpec locks the plan shape on a 50%-hot fixture.
     "asof_join_skew" -> ((s, dir) => {
-      val all = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"),
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"),
         when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
           .as("user_id"),
         col("event_type"), col("value"))
@@ -271,8 +274,9 @@ object AnalyticsSurface {
     // clicks within +-6 h (graft.ops.RangeJoin — candidates from an
     // equality join on (user, tol-bucket), never an all-pairs filter)
     "range_join" -> ((s, dir) => {
-      val all = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"), col("user_id"),
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"), col("user_id"),
         col("event_type"), col("value"))
       val errors = all.filter(col("event_type") === "error")
         .select("user_id", "timestamp", "value")
@@ -289,8 +293,9 @@ object AnalyticsSurface {
     // alone cannot blow the join up. RangeJoinSpec locks the plan
     // (equality join on (key, bucket), no NLJ) on the hot fixture.
     "range_join_skew" -> ((s, dir) => {
-      val all = t(s, dir, "events").select(
-        expr("ts div 1000").as("timestamp"),
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"),
         when(col("user_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))
           .as("user_id"),
         col("event_type"), col("value"))

@@ -85,15 +85,30 @@ object RefSurface {
       SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "delta")),
     "ts_sample_rate" -> ((s, dir) =>
       SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "rate")),
-    "ts_where" -> ((s, dir) =>
-      // lower bound pushed on raw ts (micros > T0 ⟺ nanos >= (T0+1)*1000)
+    "ts_where" -> ((s, dir) => {
+      // lower bound pushed on raw ts (micros > T0 ⟺ raw ≥ T0+1 in the
+      // column's own unit — Tables.tsRawAtLeast types the literal)
+      val ev = Tables.load(s, dir, "events")
       SeriesOps.scan(SeriesOps.whereChain(
-        Tables.load(s, dir, "events")
-          .filter(col("ts") >= (T0 + 1) * 1000)
-          .select(expr("ts div 1000").as("timestamp"), col("value")),
+        ev.filter(Tables.tsRawAtLeast(ev, T0 + 1))
+          .select(Tables.tsMicros(ev).as("timestamp"), col("value")),
         Seq(col("value") > 50.0, col("value") <= 150.0,
-          col("timestamp") > T0)))),
+          col("timestamp") > T0)))
+    }),
     "ts_limit" -> ((s, dir) => SeriesOps.limitOrdered(ev(s, dir), 100)),
+    // fixture-schema canary (r6 postmortem): min/max/count of the
+    // events series in micros, vs the oracle reading the raw file. A
+    // regenerated fixture whose ts encoding Tables mishandles fails
+    // THIS named key (wrong min/max or a thrown analysis error) instead
+    // of 47 anonymous downstream keys. FixtureCanarySpec additionally
+    // asserts the span is DAYS, not minutes — the loud unit-sanity
+    // check that catches a silent 1000× compression with no oracle.
+    "events_ts_canary" -> ((s, dir) =>
+      ev(s, dir).agg(
+        min("timestamp").as("min_ts"), max("timestamp").as("max_ts"),
+        count(lit(1)).as("n"))
+        .withColumn("span_days",
+          expr("(max_ts - min_ts) div 86400000000"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -143,5 +158,8 @@ object RefSurface {
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->
       (EV + "SELECT timestamp, value FROM ev ORDER BY timestamp ASC LIMIT 100"),
+    "events_ts_canary" ->
+      (EV + "SELECT min(timestamp) AS min_ts, max(timestamp) AS max_ts, " +
+        "count(*) AS n, (max(timestamp) - min(timestamp)) // 86400000000 AS span_days FROM ev"),
   )
 }

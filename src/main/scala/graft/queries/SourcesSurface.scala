@@ -29,16 +29,17 @@ object SourcesSurface {
         Tables.load(s, dir, "documents")
           .select("doc_id", "text", "lang", "source", "n_chars"),
         tmp(dir, "jsonl"))),
-    // events through CSV: the ns timestamp goes as epoch-micros LONG
+    // events through CSV: the raw timestamp goes as epoch-micros LONG
     // (the oracle-facing convention for this column everywhere), the
     // double survives via the writer's shortest-round-trip rendering,
     // and props' embedded quotes exercise quote/escape handling
-    "csv_roundtrip" -> ((s, dir) =>
+    "csv_roundtrip" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
       FileSources.roundTripCsv(
-        Tables.load(s, dir, "events")
-          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
-            col("user_id"), col("event_type"), col("value"), col("props")),
-        tmp(dir, "csv"))),
+        ev.select(col("event_id"), Tables.tsMicros(ev).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props")),
+        tmp(dir, "csv"))
+    }),
     // embeddings through ORC: the array<float> column proves nested
     // types survive the columnar binary round-trip — the shape neither
     // text format gates. The driver's compare hashes scalar cells, so

@@ -25,9 +25,13 @@ object StreamSurface {
 
   import org.apache.spark.sql.types._
 
-  /** Shared source schemas (the streaming file source cannot infer). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Shared source schemas (the streaming file source cannot infer).
+    * `ts`'s type is taken from the staged file's OWN footer (nanos
+    * fixtures read as Long, micros fixtures as TIMESTAMP_NTZ): a
+    * hand-declared LongType over a micros fixture would silently read
+    * the raw int64 and compress time 1000× — the r6 failure mode. */
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
   private val documentsSchema = StructType(Seq(
@@ -63,13 +67,22 @@ object StreamSurface {
     s.table(sinkName)
   }
 
+  /** Stage the events file and probe its footer for the actual `ts`
+    * encoding (one driver-side schema read, no data scan) — the stream
+    * source needs an explicit schema that MATCHES the file. */
+  private def stagedEvents(s: SparkSession, dir: String): (String, DataType) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val staged = stageParquet(dir, "events.parquet")
+    (staged, s.read.parquet(staged).schema("ts").dataType)
+  }
+
   /** The staged events file as a (timestamp micros, value) stream —
     * shared by every windowed streaming gate. */
   private def eventSeriesStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema)
-      .parquet(stageParquet(dir, "events.parquet"))
-      .select(expr("ts div 1000").as("timestamp"), col("value"))
+    val (staged, tsType) = stagedEvents(s, dir)
+    s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"), col("value"))
   }
 
   private def streamSampleBy(s: SparkSession, dir: String): DataFrame =
@@ -186,10 +199,9 @@ object StreamSurface {
     * apart than the watermark MAY re-emit — that is the documented
     * contract of bounded dedup state, not a defect. */
   private def streamDedupWatermarked(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = s.readStream.schema(eventsSchema)
-      .parquet(stageParquet(dir, "events.parquet"))
-      .select(expr("timestamp_micros(ts div 1000)").as("event_time"),
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(timestamp_micros(Tables.tsMicrosOf(tsType)).as("event_time"),
         col("user_id"), col("event_type"), col("value"))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
@@ -220,10 +232,9 @@ object StreamSurface {
     * every match emits and the batch self-join oracle applies
     * (stream/batch parity for the inner interval join). */
   private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsSchema)
-      .parquet(stageParquet(dir, "events.parquet"))
-      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("etime"),
+    val (staged, tsType) = stagedEvents(s, dir)
+    val src = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_id"), timestamp_micros(Tables.tsMicrosOf(tsType)).as("etime"),
         col("user_id"), col("event_type"))
     runToTable(s,
       graft.streaming.StreamingIngest.attributeWithin(src, "click", "view"),
@@ -242,10 +253,11 @@ object StreamSurface {
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_blocklist" -> streamBlocklist,
-    "session_window_agg" -> ((s, dir) =>
+    "session_window_agg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
-        Tables.load(s, dir, "events")
-          .select(expr("ts div 1000").as("timestamp"), col("user_id")))),
+        ev.select(Tables.tsMicros(ev).as("timestamp"), col("user_id")))
+    }),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),

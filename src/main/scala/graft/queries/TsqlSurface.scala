@@ -80,10 +80,10 @@ object TsqlSurface {
       exec.executeSql("CREATEDB metrics")
       exec.executeSql("USE metrics")
       exec.executeSql("CREATE ev")
+      val ev = Tables.load(spark, sfDir, "events")
       catalog.insert("metrics", "ev",
-        Tables.load(spark, sfDir, "events")
-          .select(org.apache.spark.sql.functions.col("ts").as("timestamp"),
-            org.apache.spark.sql.functions.col("value")))
+        ev.select(Tables.tsNanos(ev).as("timestamp"),
+          org.apache.spark.sql.functions.col("value")))
       initializedNs += root
     } else {
       exec.executeSql("USE metrics")

@@ -17,6 +17,7 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC") // NTZ cast exactness
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -135,6 +136,58 @@ class SampleWindowPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explained.contains("GreaterThanOrEqual(raw_ns,32399001)"), explained)
     assert(explained.contains("LessThan(raw_ns,180000000)"), explained)
     val off = SeriesOps.sampleBy(micros, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
+  }
+
+  test("TIMESTAMP_NTZ micros projection prunes on the raw NTZ column") {
+    import spark.implicits._
+    // micros-as-TIMESTAMP_NTZ storage, micros-Long view — the
+    // Tables.eventSeries pattern under the regenerated (r6+) fixture
+    val path = s"$tmp/ntz"
+    (0 until 50000).map(i => (i.toLong * 7, (i % 100).toDouble))
+      .toDF("us", "value")
+      .selectExpr("cast(timestamp_micros(us) as timestamp_ntz) AS ts", "value")
+      .write.mode("overwrite").parquet(path)
+    val raw = spark.read.parquet(path)
+    val micros = raw.select(
+      graft.core.Tables.tsMicrosOf(raw.schema("ts").dataType).as("timestamp"),
+      col("value"))
+    val df = SeriesOps.sampleBy(micros, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val (explained, rows) = withRule {
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    // exact micros projection (scale 1): t >= 32400 → ts >= ntz(32400us),
+    // t < 180000 → ts < ntz(180000us) — pushed as NTZ-typed comparisons
+    assert(explained.contains("GreaterThanOrEqual(ts,"), explained)
+    assert(explained.contains("LessThan(ts,"), explained)
+    val off = SeriesOps.sampleBy(micros, I)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
+  }
+
+  test("sliding NTZ label bounds reach the scan through the micros projection") {
+    import spark.implicits._
+    val path = s"$tmp/ntz_slide"
+    (0 until 50000).map(i => (i.toLong * 7, (i % 100).toDouble))
+      .toDF("us", "value")
+      .selectExpr("cast(timestamp_micros(us) as timestamp_ntz) AS ts", "value")
+      .write.mode("overwrite").parquet(path)
+    val raw = spark.read.parquet(path)
+    val micros = raw.select(
+      graft.core.Tables.tsMicrosOf(raw.schema("ts").dataType).as("timestamp"),
+      col("value"))
+    val df = SeriesOps.slidingBy(micros, I, S)
+      .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
+    val (explained, rows) = withRule {
+      (df.queryExecution.executedPlan.toString, df.collect())
+    }
+    assert(explained.contains("GreaterThanOrEqual(ts,"), explained)
+    assert(explained.contains("LessThan(ts,"), explained)
+    val off = SeriesOps.slidingBy(micros, I, S)
       .filter(col("sample_ts") >= 36000L && col("sample_ts") <= 180000L)
       .collect().map(_.toSeq).toSet
     assert(rows.map(_.toSeq).toSet == off && off.nonEmpty)
