@@ -74,6 +74,15 @@ object GraftFunctions {
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))),
+    ("token_counts", classOf[TokenCounts], exprs => TokenCounts(exprs.head)),
+    ("ngram_counts", classOf[NgramCounts], exprs => {
+      // n is model shape, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "ngram_counts(text, n) requires a literal n")
+      val n = exprs(1).eval()
+      require(n != null, "ngram_counts(text, n) requires a non-null literal n")
+      NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
+    }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("minhash_sig", classOf[MinHashSig], exprs => {
       // k is model shape, not data: require a plan-time constant

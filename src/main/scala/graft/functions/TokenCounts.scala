@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document term-frequency map in ONE text walk: `token_counts(s)`
+  * over a space-separated token stream (the normText convention —
+  * single spaces, no leading/trailing; runs of spaces tolerated) →
+  * `map<string,bigint>` of token → occurrence count, first-occurrence
+  * key order.
+  *
+  * Purpose: fuse `explode(split(...)) → groupBy(doc_id, term).count()`
+  * into the scan. The explode+aggregate form materializes one row per
+  * token OCCURRENCE and shuffles it into a (doc_id, term) hash
+  * aggregate; this map pre-aggregates inside the row — one output row
+  * per DISTINCT term per document and NO (doc_id, term) exchange at
+  * all, which is the difference the LM-surprisal plan pays for twice
+  * (model + scoring branches). Semantics identical to the aggregate
+  * form: empty tokens never emitted, counts are exact multiplicities.
+  */
+object TokenCountsCodec {
+
+  def eval(text: UTF8String): MapData = {
+    val s = text.toString
+    val len = s.length
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        val t = s.substring(start, i)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev + 1L)
+      }
+    }
+    val n = counts.size
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
+/** Sliding word n-gram multiplicities in ONE walk: `ngram_counts(s, n)`
+  * → `map<string,bigint>` of space-joined n-gram → occurrence count
+  * over the raw `\S+` token stream ([[WordNgramsCodec.wsTokens]] — the
+  * same walk as `word_ngrams_all`, with the per-document counting
+  * fused in). Same purpose as [[TokenCountsCodec]]: one output row per
+  * DISTINCT n-gram per document, no (doc_id, gram) exchange. */
+object NgramCountsCodec {
+
+  def eval(text: UTF8String, n: Int): MapData = {
+    val toks = WordNgramsCodec.wsTokens(text.toString)
+    val m = toks.size()
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    if (m >= n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j <= m - n) {
+        sb.setLength(0)
+        var q = 0
+        while (q < n) {
+          if (q > 0) sb.append(' ')
+          sb.append(toks.get(j + q))
+          q += 1
+        }
+        val g = sb.toString
+        val prev = counts.get(g)
+        counts.put(g, if (prev == null) 1L else prev + 1L)
+        j += 1
+      }
+    }
+    val sz = counts.size
+    val keys = new Array[Any](sz)
+    val vals = new Array[Any](sz)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = UTF8String.fromString(e.getKey)
+      vals(k) = e.getValue
+      k += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
+/** Native Catalyst expression: `ngram_counts(text, n)` with literal n —
+  * the counting sibling of `word_ngrams_all`. */
+case class NgramCounts(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 64, s"ngram_counts n must be in [1, 64], got $n")
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "ngram_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_counts requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NgramCountsCodec.eval(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramCountsCodec.eval($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCounts =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: `token_counts(text)` — one codegen'd
+  * static call per row (the [[WordNgrams]] rationale: no per-token
+  * lambda dispatch, no explode fan-out before aggregation). */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "token_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_counts requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCountsCodec.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCountsCodec.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}

@@ -31,13 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Terms {
 
-  /** (doc_id, term, tf) over the normalized tokens — shared base. */
-  private def termFreq(docs: DataFrame): DataFrame =
+  /** (doc_id, term, tf) over the normalized tokens — shared base.
+    *
+    * Counting is FUSED into the scan via the native `token_counts`
+    * map expression: one output row per DISTINCT term per document and
+    * NO (doc_id, term) exchange — the explode+groupBy form
+    * materialized one row per token OCCURRENCE and shuffled all of
+    * them into a hash aggregate (measured 4.81 s → see BASELINE.md r7
+    * for the fused numbers at sf1). Semantics identical: normText
+    * tokens, empty tokens never emitted, exact multiplicities. */
+  private def termFreq(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        explode(TextFns.normTokens(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+        explode(call_function("token_counts", TextFns.normText(col("text")))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
+  }
 
   /** Top-k rarity-weighted terms per document, integer-exact.
     * Output: (doc_id, term, tf, df, score6, rank); ties broken by term
@@ -96,12 +104,12 @@ object Terms {
     * empty-token documents absent (no tokens → no distribution mass),
     * matching the oracle CTE chain exactly. */
   def unigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
-    // NO explicit persist: the tf aggregation's exchange is reused
-    // across the model and scoring branches (AQE ReusedExchange), and
-    // measured at sf1 both a tf cache (6.5 s) and a vocab cache
-    // (6.3 s) LOSE to exchange reuse (4.6 s) — caching replaces free
-    // shuffle-file reuse with cache-write bandwidth and divergent
-    // plans that no longer match
+    // NO explicit persist: tf is a narrow scan+generate (token_counts
+    // fused the per-doc combine — no exchange below it), so the two
+    // consumers re-run one cheap text walk each; measured at sf1 a tf
+    // cache (6.5 s) and a vocab cache (6.3 s) both LOSE to plain
+    // recompute — caching replaces scan-speed work with cache-write
+    // bandwidth (BASELINE.md r6/r7 measurements)
     val tf = termFreq(docs)
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
@@ -152,12 +160,13 @@ object Terms {
     // per-gram interpreted-lambda dispatch (measured ~3x at sf1, the
     // dot_dec lesson); fewer-than-two-token docs yield an empty array
     // and drop at the explode, matching the oracle's len guard
-    val bg = docs.select(col("doc_id"),
-      explode(call_function("word_ngrams_all",
-        TextFns.normText(col("text")), lit(2))).as("bigram"))
-    // NO explicit persist — exchange reuse shares the btf shuffle
-    // across branches (see unigramSurprisal's measured comparison)
-    val btf = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    // counting fused into the scan (native ngram_counts map — same
+    // walk as word_ngrams_all with the per-doc combine in-row): one
+    // row per DISTINCT bigram per doc, no (doc_id, bigram) exchange
+    val btf = docs.select(col("doc_id"),
+        explode(call_function("ngram_counts",
+          TextFns.normText(col("text")), lit(2))))
+      .select(col("doc_id"), col("key").as("bigram"), col("value").as("tf"))
     val model = btf.groupBy("bigram").agg(sum("tf").as("cnt2"))
     val ctx = model.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum("cnt2").as("cnt1"))
