@@ -75,6 +75,14 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1))),
     ("token_counts", classOf[TokenCounts], exprs => TokenCounts(exprs.head)),
+    ("norm_ngram_counts", classOf[NormNgramCounts], exprs => {
+      // n is model shape, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "norm_ngram_counts(text, n) requires a literal n")
+      val n = exprs(1).eval()
+      require(n != null, "norm_ngram_counts(text, n) requires a non-null literal n")
+      NormNgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
+    }),
     ("ngram_counts", classOf[NgramCounts], exprs => {
       // n is model shape, not data: require a plan-time constant
       require(exprs.length == 2 && exprs(1).foldable,

@@ -43,7 +43,7 @@ object Terms {
   private def termFreq(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        explode(call_function("token_counts", TextFns.normText(col("text")))))
+        explode(call_function("norm_ngram_counts", col("text"), lit(1))))
       .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
   }
 
@@ -104,13 +104,15 @@ object Terms {
     * empty-token documents absent (no tokens → no distribution mass),
     * matching the oracle CTE chain exactly. */
   def unigramSurprisal(docs: DataFrame, minCb: Long, maxCb: Long): DataFrame = {
-    // NO explicit persist: tf is a narrow scan+generate (token_counts
-    // fused the per-doc combine — no exchange below it), so the two
-    // consumers re-run one cheap text walk each; measured at sf1 a tf
-    // cache (6.5 s) and a vocab cache (6.3 s) both LOSE to plain
-    // recompute — caching replaces scan-speed work with cache-write
-    // bandwidth (BASELINE.md r6/r7 measurements)
-    val tf = termFreq(docs)
+    // ONE deliberate exchange on term, shared by both consumers
+    // (ReusedExchange): the model aggregate reads it partition-local
+    // and the scoring join keys on the same partitioning, so the
+    // normText+token_counts walk below it runs ONCE. Without the
+    // repartition each branch re-runs the regex normalization —
+    // measured 5.85 s vs 4.81 s at sf1; a tf/vocab persist measured
+    // worse still (6.5/6.3 s, cache-write bandwidth for shuffle-file
+    // reuse that is already free)
+    val tf = termFreq(docs).repartition(col("term"))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
     val bits = vocab.crossJoin(broadcast(total))
@@ -162,11 +164,13 @@ object Terms {
     // and drop at the explode, matching the oracle's len guard
     // counting fused into the scan (native ngram_counts map — same
     // walk as word_ngrams_all with the per-doc combine in-row): one
-    // row per DISTINCT bigram per doc, no (doc_id, bigram) exchange
+    // row per DISTINCT bigram per doc; the deliberate repartition is
+    // the one exchange both the model and scoring branches reuse so
+    // the text walk runs once (see unigramSurprisal's measurements)
     val btf = docs.select(col("doc_id"),
-        explode(call_function("ngram_counts",
-          TextFns.normText(col("text")), lit(2))))
+        explode(call_function("norm_ngram_counts", col("text"), lit(2))))
       .select(col("doc_id"), col("key").as("bigram"), col("value").as("tf"))
+      .repartition(col("bigram"))
     val model = btf.groupBy("bigram").agg(sum("tf").as("cnt2"))
     val ctx = model.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum("cnt2").as("cnt1"))

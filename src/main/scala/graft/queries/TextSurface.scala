@@ -258,14 +258,15 @@ object TextSurface {
         length(TextFns.redactPii(aug)).cast("long").as("red_len"))
     }),
     // duplicated-block fraction (Dedup.duplicateBlockStats): cross-doc
-    // boilerplate share per doc over non-overlapping 10-token blocks
+    // boilerplate share per doc over non-overlapping DUP_TOKENS-token
+    // blocks (plan and oracle share the constant — see its scaladoc)
     "text_dup_blocks" -> ((s, dir) =>
-      Dedup.duplicateBlockStats(docs(s, dir), 10)),
+      Dedup.duplicateBlockStats(docs(s, dir), DUP_TOKENS)),
     // duplicated-SPAN coverage (Dedup.dupSpanCoverage): overlapping
-    // 10-gram windows + per-doc interval union — the alignment-free
-    // span-dedup signal fixed blocks miss at block boundaries
+    // DUP_TOKENS-gram windows + per-doc interval union — the
+    // alignment-free span-dedup signal fixed blocks miss at boundaries
     "text_dup_spans" -> ((s, dir) =>
-      Dedup.dupSpanCoverage(docs(s, dir), 10)),
+      Dedup.dupSpanCoverage(docs(s, dir), DUP_TOKENS)),
     // sparse doc similarity (Terms.similarDocsByRareFeatures):
     // inverted-index candidates on rare shingles (df ≤ 10), exact
     // shared-feature counts — the text-side LSH-bucket analog
@@ -331,6 +332,11 @@ object TextSurface {
   // bigram-surprisal keep band, centibits/bigram
   private val BG_MIN_CB = 415L
   private val BG_MAX_CB = 445L
+
+  // dup-block/dup-span window width in tokens: the Spark call sites
+  // AND the oracle SQL's window arithmetic both derive from this one
+  // constant so they cannot silently desynchronize (ADVICE r6)
+  private val DUP_TOKENS = 10
 
   /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
   private val SHINGLE_CTES =
@@ -676,9 +682,9 @@ object TextSurface {
       s"""WITH t AS (SELECT doc_id,
          |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
          |b AS (SELECT doc_id, toks,
-         |    unnest(range(0, len(toks) // 10)) AS bi FROM t),
+         |    unnest(range(0, len(toks) // $DUP_TOKENS)) AS bi FROM t),
          |h AS (SELECT doc_id, ${h60sql(
-        "array_to_string(list_slice(toks, bi*10+1, bi*10+10), ' ')")} AS bh
+        s"array_to_string(list_slice(toks, bi*$DUP_TOKENS+1, bi*$DUP_TOKENS+$DUP_TOKENS), ' ')")} AS bh
          |  FROM b),
          |d AS (SELECT DISTINCT doc_id, bh FROM h),
          |g AS (SELECT bh, count(*) AS nd FROM d GROUP BY 1),
@@ -698,18 +704,18 @@ object TextSurface {
       s"""WITH t AS (SELECT doc_id,
          |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
          |g AS (SELECT doc_id, toks,
-         |    unnest(range(0, greatest(len(toks) - 9, 0))) AS pos FROM t),
+         |    unnest(range(0, greatest(len(toks) - ${DUP_TOKENS - 1}, 0))) AS pos FROM t),
          |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${h60sql(
-        "array_to_string(list_slice(toks, pos+1, pos+10), ' ')")} AS gh
+        s"array_to_string(list_slice(toks, pos+1, pos+$DUP_TOKENS), ' ')")} AS gh
          |  FROM g),
          |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM h)
          |  GROUP BY gh HAVING count(*) >= 2),
          |cov AS (SELECT doc_id, pos,
-         |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+         |    max(pos + $DUP_TOKENS) OVER (PARTITION BY doc_id ORDER BY pos
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
          |  FROM h JOIN dup USING (gh)),
          |per AS (SELECT doc_id, sum(greatest(0,
-         |    pos + 10 - greatest(pos, coalesce(pe, pos)))) AS covered
+         |    pos + $DUP_TOKENS - greatest(pos, coalesce(pe, pos)))) AS covered
          |  FROM cov GROUP BY 1),
          |tok AS (SELECT doc_id,
          |    len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents)
