@@ -54,7 +54,9 @@ object Bench {
     "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
     "pipeline_curate_corpus",
     // round-6 additions: unigram-LM perplexity-band filter, IVF-PQ ADC
-    "text_lm_surprisal", "sim_topk_ivf_pq", "text_lm_bigram")
+    "text_lm_surprisal", "sim_topk_ivf_pq", "text_lm_bigram",
+    // round-7 addition: zero-shuffle top-n-gram repetition scan
+    "text_rep_ngram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

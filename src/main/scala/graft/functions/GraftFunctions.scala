@@ -23,6 +23,7 @@ object GraftFunctions {
     * here is the only step and the two registries cannot drift. */
   private val fns: Seq[(String, Class[_], Builder)] = Seq(
     ("shingles3", classOf[Shingles3], exprs => Shingles3(exprs.head)),
+    ("shingle_hashes3", classOf[ShingleHashes3], exprs => ShingleHashes3(exprs.head)),
     ("dot_dec", classOf[DotDec], exprs => DotDec(exprs(0), exprs(1))),
     ("text_stats_scan", classOf[TextStats], exprs => TextStats(exprs.head)),
     ("q8_pack", classOf[Q8Pack], exprs => Q8Pack(exprs.head)),

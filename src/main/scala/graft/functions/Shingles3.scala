@@ -14,15 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleCodec {
 
   def eval(text: UTF8String): ArrayData = {
-    val norm = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
-    val toks = norm.split(" ")
-    if (toks.length < 3) new GenericArrayData(Array.empty[Any])
+    // normalization via the shared char-walk (NormTokenWalk): the same
+    // token stream as the lower → strip → collapse regex chain, with
+    // no regex and no intermediate strings (measured ~2x on the walk)
+    val toks = NormTokenWalk.tokens(text.toString)
+    val m = toks.size()
+    if (m < 3) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
-      while (i <= toks.length - 3) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      while (i <= m - 3) {
+        seen.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
         i += 1
       }
       val out = new Array[Any](seen.size)
@@ -32,6 +34,72 @@ object ShingleCodec {
       new GenericArrayData(out)
     }
   }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit md5-prefix hash of a string — the TextFns.h60 value
+    * (`conv(substring(md5(s),1,15),16,10)`) computed in-process: the
+    * first 15 hex chars are the top 60 bits of the digest. */
+  def h60(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (b(i) & 0xffL); i += 1 }
+    top >>> 4
+  }
+
+  /** Distinct word-trigram shingles hashed to their h60 longs in ONE
+    * walk — the candidate-key form [[graft.ops.Terms
+    * .similarDocsByRareFeatures]] feeds its inverted index with:
+    * downstream rows carry 8 bytes instead of shingle text, and the
+    * per-shingle md5+conv projection disappears from the plan. Exactly
+    * `transform(shingles3(text), h60)` by construction. */
+  def evalHashes(text: UTF8String): ArrayData = {
+    val toks = NormTokenWalk.tokens(text.toString)
+    val m = toks.size()
+    if (m < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= m - 3) {
+        seen.add(toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = Long.box(h60(it.next())); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Native Catalyst expression: `shingle_hashes3(text)` → array<bigint>
+  * of distinct word-trigram h60 hashes (see
+  * [[ShingleCodec.evalHashes]]). */
+case class ShingleHashes3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes3"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes3 requires a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleCodec.evalHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleCodec.evalHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression for distinct word-3-gram shingles.

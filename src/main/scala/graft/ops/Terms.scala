@@ -187,6 +187,62 @@ object Terms {
       .select("doc_id", "n_bigrams", "sum_bits", "mean_centibits", "keep")
   }
 
+  /** [[unigramSurprisal]] scored against a FROZEN static model — the
+    * streaming face of the LM band filter: the model (vocab counts +
+    * whole-bit surprisal table) is built batch-side from the accepted
+    * corpus, and the incoming document stream is scored with a
+    * stream-static equality join plus ONE keyed aggregation, so the
+    * only streaming state is the per-open-document aggregate. Terms
+    * absent from the model drop at the inner join (the model defines
+    * the distribution; OOV handling is a model-side smoothing choice,
+    * not a scorer concern). Same output/oracle shape as the batch
+    * form — when model and stream read the same corpus, results are
+    * bit-identical to [[unigramSurprisal]] (stream/batch parity). */
+  def unigramSurprisalAgainstModel(model: DataFrame, docs: DataFrame,
+      minCb: Long, maxCb: Long): DataFrame = {
+    val tfM = termFreq(model)
+    val vocab = tfM.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .withColumn("bits", length(bin(expr("total div cnt"))).cast("long") - 1L)
+      .select("term", "bits")
+    termFreq(docs).join(bits, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_centibits", expr("sum_bits * 100 div n_tokens"))
+      .withColumn("keep",
+        col("mean_centibits").between(minCb, maxCb).cast("long"))
+      .select("doc_id", "n_tokens", "sum_bits", "mean_centibits", "keep")
+  }
+
+  /** Top-n-gram repetition share (Gopher's repetition-rule family,
+    * `fraction of occurrences taken by the most common n-gram` for
+    * n = 2, 3): formulaic/templated text repeats one phrase over and
+    * over, which unigram stats cannot see. Integer basis points
+    * (top·10⁴ div total occurrences) so the metric hash-gates across
+    * engines; a document with fewer than n tokens reports 0/0/0.
+    *
+    * Shape at scale: ZERO shuffles — the per-document n-gram counting
+    * is the fused `norm_ngram_counts` walk and the max/sum reductions
+    * fold the map values in-row, so the whole operator is one scan
+    * projection (the cheapest possible 100 TB shape; codegen
+    * subexpression elimination evaluates each walk once per row, the
+    * text_stats_scan pattern). */
+  def topNgramRepetition(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def statsFor(n: Int, p: String): Seq[Column] = {
+      val m = s"norm_ngram_counts(text, $n)"
+      Seq(
+        expr(s"aggregate(map_values($m), 0L, (a, x) -> a + x)").as(s"${p}_total"),
+        expr(s"coalesce(array_max(map_values($m)), 0L)").as(s"${p}_top"),
+        expr(s"coalesce(array_max(map_values($m)), 0L) * 10000 div " +
+          s"greatest(aggregate(map_values($m), 0L, (a, x) -> a + x), 1)")
+          .as(s"${p}_bp"))
+    }
+    docs.select(col("doc_id") +: (statsFor(2, "n2") ++ statsFor(3, "n3")): _*)
+  }
+
   /** Standard smoothed tf-idf: tf · (ln((N+1)/(df+1)) + 1). Double
     * scores — use in-Spark; the libm ln makes it non-portable for
     * hash-gating (see object doc). N is passed by the caller (one
@@ -242,10 +298,13 @@ object Terms {
     // the feature relation feeds BOTH the df aggregation and the
     // posting-list grouping — persist so shingling+hashing runs once
     // per corpus (caller releases via clearCache, the shared-relation
-    // convention)
-    val features = TextFns.withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), TextFns.h60(col("sh")).as("th"))
+    // convention). shingle_hashes3 emits the h60 longs directly, so
+    // the explode carries 8-byte keys and the per-shingle md5+conv
+    // projection never appears in the plan
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val features = docs
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes3", col("text"))).as("th"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = features.groupBy("th").agg(count(lit(1)).as("df"))
     // rare-feature posting lists: df=1 can't pair, df>maxDf is the

@@ -225,6 +225,24 @@ object StreamSurface {
       graft.ops.Dedup.suppressBlocklistStream(corpus, blocklist), "append")
   }
 
+  /** Streaming LM quality scoring: the corpus unigram model (vocab
+    * counts + whole-bit surprisal table) is FROZEN static state built
+    * batch-side from the staged file; the document stream is scored
+    * against it via a stream-static equality join plus ONE keyed
+    * aggregation ([[graft.ops.Terms.unigramSurprisalAgainstModel]]).
+    * Model = corpus here, so the batch text_lm_surprisal oracle
+    * applies exactly — stream/batch parity for the LM filter family.
+    * At scale the model is the accepted corpus and the stream is the
+    * ingest firehose; re-fit the model and restart to pick up
+    * distribution drift (the blocklist-snapshot contract). */
+  private def streamLmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageParquet(dir, "documents.parquet")
+    val model = s.read.schema(documentsSchema).parquet(staged)
+    val stream = s.readStream.schema(documentsSchema).parquet(staged)
+    runToTable(s, graft.ops.Terms.unigramSurprisalAgainstModel(
+      model, stream, TextSurface.LM_MIN_CB, TextSurface.LM_MAX_CB), "complete")
+  }
+
   /** Stream-stream interval join: click→view attribution within 30
     * minutes over the live events stream — both sides watermarked so
     * join state is evictable ([[graft.streaming.StreamingIngest
@@ -253,6 +271,7 @@ object StreamSurface {
     "stream_dedup_minhash" -> streamDedupMinhash,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_blocklist" -> streamBlocklist,
+    "stream_lm_surprisal" -> streamLmSurprisal,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
@@ -309,6 +328,8 @@ object StreamSurface {
       "SELECT DISTINCT user_id, event_type, value FROM events",
     // stream/batch parity: the batch gate's exact anti-join oracle
     "stream_blocklist" -> TextSurface.oracleSql("dedup_blocklist"),
+    // stream/batch parity: model = corpus, so the batch LM oracle holds
+    "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,

@@ -219,6 +219,11 @@ object TextSurface {
     // low end, word-salad high end)
     "text_lm_bigram" -> ((s, dir) =>
       graft.ops.Terms.bigramSurprisal(docs(s, dir), BG_MIN_CB, BG_MAX_CB)),
+    // top-n-gram repetition share (Gopher repetition rules, n = 2, 3):
+    // ZERO-shuffle scan projection via the fused norm_ngram_counts
+    // walk + in-row map-value folds
+    "text_rep_ngram" -> ((s, dir) =>
+      graft.ops.Terms.topNgramRepetition(docs(s, dir))),
     // round-6 composed curation: BOTH LM bands + weight-proportional
     // retention in ONE plan — the surprisal models join on doc_id
     // (each exchange-reused internally), the weighted predicate stays
@@ -325,9 +330,10 @@ object TextSurface {
   private val NORM =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  // unigram-surprisal keep band, centibits/token (see Terms scaladoc)
-  private val LM_MIN_CB = 300L
-  private val LM_MAX_CB = 403L
+  // unigram-surprisal keep band, centibits/token (see Terms scaladoc);
+  // package-visible: StreamSurface's frozen-model scorer shares them
+  private[queries] val LM_MIN_CB = 300L
+  private[queries] val LM_MAX_CB = 403L
 
   // bigram-surprisal keep band, centibits/bigram
   private val BG_MIN_CB = 415L
@@ -818,6 +824,33 @@ object TextSurface {
          |  CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
     "text_lm_surprisal" -> lmSurprisalOracle,
+    // top-n-gram repetition: list-comprehension n-grams over the NORM
+    // token stream, per-doc occurrence totals and max — all integers.
+    // A doc with < n tokens has no n-gram rows → LEFT JOIN + 0s.
+    "text_rep_ngram" -> {
+      def cte(n: Int, p: String) = {
+        val hi = if (n == 2) "len(tk)" else s"len(tk) - ${n - 2}"
+        val gram = (0 until n).map(q => s"tk[i+$q]").mkString(" || ' ' || ")
+        s"""g$p AS (SELECT doc_id, unnest([$gram FOR i IN range(1, $hi)]) AS g
+           |  FROM tk WHERE len(tk) >= $n AND t <> ''),
+           |c$p AS (SELECT doc_id, g, count(*) AS c FROM g$p GROUP BY 1, 2),
+           |s$p AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM c$p GROUP BY 1)"""
+          .stripMargin
+      }
+      def outCols(p: String, name: String) =
+        s"""  CAST(coalesce(s$p.total, 0) AS BIGINT) AS ${name}_total,
+           |  CAST(coalesce(s$p.top, 0) AS BIGINT) AS ${name}_top,
+           |  CAST(coalesce(s$p.top, 0) * 10000 //
+           |    greatest(coalesce(s$p.total, 0), 1) AS BIGINT) AS ${name}_bp""".stripMargin
+      s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+         |tk AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM n),
+         |${cte(2, "a")},
+         |${cte(3, "b")}
+         |SELECT d.doc_id,
+         |${outCols("a", "n2")},
+         |${outCols("b", "n3")}
+         |FROM documents d LEFT JOIN sa USING (doc_id) LEFT JOIN sb USING (doc_id)""".stripMargin
+    },
     // mirrors Terms.bigramSurprisal: bigrams from the once-split token
     // list, conditional context mass per first word, whole-bit
     // quantization — all integer
