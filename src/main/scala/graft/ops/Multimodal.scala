@@ -687,6 +687,294 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeJpeg(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // GIF: the dictionary-compression tier. PNG exercises inflate
+  // (zlib), JPEG the marker walk; GIF89a requires a REAL LZW decode —
+  // variable-width codes (9→12 bits, LSB-first), dictionary growth,
+  // CLEAR resets, the KwKwK corner case, and 255-byte sub-block
+  // framing. The planted index pattern (x + y + fill) % 256 varies
+  // per pixel, so a decoder that botches code-width growth or the
+  // dictionary order produces a wrong index checksum and fails the
+  // hash gate — the decode is verified end-to-end.
+  // ---------------------------------------------------------------
+
+  /** GIF LZW compressor (encoder side of the plant): spec-standard —
+    * emit CLEAR, then greedy longest-match dictionary coding; code
+    * width grows when the next free code no longer fits; CLEAR + reset
+    * at 4096 entries. LSB-first bit packing. */
+  private[ops] def lzwEncode(mcs: Int, data: Array[Byte]): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = mcs + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    // boxed key/value types: a primitive-valued java.util.HashMap would
+    // unbox a missing-key null to 0 and turn every miss into a "hit"
+    var dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    var next = eoi + 1
+    def reset(): Unit = {
+      dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+      next = eoi + 1; codeSize = mcs + 1
+    }
+    emit(clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        val key = java.lang.Long.valueOf((cur.toLong << 8) | k)
+        val hit = dict.get(key)
+        if (hit ne null) cur = hit.intValue
+        else {
+          emit(cur)
+          dict.put(key, next)
+          next += 1
+          // grow AFTER assigning: codes up to next-1 must fit a read
+          // on the decoder side, which adds its entry one code later
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          if (next == 4097) { emit(clear); reset() }
+          cur = k
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF LZW decompressor: the decoder half of the contract above.
+    * Returns the index stream, or null on any malformed input (bad
+    * code, overrun, missing EOI tolerance: stream end accepted). */
+  private[ops] def lzwDecode(mcs: Int, data: Array[Byte], maxPixels: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    // dictionary as (prefix code, appended byte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var next = eoi + 1
+    var codeSize = mcs + 1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev = -1
+    def expand(code: Int): Array[Byte] = {
+      // walk the chain; root codes are single bytes
+      var c = code
+      val sb = new java.io.ByteArrayOutputStream()
+      while (c >= eoi + 1) { sb.write(append(c) & 0xff); c = prefix(c) }
+      sb.write(c)
+      val b = sb.toByteArray
+      // chain was built tail-first: reverse
+      var i = 0; var j = b.length - 1
+      while (i < j) { val t = b(i); b(i) = b(j); b(j) = t; i += 1; j -= 1 }
+      b
+    }
+    while (pos < data.length || bitCnt >= codeSize) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < codeSize) return null // truncated mid-code
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize
+      bitCnt -= codeSize
+      if (code == clear) { next = eoi + 1; codeSize = mcs + 1; prev = -1 }
+      else if (code == eoi) return out.toByteArray
+      else {
+        if (code > next || (code == next && prev < 0)) return null
+        val entry: Array[Byte] =
+          if (code < clear) Array(code.toByte)
+          else if (code < next) expand(code)
+          else { // KwKwK: code == next — prev's expansion + its head
+            val pe = expand(prev)
+            pe :+ pe(0)
+          }
+        out.write(entry, 0, entry.length)
+        if (out.size() > maxPixels) return null // hostile stream guard
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          append(next) = entry(0)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray // EOI missing but stream consumed: tolerate
+  }
+
+  /** Palette component values for index i — shared by the plant and
+    * the oracle: (7i % 256, 11i % 256, 13i % 256). */
+  private def palR(i: Int) = (7 * i) % 256
+  private def palG(i: Int) = (11 * i) % 256
+  private def palB(i: Int) = (13 * i) % 256
+
+  /** A real, well-formed GIF89a for media_id: shared fixture geometry,
+    * 256-entry global color table, a Graphic Control Extension (to
+    * exercise extension skipping), index pattern (x + y + fill) % 256
+    * LZW-compressed into 255-byte sub-blocks. */
+  private[ops] def buildGifPayload(id: Long): Array[Byte] = {
+    val w = imgW(id); val h = imgH(id); val fill = fillByte(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7) // GCT present, 8-bit color resolution, size 2^(7+1)=256
+    out.write(fill % 256) // background color index
+    out.write(0) // aspect
+    var i = 0
+    while (i < 256) { out.write(palR(i)); out.write(palG(i)); out.write(palB(i)); i += 1 }
+    // Graphic Control Extension (0x21 0xF9): must be skipped by walkers
+    out.write(Array(0x21, 0xF9, 4, 0, 0, 0, 0, 0).map(_.toByte))
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local color table, no interlace
+    val idx = new Array[Byte](w * h)
+    var p = 0
+    while (p < idx.length) {
+      idx(p) = (((p % w) + (p / w) + fill) % 256).toByte
+      p += 1
+    }
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(8, idx)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** GIF media table from the documents fixture (every doc — its own
+    * tier, like PNG/JPEG). */
+  def gifFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildGifPayload(id), "image/gif", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  /** Decoded-GIF features. `index_checksum` sums every decoded LZW
+    * index (proves the full dictionary decode); `rgb_checksum` sums
+    * the palette components those indices select (proves the color
+    * table read). */
+  final case class GifFeatures(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_colors: Long,
+      bg_index: Long,
+      index_checksum: Long,
+      rgb_checksum: Long)
+
+  /** Full GIF89a decode: header + logical screen descriptor + global
+    * color table + extension skipping + image descriptor + sub-block
+    * reassembly + LZW decompression. Supports the GCT non-interlaced
+    * subset the fixture plants; anything malformed (bad signature,
+    * truncated table, wrong pixel count, bad LZW stream) is "unknown"
+    * — row-level tolerance, never a thrown job failure. */
+  private[ops] def decodeGif(id: Long, p: Array[Byte]): GifFeatures = {
+    val bad = GifFeatures(id, "unknown", -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    if (n < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != '8' || (p(4) != '9' && p(4) != '7') || p(5) != 'a') return bad
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    val w = le16(6); val h = le16(8)
+    val packed = p(10) & 0xff
+    val bgIndex = p(11) & 0xff
+    if ((packed & 0x80) == 0) return bad // fixture subset: GCT required
+    val nColors = 1 << ((packed & 7) + 1)
+    var off = 13
+    if (off + nColors * 3 > n) return bad
+    val palette = new Array[Int](nColors * 3)
+    var i = 0
+    while (i < nColors * 3) { palette(i) = p(off + i) & 0xff; i += 1 }
+    off += nColors * 3
+    // block walk: skip extensions (0x21 <label> <sub-blocks...0>) until
+    // the image descriptor (0x2C); trailer before an image is malformed
+    var sawImage = false
+    while (!sawImage) {
+      if (off >= n) return bad
+      (p(off) & 0xff) match {
+        case 0x2C => sawImage = true
+        case 0x21 =>
+          off += 2 // introducer + label
+          var blk = if (off < n) p(off) & 0xff else -1
+          while (blk > 0) {
+            off += 1 + blk
+            blk = if (off < n) p(off) & 0xff else -1
+          }
+          if (blk < 0) return bad
+          off += 1 // terminator
+        case _ => return bad
+      }
+    }
+    if (off + 10 > n) return bad
+    val iw = le16(off + 5); val ih = le16(off + 7)
+    val ipacked = p(off + 9) & 0xff
+    if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0) return bad // subset: no LCT/interlace
+    if (iw != w || ih != h || w <= 0 || h <= 0) return bad
+    if (w.toLong * h > (1L << 26)) return bad // hostile-header guard
+    off += 10
+    if (off >= n) return bad
+    val mcs = p(off) & 0xff
+    if (mcs < 2 || mcs > 8) return bad
+    off += 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var blk = if (off < n) p(off) & 0xff else -1
+    while (blk > 0) {
+      if (off + 1 + blk > n) return bad
+      lzw.write(p, off + 1, blk)
+      off += 1 + blk
+      blk = if (off < n) p(off) & 0xff else -1
+    }
+    if (blk != 0) return bad
+    val indices = lzwDecode(mcs, lzw.toByteArray, w * h)
+    if (indices == null || indices.length != w * h) return bad
+    var isum = 0L
+    var rsum = 0L
+    i = 0
+    while (i < indices.length) {
+      val ix = indices(i) & 0xff
+      if (ix >= nColors) return bad
+      isum += ix
+      rsum += palette(ix * 3) + palette(ix * 3 + 1) + palette(ix * 3 + 2)
+      i += 1
+    }
+    GifFeatures(id, "gif", w, h, nColors, bgIndex, isum, rsum)
+  }
+
+  /** Batch GIF feature extraction, same row-local shape as
+    * [[extractPngFeatures]]: payloads stay opaque binary, the decoder
+    * runs per row, no shuffle, no driver state. */
+  def extractGifFeatures(media: DataFrame): Dataset[GifFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeGif(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

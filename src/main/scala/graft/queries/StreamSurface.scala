@@ -305,6 +305,14 @@ object StreamSurface {
     "mm_jpeg" -> ((s, dir) =>
       Multimodal.extractJpegFeatures(
         Multimodal.jpegFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // dictionary-compression tier: full GIF89a decode (sub-block
+    // reassembly + variable-width LZW with dictionary growth, CLEAR
+    // resets and the KwKwK case + palette read). The planted index
+    // pattern varies per pixel, so the checksum only matches if the
+    // whole LZW stream decodes correctly.
+    "mm_gif" -> ((s, dir) =>
+      Multimodal.extractGifFeatures(
+        Multimodal.gifFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -435,6 +443,25 @@ object StreamSurface {
         |  CAST(3 AS BIGINT) AS n_segments, CAST(el AS BIGINT) AS entropy_bytes,
         |  CAST(64 * fill AS BIGINT) AS dqt_sum
         |FROM m""".stripMargin,
+    // pixel-enumerated oracle (the mm_frame_sample unnest style): the
+    // planted index is (x + y + fill) % 256 and the palette entry for
+    // index i is (7i%256, 11i%256, 13i%256) — both mirrored here, so
+    // the checksums verify the LZW decode index-by-index
+    "mm_gif" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill,
+        |  16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h FROM documents),
+        |px AS (SELECT doc_id, fill, w, h, unnest(range(w * h)) AS p FROM m),
+        |ix AS (SELECT doc_id, ((p % w) + (p // w) + fill) % 256 AS i FROM px),
+        |s AS (SELECT doc_id, sum(i) AS isum,
+        |    sum((7 * i) % 256 + (11 * i) % 256 + (13 * i) % 256) AS rsum
+        |  FROM ix GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'gif' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(256 AS BIGINT) AS n_colors,
+        |  CAST(fill % 256 AS BIGINT) AS bg_index,
+        |  CAST(isum AS BIGINT) AS index_checksum,
+        |  CAST(rsum AS BIGINT) AS rgb_checksum
+        |FROM m JOIN s USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

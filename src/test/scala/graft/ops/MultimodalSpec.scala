@@ -325,4 +325,61 @@ class MultimodalSpec extends AnyFunSuite {
     // a BMP payload is a clean unknown for the JPEG decoder
     assert(Multimodal.decodeJpeg(0L, Multimodal.buildPayload(0L)).format == "unknown")
   }
+
+  test("GIF LZW: encode/decode round-trips varied, constant, and table-filling streams") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](7),
+      Array.fill(5000)(3.toByte),                       // long constant run
+      Array.tabulate(7616)(i => ((i % 97 + i / 97) % 256).toByte), // fixture shape
+      Array.tabulate(60000)(_ => (rnd.nextInt(256)).toByte)) // forces 4096 reset
+    cases.zipWithIndex.foreach { case (data, i) =>
+      val enc = Multimodal.lzwEncode(8, data)
+      val dec = Multimodal.lzwDecode(8, enc, data.length + 1)
+      assert(dec != null && java.util.Arrays.equals(dec, data), s"case $i")
+    }
+    // small code size too (4-color tables use mcs=2)
+    val small = Array.tabulate(1000)(i => (i % 4).toByte)
+    val encS = Multimodal.lzwEncode(2, small)
+    assert(java.util.Arrays.equals(Multimodal.lzwDecode(2, encS, 1001), small))
+  }
+
+  test("GIF: planted payload decodes to the oracle arithmetic") {
+    Seq(0L, 7L, 123L, 250L).foreach { id =>
+      val f = Multimodal.decodeGif(id, Multimodal.buildGifPayload(id))
+      val w = 16 + id % 97; val h = 16 + id % 53; val fill = id % 251
+      assert(f.format == "gif" && f.width == w && f.height == h)
+      assert(f.n_colors == 256 && f.bg_index == fill % 256)
+      val isum = (0L until w * h).map(p => ((p % w) + (p / w) + fill) % 256).sum
+      val rsum = (0L until w * h).map { p =>
+        val i = ((p % w) + (p / w) + fill) % 256
+        (7 * i) % 256 + (11 * i) % 256 + (13 * i) % 256
+      }.sum
+      assert(f.index_checksum == isum, s"id $id")
+      assert(f.rgb_checksum == rsum, s"id $id")
+    }
+  }
+
+  test("GIF: malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildGifPayload(5L)
+    val cases = Seq(
+      Array[Byte](1, 2, 3),              // not a GIF
+      good.take(10),                     // truncated in the screen descriptor
+      good.take(13 + 100),               // truncated inside the color table
+      good.dropRight(2),                 // missing terminator+trailer
+      { val c = good.clone(); c(10) = (c(10) & 0x7f).toByte; c }, // no GCT
+      { // corrupt a byte inside the LZW stream → wrong pixel count or bad code
+        val c = good.clone(); c(c.length - 10) = (c(c.length - 10) ^ 0x5a).toByte; c })
+    cases.zipWithIndex.foreach { case (p, i) =>
+      val f = Multimodal.decodeGif(i.toLong, p)
+      // the corrupted-stream case may still decode to w*h pixels with a
+      // different checksum — unknown OR a checksum mismatch both prove
+      // the decoder read the real stream; assert it never throws and
+      // the structural cases reject
+      if (i < 5) assert(f.format == "unknown", s"case $i")
+    }
+    // a PNG payload is a clean unknown for the GIF decoder
+    assert(Multimodal.decodeGif(0L, Multimodal.buildPngPayload(0L)).format == "unknown")
+  }
 }
