@@ -243,6 +243,37 @@ object Terms {
     docs.select(col("doc_id") +: (statsFor(2, "n2") ++ statsFor(3, "n3")): _*)
   }
 
+  /** Hashed-linear classifier inference (the fasttext/CCNet quality-
+    * filter shape): each normalized token hashes into one of `buckets`
+    * feature slots, the slot's weight is looked up, and the document
+    * scores the tf-weighted sum — keep iff score ≥ threshold. The
+    * weight table here is FIXTURE-DERIVED (w(b) = (b·2654435761) mod
+    * 1997 − 998, integers in [−998, 998]) — the planted-model
+    * convention of the multimodal tier: the inference plumbing
+    * (hash → bucket → weight → weighted fold) is real and gated, the
+    * weights are a deterministic stand-in for a trained vector, which
+    * would arrive as a 4096-entry literal the same plan consumes.
+    *
+    * Shape at scale: ZERO shuffles — the token-frequency map comes
+    * from the fused norm_ngram_counts walk and the score is an in-row
+    * fold over its entries (the bucket/weight arithmetic is integer
+    * md5-prefix hashing, oracle-reproducible), so classification runs
+    * at scan speed: the cheapest possible inference shape, and why
+    * hashed linear models (not deep scorers) gate web-scale corpora.
+    * Output: (doc_id, n_tokens, score, keep). */
+  def hashedLinearScore(docs: DataFrame, buckets: Long = 4096L,
+      threshold: Long = 0L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val m = "norm_ngram_counts(text, 1)"
+    val w = s"((cast(conv(substring(md5(e.key), 1, 15), 16, 10) AS BIGINT) " +
+      s"% $buckets) * 2654435761) % 1997 - 998"
+    docs.select(col("doc_id"),
+      expr(s"aggregate(map_values($m), 0L, (a, x) -> a + x)").as("n_tokens"),
+      expr(s"aggregate(map_entries($m), 0L, (a, e) -> a + e.value * ($w))")
+        .as("score"))
+      .withColumn("keep", (col("score") >= threshold).cast("long"))
+  }
+
   /** Standard smoothed tf-idf: tf · (ln((N+1)/(df+1)) + 1). Double
     * scores — use in-Spark; the libm ln makes it non-portable for
     * hash-gating (see object doc). N is passed by the caller (one

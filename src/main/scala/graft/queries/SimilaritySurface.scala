@@ -50,6 +50,24 @@ object SimilaritySurface {
         KMEANS_ITERS, expr(TRAIN_SQL))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeSummary(emb(s, dir))),
+    // ANN index-quality evaluation: per-query recall@K of the IVF
+    // index against exact brute force — the measurement loop every
+    // production ANN deployment runs before trusting an index. Both
+    // sides are THE gated operators themselves; the oracle composes
+    // their oracle SQL verbatim, so evaluator and evaluated cannot
+    // drift. Basis-point integers (rule 3: no float round).
+    "sim_recall_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(e, col("vec_id") < 5, K, NCENTROIDS,
+        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+    }),
   )
 
   private val NCENTROIDS = 8
@@ -163,7 +181,7 @@ object SimilaritySurface {
        |    ${dotSql("b.se", "c.ce")} AS av
        |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c WHERE b.vec_id < 5)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH $baseCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM base WHERE vec_id < 5),
@@ -350,4 +368,17 @@ object SimilaritySurface {
         |  CAST(floor(sum(CAST(err AS DECIMAL(30,12))) * 1000000) AS BIGINT) AS err6
         |FROM qe GROUP BY vec_id, maxabs""".stripMargin,
   )
+
+  /** The recall oracle COMPOSES the brute and IVF oracles verbatim
+    * (as subqueries), so the three gates can never drift apart:
+    * per query, recall@K = |ivf ∩ brute| · 10⁴ div K. */
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("sim_recall_ivf" ->
+      s"""SELECT b.query_id,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+         |FROM (${oracleSqlBase("sim_topk_brute")}) b
+         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf")}) i
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin)
 }

@@ -224,6 +224,10 @@ object TextSurface {
     // walk + in-row map-value folds
     "text_rep_ngram" -> ((s, dir) =>
       graft.ops.Terms.topNgramRepetition(docs(s, dir))),
+    // hashed-linear classifier inference (fasttext/CCNet shape):
+    // zero-shuffle scan-speed scoring, fixture-derived weight table
+    "text_classifier" -> ((s, dir) =>
+      graft.ops.Terms.hashedLinearScore(docs(s, dir))),
     // round-6 composed curation: BOTH LM bands + weight-proportional
     // retention in ONE plan — the surprisal models join on doc_id
     // (each exchange-reused internally), the weighted predicate stays
@@ -730,6 +734,20 @@ object TextSurface {
          |  CAST(coalesce(covered, 0) * 10000 //
          |    greatest(n_tokens, 1) AS BIGINT) AS covered_bp
          |FROM tok LEFT JOIN per USING (doc_id)""".stripMargin,
+    // same bucket/weight arithmetic over unnested tokens (one row per
+    // OCCURRENCE = the tf-weighted fold); empty-norm docs left-join 0s
+    "text_classifier" ->
+      s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+         |  FROM n WHERE t <> ''),
+         |s AS (SELECT doc_id, count(*) AS n_tokens,
+         |    sum(((${h60sql("tk")} % 4096) * 2654435761) % 1997 - 998) AS score
+         |  FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(score, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
