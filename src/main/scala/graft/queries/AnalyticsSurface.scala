@@ -187,6 +187,25 @@ object AnalyticsSurface {
     // graft.ops.Anomaly)
     "win_anomaly" -> ((s, dir) =>
       graft.ops.Anomaly.rollingZScore(Tables.eventSeries(s, dir))),
+    // EWMA smoothing per user series (α = 1/2), truncated to a 20-tap
+    // trailing FIR so it windows exactly: weight of the k-th most
+    // recent point is 2^-k, each term floored at micro fixed point
+    // (rule 3: both engines do the identical IEEE double scale + floor
+    // + integer sum — no recursive state, no float round). ONE keyed
+    // window, (timestamp, event_id) order = tie-free determinism.
+    "win_ewma" -> ((s, dir) => {
+      val ev = Tables.eventSeries(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("timestamp").asc, col("event_id").asc)
+        .rowsBetween(-19, Window.currentRow)
+      ev.select(col("user_id"), col("timestamp"), col("event_id"), col("value"))
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .withColumn("ewma6", expr(
+          "aggregate(transform(sequence(1, size(vals)), i -> " +
+            "floor(element_at(vals, i) * 1000000D / power(2, size(vals) - i + 1))), " +
+            "0L, (a, x) -> a + x)"))
+        .drop("vals")
+    }),
     // incremental JOIN maintenance: orders and customer each split by
     // hash into standing base + arriving batch; the gate returns the
     // delta rows of the joined view (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — what a
@@ -521,6 +540,14 @@ object AnalyticsSurface {
         |    OVER (PARTITION BY user_id ORDER BY timestamp, value
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_value
         |FROM ev""".stripMargin),
+    "win_ewma" ->
+      (EV + """SELECT user_id, timestamp, event_id, value,
+        |  CAST(list_sum([CAST(floor(vals[i] * 1000000 / pow(2, len(vals) - i + 1)) AS BIGINT)
+        |    FOR i IN range(1, len(vals) + 1)]) AS BIGINT) AS ewma6
+        |FROM (SELECT user_id, timestamp, event_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY timestamp, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM ev)""".stripMargin),
     "win_top3_per_user" ->
       (EV + """SELECT user_id, timestamp, value, rn FROM (
         |  SELECT user_id, timestamp, value,

@@ -243,6 +243,17 @@ object StreamSurface {
       model, stream, TextSurface.LM_MIN_CB, TextSurface.LM_MAX_CB), "complete")
   }
 
+  /** Streaming classifier inference: [[graft.ops.Terms
+    * .hashedLinearScore]] is a pure scan projection (zero-shuffle
+    * in-row fold), so it runs in append mode with ZERO streaming
+    * state — the classify-at-ingest shape. Oracle = the batch
+    * text_classifier SQL: stream/batch parity for scan-shaped ops. */
+  private def streamClassifier(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
+    runToTable(s, graft.ops.Terms.hashedLinearScore(stream), "append")
+  }
+
   /** Stream-stream interval join: click→view attribution within 30
     * minutes over the live events stream — both sides watermarked so
     * join state is evictable ([[graft.streaming.StreamingIngest
@@ -272,6 +283,7 @@ object StreamSurface {
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_blocklist" -> streamBlocklist,
     "stream_lm_surprisal" -> streamLmSurprisal,
+    "stream_classifier" -> streamClassifier,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
@@ -338,6 +350,8 @@ object StreamSurface {
     "stream_blocklist" -> TextSurface.oracleSql("dedup_blocklist"),
     // stream/batch parity: model = corpus, so the batch LM oracle holds
     "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
+    // stream/batch parity: stateless projection, batch oracle verbatim
+    "stream_classifier" -> TextSurface.oracleSql("text_classifier"),
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
