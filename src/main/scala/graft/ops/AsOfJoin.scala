@@ -104,4 +104,61 @@ object AsOfJoin {
       projected: Seq[String]): DataFrame =
     forward(left, right, key, tsCol, rightValCol, asofCol)
       .select((projected :+ asofCol).map(col): _*)
+
+  /** NEAREST as-of join — for every left row, the right value whose
+    * timestamp is CLOSEST in either direction (ties → the backward
+    * match, the inclusive-≤ convention). The interpolation-style
+    * lookup backward/forward cannot express alone.
+    *
+    * Plan shape: BOTH directions fuse into ONE union + ONE keyed
+    * window pipeline — the backward carry ([unbounded, current], last
+    * non-null) and the forward carry ([current, unbounded], first
+    * non-null) share the same partitioning AND sort order, so Spark
+    * computes them in a single WindowExec: one shuffle, one sort, two
+    * frame processors. Carried state is a (t, v) struct per direction
+    * so the distance comparison happens row-local after the window.
+    * Same-timestamp right rows sort BEFORE the left row (side 0 < 1):
+    * the backward frame includes them (distance 0) and the tie rule
+    * prefers backward, so the forward frame's exclusivity at equal
+    * timestamps is unobservable. Null right values dropped as in
+    * [[backward]]. */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String): DataFrame = {
+    val rv = "_asof_rv"
+    val side = "_asof_side"
+    val bs = "_asof_b"
+    val fs = "_asof_f"
+    val vType = right.schema(rightValCol).dataType
+    val l = left
+      .withColumn(side, lit(1))
+      .withColumn(rv, lit(null).cast(vType))
+    val r = right.filter(col(rightValCol).isNotNull).select(
+      col(key), col(tsCol).cast("long").as(tsCol),
+      col(rightValCol).cast(vType).as(rv))
+      .withColumn(side, lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col(side).asc, col(rv).asc_nulls_first)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rStruct = when(col(side) === 0,
+      struct(col(tsCol).as("t"), col(rv).as("v")))
+    u.withColumn(bs, last(rStruct, ignoreNulls = true).over(wb))
+      .withColumn(fs, first(rStruct, ignoreNulls = true).over(wf))
+      .filter(col(side) === 1)
+      .withColumn(asofCol,
+        when(col(bs).isNull, col(fs)("v"))
+          .when(col(fs).isNull, col(bs)("v"))
+          .when(col(tsCol) - col(bs)("t") <= col(fs)("t") - col(tsCol),
+            col(bs)("v"))
+          .otherwise(col(fs)("v")))
+      .drop(side, rv, bs, fs)
+  }
+
+  /** [[nearest]] with the gate projection. */
+  def nearestProjected(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, rightValCol: String, asofCol: String,
+      projected: Seq[String]): DataFrame =
+    nearest(left, right, key, tsCol, rightValCol, asofCol)
+      .select((projected :+ asofCol).map(col): _*)
 }

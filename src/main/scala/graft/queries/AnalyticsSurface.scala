@@ -266,6 +266,23 @@ object AnalyticsSurface {
         "user_id", "timestamp", "click_value", "next_click",
         Seq("user_id", "timestamp", "value"))
     }),
+    // the NEAREST mirror: closest click in EITHER direction (ties →
+    // backward) — both carries fused into one WindowExec (one
+    // shuffle, one sort, two frames; see AsOfJoin.nearest)
+    "asof_join_nearest" -> ((s, dir) => {
+      val evd = t(s, dir, "events")
+      val all = evd.select(
+        Tables.tsMicros(evd).as("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      val leftEv = all.filter(col("event_type") =!= "click")
+        .select("user_id", "timestamp", "value")
+      val clicks = all.filter(col("event_type") === "click")
+        .groupBy("user_id", "timestamp")
+        .agg(max("value").as("click_value"))
+      graft.ops.AsOfJoin.nearestProjected(leftEv, clicks,
+        "user_id", "timestamp", "click_value", "nearest_click",
+        Seq("user_id", "timestamp", "value"))
+    }),
     // the SAME as-of join under heavy key skew: half of all users
     // collapse onto one hot key (user 0 holds ~50% of both sides).
     // The union+window formulation is skew-robust BY SHAPE — work per
@@ -664,6 +681,30 @@ object AnalyticsSurface {
         |SELECT l.user_id, l.timestamp, l.value, r.click_value AS next_click
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.timestamp <= r.timestamp""".stripMargin),
+    // the union + dual-carry window formulation (NOT two ASOF joins:
+    // duplicate (user, ts) left rows would cross-multiply in a
+    // re-join); same ordering as the Spark plan, distance compare
+    // row-local on the carried (t, v) structs
+    "asof_join_nearest" ->
+      (EV + """, l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),
+        |r AS (SELECT user_id, timestamp, max(value) AS click_value FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (SELECT user_id, timestamp, 1 AS side, CAST(NULL AS DOUBLE) AS rv, value FROM l
+        |      UNION ALL
+        |      SELECT user_id, timestamp, 0 AS side, click_value AS rv, CAST(NULL AS DOUBLE) AS value FROM r),
+        |c AS (SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN {'t': timestamp, 'v': rv} END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY timestamp, side, rv ROWS UNBOUNDED PRECEDING) AS bs,
+        |    first_value(CASE WHEN side = 0 THEN {'t': timestamp, 'v': rv} END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY timestamp, side, rv
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fs
+        |  FROM u)
+        |SELECT user_id, timestamp, value,
+        |  CASE WHEN bs IS NULL THEN struct_extract(fs, 'v')
+        |       WHEN fs IS NULL THEN struct_extract(bs, 'v')
+        |       WHEN timestamp - struct_extract(bs, 't') <= struct_extract(fs, 't') - timestamp
+        |         THEN struct_extract(bs, 'v') ELSE struct_extract(fs, 'v') END AS nearest_click
+        |FROM c WHERE side = 1""".stripMargin),
     "asof_join_skew" ->
       ("""WITH ev AS (SELECT epoch_us(ts) AS timestamp,
          |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,

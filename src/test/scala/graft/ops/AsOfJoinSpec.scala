@@ -153,4 +153,62 @@ class AsOfJoinSpec extends AnyFunSuite {
     }.sortBy(x => (x._1, x._2, x._3))
     assert(got.toSeq == brute)
   }
+
+  test("nearest as-of: closest side wins, exact tie prefers backward") {
+    val l = Seq((1L, 100L, 0.0), (1L, 210L, 0.0), (1L, 300L, 0.0),
+      (2L, 150L, 0.0), (3L, 50L, 0.0))
+      .toDF("user_id", "timestamp", "value")
+    val r = Seq((1L, 90L, 1.0), (1L, 200L, 2.0), (1L, 220L, 3.0),
+      (2L, 150L, 9.0))
+      .toDF("user_id", "timestamp", "qv")
+    val got = AsOfJoin.nearest(l, r, "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "q").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    assert(got == Set(
+      (1L, 100L, Some(1.0)), // 90 at distance 10 beats 200 at 100
+      (1L, 210L, Some(2.0)), // EXACT tie (10 both ways) → backward
+      (1L, 300L, Some(3.0)), // only backward exists from 300
+      (2L, 150L, Some(9.0)), // distance 0 (inclusive)
+      (3L, 50L, None)))      // no right rows for the key
+  }
+
+  test("nearest matches the brute-force definition on a random fixture") {
+    val rnd = new scala.util.Random(17)
+    val l = (0 until 300).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val r = (0 until 200).map(_ => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .groupBy(x => (x._1, x._2)).map { case ((k, t), v) => (k, t, v.map(_._3).max) }.toSeq
+    val got = AsOfJoin.nearest(
+        l.toDF("user_id", "timestamp", "value"),
+        r.toDF("user_id", "timestamp", "qv"),
+        "user_id", "timestamp", "qv", "q")
+      .select("user_id", "timestamp", "value", "q").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .sortBy(x => (x._1, x._2, x._3))
+    val brute = l.map { case (k, t, v) =>
+      val mine = r.filter(_._1 == k)
+      val b = mine.filter(_._2 <= t).sortBy(_._2).lastOption
+      val f = mine.filter(_._2 >= t).sortBy(_._2).headOption
+      val near = (b, f) match {
+        case (None, None) => None
+        case (Some(x), None) => Some(x._3)
+        case (None, Some(y)) => Some(y._3)
+        case (Some(x), Some(y)) =>
+          if (t - x._2 <= y._2 - t) Some(x._3) else Some(y._3)
+      }
+      (k, t, v, near)
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got.toSeq == brute)
+  }
+
+  test("nearest fuses both carries into ONE window (one shuffle, no cross product)") {
+    val plan = AsOfJoin.nearest(trades, quotes, "user_id", "timestamp", "qv", "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    // both frames share one WindowExec: exactly one Window operator
+    assert("(?m)^[^\\n]*Window ".r.findAllIn(plan).size <= 2, plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, plan.take(3000))
+  }
 }
