@@ -228,6 +228,20 @@ object TextSurface {
     // zero-shuffle scan-speed scoring, fixture-derived weight table
     "text_classifier" -> ((s, dir) =>
       graft.ops.Terms.hashedLinearScore(docs(s, dir))),
+    // composed quality stack: the two zero-shuffle signals (classifier,
+    // repetition) stay scan filters feeding the LM join — ONE plan
+    "pipeline_quality_stack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cls = graft.ops.Terms.hashedLinearScore(d)
+        .filter(col("keep") === 1).select(col("doc_id"), col("score"))
+      val rep = graft.ops.Terms.topNgramRepetition(d)
+        .filter(col("n2_bp") < REP_MAX_BP).select(col("doc_id"), col("n2_bp"))
+      val lm = graft.ops.Terms.unigramSurprisal(d, LM_MIN_CB, LM_MAX_CB)
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("mean_centibits").as("uni_cb"))
+      d.select("doc_id", "lang", "source", "n_chars")
+        .join(cls, "doc_id").join(rep, "doc_id").join(lm, "doc_id")
+    }),
     // round-6 composed curation: BOTH LM bands + weight-proportional
     // retention in ONE plan — the surprisal models join on doc_id
     // (each exchange-reused internally), the weighted predicate stays
@@ -347,6 +361,50 @@ object TextSurface {
   // AND the oracle SQL's window arithmetic both derive from this one
   // constant so they cannot silently desynchronize (ADVICE r6)
   private val DUP_TOKENS = 10
+
+  // repetition cap for the composed quality stack (sf0.01 n2_bp median
+  // is 333, p75 476 — 400 cuts the repetitive ~40% tail)
+  private val REP_MAX_BP = 400L
+
+  /** text_classifier oracle (also a subquery of the quality stack). */
+  private lazy val classifierOracle: String =
+    s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
+       |  FROM n WHERE t <> ''),
+       |s AS (SELECT doc_id, count(*) AS n_tokens,
+       |    sum(((${h60sql("tk")} % 4096) * 2654435761) % 1997 - 998) AS score
+       |  FROM tok GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(score, 0) AS BIGINT) AS score,
+       |  CAST(CASE WHEN coalesce(score, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
+  /** text_rep_ngram oracle (also a subquery of the quality stack). */
+  private lazy val repNgramOracle: String = {
+    def cte(n: Int, p: String) = {
+      val hi = if (n == 2) "len(tk)" else s"len(tk) - ${n - 2}"
+      val gram = (0 until n).map(q => s"tk[i+$q]").mkString(" || ' ' || ")
+      s"""g$p AS (SELECT doc_id, unnest([$gram FOR i IN range(1, $hi)]) AS g
+         |  FROM tk WHERE len(tk) >= $n AND t <> ''),
+         |c$p AS (SELECT doc_id, g, count(*) AS c FROM g$p GROUP BY 1, 2),
+         |s$p AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM c$p GROUP BY 1)"""
+        .stripMargin
+    }
+    def outCols(p: String, name: String) =
+      s"""  CAST(coalesce(s$p.total, 0) AS BIGINT) AS ${name}_total,
+         |  CAST(coalesce(s$p.top, 0) AS BIGINT) AS ${name}_top,
+         |  CAST(coalesce(s$p.top, 0) * 10000 //
+         |    greatest(coalesce(s$p.total, 0), 1) AS BIGINT) AS ${name}_bp""".stripMargin
+    s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
+       |tk AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM n),
+       |${cte(2, "a")},
+       |${cte(3, "b")}
+       |SELECT d.doc_id,
+       |${outCols("a", "n2")},
+       |${outCols("b", "n3")}
+       |FROM documents d LEFT JOIN sa USING (doc_id) LEFT JOIN sb USING (doc_id)""".stripMargin
+  }
 
   /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
   private val SHINGLE_CTES =
@@ -736,18 +794,7 @@ object TextSurface {
          |FROM tok LEFT JOIN per USING (doc_id)""".stripMargin,
     // same bucket/weight arithmetic over unnested tokens (one row per
     // OCCURRENCE = the tf-weighted fold); empty-norm docs left-join 0s
-    "text_classifier" ->
-      s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk
-         |  FROM n WHERE t <> ''),
-         |s AS (SELECT doc_id, count(*) AS n_tokens,
-         |    sum(((${h60sql("tk")} % 4096) * 2654435761) % 1997 - 998) AS score
-         |  FROM tok GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(score, 0) AS BIGINT) AS score,
-         |  CAST(CASE WHEN coalesce(score, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "text_classifier" -> classifierOracle,
     "text_stats" -> textStatsOracle,
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
@@ -845,30 +892,17 @@ object TextSurface {
     // top-n-gram repetition: list-comprehension n-grams over the NORM
     // token stream, per-doc occurrence totals and max — all integers.
     // A doc with < n tokens has no n-gram rows → LEFT JOIN + 0s.
-    "text_rep_ngram" -> {
-      def cte(n: Int, p: String) = {
-        val hi = if (n == 2) "len(tk)" else s"len(tk) - ${n - 2}"
-        val gram = (0 until n).map(q => s"tk[i+$q]").mkString(" || ' ' || ")
-        s"""g$p AS (SELECT doc_id, unnest([$gram FOR i IN range(1, $hi)]) AS g
-           |  FROM tk WHERE len(tk) >= $n AND t <> ''),
-           |c$p AS (SELECT doc_id, g, count(*) AS c FROM g$p GROUP BY 1, 2),
-           |s$p AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM c$p GROUP BY 1)"""
-          .stripMargin
-      }
-      def outCols(p: String, name: String) =
-        s"""  CAST(coalesce(s$p.total, 0) AS BIGINT) AS ${name}_total,
-           |  CAST(coalesce(s$p.top, 0) AS BIGINT) AS ${name}_top,
-           |  CAST(coalesce(s$p.top, 0) * 10000 //
-           |    greatest(coalesce(s$p.total, 0), 1) AS BIGINT) AS ${name}_bp""".stripMargin
-      s"""WITH n AS (SELECT doc_id, $NORM AS t FROM documents),
-         |tk AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM n),
-         |${cte(2, "a")},
-         |${cte(3, "b")}
-         |SELECT d.doc_id,
-         |${outCols("a", "n2")},
-         |${outCols("b", "n3")}
-         |FROM documents d LEFT JOIN sa USING (doc_id) LEFT JOIN sb USING (doc_id)""".stripMargin
-    },
+    "text_rep_ngram" -> repNgramOracle,
+    // composed quality stack: classifier keep ∧ repetition cap ∧ LM
+    // band, each predicate a verbatim subquery of its own gate oracle
+    // — the three filters cannot drift from what they individually gate
+    "pipeline_quality_stack" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  c.score, r.n2_bp, u.mean_centibits AS uni_cb
+         |FROM documents d
+         |JOIN ($classifierOracle) c ON c.doc_id = d.doc_id AND c.keep = 1
+         |JOIN ($repNgramOracle) r ON r.doc_id = d.doc_id AND r.n2_bp < $REP_MAX_BP
+         |JOIN ($lmSurprisalOracle) u ON u.doc_id = d.doc_id AND u.keep = 1""".stripMargin,
     // mirrors Terms.bigramSurprisal: bigrams from the once-split token
     // list, conditional context mass per first word, whole-bit
     // quantization — all integer
