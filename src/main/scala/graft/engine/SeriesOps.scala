@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core time-series operators over a DataFrame with columns
@@ -115,6 +116,65 @@ object SeriesOps {
   private def sampleWindow(intervalUnits: Long): Column =
     ((col("timestamp") - pmod(col("timestamp"), lit(intervalUnits)))
       + lit(intervalUnits)).as("sample_ts")
+
+  /** [[sampleBy]] with gap FILL (extension surface — the QuestDB-class
+    * SAMPLE BY companion the reference's grammar stops short of):
+    * the complete bucket axis from the first to the last observed
+    * window is materialized and empty buckets fill per `fill`:
+    *  - "prev": carry the last observed aggregate forward (steps);
+    *  - "linear": interpolate between the neighboring observed
+    *    aggregates (both engines compute the identical IEEE chain
+    *    `pv + (nv − pv) · ((t − pt) / (nt − pt))` over the already
+    *    round(4)-stable aggregates, so results hash-gate); leading/
+    *    trailing gaps take the nearest single neighbor;
+    *  - "null": emit the gap bucket with a NULL value (n_points 0).
+    *
+    * Scale shape: everything after [[sampleBy]]'s one shuffle runs on
+    * the BUCKET AXIS, whose cardinality is time-span / interval —
+    * data-INDEPENDENT (a month of hourly buckets is 720 rows whether
+    * the corpus is 1 GB or 100 TB). The global-order windows and the
+    * 1-row bounds aggregate live on that axis, so the single-partition
+    * window is bounded model-sized state, not a data funnel. */
+  def sampleByFill(df: DataFrame, intervalUnits: Long,
+      fill: String): DataFrame = {
+    val agg = sampleBy(df, intervalUnits)
+    val bounds = agg.agg(min("sample_ts").as("lo"), max("sample_ts").as("hi"))
+    val axis = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(intervalUnits)))
+        .as("sample_ts"))
+    val j = axis.join(agg, Seq("sample_ts"), "left")
+      .withColumn("n_points", coalesce(col("n_points"), lit(0L)))
+    val wAll = Window.orderBy(col("sample_ts"))
+    val wb = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = wAll.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    fill match {
+      case "prev" =>
+        j.withColumn("fill_value",
+            last(col("avg_value"), ignoreNulls = true).over(wb))
+          .select("sample_ts", "fill_value", "n_points")
+      case "linear" =>
+        val obs = when(col("avg_value").isNotNull,
+          struct(col("sample_ts").as("t"), col("avg_value").as("v")))
+        j.withColumn("pb", last(obs, ignoreNulls = true).over(wb))
+          .withColumn("nf", // SeriesOps.first(df) shadows functions.first
+            org.apache.spark.sql.functions.first(obs, ignoreNulls = true)
+              .over(wf))
+          .withColumn("fill_value",
+            when(col("avg_value").isNotNull, col("avg_value"))
+              .when(col("pb").isNull, col("nf")("v"))
+              .when(col("nf").isNull, col("pb")("v"))
+              .otherwise(col("pb")("v") +
+                (col("nf")("v") - col("pb")("v")) *
+                  ((col("sample_ts") - col("pb")("t")).cast("double") /
+                    (col("nf")("t") - col("pb")("t")).cast("double"))))
+          .select("sample_ts", "fill_value", "n_points")
+      case "null" =>
+        j.select(col("sample_ts"), col("avg_value").as("fill_value"),
+          col("n_points"))
+      case other => throw new IllegalArgumentException(
+        s"unknown fill policy '$other' (prev | linear | null)")
+    }
+  }
 
   /** Sliding-window aggregation (extension surface): windows of `width`
     * units sliding every `slide` units (width = k*slide), labeled by

@@ -83,6 +83,16 @@ object RefSurface {
     // tie-deterministic via struct min/max (see SeriesOps.sampleByFn)
     "ts_sample_delta" -> ((s, dir) =>
       SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "delta")),
+    // SAMPLE BY + FILL over the sparse error sub-series (hourly gaps
+    // exist by construction): prev = carry-forward steps, linear =
+    // neighbor interpolation — everything past the aggregate runs on
+    // the data-independent bucket axis (see SeriesOps.sampleByFill)
+    "ts_sample_fill_prev" -> ((s, dir) =>
+      SeriesOps.sampleByFill(
+        ev(s, dir).filter(col("event_type") === "error"), HOUR_US, "prev")),
+    "ts_sample_fill_linear" -> ((s, dir) =>
+      SeriesOps.sampleByFill(
+        ev(s, dir).filter(col("event_type") === "error"), HOUR_US, "linear")),
     "ts_sample_rate" -> ((s, dir) =>
       SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "rate")),
     "ts_where" -> ((s, dir) => {
@@ -161,5 +171,48 @@ object RefSurface {
     "events_ts_canary" ->
       (EV + "SELECT min(timestamp) AS min_ts, max(timestamp) AS max_ts, " +
         "count(*) AS n, (max(timestamp) - min(timestamp)) // 86400000000 AS span_days FROM ev"),
+    "ts_sample_fill_prev" ->
+      (EV + s""", e AS (SELECT timestamp, value FROM ev WHERE event_type = 'error'),
+        |agg AS (SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |    count(*) AS n_points
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT min(sample_ts) AS lo, max(sample_ts) AS hi FROM agg),
+        |axis AS (SELECT unnest(range(lo, hi + 1, $HOUR_US)) AS sample_ts FROM b),
+        |j AS (SELECT a.sample_ts, g.avg_value, coalesce(g.n_points, 0) AS n_points
+        |  FROM axis a LEFT JOIN agg g USING (sample_ts))
+        |SELECT sample_ts,
+        |  last_value(avg_value IGNORE NULLS)
+        |    OVER (ORDER BY sample_ts ROWS UNBOUNDED PRECEDING) AS fill_value,
+        |  n_points FROM j""".stripMargin),
+    "ts_sample_fill_linear" ->
+      (EV + s""", e AS (SELECT timestamp, value FROM ev WHERE event_type = 'error'),
+        |agg AS (SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+        |    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |    count(*) AS n_points
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT min(sample_ts) AS lo, max(sample_ts) AS hi FROM agg),
+        |axis AS (SELECT unnest(range(lo, hi + 1, $HOUR_US)) AS sample_ts FROM b),
+        |j AS (SELECT a.sample_ts, g.avg_value, coalesce(g.n_points, 0) AS n_points
+        |  FROM axis a LEFT JOIN agg g USING (sample_ts)),
+        |c AS (SELECT sample_ts, avg_value, n_points,
+        |    last_value(CASE WHEN avg_value IS NOT NULL
+        |        THEN {'t': sample_ts, 'v': avg_value} END IGNORE NULLS)
+        |      OVER (ORDER BY sample_ts ROWS UNBOUNDED PRECEDING) AS pb,
+        |    first_value(CASE WHEN avg_value IS NOT NULL
+        |        THEN {'t': sample_ts, 'v': avg_value} END IGNORE NULLS)
+        |      OVER (ORDER BY sample_ts
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nf
+        |  FROM j)
+        |SELECT sample_ts,
+        |  CASE WHEN avg_value IS NOT NULL THEN avg_value
+        |       WHEN pb IS NULL THEN struct_extract(nf, 'v')
+        |       WHEN nf IS NULL THEN struct_extract(pb, 'v')
+        |       ELSE struct_extract(pb, 'v') +
+        |         (struct_extract(nf, 'v') - struct_extract(pb, 'v')) *
+        |         (CAST(sample_ts - struct_extract(pb, 't') AS DOUBLE) /
+        |          CAST(struct_extract(nf, 't') - struct_extract(pb, 't') AS DOUBLE))
+        |  END AS fill_value,
+        |  n_points FROM c""".stripMargin),
   )
 }
