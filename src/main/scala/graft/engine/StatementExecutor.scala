@@ -112,7 +112,7 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
         Ack(s"$n point(s) inserted, $errors error(s)")
       }
 
-    case Statement.Select(name, fn, between, where, sampleBy, limit) =>
+    case Statement.Select(name, fn, between, where, sampleBy, limit, fillPolicy) =>
       withSeries(name, session) { (db, _) =>
         // range (closed interval, reference src/partition.c:203-212) is
         // resolved BEFORE the read so the catalog can prune bucket
@@ -160,12 +160,20 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
               case Right(interval) =>
                 if (interval <= 0)
                   return Err(ErrCode.InvalidRange, s"invalid sample interval $interval")
+                if (fillPolicy.isDefined &&
+                    !(fn.isEmpty || fn.contains(SelectFn.Avg)))
+                  return Err(ErrCode.Unsupported,
+                    "FILL combines only with the avg SAMPLE BY")
                 // the reference's SAMPLE BY implies avg (ts_avg_sample,
                 // src/timeseries.c:1265-1308); min/max/latest selectors
                 // extend the same windowing (extension surface)
                 val sampled = (fn match {
                   case None | Some(SelectFn.Avg) =>
-                    SeriesOps.sampleBy(filtered, interval)
+                    fillPolicy match {
+                      case Some(policy) =>
+                        SeriesOps.sampleByFill(filtered, interval, policy)
+                      case None => SeriesOps.sampleBy(filtered, interval)
+                    }
                   case Some(SelectFn.Min) =>
                     SeriesOps.sampleByFn(filtered, interval, "min")
                   case Some(SelectFn.Max) =>

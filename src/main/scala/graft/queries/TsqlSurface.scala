@@ -133,6 +133,10 @@ object TsqlSurface {
     "tsql_sample_rate" -> q(
       s"SELECT rate(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY $HOUR_US"),
     "tsql_delta" -> q(s"SELECT delta(value) FROM ev BETWEEN $T0 AND $T1"),
+    // FILL dialect extension end-to-end: 5-minute buckets over the
+    // ranged series leave real gaps for the axis to fill
+    "tsql_sample_fill" -> q(
+      s"SELECT avg(value) FROM ev BETWEEN $T0 AND $T1 SAMPLE BY 300000000 FILL(prev)"),
     // date-literal + span-literal + plan-time '+' folding, end-to-end
     // over the NANOS-ingested series (see executorNs)
     "tsql_date_avg" -> qNs(
@@ -174,6 +178,19 @@ object TsqlSurface {
       (EV + s"SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts, (max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v) * 1000000.0 / CAST(nullif(max(timestamp) - min(timestamp), 0) AS DOUBLE) AS rate_value, count(*) AS n_points FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1"),
     "tsql_delta" ->
       (EV + s"SELECT max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v AS delta_value, count(*) AS n FROM ev WHERE timestamp BETWEEN $T0 AND $T1"),
+    "tsql_sample_fill" ->
+      (EV + s""", agg AS (SELECT (timestamp - timestamp % 300000000) + 300000000 AS sample_ts,
+         |    round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+         |    count(*) AS n_points
+         |  FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1),
+         |b AS (SELECT min(sample_ts) AS lo, max(sample_ts) AS hi FROM agg),
+         |axis AS (SELECT unnest(range(lo, hi + 1, 300000000)) AS sample_ts FROM b),
+         |j AS (SELECT a.sample_ts, g.avg_value, coalesce(g.n_points, 0) AS n_points
+         |  FROM axis a LEFT JOIN agg g USING (sample_ts))
+         |SELECT sample_ts,
+         |  last_value(avg_value IGNORE NULLS)
+         |    OVER (ORDER BY sample_ts ROWS UNBOUNDED PRECEDING) AS fill_value,
+         |  n_points FROM j""".stripMargin),
     // '2024-01-06' = 1704499200000000 epoch-micros (UTC); +12d. DuckDB
     // sees the TIMESTAMP(NANOS) column truncated to micros, but the
     // bounds are multiples of 1000 ns so the row set is identical to

@@ -82,7 +82,10 @@ object Statement {
         * AND-chain (AND binds tighter than OR). Empty = no WHERE. */
       where: Seq[Seq[WherePred]],
       sampleBy: Option[TimeExpr],
-      limit: Option[Int]) extends Statement
+      limit: Option[Int],
+      /** dialect extension: `FILL(prev|linear|null)` after SAMPLE BY —
+        * gap buckets filled per SeriesOps.sampleByFill. */
+      fill: Option[String] = None) extends Statement
   /** `DELETE ts FROM db` drops a series; bare `DELETE x` drops database x
     * (reference src/statement_parse.c:924-964). */
   final case class Delete(name: String, fromDb: Option[String]) extends Statement

@@ -23,7 +23,7 @@ object Lexer {
 
   private val keywords = Set(
     "CREATEDB", "CREATE", "USE", "INSERT", "INTO", "VALUES", "VALUE",
-    "SELECT", "FROM", "BETWEEN", "AND", "OR", "WHERE", "SAMPLE", "BY",
+    "SELECT", "FROM", "BETWEEN", "AND", "OR", "WHERE", "SAMPLE", "BY", "FILL",
     "LIMIT", "DELETE", "NOW")
 
   /** Span unit suffixes → nanos multiplier (reference src/timeutil.c:50-73:

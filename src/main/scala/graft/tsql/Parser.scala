@@ -139,6 +139,27 @@ object Parser {
             expectKw("BY").flatMap(_ => parseTimeUnit().map(Some(_)))
           case _ => Right(None)
         }
+        // dialect extension: FILL(prev|linear|null) — gap policy for
+        // the SAMPLE BY bucket axis (SeriesOps.sampleByFill)
+        fill <- peek match {
+          case Some(Kw("FILL")) =>
+            if (sample.isEmpty) Left("FILL requires SAMPLE BY")
+            else {
+              next()
+              expectSym("(").flatMap { _ =>
+                (next() match {
+                  case Some(Ident(p)) => Right(p.toLowerCase)
+                  case Some(Kw(p)) => Right(p.toLowerCase)
+                  case other => Left(s"expected FILL policy, got $other")
+                }).flatMap { p =>
+                  if (!Set("prev", "linear", "null").contains(p))
+                    Left(s"unknown FILL policy '$p' (prev | linear | null)")
+                  else expectSym(")").map(_ => Some(p))
+                }
+              }
+            }
+          case _ => Right(None)
+        }
         limit <- peek match {
           case Some(Kw("LIMIT")) =>
             next()
@@ -148,7 +169,7 @@ object Parser {
             }
           case _ => Right(None)
         }
-      } yield Statement.Select(name, fn, between, where, sample, limit)
+      } yield Statement.Select(name, fn, between, where, sample, limit, fill)
 
     private def parseSelectColumn(): Either[String, Option[SelectFn]] = next() match {
       case Some(Kw(_)) => Right(None) // bare keyword-as-column (`value`) — cosmetic

@@ -140,6 +140,48 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SAMPLE BY FILL: gap buckets fill per policy (dialect extension)") {
+    // temperatures spans ~5 s with seeded gaps; 100 ms buckets leave
+    // plenty of empty windows for the axis to fill
+    exec.executeSql("SELECT avg(value) FROM temperatures SAMPLE BY 100ms FILL(prev)") match {
+      case ExecResult.Rows(df) =>
+        val got = df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+        val gaps = got.filter(_._3 == 0)
+        assert(gaps.nonEmpty, "fixture produced no empty buckets — weaken interval")
+        // the axis is contiguous at the interval
+        got.map(_._1).sliding(2).foreach {
+          case Array(a, b) => assert(b - a == 100000000L)
+          case _ => ()
+        }
+        // prev-fill: every gap after the first observation carries a value
+        assert(gaps.forall(_._2.isDefined))
+      case other => fail(s"expected Rows, got $other")
+    }
+    exec.executeSql("SELECT avg(value) FROM temperatures SAMPLE BY 100ms FILL(linear)") match {
+      case ExecResult.Rows(df) =>
+        val got = df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+        // linear fill is bounded by its neighbors
+        val vals = got.flatMap(_._2)
+        assert(vals.nonEmpty && vals.min >= 0.0 && vals.max <= 89.0)
+        assert(got.filter(_._3 == 0).forall(_._2.isDefined))
+      case other => fail(s"expected Rows, got $other")
+    }
+    exec.executeSql("SELECT avg(value) FROM temperatures SAMPLE BY 100ms FILL(null)") match {
+      case ExecResult.Rows(df) =>
+        val got = df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+        assert(got.exists(g => g._3 == 0 && g._2.isEmpty)) // gaps stay null
+      case other => fail(s"expected Rows, got $other")
+    }
+    exec.executeSql("SELECT min(value) FROM temperatures SAMPLE BY 1s FILL(prev)") match {
+      case ExecResult.Err(code, msg) =>
+        assert(code == ErrCode.Unsupported && msg.contains("FILL"), s"$code $msg")
+      case other => fail(s"expected Err, got $other")
+    }
+  }
+
   test("WHERE chains filter on value and timestamp (stubbed in reference; statement_execute.c:390-394)") {
     val got = rowsOf(exec.executeSql(
       s"SELECT value FROM temperatures WHERE value >= 10 AND value < 13 AND timestamp > ${ts(10)}"))

@@ -182,4 +182,21 @@ class ParserSpec extends AnyFunSuite {
     assert(span("2h") == 7200000000000L)
     assert(span("3d") == 259200000000000L)
   }
+
+  test("FILL(prev|linear|null) parses after SAMPLE BY (dialect extension)") {
+    assert(ok("SELECT avg(value) FROM t SAMPLE BY 1h FILL(prev)") ==
+      Select("t", Some(SelectFn.Avg), None, Nil,
+        Some(Span(3600L * 1000000000L)), None, Some("prev")))
+    assert(ok("SELECT avg(value) FROM t SAMPLE BY 1h FILL(LINEAR) LIMIT 5") ==
+      Select("t", Some(SelectFn.Avg), None, Nil,
+        Some(Span(3600L * 1000000000L)), Some(5), Some("linear")))
+    Parser.parse("SELECT avg(value) FROM t FILL(prev)") match {
+      case Left(err) => assert(err.contains("FILL requires SAMPLE BY"), err)
+      case Right(s) => fail(s"should not parse: $s")
+    }
+    Parser.parse("SELECT avg(value) FROM t SAMPLE BY 1h FILL(bogus)") match {
+      case Left(err) => assert(err.contains("unknown FILL policy"), err)
+      case Right(s) => fail(s"should not parse: $s")
+    }
+  }
 }
