@@ -56,8 +56,9 @@ object Bench {
     // round-6 additions: unigram-LM perplexity-band filter, IVF-PQ ADC
     "text_lm_surprisal", "sim_topk_ivf_pq", "text_lm_bigram",
     // round-7 additions: zero-shuffle top-n-gram repetition scan,
-    // scan-speed hashed-linear classifier inference, keyed-window EWMA
-    "text_rep_ngram", "text_classifier", "win_ewma")
+    // scan-speed hashed-linear classifier inference, keyed-window EWMA,
+    // reset-aware counter increase
+    "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -187,6 +187,44 @@ object AnalyticsSurface {
     // graft.ops.Anomaly)
     "win_anomaly" -> ((s, dir) =>
       graft.ops.Anomaly.rollingZScore(Tables.eventSeries(s, dir))),
+    // Prometheus-class counter increase(): per (user, hour), the sum
+    // of POSITIVE deltas between consecutive observations — a counter
+    // RESET (value drop) contributes 0 instead of a negative spike,
+    // which plain delta/rate cannot express. Fixed-point 1e-6 integers
+    // end-to-end (floor once at ingest, then pure integer lag/sum) so
+    // the gate hash-matches without float-round hazards. ONE keyed
+    // window + one grouped aggregation.
+    "ts_counter_increase" -> ((s, dir) => {
+      val ev = Tables.eventSeries(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("timestamp").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("timestamp"), col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v6"))
+        .withColumn("pv6", lag(col("v6"), 1).over(w))
+        .groupBy(col("user_id"),
+          ((col("timestamp") - pmod(col("timestamp"), lit(3600000000L)))
+            + 3600000000L).as("sample_ts"))
+        .agg(sum(when(col("pv6").isNull, 0L)
+            .otherwise(greatest(col("v6") - col("pv6"), lit(0L))))
+          .cast("long").as("increase6"),
+          count(lit(1)).as("n_points"))
+    }),
+    // exact rolling median over the trailing 20-observation frame per
+    // user — the windowed-percentile monitoring primitive: one keyed
+    // window collect + in-row sort/select ((lo+hi)/2 is the identical
+    // IEEE op both engines; frame-bounded state)
+    "win_rolling_median" -> ((s, dir) => {
+      val ev = Tables.eventSeries(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("timestamp").asc, col("event_id").asc)
+        .rowsBetween(-19, Window.currentRow)
+      ev.select(col("user_id"), col("timestamp"), col("event_id"), col("value"))
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .withColumn("med", expr(
+          "(element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int)) + " +
+            "element_at(array_sort(vals), cast(size(vals) div 2 + 1 as int))) / 2"))
+        .drop("vals")
+    }),
     // EWMA smoothing per user series (α = 1/2), truncated to a 20-tap
     // trailing FIR so it windows exactly: weight of the k-th most
     // recent point is 2^-k, each term floored at micro fixed point
@@ -557,6 +595,26 @@ object AnalyticsSurface {
         |    OVER (PARTITION BY user_id ORDER BY timestamp, value
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_value
         |FROM ev""".stripMargin),
+    "ts_counter_increase" ->
+      (EV + """, v AS (SELECT user_id, timestamp, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v6 FROM ev),
+        |p AS (SELECT user_id, timestamp, v6,
+        |    lag(v6) OVER (PARTITION BY user_id ORDER BY timestamp, event_id) AS pv6
+        |  FROM v)
+        |SELECT user_id,
+        |  (timestamp - timestamp % 3600000000) + 3600000000 AS sample_ts,
+        |  CAST(sum(CASE WHEN pv6 IS NULL THEN 0
+        |                ELSE greatest(v6 - pv6, 0) END) AS BIGINT) AS increase6,
+        |  count(*) AS n_points
+        |FROM p GROUP BY 1, 2""".stripMargin),
+    "win_rolling_median" ->
+      (EV + """SELECT user_id, timestamp, event_id, value,
+        |  (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2 AS med
+        |FROM (SELECT user_id, timestamp, event_id, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY timestamp, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS ls
+        |  FROM ev)""".stripMargin),
     "win_ewma" ->
       (EV + """SELECT user_id, timestamp, event_id, value,
         |  CAST(list_sum([CAST(floor(vals[i] * 1000000 / pow(2, len(vals) - i + 1)) AS BIGINT)
