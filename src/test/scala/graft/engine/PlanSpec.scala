@@ -141,6 +141,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scan-shaped text ops have ZERO exchanges (repetition, classifier)") {
+    Seq("text_rep_ngram", "text_classifier").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Exchange"), s"$k:\n" + p.take(2000))
+    }
+  }
+
+  test("keyed-window series ops pay exactly ONE shuffle (ewma, median, counter)") {
+    Seq("win_ewma", "win_rolling_median", "ts_counter_increase").foreach { k =>
+      val p = plan(k)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1, s"$k has $n exchanges:\n" + p.take(3000))
+    }
+  }
+
   test("agg_percentiles never buffers a group in an aggregate (sort-rank plan)") {
     val p = plan("agg_percentiles")
     // the percentile() TypedImperativeAggregate materializes whole

@@ -40,6 +40,8 @@ HEADLINE = [
     "events_json_extract", "agg_rollup_sets", "agg_incremental_rollup",
     "pipeline_curate_corpus", "text_lm_surprisal", "sim_topk_ivf_pq",
     "text_lm_bigram",
+    # round-7 additions (keep in sync with graft.Bench.headline)
+    "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase",
 ]
 
 
