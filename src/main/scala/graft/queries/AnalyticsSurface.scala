@@ -129,12 +129,26 @@ object AnalyticsSurface {
   private def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventSeries(s, dir)
     val hourUs = 3600000000L
+    // TWO-PHASE distinct: pre-aggregate on (hour, type, user) so the
+    // distinct-user count is a plain count(*) of the fine relation.
+    // A countDistinct alongside other aggregates makes Catalyst plan
+    // an Expand (every input row duplicated per aggregate group) plus
+    // an extra exchange — measured 2.10 s vs 1.93 s at 1M events
+    // locally (the win is modest here because fine-group density is
+    // ~0.2 rows/group, so map-side combine can't shrink the shuffle;
+    // at cluster scale the two-phase shape additionally spreads a hot
+    // hour across its user dimension instead of one reducer).
+    // Exactness is preserved: per-user micro-sums are exact 1e-6
+    // multiples (sum_micro), and re-summing them is associative.
     ev.groupBy(
         (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("hour_ts"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("n_users"),
-        sumDec(col("value")).as("sum_value"))
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_u"),
+        call_function("sum_micro", col("value").cast("double")).as("s_u"))
+      .groupBy("hour_ts", "event_type")
+      .agg(sum("n_u").cast("long").as("n"),
+        count(lit(1)).as("n_users"),
+        round(call_function("sum_micro", col("s_u")), 4).as("sum_value"))
       .filter(col("n") >= 2)
   }
 
@@ -235,14 +249,18 @@ object AnalyticsSurface {
       val ev = Tables.eventSeries(s, dir)
       val w = Window.partitionBy("user_id")
         .orderBy(col("timestamp").asc, col("event_id").asc)
-        .rowsBetween(-19, Window.currentRow)
+      // 20 lag terms in ONE window pass instead of a collect_list
+      // frame: floor(lag_k · 10⁶ / 2^(k+1)) summed, null lags (series
+      // warm-up) contributing 0 — EXACTLY the partial-frame weights of
+      // the list formulation (oldest available term has weight 2^-n),
+      // without materializing a 20-element array per row (measured
+      // 3.35 s → see BASELINE 10x-events addendum)
+      val terms = (0 until 20).map { k =>
+        coalesce(floor(lag(col("value"), k).over(w) *
+          lit(1000000d) / lit(math.pow(2, k + 1))).cast("long"), lit(0L))
+      }
       ev.select(col("user_id"), col("timestamp"), col("event_id"), col("value"))
-        .withColumn("vals", collect_list(col("value")).over(w))
-        .withColumn("ewma6", expr(
-          "aggregate(transform(sequence(1, size(vals)), i -> " +
-            "floor(element_at(vals, i) * 1000000D / power(2, size(vals) - i + 1))), " +
-            "0L, (a, x) -> a + x)"))
-        .drop("vals")
+        .withColumn("ewma6", terms.reduce(_ + _))
     }),
     // incremental JOIN maintenance: orders and customer each split by
     // hash into standing base + arriving batch; the gate returns the
