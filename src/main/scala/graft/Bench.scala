@@ -58,7 +58,9 @@ object Bench {
     // round-7 additions: zero-shuffle top-n-gram repetition scan,
     // scan-speed hashed-linear classifier inference, keyed-window EWMA,
     // reset-aware counter increase
-    "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase")
+    "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase",
+    // bounded-buffer top-k aggregate vs its ranking-window twin
+    "win_top3_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -93,6 +93,14 @@ object GraftFunctions {
       NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("topk_records", classOf[TopKRecords], exprs => {
+      // k is model shape, not data: require a plan-time constant
+      require(exprs.length == 3 && exprs(2).foldable,
+        "topk_records(value, ts, k) requires a literal k")
+      val k = exprs(2).eval()
+      require(k != null, "topk_records(value, ts, k) requires a non-null literal k")
+      TopKRecords(exprs(0), exprs(1), k.asInstanceOf[Number].intValue())
+    }),
     ("minhash_sig", classOf[MinHashSig], exprs => {
       // k is model shape, not data: require a plan-time constant
       require(exprs.length == 2 && exprs(1).foldable,

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: `topk_records(value, ts, k)` keeps the k
+  * largest (value DESC, ts ASC on ties) records per group in a
+  * FIXED-SIZE buffer — the aggregate form of a ranking window's
+  * `row_number() <= k` cut.
+  *
+  * Why this beats the window at scale: the window formulation shuffles
+  * EVERY row to its key's partition and sorts the whole partition; this
+  * aggregate combines map-side, so the exchange carries at most
+  * k · groups · upstream-partitions rows (at 1M events / 1500 users /
+  * 32 partitions and k = 3 that is ~144k rows vs 1M — and the gap
+  * widens linearly with data volume, since the post-combine width is
+  * data-INDEPENDENT). Per-group state is k elements by construction —
+  * the bounded-buffer discipline agg_percentiles' plan guard enforces
+  * (no whole-group materialization, ever).
+  *
+  * Fully DECLARATIVE (the SumMicro lesson): update/merge are
+  * `slice(array_sort(concat(buffer, new)), 1, k)` expression trees that
+  * inline into the generated aggregate loop. Elements are
+  * struct(nv = −value, t = ts), so the DEFAULT lexicographic struct
+  * ordering (nv asc = value desc, then t asc) implements the ranking
+  * comparator with no lambda. Callers posexplode the result and flip
+  * the sign back (rank = position + 1); exact duplicate (value, ts)
+  * records keep their multiplicity, matching row_number's output
+  * multiset. Null value/ts rows are skipped.
+  */
+case class TopKRecords(valueE: Expression, tsE: Expression, k: Int)
+    extends DeclarativeAggregate with BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 1024, s"topk_records k must be in [1, 1024], got $k")
+
+  override def left: Expression = valueE
+  override def right: Expression = tsE
+
+  private val elem = StructType(Seq(
+    StructField("nv", DoubleType, nullable = false),
+    StructField("t", LongType, nullable = false)))
+  private val bufType = ArrayType(elem, containsNull = false)
+
+  override def dataType: DataType = bufType
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_records"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (valueE.dataType, tsE.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"topk_records requires (double, long) arguments, got $other")
+    }
+
+  private lazy val buf =
+    AttributeReference("topk", bufType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(buf)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(new GenericArrayData(Array.empty[Any]), bufType))
+
+  // SortArray (natural struct ordering), NOT ArraySort: the latter's
+  // default comparator is a lambda that needs analyzer binding, which
+  // aggregate-internal expressions never receive (runtime
+  // UnresolvedException otherwise)
+  private def topk(e: Expression): Expression =
+    Slice(SortArray(e, Literal(true)), Literal(1), Literal(k))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val newElem = CreateNamedStruct(Seq(
+      Literal("nv"), UnaryMinus(valueE),
+      Literal("t"), tsE))
+    val upd = topk(Concat(Seq(buf, CreateArray(Seq(newElem)))))
+    Seq(If(Or(IsNull(valueE), IsNull(tsE)), buf, upd))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(topk(Concat(Seq(buf.left, buf.right))))
+
+  override lazy val evaluateExpression: Expression = buf
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKRecords =
+    copy(valueE = newLeft, tsE = newRight)
+}

@@ -108,6 +108,24 @@ object AnalyticsSurface {
       .select("user_id", "timestamp", "value", "rn")
   }
 
+  /** [[top3PerUser]] as a BOUNDED-BUFFER aggregate instead of a
+    * ranking window: the native topk_records DeclarativeAggregate
+    * combines map-side, so the exchange carries ≤ k·users·partitions
+    * rows instead of every event (see graft.functions.TopKRecords).
+    * Same output multiset as the window form — the gate reuses the
+    * win_top3_per_user oracle verbatim, a true differential test of
+    * the two formulations. */
+  private def top3PerUserAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.eventSeries(s, dir)
+    ev.groupBy("user_id")
+      .agg(call_function("topk_records",
+        col("value"), col("timestamp"), lit(3)).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), col("col.t").as("timestamp"),
+        (-col("col.nv")).as("value"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Sessionization: a session break is a >30 min gap between a user's
     * consecutive events (lag + running sum of breaks — two analytic
     * functions over one user_id shuffle). The foundation for
@@ -176,6 +194,7 @@ object AnalyticsSurface {
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_volume" -> q5RegionVolume,
     "win_top3_per_user" -> top3PerUser,
+    "win_top3_agg" -> top3PerUserAgg,
     "win_sessionize" -> sessionize,
     "agg_hourly_rollup" -> hourlyRollup,
     // incremental view maintenance (graft.ops.Incremental): the corpus
@@ -642,6 +661,13 @@ object AnalyticsSurface {
         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
         |  FROM ev)""".stripMargin),
     "win_top3_per_user" ->
+      (EV + """SELECT user_id, timestamp, value, rn FROM (
+        |  SELECT user_id, timestamp, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
+        |  FROM ev) WHERE rn <= 3""".stripMargin),
+    // the SAME oracle for the bounded-aggregate formulation —
+    // differential: window and aggregate must agree row-for-row
+    "win_top3_agg" ->
       (EV + """SELECT user_id, timestamp, value, rn FROM (
         |  SELECT user_id, timestamp, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn

@@ -156,6 +156,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k aggregate combines map-side (no Window, partial agg below the exchange)") {
+    val p = plan("win_top3_agg")
+    assert(!p.contains("Window"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    // partial aggregation below the exchange is the point: the shuffle
+    // carries <= k rows per (group, upstream partition), not every event
+    assert(p.contains("partial_topk_records"), p.take(3000))
+  }
+
   test("agg_percentiles never buffers a group in an aggregate (sort-rank plan)") {
     val p = plan("agg_percentiles")
     // the percentile() TypedImperativeAggregate materializes whole
