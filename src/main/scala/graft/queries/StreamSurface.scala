@@ -243,6 +243,29 @@ object StreamSurface {
       model, stream, TextSurface.LM_MIN_CB, TextSurface.LM_MAX_CB), "complete")
   }
 
+  /** Streaming ranking: the bounded topk_records aggregate as a
+    * CONTINUOUS query — per-user top-3 maintained across micro-batches
+    * in complete mode. The DeclarativeAggregate's merge expressions
+    * are exactly what the streaming state store needs (k-element
+    * mergeable state per user — bounded by construction), so the
+    * custom aggregate is streaming-safe with no extra code. Oracle =
+    * the batch window formulation: stream/batch/aggregate three-way
+    * parity on one result set. */
+  private def streamTop3(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"), col("value"))
+    val agg = stream.groupBy("user_id")
+      .agg(call_function("topk_records",
+        col("value"), col("timestamp"), lit(3)).as("top"))
+    runToTable(s, agg, "complete")
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), col("col.t").as("timestamp"),
+        (-col("col.nv")).as("value"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Streaming classifier inference: [[graft.ops.Terms
     * .hashedLinearScore]] is a pure scan projection (zero-shuffle
     * in-row fold), so it runs in append mode with ZERO streaming
@@ -284,6 +307,7 @@ object StreamSurface {
     "stream_blocklist" -> streamBlocklist,
     "stream_lm_surprisal" -> streamLmSurprisal,
     "stream_classifier" -> streamClassifier,
+    "stream_top3" -> streamTop3,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
@@ -352,6 +376,14 @@ object StreamSurface {
     "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
     // stream/batch parity: stateless projection, batch oracle verbatim
     "stream_classifier" -> TextSurface.oracleSql("text_classifier"),
+    // three-way parity: stream + bounded aggregate + ranking window
+    // all produce this one result set
+    "stream_top3" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, value FROM events)
+        |SELECT user_id, timestamp, value, rn FROM (
+        |  SELECT user_id, timestamp, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
+        |  FROM ev) WHERE rn <= 3""".stripMargin,
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
