@@ -242,10 +242,12 @@ object AnalyticsSurface {
           .cast("long").as("increase6"),
           count(lit(1)).as("n_points"))
     }),
-    // exact rolling median over the trailing 20-observation frame per
-    // user — the windowed-percentile monitoring primitive: one keyed
-    // window collect + in-row sort/select ((lo+hi)/2 is the identical
-    // IEEE op both engines; frame-bounded state)
+    // exact rolling median + p90 over the trailing 20-observation
+    // frame per user — the windowed-percentile monitoring primitives:
+    // one keyed window collect + in-row sort/select ((lo+hi)/2 is the
+    // identical IEEE op both engines; the p90 index is INTEGER
+    // arithmetic ceil(9n/10) — no float quantile position, rule 3;
+    // frame-bounded state)
     "win_rolling_median" -> ((s, dir) => {
       val ev = Tables.eventSeries(s, dir)
       val w = Window.partitionBy("user_id")
@@ -256,6 +258,8 @@ object AnalyticsSurface {
         .withColumn("med", expr(
           "(element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int)) + " +
             "element_at(array_sort(vals), cast(size(vals) div 2 + 1 as int))) / 2"))
+        .withColumn("p90", expr(
+          "element_at(array_sort(vals), cast((9 * size(vals) + 9) div 10 as int))"))
         .drop("vals")
     }),
     // EWMA smoothing per user series (α = 1/2), truncated to a 20-tap
@@ -646,7 +650,8 @@ object AnalyticsSurface {
         |FROM p GROUP BY 1, 2""".stripMargin),
     "win_rolling_median" ->
       (EV + """SELECT user_id, timestamp, event_id, value,
-        |  (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2 AS med
+        |  (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2 AS med,
+        |  ls[(9 * len(ls) + 9) // 10] AS p90
         |FROM (SELECT user_id, timestamp, event_id, value,
         |    list_sort(list(value) OVER (PARTITION BY user_id
         |      ORDER BY timestamp, event_id

@@ -42,6 +42,7 @@ HEADLINE = [
     "text_lm_bigram",
     # round-7 additions (keep in sync with graft.Bench.headline)
     "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase",
+    "win_top3_agg",
 ]
 
 
