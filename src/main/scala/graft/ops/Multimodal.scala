@@ -975,6 +975,146 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeGif(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // TIFF: the structured-metadata tier. Where JPEG is a linear marker
+  // walk, TIFF is an OFFSET-BASED directory walk: an endian-tagged
+  // header points at an IFD of 12-byte entries (tag, type, count,
+  // inline-value-or-offset) which in turn point at strip data and
+  // out-of-line arrays. The plant alternates little- and big-endian
+  // files by id parity, so the decoder's byte-order handling is
+  // exercised on every other row — a decoder hardwired to one order
+  // fails half the checksums.
+  // ---------------------------------------------------------------
+
+  /** A real, well-formed baseline-RGB TIFF for media_id: shared
+    * fixture geometry, uncompressed single-strip pixel data (constant
+    * fill), 8 ascending-tag IFD entries, BitsPerSample as an
+    * out-of-line 3-SHORT array; byte order II (id even) / MM (id odd). */
+  private[ops] def buildTiffPayload(id: Long): Array[Byte] = {
+    val w = imgW(id); val h = imgH(id); val fill = fillByte(id)
+    val le = id % 2 == 0
+    val px = 3 * w * h
+    val out = java.nio.ByteBuffer.allocate(8 + px + 6 + 2 + 8 * 12 + 4)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+    out.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    out.putShort(42)
+    val pxOff = 8
+    val bpsOff = pxOff + px
+    val ifdOff = bpsOff + 6
+    out.putInt(ifdOff)
+    var i = 0
+    while (i < px) { out.put(fill.toByte); i += 1 }
+    out.putShort(8.toShort).putShort(8.toShort).putShort(8.toShort) // bps array
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { // SHORT inline: packed in the first 2 bytes
+        out.putShort(value.toShort).putShort(0)
+      } else out.putInt(value)
+    }
+    out.putShort(8.toShort) // entry count
+    entry(256, 3, 1, w)       // ImageWidth
+    entry(257, 3, 1, h)       // ImageLength
+    entry(258, 3, 3, bpsOff)  // BitsPerSample → out-of-line offset
+    entry(259, 3, 1, 1)       // Compression = none
+    entry(262, 3, 1, 2)       // Photometric = RGB
+    entry(273, 4, 1, pxOff)   // StripOffsets (single strip)
+    entry(278, 3, 1, h)       // RowsPerStrip
+    entry(279, 4, 1, px)      // StripByteCounts
+    out.putInt(0) // next-IFD terminator
+    out.array()
+  }
+
+  /** TIFF media table from the documents fixture (every doc). */
+  def tiffFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildTiffPayload(id), "image/tiff", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class TiffFeatures(
+      media_id: Long,
+      format: String,
+      byte_order: String,
+      width: Long,
+      height: Long,
+      n_entries: Long,
+      compression: Long,
+      strip_bytes: Long,
+      pixel_checksum: Long)
+
+  /** Endian-aware TIFF decode: header + IFD walk + inline/offset value
+    * resolution + single-strip pixel checksum. Supports the
+    * uncompressed single-strip subset the fixture plants; anything
+    * malformed (bad magic, entry table or strip out of bounds, missing
+    * geometry) is "unknown" — row-level tolerance. */
+  private[ops] def decodeTiff(id: Long, p: Array[Byte]): TiffFeatures = {
+    val bad = TiffFeatures(id, "unknown", "", -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    if (n < 8) return bad
+    val le =
+      if (p(0) == 'I' && p(1) == 'I') true
+      else if (p(0) == 'M' && p(1) == 'M') false
+      else return bad
+    def u16(o: Int): Int =
+      if (o + 2 > n) -1
+      else if (le) (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      else ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > n) -1L
+      else if (le) (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      else ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    if (u16(2) != 42) return bad
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > n) return bad
+    val count = u16(ifd.toInt)
+    if (count <= 0 || ifd + 2 + count * 12 + 4 > n) return bad
+    var w = -1L; var h = -1L; var comp = -1L
+    var stripOff = -1L; var stripLen = -1L
+    var e = 0
+    while (e < count) {
+      val o = ifd.toInt + 2 + e * 12
+      val tag = u16(o)
+      val typ = u16(o + 2)
+      // SHORT(3) inline values occupy the first 2 bytes of the value
+      // field in the FILE's byte order; LONG(4) the full 4 bytes
+      val v: Long =
+        if (typ == 3) u16(o + 8).toLong
+        else u32(o + 8)
+      tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 259 => comp = v
+        case 273 => stripOff = if (typ == 3) v else u32(o + 8)
+        case 279 => stripLen = if (typ == 3) v else u32(o + 8)
+        case _ => // BitsPerSample offset etc.: walked, not needed
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || stripOff < 0 || stripLen < 0) return bad
+    if (stripOff + stripLen > n || w * h * 3 > (1L << 28)) return bad
+    var sum = 0L
+    var i = stripOff.toInt
+    val end = (stripOff + stripLen).toInt
+    while (i < end) { sum += p(i) & 0xff; i += 1 }
+    TiffFeatures(id, "tiff", if (le) "II" else "MM", w, h, count, comp,
+      stripLen, sum)
+  }
+
+  /** Batch TIFF feature extraction, same row-local shape as the other
+    * decoders. */
+  def extractTiffFeatures(media: DataFrame): Dataset[TiffFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeTiff(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

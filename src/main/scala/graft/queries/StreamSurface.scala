@@ -349,6 +349,12 @@ object StreamSurface {
     "mm_gif" -> ((s, dir) =>
       Multimodal.extractGifFeatures(
         Multimodal.gifFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // structured-metadata tier: endian-tagged IFD walk with
+    // inline/offset value resolution — byte order alternates per doc,
+    // so a decoder hardwired to one order fails half the checksums
+    "mm_tiff" -> ((s, dir) =>
+      Multimodal.extractTiffFeatures(
+        Multimodal.tiffFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -508,6 +514,18 @@ object StreamSurface {
         |  CAST(isum AS BIGINT) AS index_checksum,
         |  CAST(rsum AS BIGINT) AS rgb_checksum
         |FROM m JOIN s USING (doc_id)""".stripMargin,
+    // closed form from the shared geometry: 8 IFD entries, single
+    // uncompressed strip of 3wh fill bytes, byte order by id parity
+    "mm_tiff" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill,
+        |  16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h FROM documents)
+        |SELECT doc_id AS media_id, 'tiff' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS n_entries, CAST(1 AS BIGINT) AS compression,
+        |  CAST(3 * w * h AS BIGINT) AS strip_bytes,
+        |  CAST(3 * w * h * fill AS BIGINT) AS pixel_checksum
+        |FROM m""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -382,4 +382,35 @@ class MultimodalSpec extends AnyFunSuite {
     // a PNG payload is a clean unknown for the GIF decoder
     assert(Multimodal.decodeGif(0L, Multimodal.buildPngPayload(0L)).format == "unknown")
   }
+
+  test("TIFF: both byte orders decode to the oracle arithmetic") {
+    Seq(0L, 1L, 42L, 251L).foreach { id => // even = II, odd = MM
+      val f = Multimodal.decodeTiff(id, Multimodal.buildTiffPayload(id))
+      val w = 16 + id % 97; val h = 16 + id % 53; val fill = id % 251
+      assert(f.format == "tiff", s"id $id")
+      assert(f.byte_order == (if (id % 2 == 0) "II" else "MM"))
+      assert(f.width == w && f.height == h && f.n_entries == 8)
+      assert(f.compression == 1 && f.strip_bytes == 3 * w * h)
+      assert(f.pixel_checksum == 3 * w * h * fill, s"id $id")
+    }
+  }
+
+  test("TIFF: malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildTiffPayload(6L)
+    val cases = Seq(
+      Array[Byte](1, 2, 3),                 // not a TIFF
+      good.take(6),                         // truncated header
+      { val c = good.clone(); c(2) = 7; c }, // wrong magic
+      good.take(good.length - 20),          // IFD truncated mid-entries
+      { // strip offset pointed past the end: must reject, not overrun
+        val c = Multimodal.buildTiffPayload(6L)
+        // entry 273 value field sits in the IFD; easier: truncate pixels
+        c.take(100) ++ c.drop(c.length - (2 + 8 * 12 + 4))
+      })
+    cases.zipWithIndex.foreach { case (p, i) =>
+      assert(Multimodal.decodeTiff(i.toLong, p).format == "unknown", s"case $i")
+    }
+    // a GIF payload is a clean unknown for the TIFF decoder
+    assert(Multimodal.decodeTiff(0L, Multimodal.buildGifPayload(0L)).format == "unknown")
+  }
 }
