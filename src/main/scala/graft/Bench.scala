@@ -92,7 +92,7 @@ object Bench {
       evWarm.orderBy("timestamp").limit(1).collect()
       evWarm.groupBy((org.apache.spark.sql.functions.col("timestamp") % 2).as("k"))
         .count().write.mode("overwrite").format("noop").save()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (continuing cold): ${e.getMessage}")
     }
 
@@ -102,10 +102,19 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
       spark.sharedState.cacheManager.clearCache()
+      // cleanup hygiene (r7 finding: pack_length_buckets degraded
+      // monotonically ACROSS reps inside the full fleet while running
+      // clean in isolation): dropping the SQL cache only unpins blocks
+      // — the broadcast vars and shuffle files of ~40 preceding queries
+      // stay resident until ContextCleaner processes their weak refs,
+      // which needs a GC to enqueue them. Force that collection OUTSIDE
+      // the timed region so every rep starts from a drained heap
+      // instead of inheriting the fleet's accumulated pressure.
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
@@ -131,7 +140,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       dt
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); -1.0
     }
     val runs = queryRuns ++

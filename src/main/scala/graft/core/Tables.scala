@@ -49,10 +49,27 @@ object Tables {
 
   def tsMicrosOf(dt: DataType): Column = dt match {
     case LongType => expr("ts div 1000") // epoch-nanos → micros
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampNTZType => assertUtc("Tables.tsMicrosOf")
+      unix_micros(col("ts").cast(TimestampType))
     case TimestampType => unix_micros(col("ts"))
     case other => throw new IllegalStateException(
       s"events.ts has unsupported type $other — fixture schema changed again?")
+  }
+
+  /** The NTZ→timestamp cast above resolves its zone from the SESSION
+    * timezone at analysis — exact epoch-micros only under UTC. [[load]]
+    * pins the conf, but any entry point that builds on an NTZ ts column
+    * WITHOUT passing through load in a non-UTC JVM would silently shift
+    * every timestamp by the zone offset; fail loudly instead. (The
+    * pruning rule has the same dependency and degrades to no-pruning —
+    * SampleWindowPrune.ntzTranslationSafe.) */
+  private def assertUtc(site: String): Unit = {
+    val tz = org.apache.spark.sql.SparkSession.active
+      .conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"$site requires spark.sql.session.timeZone=UTC (got $tz): the " +
+        "NTZ ts projection would shift every timestamp — go through " +
+        "Tables.load, which pins the session zone")
   }
 
   /** Epoch-nanos Long projection of raw `ts` (the reference's native
@@ -60,7 +77,8 @@ object Tables {
     * no sub-micro precision, so ×1000 reproduces the nanos domain. */
   def tsNanos(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => col("ts")
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * 1000L
+    case TimestampNTZType => assertUtc("Tables.tsNanos")
+      unix_micros(col("ts").cast(TimestampType)) * 1000L
     case TimestampType => unix_micros(col("ts")) * 1000L
     case other => throw new IllegalStateException(
       s"events.ts has unsupported type $other — fixture schema changed again?")

@@ -55,33 +55,47 @@ object TokenCountsCodec {
 }
 
 /** The normalized-token walk shared by the `norm_*` counting
-  * expressions: tokens are maximal runs of `[a-z0-9]` after per-char
+  * expressions: tokens are maximal runs of `[a-z0-9]` after FULL
   * lowercasing — equivalent to the TextFns.normText regex chain
   * (`lower` → strip `[^a-z0-9 ]` → collapse spaces → trim → split)
   * WITHOUT materializing any intermediate string, because every
   * stripped character acts as a separator exactly like the space it
-  * would have been replaced with. ASCII uppercase maps branch-free;
-  * non-ASCII goes through Character.toLowerCase (simple mapping) —
-  * any character whose lowercase falls outside `[a-z0-9]` is a
-  * separator under both forms, so the token streams agree on all
-  * ASCII text and on every character whose simple and full lowercase
-  * mappings coincide on `[a-z0-9]`. */
+  * would have been replaced with. ASCII maps branch-free; non-ASCII
+  * goes through String.toLowerCase of the char — the FULL case
+  * mapping `lower()` applies (UTF8String.toLowerCaseSlow delegates to
+  * String.toLowerCase), NOT Character.toLowerCase's simple mapping:
+  * for the 1:M expansions (U+0130 → 'i' + combining U+0307) every
+  * mapped char must enter the stream so the stripped combining mark
+  * separates tokens exactly like the regex chain does. Surrogate
+  * pairs lower as a unit. Context-sensitive mappings (final sigma)
+  * produce only non-[a-z0-9] chars either way — separators under
+  * both forms. TokenCountsSpec pins the U+0130/U+01F0 class against
+  * the regex chain. */
 object NormTokenWalk {
 
   def tokens(s: String): java.util.ArrayList[String] = {
     val len = s.length
     val toks = new java.util.ArrayList[String]()
     val sb = new java.lang.StringBuilder()
+    def push(lc: Char): Unit =
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+      else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
     var i = 0
     while (i < len) {
       val c = s.charAt(i)
-      val lc: Char =
-        if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else if (c < 128) c
-        else Character.toLowerCase(c)
-      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
-      else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
-      i += 1
+      if (c < 128) {
+        push(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      } else {
+        val w = if (Character.isHighSurrogate(c) && i + 1 < len &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1
+        // default-locale toLowerCase, deliberately: it is the exact
+        // call lower() bottoms out in — matching it beats pinning ROOT
+        val lowered = s.substring(i, i + w).toLowerCase
+        var q = 0
+        while (q < lowered.length) { push(lowered.charAt(q)); q += 1 }
+        i += w
+      }
     }
     if (sb.length > 0) toks.add(sb.toString)
     toks

@@ -30,7 +30,14 @@ import org.apache.spark.sql.types._
   * comparator with no lambda. Callers posexplode the result and flip
   * the sign back (rank = position + 1); exact duplicate (value, ts)
   * records keep their multiplicity, matching row_number's output
-  * multiset. Null value/ts rows are skipped.
+  * multiset. Null value/ts rows are skipped. NaN values are skipped
+  * TOO, explicitly: under the sign flip a NaN would sort LAST (Spark
+  * orders NaN greatest, and −NaN is still NaN) while the window twin's
+  * ORDER BY value DESC ranks NaN FIRST — rather than silently invert
+  * that ranking, a NaN record never enters the buffer. A caller who
+  * wants window-identical NaN placement must pre-filter or remap NaN
+  * before aggregating; the divergence-vs-skip choice is pinned in
+  * TopKRecordsSpec.
   */
 case class TopKRecords(valueE: Expression, tsE: Expression, k: Int)
     extends DeclarativeAggregate with BinaryLike[Expression] {
@@ -76,7 +83,7 @@ case class TopKRecords(valueE: Expression, tsE: Expression, k: Int)
       Literal("nv"), UnaryMinus(valueE),
       Literal("t"), tsE))
     val upd = topk(Concat(Seq(buf, CreateArray(Seq(newElem)))))
-    Seq(If(Or(IsNull(valueE), IsNull(tsE)), buf, upd))
+    Seq(If(Or(Or(IsNull(valueE), IsNull(tsE)), IsNaN(valueE)), buf, upd))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =

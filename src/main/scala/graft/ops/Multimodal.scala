@@ -1115,6 +1115,229 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeTiff(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // MP4/ISO-BMFF: the container tier — the format a video training
+  // corpus actually ships in. Where TIFF is an offset directory, BMFF
+  // is LENGTH-FRAMED RECURSION: every box is [u32 size][4cc type]
+  // [payload], containers nest boxes verbatim, and nothing points
+  // backwards — so the walk is a single forward recursion with the
+  // box size as the only framing. The plant varies the top-level
+  // LAYOUT by id parity (moov-before-mdat "faststart" vs the
+  // mdat-first capture layout) and routes every 7th mdat through the
+  // 64-bit largesize escape (size==1 + u64), so a walker that assumes
+  // moov-first or 32-bit framing fails a deterministic slice of rows.
+  // ---------------------------------------------------------------
+
+  private[ops] def mp4Dur(id: Long): Int = (600 + id % 1234).toInt
+  private[ops] def mp4SampleSize(fill: Int, i: Int): Int = 1 + (fill + i) % 97
+  private[ops] val Mp4Timescale = 600
+
+  /** A real, minimal ISO-BMFF file for media_id: ftyp(isom) +
+    * moov[mvhd + trak[tkhd + mdia[mdhd + hdlr + minf[stbl[stsz]]]]] +
+    * mdat. Geometry rides tkhd's 16.16 fixed-point width/height,
+    * duration/timescale ride mvhd (v0), stsz carries `ns` per-sample
+    * sizes (1 + (fill+i) % 97) and mdat is exactly their sum in
+    * constant fill bytes — so sample_bytes ≡ mdat_bytes only if BOTH
+    * the table read and the framing are right. */
+  private[ops] def buildMp4Payload(id: Long): Array[Byte] = {
+    val w = imgW(id); val h = imgH(id); val fill = fillByte(id)
+    val ns = wavSamples(id); val dur = mp4Dur(id)
+    val sizes = Array.tabulate(ns)(i => mp4SampleSize(fill, i))
+    val sb = sizes.sum
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val out = bb(len)
+      out.putInt(len).put(typ.getBytes("US-ASCII"))
+      body.foreach(out.put)
+      out.array()
+    }
+    // size==1 escape: u64 largesize after the type (16-byte header)
+    def largeBox(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = bb(16 + body.length)
+      out.putInt(1).put(typ.getBytes("US-ASCII"))
+        .putLong(16L + body.length).put(body)
+      out.array()
+    }
+    val unityMatrix = {
+      val m = bb(36)
+      m.putInt(0x00010000).putInt(0).putInt(0)
+      m.putInt(0).putInt(0x00010000).putInt(0)
+      m.putInt(0).putInt(0).putInt(0x40000000)
+      m.array()
+    }
+    val ftyp = box("ftyp",
+      bb(16).put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII"))
+        .array())
+    val mvhd = box("mvhd", {
+      val b = bb(100)
+      b.putInt(0).putInt(0).putInt(0) // v0+flags, ctime, mtime
+      b.putInt(Mp4Timescale).putInt(dur)
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+      b.putLong(0) // reserved
+      b.put(unityMatrix)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_ID
+      b.array()
+    })
+    val tkhd = box("tkhd", {
+      val b = bb(84)
+      b.putInt(7).putInt(0).putInt(0) // v0 + enabled/in-movie flags
+      b.putInt(1).putInt(0).putInt(dur) // track_ID, reserved, duration
+      b.putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
+      b.put(unityMatrix)
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      b.array()
+    })
+    val mdhd = box("mdhd", {
+      val b = bb(24)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(Mp4Timescale).putInt(dur)
+      b.putShort(0x55c4.toShort).putShort(0) // 'und', pre_defined
+      b.array()
+    })
+    val hdlr = box("hdlr", {
+      val b = bb(25)
+      b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0).put(0.toByte) // reserved + "" name
+      b.array()
+    })
+    val stsz = box("stsz", {
+      val b = bb(12 + 4 * ns)
+      b.putInt(0).putInt(0).putInt(ns) // v0, sample_size=0 (per-entry)
+      sizes.foreach(b.putInt)
+      b.array()
+    })
+    val moov = box("moov", mvhd,
+      box("trak", tkhd,
+        box("mdia", mdhd, hdlr, box("minf", box("stbl", stsz)))))
+    val mdatBody = Array.fill(sb)(fill.toByte)
+    val mdat =
+      if (id % 7 == 0) largeBox("mdat", mdatBody) else box("mdat", mdatBody)
+    // faststart (moov first) on even ids, capture layout on odd ids
+    val parts =
+      if (id % 2 == 0) Seq(ftyp, moov, mdat) else Seq(ftyp, mdat, moov)
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** MP4 media table from the documents fixture (every doc). */
+  def mp4FromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildMp4Payload(id), "video/mp4", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class Mp4Features(
+      media_id: Long,
+      format: String,
+      major_brand: String,
+      timescale: Long,
+      duration: Long,
+      width: Long,
+      height: Long,
+      n_samples: Long,
+      sample_bytes: Long,
+      mdat_bytes: Long,
+      mdat_checksum: Long,
+      n_boxes: Long)
+
+  /** Recursive length-framed box walk: top-level and container boxes
+    * framed by their u32 size (size==1 → u64 largesize, size==0 →
+    * to-EOF), leaves parsed version-aware (mvhd/tkhd v0 and v1
+    * layouts), stsz summed entry-by-entry, mdat checksummed. Supports
+    * any top-level ordering. Anything malformed — truncated box,
+    * header overrun, nesting past depth 8, trailing junk shorter than
+    * a header, missing moov geometry — is "unknown"; row-level
+    * tolerance like every other tier. */
+  private[ops] def decodeMp4(id: Long, p: Array[Byte]): Mp4Features = {
+    val bad = Mp4Features(id, "unknown", "", -1, -1, -1, -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    def u8(o: Long): Int = if (o < 0 || o + 1 > n) -1 else p(o.toInt) & 0xff
+    def be32(o: Long): Long =
+      if (o < 0 || o + 4 > n) -1L
+      else ((p(o.toInt) & 0xffL) << 24) | ((p(o.toInt + 1) & 0xffL) << 16) |
+        ((p(o.toInt + 2) & 0xffL) << 8) | (p(o.toInt + 3) & 0xffL)
+    def be64(o: Long): Long =
+      if (o < 0 || o + 8 > n) -1L else (be32(o) << 32) | be32(o + 4)
+    def str4(o: Long): String =
+      if (o < 0 || o + 4 > n) ""
+      else new String(p, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var brand = ""; var tsc = -1L; var dur = -1L
+    var w = -1L; var h = -1L
+    var nsamp = -1L; var sbytes = -1L
+    var mbytes = -1L; var msum = -1L
+    var boxes = 0L; var ok = true
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var o = start
+      while (ok && o + 8 <= end) {
+        var sz = be32(o)
+        val typ = str4(o + 4)
+        var hdr = 8L
+        if (sz == 1) { sz = be64(o + 8); hdr = 16 }
+        else if (sz == 0) sz = end - o // open-ended final box
+        if (sz < hdr || sz > end - o) { ok = false; return }
+        boxes += 1
+        val b = o + hdr
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (depth < 8) walk(b, o + sz, depth + 1) else ok = false
+          case "ftyp" =>
+            if (sz >= hdr + 4) brand = str4(b)
+          case "mvhd" =>
+            if (u8(b) == 1) { tsc = be32(b + 20); dur = be64(b + 24) }
+            else { tsc = be32(b + 12); dur = be32(b + 16) }
+          case "tkhd" =>
+            // v0 body: vf4 ct4 mt4 id4 res4 dur4 | res8 l2 a2 v2 r2
+            // matrix36 → width at body+76; v1 widens the three times
+            // and duration to 8 bytes → +88
+            val g = if (u8(b) == 1) b + 88 else b + 76
+            val fw = be32(g); val fh = be32(g + 4)
+            if (fw >= 0 && fh >= 0) { w = fw >> 16; h = fh >> 16 }
+          case "stsz" =>
+            val fixed = be32(b + 4); val cnt = be32(b + 8)
+            if (cnt < 0) { ok = false; return }
+            nsamp = cnt
+            if (fixed > 0) sbytes = fixed * cnt
+            else if (b + 12 + 4 * cnt > o + sz) { ok = false; return }
+            else {
+              var i = 0L; var s = 0L
+              while (i < cnt) { s += be32(b + 12 + 4 * i); i += 1 }
+              sbytes = s
+            }
+          case "mdat" =>
+            mbytes = sz - hdr
+            var i = b; var s = 0L
+            while (i < o + sz) { s += p(i.toInt) & 0xff; i += 1 }
+            msum = s
+          case _ => // unknown box: skipped by its own framing
+        }
+        o += sz
+      }
+      if (o != end) ok = false // trailing junk shorter than a header
+    }
+    walk(0L, n.toLong, 0)
+    if (!ok || brand.isEmpty || tsc < 0 || w < 0 || nsamp < 0 || mbytes < 0)
+      bad
+    else Mp4Features(id, "mp4", brand, tsc, dur, w, h, nsamp, sbytes,
+      mbytes, msum, boxes)
+  }
+
+  /** Batch MP4 feature extraction, same row-local shape as the other
+    * decoders. */
+  def extractMp4Features(media: DataFrame): Dataset[Mp4Features] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeMp4(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

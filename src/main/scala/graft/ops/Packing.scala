@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,14 +66,16 @@ object Packing {
     *
     * Two-stage shape, deliberately: the bucket BOUNDARIES are model
     * state (nBuckets−1 interpolated quantiles of the token count —
-    * [[Percentiles]]' exact bounded-memory rank selection over ONE
-    * group), and the ASSIGNMENT is a stateless comparison map against
-    * the broadcast one-row boundary relation — scan speed, no shuffle,
-    * no global sort of the corpus. At 100 TB the exact boundary pass
-    * (a single-group sort) is the part to swap for the GK sketch tier
-    * ([[Approx.approxPercentiles]]) — the assignment stage is
-    * unchanged; the gate runs the exact tier so the oracle
-    * (quantile_cont) hash-matches.
+    * [[Percentiles.exactGlobal]]'s two-level rank selection over the
+    * distinct-count histogram: no unpartitioned window ever touches
+    * per-document rows), and the ASSIGNMENT is a stateless comparison
+    * map against the broadcast one-row boundary relation — scan speed,
+    * no shuffle, no global sort of the corpus. The sketch tier
+    * ([[lengthBucketsApproxVerified]]) swaps the exact boundary pass
+    * for GK `percentile_approx` with the assignment stage unchanged;
+    * the exact tier gates against the oracle's quantile_cont
+    * hash-for-hash, the sketch tier gates through an error-budget
+    * verdict (pack_length_buckets_gk).
     *
     * Integer token counts compare against 4dp-rounded boundary doubles
     * identically in both engines (the interpolation is bit-identical —
@@ -89,9 +91,7 @@ object Packing {
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcts = (1 until nBuckets).map(i => (s"b$i", i.toDouble / nBuckets))
-    val bounds = Percentiles.exact(
-        toks.withColumn("g", lit(1)), "g", "n_tokens", pcts)
-      .drop("g", "n")
+    val bounds = Percentiles.exactGlobal(toks, "n_tokens", pcts).drop("n")
     // one-row model relation: the broadcast NLJ here is a constant
     // attach, the sim_topk_brute pattern
     toks.join(broadcast(bounds))
@@ -99,5 +99,53 @@ object Packing {
         (1 until nBuckets).map(i =>
           (col("n_tokens") > col(s"b$i")).cast("long")).reduce(_ + _) + 1)
       .select("doc_id", "n_tokens", "bucket")
+  }
+
+  /** Sketch tier of [[lengthBuckets]] under the in-plan verification
+    * harness (graft.ops.Approx object doc): boundaries come from the
+    * GK quantile sketch (percentile_approx — bounded mergeable buffer,
+    * ONE pass, the 100 TB path: no histogram, no rank selection), the
+    * assignment stage is [[lengthBuckets]]'s comparison map unchanged,
+    * and the output reduces the sketch to integer verdicts the oracle
+    * reproduces as constants: for each boundary b_i the recounted rank
+    * r_i = |{x ≤ b_i}| must sit within the sketch's rank guarantee of
+    * target i·nv/nBuckets —
+    *
+    *   |r_i·nBuckets − nv·i| ≤ (2·nv/accuracy + t_i + 2)·nBuckets
+    *
+    * where t_i (the tie count AT b_i, recounted on the same pass)
+    * covers count-≤ discretization on heavily tied integer token
+    * counts: GK certifies a rank INSIDE b_i's tie block while count-≤
+    * reads the block's upper edge, so the tie mass is legitimate slack
+    * on top of the 2·eps·n sketch budget — without it the verdict
+    * would flake on any corpus with a popular document length. All
+    * comparisons are integer-scaled (×nBuckets) — no FP hazard in any
+    * engine. Output: ONE row (n, ok1..ok{nBuckets−1}); a sketch
+    * drifting past its budget flips a verdict and fails the hash. */
+  def lengthBucketsApproxVerified(docs: DataFrame, nBuckets: Int = 4,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100,
+      s"nBuckets must be in [2, 100], got $nBuckets")
+    val toks = docs.select(
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    // one-row sketch relation: GK state is the only thing that leaves
+    // the first pass; the rank recount broadcasts it back over the rows
+    val bounds = toks.agg(
+        percentile_approx(col("n_tokens"), array(qs: _*), lit(accuracy)).as("q"),
+        count(lit(1)).as("n"), count(col("n_tokens")).as("nv"))
+      .select((1 until nBuckets).map(i => element_at(col("q"), i).as(s"b$i")) ++
+        Seq(col("n"), col("nv")): _*)
+    val recount = (1 until nBuckets).flatMap(i => Seq(
+      sum(when(col("n_tokens") <= col(s"b$i"), 1L).otherwise(0L)).as(s"r$i"),
+      sum(when(col("n_tokens") === col(s"b$i"), 1L).otherwise(0L)).as(s"t$i"))) ++
+      Seq(first(col("n")).as("n"), first(col("nv")).as("nv"))
+    val ranks = toks.crossJoin(broadcast(bounds))
+      .agg(recount.head, recount.tail: _*)
+    def ok(i: Int): Column =
+      (abs(col(s"r$i") * nBuckets - col("nv") * i) <=
+        (col("nv") * 2 / accuracy + col(s"t$i") + 2) * nBuckets)
+        .cast("long").as(s"ok$i")
+    ranks.select(col("n") +: (1 until nBuckets).map(ok): _*)
   }
 }

@@ -45,6 +45,78 @@ object Percentiles {
       pcts: Seq[(String, Double)]): DataFrame =
     exactImpl(df, key, value, pcts, round4 = true)
 
+  /** Exact GLOBAL (one-group) percentiles with NO unpartitioned window
+    * over the data: the degenerate case where [[exact]]'s per-group
+    * sort would collapse to a single-partition corpus sort (Catalyst
+    * folds a constant partition key away and Spark warns "No Partition
+    * Defined for Window operation" — every row through one task).
+    *
+    * Two-level rank selection, the pack_sequences discipline
+    * (graft.ops.Packing.sequenceSpans):
+    *
+    *  1. collapse rows to a DISTINCT-VALUE histogram — a plain
+    *     map-side-combinable `groupBy(value).count()`, fully parallel;
+    *  2. cumulative counts over the histogram via a two-level prefix
+    *     scan: within-shard windows partitioned by `shard =
+    *     value div shardSize` (parallel; for integral values each
+    *     shard holds ≤ shardSize distinct values by construction),
+    *     then a prefix over the one-row-per-shard relation — the only
+    *     unpartitioned window, over value-range/shardSize rows;
+    *  3. each quantile needs the values at ranks floor(pos)+1 and
+    *     ceil(pos)+1 (pos = q·(nv−1)): a rank r is covered by the
+    *     unique histogram row with cum−c < r ≤ cum, so at most
+    *     2·|pcts| histogram rows survive the filter into a global
+    *     aggregate; interpolation is [[exact]]'s formula verbatim
+    *     (bit-identical to quantile_cont — object doc above).
+    *
+    * Equal values share one histogram row, so tie-rank arbitrariness
+    * cannot change the picked values — same invariant as [[exact]].
+    * Nulls are ignored for ranking (nv) while `n` counts all rows;
+    * an all-null input emits null percentiles with its count, like
+    * percentile(). Output: one row (pct columns…, n). */
+  def exactGlobal(df: DataFrame, value: String,
+      pcts: Seq[(String, Double)], shardSize: Long = 1024L): DataFrame = {
+    require(shardSize >= 1)
+    val totals = df.agg(count(lit(1)).as("n"), count(col(value)).as("nv"))
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(value).as("v")).agg(count(lit(1)).as("c"))
+      // floor division is monotone in v, so shards are contiguous,
+      // ordered value ranges — shard prefix + in-shard prefix is the
+      // global cumulative count
+      .withColumn("shard",
+        floor(col("v").cast("double") / lit(shardSize.toDouble)).cast("long"))
+    val inShard = Window.partitionBy("shard").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = hist.withColumn("local_cum", sum("c").over(inShard))
+    val shardPrefix = hist.groupBy("shard").agg(sum("c").as("sc"))
+      .withColumn("shard_off", coalesce(sum("sc").over(
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard"), col("shard_off"))
+    val cum = withLocal.join(broadcast(shardPrefix), "shard")
+      .withColumn("cum", col("shard_off") + col("local_cum"))
+      .crossJoin(broadcast(totals.select(col("nv").as("__nv"))))
+    def pos(q: Double): Column = lit(q) * (col("__nv") - 1).cast("double")
+    def covers(r: Column): Column = col("cum") - col("c") < r && r <= col("cum")
+    val needed = pcts.map { case (_, q) =>
+      covers(floor(pos(q)) + 1) || covers(ceil(pos(q)) + 1) }.reduce(_ || _)
+    val aggs = pcts.flatMap { case (name, q) => Seq(
+      max(when(covers(floor(pos(q)) + 1), col("v"))).as(s"${name}_lo"),
+      max(when(covers(ceil(pos(q)) + 1), col("v"))).as(s"${name}_hi")) }
+    // global agg over the ≤ 2·|pcts| surviving rows; an empty input
+    // still yields the one (all-null) row a global aggregate emits
+    val picked = cum.filter(needed).agg(aggs.head, aggs.tail: _*)
+    def interp(name: String, q: Double): Column = {
+      val p = lit(q) * (col("nv") - 1).cast("double")
+      val raw = when(floor(p) === ceil(p), col(s"${name}_lo"))
+        .otherwise((ceil(p) - p) * col(s"${name}_lo") +
+          (p - floor(p)) * col(s"${name}_hi"))
+      round(raw, 4).as(name)
+    }
+    broadcast(totals).crossJoin(picked)
+      .select(pcts.map { case (nm, q) => interp(nm, q) } :+ col("n"): _*)
+  }
+
   /** [[exact]] without the 4dp gate rounding — the raw interpolated
     * doubles, used by PercentilesSpec's boundary-margin invariant
     * (which checks the rounding itself is cross-engine safe). */

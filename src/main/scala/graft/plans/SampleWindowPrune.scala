@@ -78,12 +78,22 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
+  /** The NTZ micros projection reads `unix_micros(cast(ntz as
+    * timestamp))` where the cast's zone resolves from the SESSION
+    * timezone — the bound translation back into NTZ literals is exact
+    * only under UTC (Tables.load pins it; Tables.assertUtc fails other
+    * entry points loudly). Under any other zone this rule must DEGRADE
+    * to not pruning, never emit bounds shifted by the zone offset. */
+  private def ntzTranslationSafe: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone == "UTC"
+
   /** The timestamp operand inside the window arithmetic: a bare column
     * (scale 1), a truncating unit projection `raw div scale` (the
     * micros-over-nanos-Long fixture encoding), or the EXACT micros
     * projection `unix_micros(cast(raw as timestamp))` over a
     * TIMESTAMP_NTZ raw column (the micros fixture encoding — scale 1,
-    * bijective, so every translation below is exact). Bounds emitted
+    * bijective, so every translation below is exact under the UTC
+    * session zone [[ntzTranslationSafe]] requires). Bounds emitted
     * against a non-Long raw column are typed literals of the column's
     * own type ([[rawLit]]) so they stay pushable bare comparisons. */
   private def tsOperand(e: Expression): Option[(AttributeReference, Long)] =
@@ -95,7 +105,8 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
           Literal(d: Long, LongType), _) if d > 0 => Some((a, d))
       case UnixMicros(c: Cast) if c.dataType == TimestampType =>
         c.child match {
-          case a: AttributeReference if a.dataType == TimestampNTZType =>
+          case a: AttributeReference
+              if a.dataType == TimestampNTZType && ntzTranslationSafe =>
             Some((a, 1L))
           case _ => None
         }
@@ -311,7 +322,7 @@ object SampleWindowPrune extends Rule[LogicalPlan] with PredicateHelper {
               // NTZ-typed literals via rawLit
               case al @ Alias(UnixMicros(c: Cast), _)
                   if al.exprId == a.exprId && inlineScale == 1 &&
-                    c.dataType == TimestampType &&
+                    c.dataType == TimestampType && ntzTranslationSafe &&
                     (c.child match {
                       case raw: AttributeReference =>
                         raw.dataType == TimestampNTZType &&

@@ -355,6 +355,13 @@ object StreamSurface {
     "mm_tiff" -> ((s, dir) =>
       Multimodal.extractTiffFeatures(
         Multimodal.tiffFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // container tier: recursive length-framed ISO-BMFF box walk —
+    // layout alternates faststart/capture by id parity and every 7th
+    // mdat uses the u64 largesize escape, so ordering or framing
+    // assumptions fail deterministic row slices
+    "mm_mp4" -> ((s, dir) =>
+      Multimodal.extractMp4Features(
+        Multimodal.mp4FromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -526,6 +533,23 @@ object StreamSurface {
         |  CAST(3 * w * h AS BIGINT) AS strip_bytes,
         |  CAST(3 * w * h * fill AS BIGINT) AS pixel_checksum
         |FROM m""".stripMargin,
+    // closed form from the shared geometry: 12 boxes, stsz entry i is
+    // 1 + (fill+i) % 97 (summed via unnest — the table read and the
+    // mdat framing must agree on the same total), constant-fill mdat
+    "mm_mp4" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill, 16 + doc_id % 97 AS w,
+        |  16 + doc_id % 53 AS h, 64 + doc_id % 129 AS ns,
+        |  600 + doc_id % 1234 AS dur FROM documents),
+        |sz AS (SELECT doc_id, sum(1 + (fill + s) % 97) AS sb
+        |  FROM (SELECT doc_id, fill, unnest(range(ns)) AS s FROM m) GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'mp4' AS format, 'isom' AS major_brand,
+        |  CAST(600 AS BIGINT) AS timescale, CAST(dur AS BIGINT) AS duration,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(ns AS BIGINT) AS n_samples, CAST(sb AS BIGINT) AS sample_bytes,
+        |  CAST(sb AS BIGINT) AS mdat_bytes,
+        |  CAST(sb * fill AS BIGINT) AS mdat_checksum,
+        |  CAST(12 AS BIGINT) AS n_boxes
+        |FROM m JOIN sz USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -196,12 +196,33 @@ object TextSurface {
     // scan speed
     "pack_length_buckets" -> ((s, dir) =>
       graft.ops.Packing.lengthBuckets(docs(s, dir), 4)),
+    // GK sketch tier of length bucketing (Packing.
+    // lengthBucketsApproxVerified): boundaries from percentile_approx
+    // reduced to tie-aware integer rank verdicts the oracle reproduces
+    // as constants — the agg_approx_percentiles gating pattern
+    "pack_length_buckets_gk" -> ((s, dir) =>
+      graft.ops.Packing.lengthBucketsApproxVerified(docs(s, dir), 4)),
     // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
     // language recipe against actual supply — binding stratum caps the
     // total, rates feed stratifiedHash (recipe shared with the oracle
     // builder so the two cannot drift)
     "mix_plan" -> ((s, dir) =>
       graft.ops.Mixing.plan(docs(s, dir), "lang", MIX_TARGETS.toMap)),
+    // URL/provenance canonicalization (graft.ops.UrlCanon): planted
+    // messy urls → C4/CCNet rule-chain canonical form + bare host —
+    // pure projection, scan speed
+    "text_url_canon" -> ((s, dir) =>
+      graft.ops.UrlCanon.canonicalizeUrls(docs(s, dir))),
+    // URL-grain exact dedup on the canonical key (C4's dedup grain):
+    // one groupBy; the plant collapses case/www/port/suffix/query
+    // variants so real duplicate groups exist by construction
+    "dedup_url" -> ((s, dir) =>
+      graft.ops.UrlCanon.dedupByUrl(docs(s, dir))),
+    // provenance-aware mixing: host strata from the canonical urls
+    // drive Mixing.plan's budgets — canonicalize → group by
+    // provenance → plan, the composed curation step
+    "mix_hosts" -> ((s, dir) =>
+      graft.ops.UrlCanon.hostMixPlan(docs(s, dir))),
     // rarity-weighted top terms per doc (integer-exact tf/df scoring —
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
@@ -678,6 +699,41 @@ object TextSurface {
          |    ELSE 0 END AS BIGINT) AS rate_bp
          |FROM per CROSS JOIN b""".stripMargin
     },
+    // the canonicalization CTE chain is rendered once in UrlCanon
+    // (canonCteSql) next to its Spark twin — rule-for-rule identical
+    "text_url_canon" ->
+      s"""WITH ${graft.ops.UrlCanon.canonCteSql}
+         |SELECT doc_id, url, url_canon, host FROM canon""".stripMargin,
+    "dedup_url" ->
+      s"""WITH ${graft.ops.UrlCanon.canonCteSql}
+         |SELECT url_canon, host, min(doc_id) AS keep_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_dups
+         |FROM canon GROUP BY 1, 2""".stripMargin,
+    "mix_hosts" -> {
+      val caseArms = graft.ops.UrlCanon.HOST_TARGETS.map { case (h, bp) =>
+        s"WHEN '$h' THEN $bp" }.mkString(" ")
+      val declList = graft.ops.UrlCanon.HOST_TARGETS
+        .map { case (h, _) => s"'$h'" }.mkString(", ")
+      s"""WITH ${graft.ops.UrlCanon.canonCteSql},
+         |per0 AS (SELECT host, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+         |  FROM documents JOIN canon USING (doc_id) GROUP BY 1),
+         |decl AS (SELECT unnest([$declList]) AS host),
+         |per AS (SELECT host,
+         |    CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |    CAST(CASE host $caseArms ELSE 0 END AS BIGINT) AS target_bp
+         |  FROM decl FULL OUTER JOIN per0 USING (host)),
+         |b AS (SELECT min(n_tokens * 10000 // target_bp) AS budget
+         |  FROM per WHERE target_bp > 0)
+         |SELECT host, n_docs, n_tokens, target_bp,
+         |  CAST(CASE WHEN target_bp > 0 THEN budget * target_bp // 10000
+         |    ELSE 0 END AS BIGINT) AS take_tokens,
+         |  CAST(CASE WHEN target_bp > 0 AND n_tokens > 0
+         |    THEN (budget * target_bp // 10000) * 10000 // n_tokens
+         |    ELSE 0 END AS BIGINT) AS rate_bp
+         |FROM per CROSS JOIN b""".stripMargin
+    },
     "dedup_incremental" -> incrementalOracle,
     "decontam_overlap" -> decontamOracle,
     "text_pii_redact" -> {
@@ -708,6 +764,12 @@ object TextSurface {
         |  CAST(1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
         |    + CAST(n_tokens > b3 AS INT) AS BIGINT) AS bucket
         |FROM t, b""".stripMargin,
+    // sketch-tier verdicts gate as constants (Approx object doc)
+    "pack_length_buckets_gk" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS ok1, CAST(1 AS BIGINT) AS ok2,
+        |  CAST(1 AS BIGINT) AS ok3
+        |FROM documents""".stripMargin,
     "text_similar_rare" ->
       s"""WITH $SHINGLE_CTES,
          |h AS (SELECT doc_id, ${h60sql("sh")} AS th FROM s),

@@ -41,6 +41,25 @@ class TokenCountsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("multi-char full-lowercase canary: walk matches the regex chain on U+0130/U+01F0") {
+    GraftFunctions.register(spark)
+    // U+0130 İ lowers to 'i' + combining U+0307 (a 1:M SpecialCasing
+    // expansion): the stripped combining mark must SPLIT the token in
+    // the walk exactly as it does in the regex chain. U+01F0 ǰ and the
+    // ligature ﬁ (U+FB01, uppercase-only expansion — lowercase stable)
+    // plus a surrogate-pair char round out the class.
+    val texts = Seq("xİy", "İstanbul İİ abǰcd", "aﬁb",
+      "e𐐀f", "İ", "AİZ9")
+    val got = texts.toDF("text")
+      .selectExpr("norm_ngram_counts(text, 1) AS m").collect()
+      .map(_.getMap[String, Long](0))
+    val want = texts.toDF("text")
+      .selectExpr(
+        "token_counts(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))) AS m")
+      .collect().map(_.getMap[String, Long](0))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("norm_ngram_counts(n=2): sliding bigram multiplicities; short docs empty") {
     GraftFunctions.register(spark)
     val m = Seq("a b a b a").toDF("t")

@@ -413,4 +413,42 @@ class MultimodalSpec extends AnyFunSuite {
     // a GIF payload is a clean unknown for the TIFF decoder
     assert(Multimodal.decodeTiff(0L, Multimodal.buildGifPayload(0L)).format == "unknown")
   }
+
+  test("MP4: both layouts and the largesize escape decode to the oracle arithmetic") {
+    // 0/42 faststart+largesize-eligible(0,7|0), 1/13 capture layout,
+    // 7 capture+largesize, 14 faststart+largesize
+    Seq(0L, 1L, 7L, 13L, 14L, 42L, 251L).foreach { id =>
+      val f = Multimodal.decodeMp4(id, Multimodal.buildMp4Payload(id))
+      val w = 16 + id % 97; val h = 16 + id % 53; val fill = id % 251
+      val ns = (64 + id % 129).toInt
+      val sb = (0 until ns).map(i => 1 + (fill + i) % 97).sum
+      assert(f.format == "mp4" && f.major_brand == "isom", s"id $id")
+      assert(f.timescale == 600 && f.duration == 600 + id % 1234)
+      assert(f.width == w && f.height == h, s"id $id geometry")
+      assert(f.n_samples == ns && f.sample_bytes == sb, s"id $id stsz")
+      assert(f.mdat_bytes == sb && f.mdat_checksum == sb * fill, s"id $id mdat")
+      assert(f.n_boxes == 12, s"id $id boxes")
+    }
+  }
+
+  test("MP4: malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildMp4Payload(6L)
+    val cases = Seq(
+      Array[Byte](1, 2, 3),            // not a box
+      good.take(6),                    // truncated mid-header
+      good.take(good.length - 5),      // final box overruns its size
+      { val c = good.clone(); c(0) = 0x7f; c }, // ftyp size > file
+      good ++ Array[Byte](0, 0, 0, 9), // trailing junk < one header
+      { // nested box size past its parent: moov walk must reject
+        val c = Multimodal.buildMp4Payload(6L)
+        // moov starts after the 24-byte ftyp; corrupt mvhd's size
+        c(24 + 8 + 3) = (c(24 + 8 + 3) | 0x70).toByte; c
+      })
+    cases.zipWithIndex.foreach { case (p, i) =>
+      assert(Multimodal.decodeMp4(i.toLong, p).format == "unknown", s"case $i")
+    }
+    // sibling-format payloads are clean unknowns
+    assert(Multimodal.decodeMp4(0L, Multimodal.buildTiffPayload(0L)).format == "unknown")
+    assert(Multimodal.decodeMp4(0L, Multimodal.buildGifPayload(0L)).format == "unknown")
+  }
 }

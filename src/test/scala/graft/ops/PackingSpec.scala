@@ -86,4 +86,44 @@ class PackingSpec extends AnyFunSuite {
     buckets.foreach { case (_, bs) => assert(bs.map(_._2).distinct.length == 1) }
     spark.catalog.clearCache()
   }
+
+  test("exactGlobal matches the per-group exact tier, several shard sizes") {
+    val vals = (Seq.fill[Option[Long]](3)(None) ++
+      Seq(5L, 1L, 9L, 2L, 2L, 7L, 300L, 1024L, 1025L, 4096L).map(Option(_)))
+      .toDF("x")
+    val pcts = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+    val expected = Percentiles.exact(vals.withColumn("g", lit(1)), "g", "x", pcts)
+      .drop("g").collect().map(_.toSeq).toSet
+    for (shard <- Seq(1L, 7L, 1024L)) {
+      val got = Percentiles.exactGlobal(vals, "x", pcts, shard).collect()
+      assert(got.map(_.toSeq).toSet == expected, s"shardSize=$shard diverged")
+    }
+    // all-null input: null percentiles, full count — like percentile()
+    val allNull = Seq.fill[Option[Long]](4)(None).toDF("x")
+    val r = Percentiles.exactGlobal(allNull, "x", pcts).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) == 4L)
+  }
+
+  test("length buckets: no unpartitioned window ever touches token rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Packing.lengthBuckets(docs, 4).queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    // every value-ordered window must be shard-partitioned; the only
+    // unpartitioned window orders by shard — the histogram-shard
+    // relation (value-range/shardSize rows), never document rows
+    windows.filter(_.contains("v#")).foreach { w =>
+      assert(w.contains("shard"), s"unpartitioned value window: $w")
+    }
+    assert(!plan.contains("windowspecdefinition(n_tokens"),
+      "boundary pass sorts the token relation globally")
+    spark.catalog.clearCache()
+  }
+
+  test("GK sketch tier: verdicts hold on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = Packing.lengthBucketsApproxVerified(docs, 4).collect()(0)
+    assert(r.getLong(0) == docs.count())
+    (1 to 3).foreach(i => assert(r.getLong(i) == 1L, s"ok$i verdict red"))
+  }
 }

@@ -39,10 +39,15 @@ def main(out_dir: str, mult: int, src: str) -> None:
     n = src_n * mult
     rng = np.random.default_rng(43)
     # strictly-increasing timestamps: exponential inter-arrivals scaled
-    # to fill the span exactly (serial arrival order = event_id order)
+    # to fill the span (±1 us), made strictly monotone by a +event_id
+    # offset on top of the non-decreasing floor (floor-to-micros plus
+    # maximum.accumulate alone only guarantees NON-decreasing — at high
+    # multiples duplicate ts become likely and break the tie-sensitive
+    # window/as-of proofs this fixture exists for)
     gaps = rng.exponential(1.0, n)
-    ts = T0_US + np.floor(np.cumsum(gaps) / gaps.sum() * SPAN_US).astype(np.int64)
-    ts = np.maximum.accumulate(ts)  # monotone under float rounding
+    base = np.floor(np.cumsum(gaps) / gaps.sum() * (SPAN_US - n)).astype(np.int64)
+    ts = T0_US + np.maximum.accumulate(base) + np.arange(n, dtype=np.int64)
+    assert (np.diff(ts) > 0).all(), "ts must be strictly increasing"
     tbl = pa.table({
         "event_id": pa.array(np.arange(n, dtype=np.int64)),
         "ts": pa.array(ts, type=pa.timestamp("us")),
