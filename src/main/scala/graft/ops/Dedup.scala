@@ -855,24 +855,31 @@ object Dedup {
     * Output: (doc_id, n_tokens, covered_tokens, covered_bp); docs with
     * no duplicated span (or fewer than `spanTokens` tokens) kept with
     * zero coverage. */
-  def dupSpanCoverage(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
-    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val n = spanTokens
-    // (doc_id, pos, gh): position-indexed gram hashes — feeds BOTH the
-    // duplicated-gram census and the coverage window; persist so the
-    // tokenize+hash scan runs once (caller releases via clearCache)
-    val grams = docs
+  /** (doc_id, pos, gh): position-indexed `n`-gram hashes — the shared
+    * front half of [[dupSpanCoverage]] and [[applySpanDedup]];
+    * persisted so the tokenize+hash scan runs once (caller releases
+    * via clearCache, the shared-relation convention). */
+  private def positionedGramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(expr(s"word_ngrams_all(text, $n)")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         TextFns.h60(col("gram")).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // distinct (doc, gram) first so within-doc repeats don't count as
-    // cross-doc sharing; count(*) per gh then = distinct carrying docs
-    val dup = grams.select("doc_id", "gh").distinct()
+
+  /** Grams occurring in >= 2 DISTINCT documents (distinct (doc, gram)
+    * first so within-doc repeats don't count as cross-doc sharing). */
+  private def crossDocDupGrams(grams: DataFrame): DataFrame =
+    grams.select("doc_id", "gh").distinct()
       .groupBy("gh").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gh")
+
+  def dupSpanCoverage(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val n = spanTokens
+    val grams = positionedGramHashes(docs, n)
+    val dup = crossDocDupGrams(grams)
     // interval union per doc over duplicated positions only: running
     // max of previous interval ends; each row adds its uncovered tail
     val w = org.apache.spark.sql.expressions.Window
@@ -893,5 +900,46 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
       .withColumn("covered_bp",
         expr("covered_tokens * 10000 div greatest(n_tokens, 1)"))
+  }
+
+  /** The curation ACTION behind [[dupSpanCoverage]]'s signal: TRIM
+    * every cross-doc-duplicated span out of the kept text (the
+    * "Deduplicating Training Data" class of substring dedup applied
+    * at paragraph/span grain — coverage tells you how much boilerplate
+    * a doc carries; this removes it). Deterministic policy, stated:
+    * a token is dropped iff SOME duplicated `spanTokens`-gram covers
+    * it (ALL occurrences go — symmetric trim, no canonical-copy
+    * election), survivors are re-joined single-spaced in original
+    * order. The oracle replays the identical token-interval arithmetic
+    * and compares the md5 of the rebuilt text.
+    *
+    * Shape at scale: the gram census is [[dupSpanCoverage]]'s
+    * (8-byte hashes before the one shuffle); duplicated POSITIONS per
+    * doc collapse to one sorted array row (bounded by the doc's own
+    * gram count), and the trim itself is a codegen'd higher-order
+    * filter over the token array — no per-token explode, no second
+    * shuffle, no string surgery on char offsets.
+    *
+    * Output: (doc_id, n_tokens, kept_tokens, trimmed_fp, trimmed_len);
+    * docs with nothing duplicated keep all tokens (fp of the
+    * space-rejoined raw token stream — the normText-free analog). */
+  def applySpanDedup(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val n = spanTokens
+    val grams = positionedGramHashes(docs, n)
+    val dup = crossDocDupGrams(grams)
+    val dps = grams.join(dup, "gh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("pos")).as("dps"))
+    docs.join(dps, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "word_ngrams_all(text, 1) AS toks",
+        "coalesce(dps, CAST(array() AS array<bigint>)) AS dps")
+      .selectExpr("doc_id", "CAST(size(toks) AS bigint) AS n_tokens",
+        s"filter(toks, (t, i) -> NOT exists(dps, p -> i >= p AND i < p + $n)) AS kept")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(kept) AS bigint) AS kept_tokens",
+        "md5(array_join(kept, ' ')) AS trimmed_fp",
+        "CAST(length(array_join(kept, ' ')) AS bigint) AS trimmed_len")
   }
 }

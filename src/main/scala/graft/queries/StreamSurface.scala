@@ -293,7 +293,27 @@ object StreamSurface {
       "append")
   }
 
+  /** Streaming as-of join: the event stream annotated with the user's
+    * most recent click at-or-before each event ([[graft.streaming
+    * .StreamingIngest.asOfAnnotate]] — per-user carry state in
+    * flatMapGroupsWithState, since window functions can't run on a
+    * stream). The staged source delivers one batch, where the
+    * two-pointer merge reproduces the batch operator exactly — so the
+    * batch asof_join oracle applies verbatim (stream≡batch parity for
+    * the as-of family). */
+  private def streamAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    import s.implicits._
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamingIngest.AsOfEvent]
+    runToTable(s,
+      graft.streaming.StreamingIngest.asOfAnnotate(stream).toDF(), "append")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_asof_join" -> streamAsofJoin,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
@@ -365,6 +385,16 @@ object StreamSurface {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the batch as-of oracle verbatim (DuckDB's NATIVE ASOF JOIN):
+    // the staged single batch makes stream ≡ batch for the carry
+    "stream_asof_join" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type, value FROM events),
+        |l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),
+        |r AS (SELECT user_id, timestamp, max(value) AS click_value FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.timestamp, l.value, r.click_value AS last_click
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.timestamp >= r.timestamp""".stripMargin,
     // the batch self-join twin of the streaming interval join, in
     // epoch-micros (30 min = 1.8e9 us; closed interval both ends)
     "stream_interval_join" ->

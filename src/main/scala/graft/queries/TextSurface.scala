@@ -311,6 +311,12 @@ object TextSurface {
     // alignment-free span-dedup signal fixed blocks miss at boundaries
     "text_dup_spans" -> ((s, dir) =>
       Dedup.dupSpanCoverage(docs(s, dir), DUP_TOKENS)),
+    // span-dedup APPLY (Dedup.applySpanDedup): trim every cross-doc
+    // duplicated span from the kept text — the curation action behind
+    // the coverage signal; oracle replays the token-interval
+    // arithmetic and hashes the rebuilt text
+    "text_dedup_spans_apply" -> ((s, dir) =>
+      Dedup.applySpanDedup(docs(s, dir), DUP_TOKENS)),
     // sparse doc similarity (Terms.similarDocsByRareFeatures):
     // inverted-index candidates on rare shingles (df ≤ 10), exact
     // shared-feature counts — the text-side LSH-bucket analog
@@ -854,6 +860,35 @@ object TextSurface {
          |  CAST(coalesce(covered, 0) * 10000 //
          |    greatest(n_tokens, 1) AS BIGINT) AS covered_bp
          |FROM tok LEFT JOIN per USING (doc_id)""".stripMargin,
+    // replays applySpanDedup's token-interval arithmetic: duplicated
+    // gram positions expand to covered token indices (pos+0..n-1), an
+    // anti join keeps the uncovered tokens, string_agg in position
+    // order rebuilds the trimmed text for the md5 compare
+    "text_dedup_spans_apply" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - ${DUP_TOKENS - 1}, 0))) AS pos FROM t),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ${h60sql(
+        s"array_to_string(list_slice(toks, pos+1, pos+$DUP_TOKENS), ' ')")} AS gh
+         |  FROM g),
+         |dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM h)
+         |  GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT hd.doc_id, hd.pos + o.g AS i
+         |  FROM (SELECT h.doc_id, h.pos FROM h JOIN dup USING (gh)) hd
+         |  CROSS JOIN (SELECT unnest(range($DUP_TOKENS)) AS g) o),
+         |tok AS (SELECT doc_id, CAST(ti AS BIGINT) AS i, toks[ti + 1] AS w
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS ti FROM t)),
+         |kept AS (SELECT tok.doc_id, tok.i, tok.w
+         |  FROM tok ANTI JOIN cov USING (doc_id, i)),
+         |trimmed AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS tt,
+         |    count(*) AS kt FROM kept GROUP BY 1),
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT nt.doc_id, n_tokens,
+         |  CAST(coalesce(kt, 0) AS BIGINT) AS kept_tokens,
+         |  md5(coalesce(tt, '')) AS trimmed_fp,
+         |  CAST(length(coalesce(tt, '')) AS BIGINT) AS trimmed_len
+         |FROM nt LEFT JOIN trimmed USING (doc_id)""".stripMargin,
     // same bucket/weight arithmetic over unnested tokens (one row per
     // OCCURRENCE = the tf-weighted fold); empty-norm docs left-join 0s
     "text_classifier" -> classifierOracle,

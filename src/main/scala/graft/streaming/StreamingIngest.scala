@@ -121,6 +121,68 @@ object StreamingIngest {
           .as("gap_us"))
   }
 
+  final case class AsOfEvent(timestamp: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class AsOfAnnotated(user_id: Long, timestamp: Long,
+      value: Double, last_click: Option[Double])
+  final case class LastCause(ts: Long, v: Double)
+
+  /** Streaming BACKWARD as-of join — the reference's ts_find analog
+    * under continuous ingest (every arriving event annotated with the
+    * user's most recent `causeType` value at-or-before it), and the
+    * streaming twin of graft.ops.AsOfJoin.backward. Structured
+    * Streaming forbids window functions, so the union+carry window
+    * can't run on a stream; the carry IS per-key state, which is
+    * exactly what `flatMapGroupsWithState` models: one LastCause
+    * struct per user (bounded by the key space, the topk_records
+    * state discipline), merged across micro-batches.
+    *
+    * Per batch and key: causes collapse per timestamp to their MAX
+    * value (the batch gate's groupBy(user, ts).agg(max) right-side
+    * normalization), both sides sort by event time, and a two-pointer
+    * merge carries the latest cause at-or-before each left row —
+    * within a batch this reproduces the batch operator exactly
+    * (inclusive >=, same tie policy). Across batches the carry
+    * assumes event time advances batch-over-batch (the ordered-replay
+    * contract of the staged source; a stale state never overwrites a
+    * newer cause). Left rows sort (ts, value) so equal-ts output
+    * order is deterministic. */
+  def asOfAnnotate(events: org.apache.spark.sql.Dataset[AsOfEvent],
+      causeType: String = "click")
+      : org.apache.spark.sql.Dataset[AsOfAnnotated] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastCause, AsOfAnnotated](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state: GroupState[LastCause]) =>
+          val evs = batch.toArray
+          val causes = evs.filter(_.event_type == causeType)
+            .groupBy(_.timestamp)
+            .map { case (ts, es) => LastCause(ts, es.map(_.value).max) }
+            .toArray.sortBy(_.ts)
+          val lefts = evs.filter(_.event_type != causeType)
+            .sortBy(e => (e.timestamp, e.value))
+          var cur = state.getOption.orNull
+          var ci = 0
+          val out = new scala.collection.mutable.ArrayBuffer[AsOfAnnotated](lefts.length)
+          lefts.foreach { e =>
+            while (ci < causes.length && causes(ci).ts <= e.timestamp) {
+              if (cur == null || causes(ci).ts >= cur.ts) cur = causes(ci)
+              ci += 1
+            }
+            out += AsOfAnnotated(uid, e.timestamp, e.value,
+              Option(cur).map(_.v))
+          }
+          while (ci < causes.length) {
+            if (cur == null || causes(ci).ts >= cur.ts) cur = causes(ci)
+            ci += 1
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
   final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
   final case class UserSnapshot(user_id: Long, n_events: Long,

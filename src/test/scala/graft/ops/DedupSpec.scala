@@ -205,6 +205,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 10000L)))
   }
 
+  test("applySpanDedup trims exactly the union of duplicated span windows") {
+    // n=3 grams: docs 0/1 share [c d e] (positions 2 and 0) — doc 0
+    // loses tokens 2-4, doc 1 loses 0-2; doc 2 shares nothing; doc 3
+    // repeats a gram only WITHIN itself (not cross-doc → untouched)
+    val d = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "c d e x y"),
+      (2L, "p q r s"),
+      (3L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.applySpanDedup(d, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L) == ((7L, 4L, fp("a b f g"), 7L)))
+    assert(out(1L) == ((5L, 2L, fp("x y"), 3L)))
+    assert(out(2L) == ((4L, 4L, fp("p q r s"), 7L)))
+    assert(out(3L) == ((9L, 9L, fp("m n o m n o m n o"), 17L)))
+    spark.catalog.clearCache()
+  }
+
   test("suppressBlocklist: exact under any bloom sizing, normalization-aware") {
     val corpus = Seq(
       (0L, "the quick brown fox", "en", "s0", 19L),

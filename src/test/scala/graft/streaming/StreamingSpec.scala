@@ -217,6 +217,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(3L) == ((3L, 1L, 9.0, 50L)))
   }
 
+  test("streaming as-of join carries the last cause across micro-batches") {
+    import spark.implicits._
+    val src = s"$tmp/src_asof"
+    def writeBatch(events: Seq[StreamingIngest.AsOfEvent]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: a click at 100, events straddling it; a tied-ts click
+    // pair at 100 must resolve to the MAX value (the batch policy)
+    writeBatch(Seq(
+      StreamingIngest.AsOfEvent(50L, 1L, "view", 1.0),
+      StreamingIngest.AsOfEvent(100L, 1L, "click", 3.0),
+      StreamingIngest.AsOfEvent(100L, 1L, "click", 7.0),
+      StreamingIngest.AsOfEvent(100L, 1L, "view", 2.0), // inclusive >=
+      StreamingIngest.AsOfEvent(150L, 1L, "view", 4.0)))
+
+    val schema = org.apache.spark.sql.Encoders.product[StreamingIngest.AsOfEvent].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[StreamingIngest.AsOfEvent]
+    val q = StreamingIngest.asOfAnnotate(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: carry from batch 1's click until the fresh one lands
+      writeBatch(Seq(
+        StreamingIngest.AsOfEvent(200L, 1L, "view", 5.0),
+        StreamingIngest.AsOfEvent(250L, 1L, "click", 9.0),
+        StreamingIngest.AsOfEvent(300L, 1L, "view", 6.0),
+        StreamingIngest.AsOfEvent(10L, 2L, "view", 8.0))) // no cause ever
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("asof_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got((1L, 50L)) == None)        // before any click
+    assert(got((1L, 100L)) == Some(7.0))  // tied clicks -> max, inclusive
+    assert(got((1L, 150L)) == Some(7.0))
+    assert(got((1L, 200L)) == Some(7.0))  // carried across the batch gap
+    assert(got((1L, 300L)) == Some(9.0))  // fresh cause wins
+    assert(got((2L, 10L)) == None)        // causeless user
+  }
+
   test("watermarked append-mode counts emit only closed windows, all correct") {
     import spark.implicits._
     val src = s"$tmp/src3"
