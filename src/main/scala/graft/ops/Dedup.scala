@@ -62,6 +62,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-CONTAINMENT pairs (RefinedWeb / "one doc is mostly inside the
+    * other" dedup — Jaccard misses these when sizes differ: a 10-token
+    * snippet fully embedded in a 100-token page has J ≈ 0.1 but
+    * containment 1.0). Score = |A ∩ B| / min(|A|, |B|) over distinct
+    * shingle sets, thresholded on the 4dp-rounded value.
+    *
+    * Candidate generation is the df-CEILING posting-list shape (the
+    * Terms.similarDocsByRareFeatures discipline, NOT the all-pairs
+    * shingle self-join of [[ngramJaccardPairs]]): only shingles shared
+    * by 2..maxDf documents expand to pairs, so per-shingle fan-out is
+    * provably ≤ maxDf·(maxDf−1)/2 and the total candidate volume is
+    * linear in corpus size for any fixed ceiling. Candidates then pay
+    * the exact verification of [[minhashLshPairs]]: array_intersect
+    * over the cached per-doc distinct shingle arrays, in-row, no
+    * second shuffle over the corpus.
+    *
+    * Recall semantics, stated: a qualifying pair is emitted iff it
+    * shares at least one shingle with df ≤ maxDf — boilerplate-only
+    * overlap (every shared shingle corpus-common) is deliberately out
+    * of scope, exactly the blind spot the ceiling buys scalability
+    * with. The oracle replays the identical candidate rule, so the
+    * gate is exact over the DECLARED semantics.
+    *
+    * Output: (doc_a, doc_b, containment), doc_a < doc_b,
+    * containment ≥ threshold. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxDf: Long = 32): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val docsSh = TextFns.withShingles(docs)
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = docsSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val bounded = s.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("sh")
+    val posting = s.join(bounded, "sh")
+    val cand = posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          least(size(col("sha")), size(col("shb"))), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Universal-hash minhash family over a 30-bit base hash: permutation
     * i is h -> (a_i * h + b_i) mod P with P = 2^31 - 1 (prime),
     * a_i in [1, P-1], b_i in [0, P-1] derived from the shared md5

@@ -1338,6 +1338,189 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeMp4(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // ZIP: the archive tier — the third navigation style after TIFF's
+  // offset directory and BMFF's forward length framing: discovery is
+  // BACKWARD (the end-of-central-directory trailer is found by
+  // scanning from EOF through a variable-length comment), the central
+  // directory is an INDEX whose entries point at little-endian local
+  // headers, and entry payloads mix stored and raw-deflate members —
+  // so the walk exercises trailer search, LE framing, index-to-local
+  // cross-checks, and Inflater(nowrap) in one tier. The plant gives
+  // every 5th archive a trailer comment (EOCD is NOT at −22) and
+  // routes every (id+i)%3==0 member through deflate; the decoder
+  // re-inflates and re-CRCs every member, so the crc_ok/sizes_ok
+  // verdicts only reach n_entries when discovery, index, local
+  // framing AND decompression all agree.
+  // ---------------------------------------------------------------
+
+  private[ops] def zipEntries(id: Long): Int = (4 + id % 13).toInt
+  private[ops] def zipEntryLen(fill: Int, i: Int): Int = 1 + (fill + i) % 97
+  private[ops] def zipCommentLen(id: Long): Int =
+    if (id % 5 == 0) (1 + id % 7).toInt else 0
+  private[ops] def zipDeflated(id: Long, i: Int): Boolean = (id + i) % 3 == 0
+
+  /** A real, minimal ZIP archive for media_id: `zipEntries` members
+    * named f0.txt.. with deterministic bodies ((fill + 7i + j) % 251),
+    * stored or raw-deflated per the id rule, CRC-32 and sizes recorded
+    * in both local headers and the central directory, and a trailer
+    * comment on every 5th id so EOCD discovery must scan. */
+  private[ops] def buildZipPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id); val ne = zipEntries(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    val names = Array.tabulate(ne)(i => s"f$i.txt".getBytes("US-ASCII"))
+    val bodies = Array.tabulate(ne) { i =>
+      Array.tabulate(zipEntryLen(fill, i))(j => ((fill + 7 * i + j) % 251).toByte)
+    }
+    val stored = Array.tabulate(ne) { i =>
+      if (!zipDeflated(id, i)) bodies(i)
+      else {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(bodies(i)); d.finish()
+        val buf = new Array[Byte](bodies(i).length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    }
+    val crcs = bodies.map { b =>
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+    }
+    val offsets = new Array[Long](ne)
+    for (i <- 0 until ne) {
+      offsets(i) = out.size()
+      le32(0x04034b50L); le16(20); le16(0)            // sig, version, flags
+      le16(if (zipDeflated(id, i)) 8 else 0)          // method
+      le16(0); le16(0x2821)                           // dos time, date
+      le32(crcs(i)); le32(stored(i).length.toLong); le32(bodies(i).length.toLong)
+      le16(names(i).length); le16(0)                  // name len, extra len
+      out.write(names(i)); out.write(stored(i))
+    }
+    val cdStart = out.size()
+    for (i <- 0 until ne) {
+      le32(0x02014b50L); le16(20); le16(20); le16(0)
+      le16(if (zipDeflated(id, i)) 8 else 0)
+      le16(0); le16(0x2821)
+      le32(crcs(i)); le32(stored(i).length.toLong); le32(bodies(i).length.toLong)
+      le16(names(i).length); le16(0); le16(0)         // name/extra/comment len
+      le16(0); le16(0); le32(0)                       // disk, int/ext attrs
+      le32(offsets(i))
+      out.write(names(i))
+    }
+    val cdSize = out.size() - cdStart
+    val comment = Array.fill(zipCommentLen(id))('c'.toByte)
+    le32(0x06054b50L); le16(0); le16(0)               // EOCD, disk numbers
+    le16(ne); le16(ne)
+    le32(cdSize.toLong); le32(cdStart.toLong)
+    le16(comment.length); out.write(comment)
+    out.toByteArray
+  }
+
+  /** ZIP media table from the documents fixture (every doc). */
+  def zipFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildZipPayload(id), "application/zip", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class ZipFeatures(
+      media_id: Long,
+      format: String,
+      n_entries: Long,
+      total_bytes: Long,
+      n_stored: Long,
+      n_deflated: Long,
+      comment_len: Long,
+      crc_ok: Long,
+      sizes_ok: Long)
+
+  /** Backward EOCD discovery + central-directory walk + per-member
+    * local-header verify: EOCD found by scanning back from EOF for its
+    * signature (validated against a consistent comment length), each
+    * CD entry's local header re-framed at its recorded offset, member
+    * data inflated when deflated, and length + CRC-32 recomputed over
+    * the UNCOMPRESSED bytes against the directory's claims. Anything
+    * malformed — no EOCD, directory overrun, signature mismatch,
+    * local/central disagreement on name or method, inflate error —
+    * degrades that row to "unknown" with -1s, row-level tolerance like
+    * every other tier. */
+  private[ops] def decodeZip(id: Long, p: Array[Byte]): ZipFeatures = {
+    val bad = ZipFeatures(id, "unknown", -1, -1, -1, -1, -1, -1, -1)
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (0 until 4).map(k => (p(o + k) & 0xffL) << (8 * k)).sum
+    if (p.length < 22) return bad
+    // EOCD: last offset where the signature frames a record whose
+    // comment length reaches exactly EOF
+    var eocd = -1
+    var o = p.length - 22
+    while (o >= 0 && eocd < 0) {
+      if (u32(o) == 0x06054b50L && o + 22 + u16(o + 20) == p.length) eocd = o
+      else o -= 1
+    }
+    if (eocd < 0) return bad
+    val ne = u16(eocd + 10)
+    if (u16(eocd + 8) != ne) return bad // single-disk archive
+    val cdSize = u32(eocd + 12); val cdStart = u32(eocd + 16)
+    if (cdStart + cdSize != eocd.toLong) return bad
+    val commentLen = u16(eocd + 20)
+    var off = cdStart.toInt
+    var tot = 0L; var nStored = 0L; var nDeflated = 0L
+    var crcOk = 0L; var sizesOk = 0L
+    try {
+      for (_ <- 0 until ne) {
+        if (u32(off) != 0x02014b50L) return bad
+        val method = u16(off + 10)
+        val crc = u32(off + 16)
+        val csize = u32(off + 20); val usize = u32(off + 24)
+        val nameLen = u16(off + 28); val extraLen = u16(off + 30)
+        val cmtLen = u16(off + 32)
+        val lho = u32(off + 42).toInt
+        val name = new String(p, off + 46, nameLen, "US-ASCII")
+        // local header cross-check: signature, method, name agree
+        if (u32(lho) != 0x04034b50L || u16(lho + 8) != method) return bad
+        val lNameLen = u16(lho + 26); val lExtraLen = u16(lho + 28)
+        if (new String(p, lho + 30, lNameLen, "US-ASCII") != name) return bad
+        val dataOff = lho + 30 + lNameLen + lExtraLen
+        val raw = java.util.Arrays.copyOfRange(p, dataOff, dataOff + csize.toInt)
+        val data =
+          if (method == 0) raw
+          else if (method == 8) {
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(raw)
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            while (!inf.finished()) {
+              val n = inf.inflate(tmp)
+              if (n == 0 && !inf.finished()) return bad
+              buf.write(tmp, 0, n)
+            }
+            inf.end(); buf.toByteArray
+          } else return bad
+        if (method == 0) nStored += 1 else nDeflated += 1
+        tot += data.length
+        if (data.length.toLong == usize) sizesOk += 1
+        val c = new java.util.zip.CRC32(); c.update(data)
+        if (c.getValue == crc) crcOk += 1
+        off += 46 + nameLen + extraLen + cmtLen
+      }
+    } catch { case _: Exception => return bad }
+    if (off != eocd) return bad // directory must end exactly at EOCD
+    ZipFeatures(id, "zip", ne, tot, nStored, nDeflated, commentLen,
+      crcOk, sizesOk)
+  }
+
+  /** Batch ZIP feature extraction — row-local, the other tiers' shape. */
+  def extractZipFeatures(media: DataFrame): Dataset[ZipFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeZip(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

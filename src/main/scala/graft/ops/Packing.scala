@@ -59,6 +59,40 @@ object Packing {
           s"- tok_offset div $seqLen + 1 ELSE 0 END").as("n_seqs"))
   }
 
+  /** Context-window chunking with overlap — the split-long-documents
+    * step of pretraining prep (the dual of [[sequenceSpans]]'s concat:
+    * here each document yields its own fixed-size windows instead of
+    * flowing into a shared stream). Chunk starts are the multiples of
+    * `stride` below the token count, so consecutive chunks share
+    * `chunkTokens − stride` tokens of overlap and the tail chunk may
+    * run short; empty documents yield no chunks.
+    *
+    * Shape at scale: a pure per-row generate — tokenize once
+    * (word_ngrams_all, one native scan), `sequence`+posexplode the
+    * start offsets, slice+hash each window in-row. ZERO shuffles, no
+    * window functions, map-only at any corpus size; per-doc fan-out is
+    * ceil(n_tokens/stride), bounded by the document's own length.
+    *
+    * Output: (doc_id, chunk_id, start_tok, chunk_tokens, chunk_fp)
+    * where chunk_fp is the md5 of the space-rejoined window — the
+    * content-bearing check the oracle replays with list_slice. */
+  def chunkWithOverlap(docs: DataFrame, chunkTokens: Int = 40,
+      stride: Int = 30): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.selectExpr("doc_id", "word_ngrams_all(text, 1) AS toks")
+      .selectExpr("doc_id", "toks", "CAST(size(toks) AS BIGINT) AS n_tokens")
+      .filter(col("n_tokens") > 0)
+      .selectExpr("doc_id", "toks", "n_tokens",
+        s"posexplode(sequence(0L, n_tokens - 1, ${stride}L)) AS (chunk_id, start_tok)")
+      .selectExpr("doc_id", "CAST(chunk_id AS BIGINT) AS chunk_id",
+        "start_tok",
+        s"least(start_tok + ${chunkTokens}L, n_tokens) - start_tok AS chunk_tokens",
+        s"md5(array_join(slice(toks, CAST(start_tok + 1 AS INT), " +
+          s"CAST(least(start_tok + ${chunkTokens}L, n_tokens) - start_tok AS INT)), ' ')) AS chunk_fp")
+  }
+
   /** Length-bucketed batching assignment: every document gets a bucket
     * id in [1, nBuckets] by token-count quantile — the pre-batching
     * step that keeps padding waste bounded (batching a 10-token doc

@@ -382,6 +382,14 @@ object StreamSurface {
     "mm_mp4" -> ((s, dir) =>
       Multimodal.extractMp4Features(
         Multimodal.mp4FromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // archive tier: backward EOCD discovery through a variable-length
+    // trailer comment, LE central-directory index → local-header
+    // cross-check, stored + raw-deflate members re-inflated and
+    // re-CRCed — crc_ok/sizes_ok only reach n_entries if discovery,
+    // index, framing and decompression all agree
+    "mm_zip" -> ((s, dir) =>
+      Multimodal.extractZipFeatures(
+        Multimodal.zipFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -580,6 +588,22 @@ object StreamSurface {
         |  CAST(sb * fill AS BIGINT) AS mdat_checksum,
         |  CAST(12 AS BIGINT) AS n_boxes
         |FROM m JOIN sz USING (doc_id)""".stripMargin,
+    // closed form from the shared plant: ne members of 1 + (fill+i)%97
+    // uncompressed bytes, every (id+i)%3==0 member deflated, trailer
+    // comment 1 + id%7 on every 5th id; crc_ok/sizes_ok = ne verdicts
+    "mm_zip" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill, 4 + doc_id % 13 AS ne,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 7 ELSE 0 END AS clen
+        |  FROM documents),
+        |e AS (SELECT doc_id, sum(1 + (fill + i) % 97) AS tot,
+        |    sum(CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END) AS nd
+        |  FROM (SELECT doc_id, fill, unnest(range(ne)) AS i FROM m) GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'zip' AS format,
+        |  CAST(m.ne AS BIGINT) AS n_entries, CAST(e.tot AS BIGINT) AS total_bytes,
+        |  CAST(m.ne - e.nd AS BIGINT) AS n_stored, CAST(e.nd AS BIGINT) AS n_deflated,
+        |  CAST(m.clen AS BIGINT) AS comment_len, CAST(m.ne AS BIGINT) AS crc_ok,
+        |  CAST(m.ne AS BIGINT) AS sizes_ok
+        |FROM m JOIN e USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -133,6 +133,11 @@ object TextSurface {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
+    // asymmetric near-containment (Dedup.containmentPairs): snippet-
+    // inside-page dedup Jaccard misses; df-ceiling posting lists for
+    // candidates, exact array_intersect verify
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 0.8, 32)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 0.8)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
@@ -202,6 +207,11 @@ object TextSurface {
     // as constants — the agg_approx_percentiles gating pattern
     "pack_length_buckets_gk" -> ((s, dir) =>
       graft.ops.Packing.lengthBucketsApproxVerified(docs(s, dir), 4)),
+    // context-window chunking (Packing.chunkWithOverlap): stride-30
+    // overlapping 40-token windows per doc — zero-shuffle map-only
+    // generate, the split-long-documents dual of pack_sequences
+    "pack_chunk_overlap" -> ((s, dir) =>
+      graft.ops.Packing.chunkWithOverlap(docs(s, dir), CHUNK_TOKENS, CHUNK_STRIDE)),
     // corpus-mixture planning (graft.ops.Mixing): the 40/15/15/15/15
     // language recipe against actual supply — binding stratum caps the
     // total, rates feed stratifiedHash (recipe shared with the oracle
@@ -388,6 +398,8 @@ object TextSurface {
   // AND the oracle SQL's window arithmetic both derive from this one
   // constant so they cannot silently desynchronize (ADVICE r6)
   private val DUP_TOKENS = 10
+  private val CHUNK_TOKENS = 40
+  private val CHUNK_STRIDE = 30
 
   // repetition cap for the composed quality stack (sf0.01 n2_bp median
   // is 333, p75 476 — 400 cuts the repetitive ~40% tail)
@@ -770,6 +782,20 @@ object TextSurface {
         |  CAST(1 + CAST(n_tokens > b1 AS INT) + CAST(n_tokens > b2 AS INT)
         |    + CAST(n_tokens > b3 AS INT) AS BIGINT) AS bucket
         |FROM t, b""".stripMargin,
+    // replays chunkWithOverlap: chunk starts at stride multiples below
+    // the token count, short tail allowed, window content md5-hashed
+    "pack_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    unnest(range(0, len(toks), $CHUNK_STRIDE)) AS st
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(st // $CHUNK_STRIDE AS BIGINT) AS chunk_id,
+         |  CAST(st AS BIGINT) AS start_tok,
+         |  CAST(least(st + $CHUNK_TOKENS, n) - st AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(
+         |    list_slice(toks, st + 1, least(st + $CHUNK_TOKENS, n)), ' ')) AS chunk_fp
+         |FROM g""".stripMargin,
     // sketch-tier verdicts gate as constants (Approx object doc)
     "pack_length_buckets_gk" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
@@ -941,6 +967,24 @@ object TextSurface {
          |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
          |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin,
+    // replays containmentPairs: candidates restricted to pairs sharing
+    // a 2..32-df shingle (the declared posting-list ceiling), exact
+    // intersection over full distinct shingle sets, score i/min(n)
+    "dedup_containment" ->
+      s"""WITH $SHINGLE_CTES,
+         |bdf AS (SELECT sh FROM s GROUP BY sh HAVING count(*) BETWEEN 2 AND 32),
+         |p AS (SELECT doc_id, sh FROM s JOIN bdf USING (sh)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS cnt
+         |  FROM cand c JOIN s s1 ON s1.doc_id = c.doc_a
+         |  JOIN s s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(i.cnt AS DOUBLE) / least(x.n, y.n), 4) AS containment
+         |FROM inter i JOIN sz x ON x.doc_id = i.doc_a
+         |  JOIN sz y ON y.doc_id = i.doc_b
+         |WHERE round(CAST(i.cnt AS DOUBLE) / least(x.n, y.n), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

@@ -267,4 +267,30 @@ class DedupSpec extends AnyFunSuite {
       assert(blocked == brute, s"maxHamming=$max")
     }
   }
+
+  test("containment flags a snippet embedded in a longer page that Jaccard misses") {
+    // doc 10: 40-token page; doc 11: its first 12 tokens verbatim —
+    // every snippet shingle is in the page, so containment = 1.0 while
+    // Jaccard = 10/38 stays under any dedup threshold
+    val page = (0 until 40).map(i => s"w$i").mkString(" ")
+    val snippet = (0 until 12).map(i => s"w$i").mkString(" ")
+    val d = docs.union(Seq((10L, page), (11L, snippet)).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 1.0))
+    assert(!Dedup.ngramJaccardPairs(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((10L, 11L)))
+    // exact dups 0/1 remain containment pairs (containment >= jaccard)
+    assert(cont.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    spark.catalog.clearCache()
+  }
+
+  test("containment recall ceiling: overlap only above maxDf is declared out of scope") {
+    // 40 copies of one text -> every shingle has df 40 > ceiling 32
+    val many = (100L until 140L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(many, 0.5, maxDf = 32).count() == 0)
+    assert(Dedup.containmentPairs(many, 0.5, maxDf = 64).count() == 40L * 39 / 2)
+    spark.catalog.clearCache()
+  }
 }

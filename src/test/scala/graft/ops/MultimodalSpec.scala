@@ -451,4 +451,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4(0L, Multimodal.buildTiffPayload(0L)).format == "unknown")
     assert(Multimodal.decodeMp4(0L, Multimodal.buildGifPayload(0L)).format == "unknown")
   }
+
+  test("ZIP: comment and no-comment archives, stored and deflated members verify") {
+    // 0: comment (0%5==0) + deflated slice; 3: no comment; 13: ne=4+0
+    Seq(0L, 3L, 5L, 13L, 17L, 250L).foreach { id =>
+      val f = Multimodal.decodeZip(id, Multimodal.buildZipPayload(id))
+      val ne = (4 + id % 13).toInt; val fill = (id % 251).toInt
+      val tot = (0 until ne).map(i => 1 + (fill + i) % 97).sum
+      val nd = (0 until ne).count(i => (id + i) % 3 == 0)
+      assert(f.format == "zip" && f.n_entries == ne, s"id $id")
+      assert(f.total_bytes == tot, s"id $id sizes")
+      assert(f.n_stored == ne - nd && f.n_deflated == nd, s"id $id methods")
+      assert(f.comment_len == (if (id % 5 == 0) 1 + id % 7 else 0), s"id $id comment")
+      assert(f.crc_ok == ne && f.sizes_ok == ne, s"id $id verify")
+    }
+  }
+
+  test("ZIP: malformed payloads decode as unknown, never throw") {
+    val good = Multimodal.buildZipPayload(9L)
+    val cases = Seq(
+      Array[Byte](0x50, 0x4b, 3, 4),          // local sig only, no EOCD
+      good.take(good.length - 1),              // EOCD comment-length framing broken
+      { val c = good.clone()                   // corrupt a CD entry signature
+        val cdStart = (0 until 4).map(k => (c(c.length - 22 + 16 + k) & 0xffL) << (8 * k)).sum.toInt
+        c(cdStart) = 0x00; c },
+      { val c = good.clone()                   // CRC claim vs content mismatch
+        val cdStart = (0 until 4).map(k => (c(c.length - 22 + 16 + k) & 0xffL) << (8 * k)).sum.toInt
+        c(cdStart + 16) = (c(cdStart + 16) ^ 0x55).toByte; c },
+      good.take(20))                           // shorter than an EOCD
+    cases.zipWithIndex.foreach { case (p, i) =>
+      val f = Multimodal.decodeZip(i.toLong, p)
+      // case 3 keeps valid framing but breaks one CRC: row stays 'zip'
+      // with crc_ok < n_entries; the rest are structural -> unknown
+      if (i == 3) assert(f.format == "zip" && f.crc_ok == f.n_entries - 1, s"case $i")
+      else assert(f.format == "unknown", s"case $i")
+    }
+    // sibling-format payloads are clean unknowns
+    assert(Multimodal.decodeZip(0L, Multimodal.buildMp4Payload(0L)).format == "unknown")
+    assert(Multimodal.decodeZip(0L, Multimodal.buildTiffPayload(0L)).format == "unknown")
+  }
 }

@@ -126,4 +126,27 @@ class PackingSpec extends AnyFunSuite {
     assert(r.getLong(0) == docs.count())
     (1 to 3).foreach(i => assert(r.getLong(i) == 1L, s"ok$i verdict red"))
   }
+
+  test("chunkWithOverlap: starts, overlap, short tail, content hash, map-only plan") {
+    val docs = Seq(
+      (0L, (0 until 70).map(i => s"t$i").mkString(" ")), // starts 0,30,60
+      (1L, "a b c"),                                     // one short chunk
+      (2L, "   ")                                        // empty: no chunks
+    ).toDF("doc_id", "text")
+    val r = Packing.chunkWithOverlap(docs, 40, 30)
+    val rows = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(rows.filter(_._1 == 0L).map(x => (x._2, x._3, x._4)).toSet ==
+      Set((0L, 0L, 40L), (1L, 30L, 40L), (2L, 60L, 10L)))
+    assert(rows.filter(_._1 == 1L).toSeq.map(x => (x._2, x._3, x._4)) ==
+      Seq((0L, 0L, 3L)))
+    assert(!rows.exists(_._1 == 2L))
+    // chunk (0, 0) hashes exactly tokens t0..t39 space-joined
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest((0 until 40).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.find(x => x._1 == 0L && x._2 == 0L).get._5 == exp)
+    // zero-shuffle generate: no exchange anywhere in the plan
+    assert(!r.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
