@@ -121,6 +121,44 @@ object Approx {
       ok("r99", 9900).as("ok99"))
   }
 
+  /** Partition-partial HLL sketches + merge, under the in-plan
+    * verification harness — the INCREMENTAL distinct story at 100 TB:
+    * per-(key, day) DataSketches HLL sketches are the materialized
+    * partial state a daily pipeline persists, and each new day UNIONS
+    * in (register-max merge, associative and order-independent)
+    * without rescanning history — where exact incremental
+    * count-distinct must re-shuffle every (key, value) pair ever seen
+    * (Skew.twoPhaseCountDistinct's cost, paid daily). The same
+    * mergeability is what makes the sketch a partial aggregate across
+    * executors rather than a per-partition estimate.
+    *
+    * Verdicts (the approxDistinctVerified 3σ discipline, DataSketches
+    * default lgK=12 → rsd ≈ 1.6%, budget 15% ≫ 3σ): the day-merged
+    * estimate AND the direct one-pass estimate must both sit within
+    * budget of exact — so a broken union (double-counting, dropped
+    * registers) or a broken sketch both flip a verdict and fail the
+    * hash. n_partials (distinct days per key) is the content-bearing
+    * column proving the merge actually spanned partitions.
+    * Output: (key, exact_n, n_partials, merged_ok, direct_ok). */
+  def sketchMergeVerified(ev: DataFrame, key: String = "event_type",
+      value: String = "user_id", dayUs: Long = 86400000000L): DataFrame = {
+    val withDay = ev.withColumn("day", expr(s"timestamp div $dayUs"))
+    val partials = withDay.groupBy(col(key), col("day"))
+      .agg(hll_sketch_agg(col(value)).as("sk"))
+    val merged = partials.groupBy(key)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"),
+        count(lit(1)).as("n_partials"))
+    val direct = withDay.groupBy(key)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("n_direct"),
+        count_distinct(col(value)).as("exact_n"))
+    merged.join(direct, Seq(key))
+      .select(col(key), col("exact_n"), col("n_partials"),
+        (abs(col("n_merged") - col("exact_n")) * 100 <= col("exact_n") * 15)
+          .cast("long").as("merged_ok"),
+        (abs(col("n_direct") - col("exact_n")) * 100 <= col("exact_n") * 15)
+          .cast("long").as("direct_ok"))
+  }
+
   /** EXACT heavy hitters (items in more than 1/invSupport of all rows)
     * via the two-phase sketch-then-verify pattern: a single narrow
     * `freqItems` pass (lossy counting — guaranteed SUPERSET of every

@@ -491,6 +491,11 @@ object AnalyticsSurface {
       graft.ops.Approx.approxPercentilesVerified(
         t(s, dir, "events").select(col("event_type"), col("value")),
         "event_type", "value")),
+    // per-day partial HLL sketches unioned per type (Approx.
+    // sketchMergeVerified): the incremental-distinct mergeability
+    // story, gated through the same 3σ verdict harness
+    "agg_sketch_merge" -> ((s, dir) =>
+      graft.ops.Approx.sketchMergeVerified(Tables.eventSeries(s, dir))),
     // two-phase heavy hitters: freqItems sketch candidates + exact
     // verify — output is EXACT (and so fully oracle-gated) even though
     // the candidate pass is a sketch
@@ -876,6 +881,11 @@ object AnalyticsSurface {
     "agg_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  CAST(1 AS BIGINT) AS within_3rsd
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_sketch_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_n,
+        |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_partials,
+        |  CAST(1 AS BIGINT) AS merged_ok, CAST(1 AS BIGINT) AS direct_ok
         |FROM events GROUP BY 1""".stripMargin,
     "agg_approx_percentiles" ->
       """SELECT event_type, count(*) AS n,

@@ -312,8 +312,29 @@ object StreamSurface {
       graft.streaming.StreamingIngest.asOfAnnotate(stream).toDF(), "append")
   }
 
+  /** Streaming rolling z-score: the win_anomaly monitoring verdict as
+    * a continuous query ([[graft.streaming.StreamingIngest
+    * .rollingZScoreStream]] — per-user trailing ring in
+    * flatMapGroupsWithState with decimal-exact window sums). The
+    * staged source delivers one batch processed in (ts, event_id)
+    * order, reproducing the batch window frame exactly — so the batch
+    * win_anomaly oracle applies verbatim (stream≡batch parity for the
+    * monitoring family). */
+  private def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    import s.implicits._
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"), col("event_id"), col("value"))
+      .as[graft.streaming.StreamingIngest.ZEvent]
+    runToTable(s,
+      graft.streaming.StreamingIngest.rollingZScoreStream(stream).toDF(),
+      "append")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_asof_join" -> streamAsofJoin,
+    "stream_anomaly" -> streamAnomaly,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
@@ -395,6 +416,25 @@ object StreamSurface {
   val oracleSql: Map[String, String] = Map(
     // the batch as-of oracle verbatim (DuckDB's NATIVE ASOF JOIN):
     // the staged single batch makes stream ≡ batch for the carry
+    // the batch win_anomaly oracle verbatim: the single staged batch
+    // processed in frame order makes stream ≡ batch for the ring
+    "stream_anomaly" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, value, event_id, user_id FROM events)
+        |SELECT user_id, ts_us, value, event_id,
+        |  CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(CASE WHEN n_prev > 0
+        |    THEN floor(sv * 1000000 / n_prev) END AS BIGINT) AS mean6,
+        |  CAST(CASE WHEN n_prev >= 8
+        |      AND (value - sv / n_prev) * (value - sv / n_prev)
+        |        > 9 * (ssq / n_prev - (sv / n_prev) * (sv / n_prev))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM (SELECT user_id, timestamp AS ts_us, value, event_id,
+        |    count(*) OVER fr AS n_prev,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS ssq
+        |  FROM ev
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY timestamp, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))""".stripMargin,
     "stream_asof_join" ->
       """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type, value FROM events),
         |l AS (SELECT user_id, timestamp, value FROM ev WHERE event_type != 'click'),

@@ -156,4 +156,20 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(got == Map(None -> 40L, Some("a") -> 35L))
   }
+
+  test("sketch merge: day-partial union spans partitions and tracks exact") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // key "a": 300 distinct users spread over 5 days (with cross-day
+    // repeats the union must NOT double count); key "b": 40 users, 2 days
+    val rows =
+      (0 until 600).map(i => (("a"), (i % 5).toLong * dayUs + i, (i % 300).toLong)) ++
+      (0 until 80).map(i => (("b"), (i % 2).toLong * dayUs + i, (i % 40).toLong))
+    val ev = rows.toDF("event_type", "timestamp", "user_id")
+    val got = Approx.sketchMergeVerified(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((300L, 5L, 1L, 1L)))
+    assert(got("b") == ((40L, 2L, 1L, 1L)))
+  }
 }

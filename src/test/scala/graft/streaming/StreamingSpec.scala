@@ -260,6 +260,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((2L, 10L)) == None)        // causeless user
   }
 
+  test("streaming rolling z-score carries the ring across micro-batches and matches batch") {
+    import spark.implicits._
+    val src = s"$tmp/src_zscore"
+    // user 1: steady 10.0 baseline with a spike at ts 25 (fires: the
+    // trailing window is constant so any deviation exceeds 9·var=0);
+    // user 2: too little history for a verdict
+    val all = ((1 to 24).map(i =>
+        StreamingIngest.ZEvent(i.toLong, 1L, 1000L + i, 10.0)) :+
+      StreamingIngest.ZEvent(25L, 1L, 1025L, 100.0)) ++
+      (1 to 3).map(i => StreamingIngest.ZEvent(i.toLong, 2L, 2000L + i, 5.0 + i))
+    val (b1, b2) = all.partition(_.timestamp <= 12)
+    def writeBatch(events: Seq[StreamingIngest.ZEvent]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(src)
+    writeBatch(b1)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingIngest.ZEvent].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[StreamingIngest.ZEvent]
+    val q = StreamingIngest.rollingZScoreStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zscore_test").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(b2) // the 13.. tail scores against batch-1 carry
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("zscore_test").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6))).toSet
+    // batch twin over the SAME rows: bit-equal output row set
+    val batchDf = all.toDF()
+      .select($"user_id", $"timestamp", $"value", $"event_id")
+    val exp = graft.ops.Anomaly.rollingZScore(batchDf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6))).toSet
+    assert(got == exp)
+    // the spike fires, the baseline never does, short history abstains
+    assert(got.count(_._7 == 1L) == 1)
+    assert(got.find(_._7 == 1L).get._3 == 100.0)
+    assert(got.filter(t => t._1 == 2L).forall(t => t._7 == 0L && t._5 < 8))
+  }
+
   test("watermarked append-mode counts emit only closed windows, all correct") {
     import spark.implicits._
     val src = s"$tmp/src3"
