@@ -60,7 +60,14 @@ object Bench {
     // reset-aware counter increase
     "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase",
     // bounded-buffer top-k aggregate vs its ranking-window twin
-    "win_top3_agg")
+    "win_top3_agg",
+    // round-8 additions: the r7 monitoring wave promoted (rolling
+    // z-score, rolling median+p90, correlation, nearest as-of,
+    // streaming top-k), containment dedup, context-window chunking,
+    // day-partial HLL merge
+    "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
+    "stream_top3", "dedup_containment", "pack_chunk_overlap",
+    "agg_sketch_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * The trailing frame (never the current row) keeps the verdict causal
   * — a spike cannot mask itself by inflating its own baseline.
   *
-  * Cross-engine exactness (the agg_variance discipline): window sums
-  * accumulate as exact DECIMAL(18,6) (order-independent, and the
-  * squared width fits both engines' 38-digit cap); the mean/variance/
-  * threshold arithmetic then runs in DOUBLE with the identical
-  * operation order as the oracle text, so every IEEE step is
-  * bit-equal and the integer verdict hash-gates.
+  * Cross-engine exactness: window sums accumulate as exact 1e-4
+  * fixed-point LONGS (order-independent integer adds — the r8 rework;
+  * the original DECIMAL(18,6) sums boxed a BigDecimal per frame update
+  * and dominated the 1M-event cost); the mean/variance/threshold
+  * arithmetic then runs in DOUBLE with the identical operation order
+  * as the oracle text, so every IEEE step is bit-equal and the
+  * integer verdict hash-gates.
   *
   * Shape at scale: ONE window over (key, time-ordered) rows — a
   * single shuffle on the key, bounded per-row state (the frame is
@@ -40,10 +41,20 @@ object Anomaly {
     val w = Window.partitionBy("user_id")
       .orderBy(col("timestamp"), col("event_id"))
       .rowsBetween(-lookback, -1)
-    val d = col("value").cast("decimal(18,6)")
+    // fixed-point rework (r8, the agg_corr discipline): the original
+    // DECIMAL(18,6) window sums carried a boxed BigDecimal per frame
+    // update — ~2/3 of the query's 1M-event cost. Values quantize to
+    // 1e-4 fixed point ONCE (declared operator precision — monitoring
+    // metrics, not ledgers; round() HALF_UP matches DuckDB on the
+    // never-half products of real doubles), then both window sums are
+    // pure codegen'd long adds. Domain: |value| ≤ 50_000 keeps
+    // vi² · lookback inside int64 — enforced, not assumed.
+    val vi = round(col("value") * 10000).cast("long")
     val n = count(lit(1)).over(w)
-    val mean = sum(d).over(w).cast("double") / n
-    val varr = sum(d * d).over(w).cast("double") / n - mean * mean
+    val sv = sum(vi).over(w).cast("double") / 10000.0
+    val mean = sv / n
+    val varr = (sum(vi * vi).over(w).cast("double") / 100000000.0) / n -
+      mean * mean
     val dev = col("value") - mean
     // reported mean in floored MICROS — determinism rule 3: a small
     // exact rational must not go through float round(), which flipped
@@ -52,9 +63,15 @@ object Anomaly {
     // quantizeSummary convention — floor survives engine boundaries
     // where round does not). The verdict chain below is likewise pure
     // IEEE double ops on identical inputs.
-    val mean6 = when(n > 0,
-      floor(sum(d).over(w).cast("double") * lit(1000000) / n).cast("long"))
-    events.select(col("user_id"), col("timestamp").as("ts_us"), col("value"),
+    val mean6 = when(n > 0, floor(sv * lit(1000000) / n).cast("long"))
+    // domain check rides the emitted value column (a pruned side
+    // column would be optimized away): out-of-domain input fails the
+    // job rather than silently overflowing the fixed-point square
+    val valueChecked = when(abs(col("value")) > 50000,
+      raise_error(concat(lit("rollingZScore domain: |value| > 50000: "),
+        col("value").cast("string")))).otherwise(col("value"))
+    events.select(col("user_id"), col("timestamp").as("ts_us"),
+      valueChecked.as("value"),
       col("event_id"), n.cast("long").as("n_prev"),
       mean6.as("mean6"),
       when(n >= minPrev && dev * dev > lit(k2) * varr, 1L)

@@ -439,31 +439,40 @@ object AnalyticsSurface {
     // win_anomaly rule-3 lesson — cov is an exact rational of
     // low-precision inputs and float round() flips half-boundaries)
     "agg_corr" -> ((s, dir) => {
-      // products take the dot_dec discipline — ONE IEEE double
-      // multiply then the engines' shared double→DECIMAL(30,12) cast —
-      // because a decimal×decimal at this width overflows DuckDB's
-      // int64 decimal storage (the 38-digit cap is on the RESULT, the
-      // multiply itself runs in the operand width there)
-      val xd = col("l_quantity").cast("double")
-      val yd = col("l_extendedprice").cast("double")
-      val x = xd.cast("decimal(18,6)")
-      val y = yd.cast("decimal(18,6)")
+      // fixed-point rework (r8 plan audit): the decimal-sum form cost
+      // ~0.5 s PER aggregate at 600k rows — a sum over precision>18
+      // decimals carries a boxed BigDecimal in the agg buffer. The 2dp
+      // inputs make every moment an exact integer at 1e2/1e4 scale, so
+      // the five moments run as NINE long sums instead: per-row
+      // products split hi/lo at 1e6 (hi ≤ 5.5e4, lo < 1e6 per row, so
+      // the split sums stay inside int64 to ~1e14 rows — overflow-safe
+      // far past 100 TB where a raw product sum is not), all pure
+      // codegen'd integer adds. The final chain recombines hi·1e6+lo
+      // in DOUBLE with the identical IEEE operation order as the
+      // oracle text — identical ops, not exactness, is what keeps the
+      // floored verdicts bit-equal once totals pass 2^53.
+      val pre = t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qi"),
+          round(col("l_extendedprice") * 100).cast("long").as("pi"))
+        .selectExpr("l_returnflag", "qi", "pi", "qi * pi AS pxy",
+          "qi * qi AS pxx", "pi * pi AS pyy")
+      val g = pre.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+        sum("qi").as("sx"), sum("pi").as("sy"),
+        sum(expr("pxy div 1000000")).as("hxy"), sum(expr("pxy % 1000000")).as("lxy"),
+        sum(expr("pxx div 1000000")).as("hxx"), sum(expr("pxx % 1000000")).as("lxx"),
+        sum(expr("pyy div 1000000")).as("hyy"), sum(expr("pyy % 1000000")).as("lyy"))
+      def tot(h: String, l: String) =
+        (col(h).cast("double") * 1000000.0 + col(l).cast("double")) / 10000.0
       val n = col("n")
-      val cov = col("sxy").cast("double") / n -
-        (col("sx").cast("double") / n) * (col("sy").cast("double") / n)
-      val vx = col("sxx").cast("double") / n -
-        (col("sx").cast("double") / n) * (col("sx").cast("double") / n)
-      val vy = col("syy").cast("double") / n -
-        (col("sy").cast("double") / n) * (col("sy").cast("double") / n)
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-          sum((xd * yd).cast("decimal(30,12)")).as("sxy"),
-          sum((xd * xd).cast("decimal(30,12)")).as("sxx"),
-          sum((yd * yd).cast("decimal(30,12)")).as("syy"))
-        .select(col("l_returnflag"), col("n"),
-          floor(cov * 1000000).cast("long").as("cov6"),
-          floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 1000000)
-            .cast("long").as("corr6"))
+      val sxD = col("sx").cast("double") / 100.0
+      val syD = col("sy").cast("double") / 100.0
+      val cov = tot("hxy", "lxy") / n - (sxD / n) * (syD / n)
+      val vx = tot("hxx", "lxx") / n - (sxD / n) * (sxD / n)
+      val vy = tot("hyy", "lyy") / n - (syD / n) * (syD / n)
+      g.select(col("l_returnflag"), col("n"),
+        floor(cov * 1000000).cast("long").as("cov6"),
+        floor(cov / nullif(sqrt(vx * vy), lit(0.0)) * 1000000)
+          .cast("long").as("corr6"))
     }),
     "agg_variance" -> ((s, dir) => {
       val d = col("value").cast("decimal(18,6)")
@@ -703,6 +712,8 @@ object AnalyticsSurface {
         |FROM ev GROUP BY 1, 2""".stripMargin),
     // trailing-window frame identical to the Spark Window spec; the
     // mean/variance/threshold chain in the same IEEE op order
+    // 1e-4 fixed-point window sums (the agg_corr rework discipline),
+    // identical IEEE chain after the casts
     "win_anomaly" ->
       (EV + """SELECT user_id, ts_us, value, event_id,
         |  CAST(n_prev AS BIGINT) AS n_prev,
@@ -710,34 +721,40 @@ object AnalyticsSurface {
         |    THEN floor(sv * 1000000 / n_prev) END AS BIGINT) AS mean6,
         |  CAST(CASE WHEN n_prev >= 8
         |      AND (value - sv / n_prev) * (value - sv / n_prev)
-        |        > 9 * (ssq / n_prev - (sv / n_prev) * (sv / n_prev))
+        |        > 9 * (sq / n_prev - (sv / n_prev) * (sv / n_prev))
         |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM (SELECT user_id, timestamp AS ts_us, value, event_id,
         |    count(*) OVER fr AS n_prev,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sv,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS ssq
-        |  FROM ev
+        |    CAST(sum(vi) OVER fr AS DOUBLE) / 10000.0 AS sv,
+        |    CAST(sum(vi * vi) OVER fr AS DOUBLE) / 100000000.0 AS sq
+        |  FROM (SELECT ev.*, CAST(round(value * 10000) AS BIGINT) AS vi FROM ev)
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY timestamp, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))""".stripMargin),
     // same decimal accumulators and IEEE op order as the Spark plan;
     // floored micros close the gate without a float round
+    // same exact 2dp fixed-point moments and hi/lo recombination as
+    // the Spark plan, identical IEEE operation order before the floors
     "agg_corr" ->
-      """WITH g AS (SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
-        |    sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,12))) AS sxy,
-        |    sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS sxx,
-        |    sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,12))) AS syy
-        |  FROM lineitem GROUP BY 1)
+      """WITH p AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pi
+        |  FROM lineitem),
+        |q AS (SELECT l_returnflag, qi, pi, qi * pi AS pxy,
+        |    qi * qi AS pxx, pi * pi AS pyy FROM p),
+        |g AS (SELECT l_returnflag, count(*) AS n, sum(qi) AS sx, sum(pi) AS sy,
+        |    sum(pxy // 1000000) AS hxy, sum(pxy % 1000000) AS lxy,
+        |    sum(pxx // 1000000) AS hxx, sum(pxx % 1000000) AS lxx,
+        |    sum(pyy // 1000000) AS hyy, sum(pyy % 1000000) AS lyy
+        |  FROM q GROUP BY 1)
         |SELECT l_returnflag, n,
-        |  CAST(floor((CAST(sxy AS DOUBLE) / n
-        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) * 1000000) AS BIGINT) AS cov6,
-        |  CAST(floor((CAST(sxy AS DOUBLE) / n
-        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-        |    / nullif(sqrt((CAST(sxx AS DOUBLE) / n
-        |        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
-        |      * (CAST(syy AS DOUBLE) / n
-        |        - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 0)
+        |  CAST(floor(((CAST(hxy AS DOUBLE) * 1000000.0 + CAST(lxy AS DOUBLE)) / 10000.0 / n
+        |      - (CAST(sx AS DOUBLE) / 100.0 / n) * (CAST(sy AS DOUBLE) / 100.0 / n)) * 1000000) AS BIGINT) AS cov6,
+        |  CAST(floor(((CAST(hxy AS DOUBLE) * 1000000.0 + CAST(lxy AS DOUBLE)) / 10000.0 / n
+        |      - (CAST(sx AS DOUBLE) / 100.0 / n) * (CAST(sy AS DOUBLE) / 100.0 / n))
+        |    / nullif(sqrt(((CAST(hxx AS DOUBLE) * 1000000.0 + CAST(lxx AS DOUBLE)) / 10000.0 / n
+        |        - (CAST(sx AS DOUBLE) / 100.0 / n) * (CAST(sx AS DOUBLE) / 100.0 / n))
+        |      * ((CAST(hyy AS DOUBLE) * 1000000.0 + CAST(lyy AS DOUBLE)) / 10000.0 / n
+        |        - (CAST(sy AS DOUBLE) / 100.0 / n) * (CAST(sy AS DOUBLE) / 100.0 / n))), 0)
         |    * 1000000) AS BIGINT) AS corr6
         |FROM g""".stripMargin,
     // double arithmetic in the same textual order as the Spark plan:

@@ -426,13 +426,13 @@ object StreamSurface {
         |    THEN floor(sv * 1000000 / n_prev) END AS BIGINT) AS mean6,
         |  CAST(CASE WHEN n_prev >= 8
         |      AND (value - sv / n_prev) * (value - sv / n_prev)
-        |        > 9 * (ssq / n_prev - (sv / n_prev) * (sv / n_prev))
+        |        > 9 * (sq / n_prev - (sv / n_prev) * (sv / n_prev))
         |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM (SELECT user_id, timestamp AS ts_us, value, event_id,
         |    count(*) OVER fr AS n_prev,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS sv,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS ssq
-        |  FROM ev
+        |    CAST(sum(vi) OVER fr AS DOUBLE) / 10000.0 AS sv,
+        |    CAST(sum(vi * vi) OVER fr AS DOUBLE) / 100000000.0 AS sq
+        |  FROM (SELECT ev.*, CAST(round(value * 10000) AS BIGINT) AS vi FROM ev)
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY timestamp, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))""".stripMargin,
     "stream_asof_join" ->

@@ -187,10 +187,10 @@ object StreamingIngest {
       value: Double)
   final case class ZScored(user_id: Long, ts_us: Long, value: Double,
       event_id: Long, n_prev: Long, mean6: Option[Long], anomaly: Long)
-  /** Per-user trailing ring: the last `lookback` (ts, event_id, value)
-    * observations in (ts, event_id) order — bounded state, the
-    * LastCause discipline at window width. */
-  final case class ZRing(ts: Array[Long], eid: Array[Long], v: Array[Double])
+  /** Per-user trailing ring: the last `lookback` (ts, event_id,
+    * 1e-4-fixed-point value) observations in (ts, event_id) order —
+    * bounded state, the LastCause discipline at window width. */
+  final case class ZRing(ts: Array[Long], eid: Array[Long], vi: Array[Long])
 
   /** Streaming rolling z-score — graft.ops.Anomaly.rollingZScore as a
     * continuous query (the monitoring verdict under live ingest).
@@ -199,15 +199,15 @@ object StreamingIngest {
     * `flatMapGroupsWithState`, merged across micro-batches.
     *
     * Bit-parity with the batch operator (so the SAME win_anomaly
-    * oracle gates both): each value quantizes to DECIMAL(18,6)
-    * HALF_UP exactly as Spark's double→decimal cast does, the window
-    * sums accumulate as exact BigDecimal (order-independent like the
-    * decimal window sums), and the mean/variance/verdict chain then
-    * runs the identical IEEE double operation order as the batch
-    * column expressions. Per batch, events process in (ts, event_id)
-    * order; across batches the ring carries, assuming event time
-    * advances batch-over-batch (the staged ordered-replay contract,
-    * as in [[asOfAnnotate]]). */
+    * oracle gates both): each value quantizes ONCE to 1e-4 fixed
+    * point with the HALF_UP rule Spark's round() applies (via the
+    * canonical string, BigDecimal.valueOf — the batch rework's
+    * declared precision), the window sums accumulate as exact longs,
+    * and the mean/variance/verdict chain then runs the identical IEEE
+    * double operation order as the batch column expressions. Per
+    * batch, events process in (ts, event_id) order; across batches
+    * the ring carries, assuming event time advances batch-over-batch
+    * (the staged ordered-replay contract, as in [[asOfAnnotate]]). */
   def rollingZScoreStream(events: org.apache.spark.sql.Dataset[ZEvent],
       k2: Int = 9, minPrev: Int = 8, lookback: Int = 20)
       : org.apache.spark.sql.Dataset[ZScored] = {
@@ -223,28 +223,25 @@ object StreamingIngest {
           // ring as growable parallel buffers, trimmed to `lookback`
           val ts = scala.collection.mutable.ArrayBuffer(init.ts.toSeq: _*)
           val eid = scala.collection.mutable.ArrayBuffer(init.eid.toSeq: _*)
-          val vs = scala.collection.mutable.ArrayBuffer(init.v.toSeq: _*)
+          val vs = scala.collection.mutable.ArrayBuffer(init.vi.toSeq: _*)
+          // round() HALF_UP over the canonical string, exactly Spark's
+          // Round-on-double — rint (half-even) diverges on halves
+          def quant(x: Double): Long =
+            java.math.BigDecimal.valueOf(x * 10000.0)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue
           val out = new scala.collection.mutable.ArrayBuffer[ZScored](evs.length)
           evs.foreach { e =>
             val n = vs.length
             if (n == 0) out += ZScored(uid, e.timestamp, e.value, e.event_id,
               0L, None, 0L)
             else {
-              // DECIMAL(18,6) exact sums, then the batch plan's IEEE chain
-              var sv = java.math.BigDecimal.ZERO
-              var ssq = java.math.BigDecimal.ZERO
-              vs.foreach { x =>
-                // valueOf (canonical string), not the exact binary
-                // expansion — Spark's double→decimal cast rounds the
-                // shortest decimal representation, and half-boundary
-                // values diverge between the two at scale 6
-                val d = java.math.BigDecimal.valueOf(x)
-                  .setScale(6, java.math.RoundingMode.HALF_UP)
-                sv = sv.add(d); ssq = ssq.add(d.multiply(d))
-              }
-              val svD = sv.doubleValue; val ssqD = ssq.doubleValue
+              // exact fixed-point sums, then the batch plan's IEEE chain
+              var svL = 0L; var ssqL = 0L
+              vs.foreach { x => svL += x; ssqL += x * x }
+              val svD = svL.toDouble / 10000.0
+              val sqD = ssqL.toDouble / 100000000.0
               val mean = svD / n
-              val varr = ssqD / n - mean * mean
+              val varr = sqD / n - mean * mean
               val dev = e.value - mean
               val mean6 = math.floor(svD * 1000000 / n).toLong
               val anomaly =
@@ -252,7 +249,7 @@ object StreamingIngest {
               out += ZScored(uid, e.timestamp, e.value, e.event_id,
                 n.toLong, Some(mean6), anomaly)
             }
-            ts += e.timestamp; eid += e.event_id; vs += e.value
+            ts += e.timestamp; eid += e.event_id; vs += quant(e.value)
             if (vs.length > lookback) { ts.remove(0); eid.remove(0); vs.remove(0) }
           }
           state.update(ZRing(ts.toArray, eid.toArray, vs.toArray))

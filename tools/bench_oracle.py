@@ -43,6 +43,10 @@ HEADLINE = [
     # round-7 additions (keep in sync with graft.Bench.headline)
     "text_rep_ngram", "text_classifier", "win_ewma", "ts_counter_increase",
     "win_top3_agg",
+    # round-8 additions (keep in sync with graft.Bench.headline)
+    "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
+    "stream_top3", "dedup_containment", "pack_chunk_overlap",
+    "agg_sketch_merge",
 ]
 
 
