@@ -50,6 +50,11 @@ object SimilaritySurface {
         KMEANS_ITERS, expr(TRAIN_SQL))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeSummary(emb(s, dir))),
+    // verified PCA (graft.ops.Pca): one treeAggregate pass → d×d model
+    // state → driver Jacobi eigensolve → broadcast-projection
+    // reconstruction check; exact fixed-point mean/energy columns
+    // hash-gate, the eigen side reduces to integer verdicts
+    "emb_pca" -> ((s, dir) => graft.ops.Pca.pcaVerified(emb(s, dir), 8)),
     // ANN index-quality evaluation: per-query recall@K of the IVF
     // index against exact brute force — the measurement loop every
     // production ANN deployment runs before trusting an index. Both
@@ -367,6 +372,24 @@ object SimilaritySurface {
         |  CAST(sum(qv) AS BIGINT) AS q_sum,
         |  CAST(floor(sum(CAST(err AS DECIMAL(30,12))) * 1000000) AS BIGINT) AS err6
         |FROM qe GROUP BY vec_id, maxabs""".stripMargin,
+    // exact per-dim mean fingerprint + total energy replayed from the
+    // same DECIMAL(30,12) sums (the toFix12 contract); eigen verdicts
+    // gate as constants (the *Verified convention)
+    "emb_pca" ->
+      """WITH e AS (SELECT embedding FROM embeddings),
+        |x AS (SELECT unnest(list_zip(embedding, range(len(embedding)))) AS z FROM e),
+        |c AS (SELECT CAST(z[1] AS DOUBLE) AS xv, CAST(z[2] AS BIGINT) AS d FROM x),
+        |s AS (SELECT d, sum(CAST(xv AS DECIMAL(30,12))) AS sd FROM c GROUP BY 1),
+        |m AS (SELECT d, CAST(round(CAST(sd AS DOUBLE)
+        |    / (SELECT count(*) FROM e) * 1000000) AS BIGINT) AS mu6 FROM s),
+        |q AS (SELECT sum(CAST(xv * xv AS DECIMAL(30,12))) AS ssq FROM c)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n,
+        |  CAST((SELECT max(len(embedding)) FROM e) AS BIGINT) AS dim,
+        |  CAST(8 AS BIGINT) AS k,
+        |  (SELECT md5(array_to_string(list(mu6 ORDER BY d), ',')) FROM m) AS mu_fp,
+        |  (SELECT round(CAST(ssq AS DOUBLE), 6) FROM q) AS ssq6,
+        |  CAST(1 AS BIGINT) AS orth_ok, CAST(1 AS BIGINT) AS eig_ok,
+        |  CAST(1 AS BIGINT) AS recon_ok""".stripMargin,
   )
 
   /** The recall oracle COMPOSES the brute and IVF oracles verbatim
