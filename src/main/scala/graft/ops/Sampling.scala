@@ -87,4 +87,30 @@ object Sampling {
       pmod(TextFns.h60(concat(lit(s"$namespace:"), col(idCol).cast("string"))),
         lit(10000L)) < w)
   }
+
+  /** EXACT-k deterministic sampling per stratum — the fixed-size
+    * eval/dev-split primitive (a Bernoulli rate gives a binomial
+    * size; an eval set wants EXACTLY k rows per stratum, stable
+    * across reruns). Rank = (h60(namespace:id), id) ascending — the
+    * id tiebreak makes selection total-ordered and deterministic even
+    * under (improbable) hash collisions; membership changes only for
+    * ranks crossing k when the corpus grows (the bounded churn of
+    * hash-ordered top-k, vs rate sampling's stable membership but
+    * unstable size).
+    *
+    * Shape at scale: ONE window partitioned by the stratum — keyed,
+    * never global (strata are languages/sources: bounded cardinality,
+    * well-spread); a GLOBAL exact-k would need the pack_sequences
+    * two-level rank selection instead and is deliberately not offered
+    * here. Output: the selected rows + their rank (1..k).
+    */
+  def topKHash(df: DataFrame, idCol: String, stratumCol: String, k: Int,
+      namespace: String = "evalk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = TextFns.h60(concat(lit(s"$namespace:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -505,6 +505,16 @@ object AnalyticsSurface {
     // story, gated through the same 3σ verdict harness
     "agg_sketch_merge" -> ((s, dir) =>
       graft.ops.Approx.sketchMergeVerified(Tables.eventSeries(s, dir))),
+    // ordered conversion funnel (Funnels.funnel): per-step earliest-
+    // strictly-after frontiers, all equality joins on the user key,
+    // ONE lazy plan (shared prefixes dedup via ReusedExchange)
+    "agg_funnel" -> ((s, dir) =>
+      graft.ops.Funnels.funnel(Tables.eventSeries(s, dir),
+        Seq("signup", "view", "purchase"))),
+    // weekly cohort retention matrix (Funnels.retention): first-
+    // activity cohort x offset distinct-user counts
+    "agg_retention" -> ((s, dir) =>
+      graft.ops.Funnels.retention(Tables.eventSeries(s, dir))),
     // two-phase heavy hitters: freqItems sketch candidates + exact
     // verify — output is EXACT (and so fully oracle-gated) even though
     // the candidate pass is a sketch
@@ -899,6 +909,29 @@ object AnalyticsSurface {
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  CAST(1 AS BIGINT) AS within_3rsd
         |FROM events GROUP BY 1""".stripMargin,
+    // same strictly-after frontier chain; nested min-aggregation joins
+    "agg_funnel" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type FROM events),
+        |s1 AS (SELECT user_id, min(timestamp) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.timestamp > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.timestamp > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    "agg_retention" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id FROM events),
+        |a AS (SELECT DISTINCT user_id, timestamp // 604800000000 AS period FROM ev),
+        |f AS (SELECT user_id, min(period) AS cohort_period FROM a GROUP BY 1)
+        |SELECT f.cohort_period, a.period - f.cohort_period AS offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "agg_sketch_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_partials,

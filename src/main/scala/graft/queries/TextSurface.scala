@@ -159,6 +159,12 @@ object TextSurface {
     // weight-proportional retention, weight = 10·n_chars bp (length-
     // proportional keep probability, 5%-55% across the fixture) — the
     // integer-exact form of quality-weighted sampling
+    // EXACT-k deterministic eval split (Sampling.topKHash): hash-
+    // ordered top-25 per language — fixed SIZE where rate sampling
+    // gives fixed membership; one keyed window, never global
+    "sample_eval_topk" -> ((s, dir) =>
+      graft.ops.Sampling.topKHash(docs(s, dir), "doc_id", "lang", 25)
+        .select("doc_id", "lang", "rank")),
     "sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedHash(docs(s, dir), "doc_id",
           col("n_chars") * 10)
@@ -1014,6 +1020,14 @@ object TextSurface {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h60sql("'wsample:' || CAST(doc_id AS VARCHAR)")} % 10000
          |  < greatest(0, least(10000, n_chars * 10))""".stripMargin,
+    // same hash-ordered ranking with the doc_id tiebreak
+    "sample_eval_topk" ->
+      s"""SELECT doc_id, lang, rank FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60sql("'evalk:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM documents)
+         |WHERE rank <= 25""".stripMargin,
     "text_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
          |  FROM documents),

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnels: strictly-after chaining, earliest-frontier policy,
+  * same-timestamp exclusion; retention cohort/offset arithmetic. */
+class FunnelsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("funnel chains strictly-after frontiers with the earliest-frontier policy") {
+    val ev = Seq(
+      // user 1: clean 3-step conversion
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // user 2: view at the SAME ts as signup does not chain
+      (2L, 10L, "signup"), (2L, 10L, "view"), (2L, 40L, "purchase"),
+      // user 3: pre-signup view ignored; purchase before the view frontier
+      (3L, 5L, "view"), (3L, 10L, "signup"), (3L, 15L, "view"), (3L, 12L, "purchase"),
+      // user 4: never signs up
+      (4L, 1L, "purchase"), (4L, 2L, "view"),
+      // user 5: EARLIEST view after signup (12, not 20) lets purchase@15 chain
+      (5L, 10L, "signup"), (5L, 20L, "view"), (5L, 12L, "view"), (5L, 15L, "purchase")
+    ).toDF("user_id", "timestamp", "event_type")
+    val got = Funnels.funnel(ev, Seq("signup", "view", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // signup: 1,2,3,5; view strictly after: 1,3,5; purchase after that: 1,5
+    assert(got == Set((1L, "signup", 4L), (2L, "view", 3L), (3L, "purchase", 2L)))
+  }
+
+  test("retention counts distinct users per (first-activity cohort, offset)") {
+    val ev = Seq(
+      (1L, 5L), (1L, 15L), (1L, 35L),   // cohort 0 -> offsets 0, 1, 3
+      (2L, 25L), (2L, 27L),             // cohort 2 -> offset 0 once (distinct)
+      (3L, 6L), (3L, 36L)               // cohort 0 -> offsets 0, 3
+    ).toDF("user_id", "timestamp")
+    val got = Funnels.retention(ev, periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L, (2L, 0L) -> 1L))
+  }
+
+  test("funnel step counts are non-increasing on the real fixture") {
+    val ev = graft.core.Tables.eventSeries(spark, "/root/testdata/sf0.001")
+    val n = Funnels.funnel(ev, Seq("signup", "view", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(n.length == 3 && n(0) >= n(1) && n(1) >= n(2) && n(0) > 0)
+  }
+}

@@ -111,4 +111,33 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("exact-k sampling: fixed size, determinism, bounded growth churn") {
+    val k = 17
+    val sel = Sampling.topKHash(corpus, "doc_id", "lang", k)
+    val byLang = sel.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    // exactly k per stratum, ranks exactly 1..k
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == k, lang)
+      assert(rows.map(_._3).sorted.toSeq == (1L to k).toSeq, lang)
+    }
+    // rerun-identical
+    val again = Sampling.topKHash(corpus, "doc_id", "lang", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == sel.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // growth churn is bounded: doubling the corpus keeps size at k and
+    // every surviving member keeps or improves its rank
+    val bigger = corpus.union(
+      (2000 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en"
+        else Seq("de", "fr", "zh")(i % 3))).toDF("doc_id", "lang"))
+    val grown = Sampling.topKHash(bigger, "doc_id", "lang", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val before = sel.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(grown.size == before.size)
+    before.foreach { case (id, rank) =>
+      grown.get(id).foreach(r2 => assert(r2 >= rank))
+    }
+  }
 }
