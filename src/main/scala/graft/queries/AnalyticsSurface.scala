@@ -242,6 +242,24 @@ object AnalyticsSurface {
           .cast("long").as("increase6"),
           count(lit(1)).as("n_points"))
     }),
+    // per-series ingest-gap statistics — the sampling-health monitor a
+    // SAMPLE BY fill policy depends on (a series with 10-minute stalls
+    // needs FILL(prev); one with steady gaps doesn't): one keyed lag
+    // window + one grouped aggregation, integer micros end-to-end
+    "ts_gap_stats" -> ((s, dir) => {
+      val ev = Tables.eventSeries(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("timestamp").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("timestamp"), col("event_id"))
+        .withColumn("gap", col("timestamp") - lag(col("timestamp"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), max("gap").as("max_gap_us"),
+          sum("gap").as("sg"),
+          sum(when(col("gap") > 600000000L, 1L).otherwise(0L)).as("n_stalls"))
+        .select(col("user_id"), col("n_gaps"), col("max_gap_us"),
+          expr("sg div n_gaps").as("avg_gap_us"), col("n_stalls"))
+    }),
     // exact rolling median + p90 over the trailing 20-observation
     // frame per user — the windowed-percentile monitoring primitives:
     // one keyed window collect + in-row sort/select ((lo+hi)/2 is the
@@ -909,6 +927,14 @@ object AnalyticsSurface {
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  CAST(1 AS BIGINT) AS within_3rsd
         |FROM events GROUP BY 1""".stripMargin,
+    "ts_gap_stats" ->
+      (EV + """SELECT user_id, count(*) AS n_gaps,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us,
+        |  CAST(sum(CASE WHEN gap > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_stalls
+        |FROM (SELECT user_id, timestamp - lag(timestamp) OVER (
+        |    PARTITION BY user_id ORDER BY timestamp, event_id) AS gap FROM ev)
+        |WHERE gap IS NOT NULL GROUP BY 1""".stripMargin),
     // same strictly-after frontier chain; nested min-aggregation joins
     "agg_funnel" ->
       """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type FROM events),

@@ -239,6 +239,21 @@ object TextSurface {
     // provenance → plan, the composed curation step
     "mix_hosts" -> ((s, dir) =>
       graft.ops.UrlCanon.hostMixPlan(docs(s, dir))),
+    // the round-8 composed pipeline — the full shard-prep chain a
+    // pretraining corpus ships through as ONE plan: URL-grain dedup
+    // keepers → decontamination-clean train docs → Gopher quality
+    // keeps → stride-overlapped training windows
+    "pipeline_pretrain_shards" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepUrl = graft.ops.UrlCanon.dedupByUrl(d)
+        .select(col("keep_doc_id").as("doc_id"))
+      val clean = graft.ops.Decontam.trainEvalOverlap(d, 20, 8)
+        .filter(col("contaminated") === 0).select("doc_id")
+      val good = qualityGopher(s, dir).filter(col("keep") === 1).select("doc_id")
+      graft.ops.Packing.chunkWithOverlap(
+        d.join(keepUrl, "doc_id").join(clean, "doc_id").join(good, "doc_id"),
+        CHUNK_TOKENS, CHUNK_STRIDE)
+    }),
     // rarity-weighted top terms per doc (integer-exact tf/df scoring —
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
@@ -733,6 +748,25 @@ object TextSurface {
          |SELECT url_canon, host, min(doc_id) AS keep_doc_id,
          |  CAST(count(*) AS BIGINT) AS n_dups
          |FROM canon GROUP BY 1, 2""".stripMargin,
+    // composes four sub-oracles: URL keepers (canon CTEs), decontam
+    // clean set (nested WITH in a subquery), gopher keeps, chunking
+    "pipeline_pretrain_shards" ->
+      s"""WITH ${graft.ops.UrlCanon.canonCteSql},
+         |ku AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon, host),
+         |cl AS (SELECT doc_id FROM ($decontamOracle) WHERE contaminated = 0),
+         |qk AS (SELECT doc_id FROM ($qualityGopherOracle) WHERE keep = 1),
+         |kd AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN ku USING (doc_id) JOIN cl USING (doc_id) JOIN qk USING (doc_id)),
+         |t2 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM kd),
+         |g2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    unnest(range(0, len(toks), $CHUNK_STRIDE)) AS st
+         |  FROM t2 WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(st // $CHUNK_STRIDE AS BIGINT) AS chunk_id,
+         |  CAST(st AS BIGINT) AS start_tok,
+         |  CAST(least(st + $CHUNK_TOKENS, n) - st AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(
+         |    list_slice(toks, st + 1, least(st + $CHUNK_TOKENS, n)), ' ')) AS chunk_fp
+         |FROM g2""".stripMargin,
     "mix_hosts" -> {
       val caseArms = graft.ops.UrlCanon.HOST_TARGETS.map { case (h, bp) =>
         s"WHEN '$h' THEN $bp" }.mkString(" ")
