@@ -67,7 +67,7 @@ object Bench {
     // day-partial HLL merge
     "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
     "stream_top3", "dedup_containment", "pack_chunk_overlap",
-    "agg_sketch_merge")
+    "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -79,28 +79,49 @@ object Dedup {
     * second shuffle over the corpus.
     *
     * Recall semantics, stated: a qualifying pair is emitted iff it
-    * shares at least one shingle with df ≤ maxDf — boilerplate-only
-    * overlap (every shared shingle corpus-common) is deliberately out
-    * of scope, exactly the blind spot the ceiling buys scalability
-    * with. The oracle replays the identical candidate rule, so the
-    * gate is exact over the DECLARED semantics.
+    * shares at least `minShared` shingles with df ≤ maxDf —
+    * boilerplate-only overlap (every shared shingle corpus-common) is
+    * deliberately out of scope, exactly the blind spot the ceiling
+    * buys scalability with, and single-shingle coincidences don't pay
+    * a verify (on a low-entropy corpus they dominated: the sf0.1
+    * fixture produced 1.13M single-shared pairs vs 112k with ≥ 2 —
+    * a 10x verify-stage cut; any pair at 0.8 containment of a
+    * ≥ 3-shingle doc shares ≥ 2 by construction). The oracle replays
+    * the identical candidate rule, so the gate is exact over the
+    * DECLARED semantics.
     *
     * Output: (doc_a, doc_b, containment), doc_a < doc_b,
     * containment ≥ threshold. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
-      maxDf: Long = 32): DataFrame = {
+      maxDf: Long = 32, minShared: Long = 2): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val docsSh = TextFns.withShingles(docs)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exploded relation feeds the df census AND the posting collect —
+    // persisted like Terms' feature relation (caller releases via
+    // clearCache). Pair emission is POSTING-LIST LOCAL, not a
+    // self-join (the similarDocsByRareFeatures shape): df filtered
+    // BEFORE the collect so no list exceeds maxDf, and the in-row
+    // expansion replaced a 2.5M-row shingle-equality SMJ (the r8
+    // profile's dominant stage) with one projection
     val s = docsSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val bounded = s.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf).select("sh")
-    val posting = s.join(bounded, "sh")
-    val cand = posting.as("x").join(posting.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = s.groupBy("sh").agg(count(lit(1)).as("df"))
+    val postings = s.join(dfreq.filter(col("df").between(2, maxDf)), "sh")
+      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    val cand = postings
+      .select(explode(expr(
+        "flatten(transform(ds, x -> " +
+          "filter(transform(ds, y -> " +
+          "if(x < y, named_struct('doc_a', x, 'doc_b', y), null)), " +
+          "p -> p is not null)))")).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= minShared)
+      .select("doc_a", "doc_b")
     cand
       .join(docsSh.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
       .join(docsSh.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")

@@ -1014,8 +1014,9 @@ object TextSurface {
       s"""WITH $SHINGLE_CTES,
          |bdf AS (SELECT sh FROM s GROUP BY sh HAVING count(*) BETWEEN 2 AND 32),
          |p AS (SELECT doc_id, sh FROM s JOIN bdf USING (sh)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS cnt
          |  FROM cand c JOIN s s1 ON s1.doc_id = c.doc_a
          |  JOIN s s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh

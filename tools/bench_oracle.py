@@ -46,7 +46,7 @@ HEADLINE = [
     # round-8 additions (keep in sync with graft.Bench.headline)
     "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
     "stream_top3", "dedup_containment", "pack_chunk_overlap",
-    "agg_sketch_merge",
+    "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards",
 ]
 
 
