@@ -332,9 +332,35 @@ object StreamSurface {
       "append")
   }
 
+  /** Streaming funnel: per-user step frontiers as continuous state
+    * ([[graft.streaming.StreamingIngest.funnelStream]] — append-mode
+    * reached-step emissions), reduced to the batch funnel's
+    * (step, event_type, n_users) shape from the sink. The staged
+    * single batch in event-time order makes stream ≡ batch for the
+    * frontiers, so the agg_funnel oracle applies verbatim. */
+  private def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    import s.implicits._
+    val types = Seq("signup", "view", "purchase")
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"), col("event_type"))
+      .as[graft.streaming.StreamingIngest.FunnelEvent]
+    val reached = runToTable(s,
+      graft.streaming.StreamingIngest.funnelStream(stream, types).toDF(),
+      "append")
+    val stepType = types.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (tp, i)) => when(col("step") === (i + 1).toLong, lit(tp)).otherwise(acc)
+    }
+    reached.groupBy("step")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("step"), stepType.as("event_type"), col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_asof_join" -> streamAsofJoin,
     "stream_anomaly" -> streamAnomaly,
+    "stream_funnel" -> streamFunnel,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
@@ -416,6 +442,22 @@ object StreamSurface {
   val oracleSql: Map[String, String] = Map(
     // the batch as-of oracle verbatim (DuckDB's NATIVE ASOF JOIN):
     // the staged single batch makes stream ≡ batch for the carry
+    // the batch agg_funnel oracle verbatim: the staged batch processed
+    // in event-time order makes first-qualifying ≡ min-qualifying
+    "stream_funnel" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type FROM events),
+        |s1 AS (SELECT user_id, min(timestamp) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.timestamp > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.timestamp > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
     // the batch win_anomaly oracle verbatim: the single staged batch
     // processed in frame order makes stream ≡ batch for the ring
     "stream_anomaly" ->

@@ -257,6 +257,56 @@ object StreamingIngest {
       }
   }
 
+  final case class FunnelEvent(timestamp: Long, user_id: Long,
+      event_type: String)
+  /** Per-user frontier times per step; Long.MinValue = unreached. */
+  final case class FunnelFrontier(t: Array[Long])
+  final case class StepReached(user_id: Long, step: Long, ts: Long)
+
+  /** Streaming ordered funnel — graft.ops.Funnels.funnel's frontiers
+    * under continuous ingest (real-time conversion tracking): one
+    * step-times array per user in flatMapGroupsWithState, each batch
+    * processed in event-time order. Processing ascending-by-ts makes
+    * the set-once frontier EXACTLY the batch min-qualifying rule: when
+    * a step-k event arrives, every candidate that could have set
+    * frontier k−1 lower has already been seen (smaller ts), and a
+    * qualifying step-k event can never be undercut later (larger ts) —
+    * so first-qualifying ≡ min-qualifying. Strictly-after chaining and
+    * same-ts exclusion carry over unchanged: a step event at exactly
+    * the previous frontier's ts fails ts > t(k−1) regardless of
+    * processing order within the tie. Emits one append-mode
+    * (user, step, ts) row per NEWLY reached step; cross-batch carry
+    * under the staged ordered-replay contract ([[asOfAnnotate]]). */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      types: Seq[String]): org.apache.spark.sql.Dataset[StepReached] = {
+    require(types.nonEmpty && types.size == types.distinct.size,
+      s"steps must be non-empty and distinct, got $types")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typeIdx = types.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelFrontier, StepReached](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state: GroupState[FunnelFrontier]) =>
+          val t = state.getOption
+            .getOrElse(FunnelFrontier(Array.fill(types.size)(Long.MinValue)))
+            .t.clone()
+          val out = new scala.collection.mutable.ArrayBuffer[StepReached]()
+          batch.toArray.sortBy(_.timestamp).foreach { e =>
+            typeIdx.get(e.event_type).foreach { i =>
+              val chained = i == 0 ||
+                (t(i - 1) != Long.MinValue && e.timestamp > t(i - 1))
+              if (chained && t(i) == Long.MinValue) {
+                t(i) = e.timestamp
+                out += StepReached(uid, (i + 1).toLong, e.timestamp)
+              }
+            }
+          }
+          state.update(FunnelFrontier(t))
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
   final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
   final case class UserSnapshot(user_id: Long, n_events: Long,

@@ -301,6 +301,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(t => t._1 == 2L).forall(t => t._7 == 0L && t._5 < 8))
   }
 
+  test("streaming funnel carries step frontiers across micro-batches, matches batch") {
+    import spark.implicits._
+    val src = s"$tmp/src_funnel"
+    // the FunnelsSpec fixture, split so user 1's purchase and user 5's
+    // whole chain arrive in batch 2 (cross-batch frontier carry)
+    val all = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      (2L, 10L, "signup"), (2L, 10L, "view"), (2L, 40L, "purchase"),
+      (3L, 5L, "view"), (3L, 10L, "signup"), (3L, 15L, "view"), (3L, 12L, "purchase"),
+      (4L, 1L, "purchase"), (4L, 2L, "view"),
+      (5L, 10L, "signup"), (5L, 20L, "view"), (5L, 12L, "view"), (5L, 15L, "purchase"))
+    val (b1, b2) = all.partition { case (u, ts, _) => !(u == 5L || ts >= 25L) }
+    def writeBatch(rows: Seq[(Long, Long, String)]): Unit =
+      rows.map { case (u, ts, tp) => (ts, u, tp) }
+        .toDF("timestamp", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(src)
+    writeBatch(b1)
+    val schema = org.apache.spark.sql.Encoders
+      .product[StreamingIngest.FunnelEvent].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[StreamingIngest.FunnelEvent]
+    val q = StreamingIngest.funnelStream(stream, Seq("signup", "view", "purchase"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_test").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val reached = spark.table("funnel_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1's purchase@30 arrives in batch 2 and chains off the
+    // batch-1 view frontier; user 2 never chains past signup
+    assert(reached.contains((1L, 3L, 30L)))
+    assert(!reached.exists(t => t._1 == 2L && t._2 >= 2L))
+    // per-step counts equal the batch operator on the same rows
+    val batchCounts = graft.ops.Funnels.funnel(
+      all.toDF("user_id", "timestamp", "event_type"),
+      Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = reached.groupBy(_._2).map { case (s2, v) => s2 -> v.size.toLong }
+    assert(streamCounts == batchCounts)
+  }
+
   test("watermarked append-mode counts emit only closed windows, all correct") {
     import spark.implicits._
     val src = s"$tmp/src3"
