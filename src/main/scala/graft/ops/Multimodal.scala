@@ -1521,6 +1521,140 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeZip(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // TAR (ustar): the sequential fixed-block archive tier — the format
+  // training shards actually ship in (WebDataset is tar of samples).
+  // A fourth navigation style: no index, no trailer — the walk is
+  // 512-byte header blocks with OCTAL-TEXT size fields framing the
+  // padded member data, terminated by two zero blocks. Headers carry
+  // a REAL checksum (byte sum with the checksum field blanked), so
+  // chksum_ok only reaches n_members when framing and field parsing
+  // both hold. The plant mixes files and directories and pads every
+  // 5th archive with an extra zero block (legal trailer padding a
+  // walker must tolerate).
+  // ---------------------------------------------------------------
+
+  private[ops] def tarMembers(id: Long): Int = (3 + id % 11).toInt
+  private[ops] def tarIsDir(id: Long, i: Int): Boolean = (id + i) % 4 == 0
+  private[ops] def tarLen(fill: Int, i: Int): Int = 1 + (fill + i) % 97
+
+  /** A real ustar archive for media_id: `tarMembers` members (every
+    * (id+i)%4==0 one a directory), file bodies ((fill + 11i + j) % 251)
+    * padded to 512, correct octal sizes and header checksums, two zero
+    * end blocks (+1 padding block on every 5th id). */
+  private[ops] def buildTarPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id); val ne = tarMembers(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def field(b: Array[Byte], off: Int, s: String): Unit = {
+      val x = s.getBytes("US-ASCII")
+      System.arraycopy(x, 0, b, off, math.min(x.length, 99))
+    }
+    for (i <- 0 until ne) {
+      val dir = tarIsDir(id, i)
+      val size = if (dir) 0 else tarLen(fill, i)
+      val h = new Array[Byte](512)
+      field(h, 0, if (dir) s"d$i/" else s"s$i.bin")
+      field(h, 100, "0000644")
+      field(h, 108, "0000000")
+      field(h, 116, "0000000")
+      field(h, 124, f"${size.toLong}%011o")
+      field(h, 136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum blank
+      h(156) = if (dir) '5' else '0'
+      field(h, 257, "ustar")
+      h(263) = '0'; h(264) = '0'
+      val sum = h.map(_ & 0xff).sum
+      field(h, 148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      if (!dir) {
+        val body = Array.tabulate(size)(j => ((fill + 11 * i + j) % 251).toByte)
+        out.write(body)
+        out.write(new Array[Byte]((512 - size % 512) % 512))
+      }
+    }
+    out.write(new Array[Byte](1024))
+    if (id % 5 == 0) out.write(new Array[Byte](512))
+    out.toByteArray
+  }
+
+  /** TAR media table from the documents fixture (every doc). */
+  def tarFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildTarPayload(id), "application/x-tar", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class TarFeatures(
+      media_id: Long,
+      format: String,
+      n_members: Long,
+      n_files: Long,
+      n_dirs: Long,
+      total_bytes: Long,
+      chksum_ok: Long,
+      content_checksum: Long)
+
+  /** Sequential 512-block walk: per header, validate the ustar magic,
+    * re-sum the header bytes against the octal checksum field, parse
+    * the octal size, skip/checksum the padded member data; stop at the
+    * first zero block (tolerating any number of trailing zero blocks).
+    * Malformed — bad magic, non-octal size, header overrun, data past
+    * EOF, nonzero trailer garbage — degrades the row to "unknown". */
+  private[ops] def decodeTar(id: Long, p: Array[Byte]): TarFeatures = {
+    val bad = TarFeatures(id, "unknown", -1, -1, -1, -1, -1, -1)
+    if (p.length < 1024 || p.length % 512 != 0) return bad
+    var off = 0
+    var nm = 0L; var nf = 0L; var nd = 0L; var tot = 0L
+    var ckOk = 0L; var content = 0L
+    def zeroBlock(o: Int): Boolean = {
+      var i = o; while (i < o + 512) { if (p(i) != 0) return false; i += 1 }
+      true
+    }
+    while (off + 512 <= p.length && !zeroBlock(off)) {
+      if (new String(p, off + 257, 5, "US-ASCII") != "ustar") return bad
+      val sizeStr = new String(p, off + 124, 12, "US-ASCII")
+        .takeWhile(c => c >= '0' && c <= '7')
+      if (sizeStr.isEmpty) return bad
+      val size = java.lang.Long.parseLong(sizeStr, 8)
+      val claimed = {
+        val s = new String(p, off + 148, 8, "US-ASCII")
+          .dropWhile(_ == ' ').takeWhile(c => c >= '0' && c <= '7')
+        if (s.isEmpty) -1L else java.lang.Long.parseLong(s, 8)
+      }
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else p(off + i) & 0xff)
+        i += 1
+      }
+      if (sum == claimed) ckOk += 1
+      val dir = p(off + 156) == '5'
+      nm += 1; if (dir) nd += 1 else nf += 1
+      val dataBlocks = ((size + 511) / 512).toInt
+      if (off + 512 + dataBlocks * 512 > p.length) return bad
+      var j = 0
+      while (j < size) { content += (p(off + 512 + j) & 0xff); j += 1 }
+      tot += size
+      off += 512 + dataBlocks * 512
+    }
+    // trailer: everything from the first zero block to EOF must be zero
+    while (off < p.length) { if (p(off) != 0) return bad; off += 1 }
+    if (nm == 0) return bad
+    TarFeatures(id, "tar", nm, nf, nd, tot, ckOk, content)
+  }
+
+  /** Batch TAR feature extraction — row-local, the other tiers' shape. */
+  def extractTarFeatures(media: DataFrame): Dataset[TarFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeTar(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

@@ -437,6 +437,12 @@ object StreamSurface {
     "mm_zip" -> ((s, dir) =>
       Multimodal.extractZipFeatures(
         Multimodal.zipFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // shard tier: sequential 512-block ustar walk (the WebDataset
+    // container) — octal-text size framing, real header checksums
+    // re-summed, file/dir mix, tolerant of trailer zero padding
+    "mm_tar" -> ((s, dir) =>
+      Multimodal.extractTarFeatures(
+        Multimodal.tarFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -686,6 +692,29 @@ object StreamSurface {
         |  CAST(m.clen AS BIGINT) AS comment_len, CAST(m.ne AS BIGINT) AS crc_ok,
         |  CAST(m.ne AS BIGINT) AS sizes_ok
         |FROM m JOIN e USING (doc_id)""".stripMargin,
+    // closed form from the shared plant: ne members, every (id+i)%4==0
+    // a directory, file i carries 1 + (fill+i)%97 bytes of
+    // (fill + 11i + j) % 251; chksum_ok = ne verdict
+    "mm_tar" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill, 3 + doc_id % 11 AS ne
+        |  FROM documents),
+        |mem AS (SELECT doc_id, fill, i, ((doc_id + i) % 4 = 0) AS is_dir,
+        |    1 + (fill + i) % 97 AS len
+        |  FROM (SELECT doc_id, fill, ne, unnest(range(ne)) AS i FROM m)),
+        |fb AS (SELECT doc_id, sum(CASE WHEN is_dir THEN 0 ELSE len END) AS tot,
+        |    sum(CASE WHEN is_dir THEN 1 ELSE 0 END) AS nd FROM mem GROUP BY 1),
+        |cs AS (SELECT doc_id, sum((fill + 11 * i + j) % 251) AS cc
+        |  FROM (SELECT doc_id, fill, i, unnest(range(len)) AS j
+        |    FROM mem WHERE NOT is_dir)
+        |  GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'tar' AS format,
+        |  CAST(m.ne AS BIGINT) AS n_members,
+        |  CAST(m.ne - fb.nd AS BIGINT) AS n_files,
+        |  CAST(fb.nd AS BIGINT) AS n_dirs,
+        |  CAST(fb.tot AS BIGINT) AS total_bytes,
+        |  CAST(m.ne AS BIGINT) AS chksum_ok,
+        |  CAST(coalesce(cs.cc, 0) AS BIGINT) AS content_checksum
+        |FROM m JOIN fb USING (doc_id) LEFT JOIN cs USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -490,4 +490,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeZip(0L, Multimodal.buildMp4Payload(0L)).format == "unknown")
     assert(Multimodal.decodeZip(0L, Multimodal.buildTiffPayload(0L)).format == "unknown")
   }
+
+  test("TAR: files, directories, checksums and trailer padding decode to the plant") {
+    // 0/5/10: extra trailer zero block; various member mixes
+    Seq(0L, 1L, 5L, 7L, 10L, 250L).foreach { id =>
+      val f = Multimodal.decodeTar(id, Multimodal.buildTarPayload(id))
+      val ne = (3 + id % 11).toInt; val fill = (id % 251).toInt
+      val dirs = (0 until ne).count(i => (id + i) % 4 == 0)
+      val files = (0 until ne).filter(i => (id + i) % 4 != 0)
+      val tot = files.map(i => 1 + (fill + i) % 97).sum
+      val cc = files.map { i =>
+        (0 until (1 + (fill + i) % 97)).map(j => (fill + 11 * i + j) % 251).sum
+      }.sum
+      assert(f.format == "tar" && f.n_members == ne, s"id $id")
+      assert(f.n_files == ne - dirs && f.n_dirs == dirs, s"id $id types")
+      assert(f.total_bytes == tot && f.content_checksum == cc, s"id $id content")
+      assert(f.chksum_ok == ne, s"id $id checksums")
+    }
+  }
+
+  test("TAR: malformed payloads decode as unknown; a flipped byte fails its checksum") {
+    val good = Multimodal.buildTarPayload(3L)
+    assert(Multimodal.decodeTar(0L, good.take(512)).format == "unknown") // no end blocks
+    assert(Multimodal.decodeTar(0L, good.take(good.length - 1)).format == "unknown") // unaligned
+    val badMagic = good.clone(); badMagic(257) = 'X'
+    assert(Multimodal.decodeTar(0L, badMagic).format == "unknown")
+    val badTrailer = good.clone(); badTrailer(badTrailer.length - 1) = 1
+    assert(Multimodal.decodeTar(0L, badTrailer).format == "unknown")
+    // flip a name byte: framing survives, that header's checksum fails
+    val flipped = good.clone(); flipped(1) = (flipped(1) ^ 0x01).toByte
+    val f = Multimodal.decodeTar(3L, flipped)
+    assert(f.format == "tar" && f.chksum_ok == f.n_members - 1)
+    // sibling-format payloads are clean unknowns
+    assert(Multimodal.decodeTar(0L, Multimodal.buildZipPayload(0L)).format == "unknown")
+    assert(Multimodal.decodeTar(0L, Multimodal.buildMp4Payload(0L)).format == "unknown")
+  }
 }
