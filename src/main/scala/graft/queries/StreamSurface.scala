@@ -357,10 +357,28 @@ object StreamSurface {
       .select(col("step"), stepType.as("event_type"), col("n_users"))
   }
 
+  /** Streaming cohort retention ([[graft.streaming.StreamingIngest
+    * .retentionStream]]): first-activity cohorts pinned in per-user
+    * state, new active periods emitted append-mode, reduced to the
+    * batch (cohort, offset, n_users) matrix from the sink — the
+    * agg_retention oracle applies verbatim under ordered replay. */
+  private def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    import s.implicits._
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"), col("user_id"))
+      .as[graft.streaming.StreamingIngest.RetEvent]
+    runToTable(s,
+      graft.streaming.StreamingIngest.retentionStream(stream).toDF(), "append")
+      .groupBy("cohort_period", "offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_asof_join" -> streamAsofJoin,
     "stream_anomaly" -> streamAnomaly,
     "stream_funnel" -> streamFunnel,
+    "stream_retention" -> streamRetention,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
@@ -464,6 +482,16 @@ object StreamSurface {
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    // the batch agg_retention oracle verbatim: ordered replay makes
+    // first-seen ≡ min and the lastEmitted watermark ≡ DISTINCT
+    "stream_retention" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id FROM events),
+        |a AS (SELECT DISTINCT user_id, timestamp // 604800000000 AS period FROM ev),
+        |f AS (SELECT user_id, min(period) AS cohort_period FROM a GROUP BY 1)
+        |SELECT f.cohort_period, a.period - f.cohort_period AS offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     // the batch win_anomaly oracle verbatim: the single staged batch
     // processed in frame order makes stream ≡ batch for the ring
     "stream_anomaly" ->

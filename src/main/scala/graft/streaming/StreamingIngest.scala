@@ -307,6 +307,49 @@ object StreamingIngest {
       }
   }
 
+  final case class RetEvent(timestamp: Long, user_id: Long)
+  /** Per-user retention state: first-activity period and the last
+    * period already emitted (periods arrive non-decreasing under the
+    * ordered-replay contract, so one Long bounds the dedup). */
+  final case class RetState(cohort: Long, lastEmitted: Long)
+  final case class PeriodActive(user_id: Long, cohort_period: Long,
+      offset: Long)
+
+  /** Streaming cohort retention — graft.ops.Funnels.retention as a
+    * continuous query: each user's first-activity period pins their
+    * cohort, and every NEW active period emits one append-mode
+    * (user, cohort, offset) row, deduped against per-user state.
+    * Batch-side reduction to (cohort_period, offset, n_users) then
+    * matches the batch operator exactly, because under ordered replay
+    * the first period seen IS the minimum and within-period repeats
+    * collapse on the lastEmitted watermark — the distinct (user,
+    * period) set is identical to the batch DISTINCT. */
+  def retentionStream(events: org.apache.spark.sql.Dataset[RetEvent],
+      periodUs: Long = 7L * 86400000000L)
+      : org.apache.spark.sql.Dataset[PeriodActive] = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, PeriodActive](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, batch, state: GroupState[RetState]) =>
+          val periods = batch.map(e => Math.floorDiv(e.timestamp, periodUs))
+            .toArray.sorted
+          var st = state.getOption.getOrElse(RetState(Long.MinValue, Long.MinValue))
+          val out = new scala.collection.mutable.ArrayBuffer[PeriodActive]()
+          periods.foreach { p =>
+            if (st.cohort == Long.MinValue) st = RetState(p, Long.MinValue)
+            if (p > st.lastEmitted) {
+              out += PeriodActive(uid, st.cohort, p - st.cohort)
+              st = RetState(st.cohort, p)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class UserEvent(user_id: Long, timestamp: Long, value: Double)
   final case class UserState(nEvents: Long, sum: Double, lastTs: Long)
   final case class UserSnapshot(user_id: Long, n_events: Long,

@@ -345,6 +345,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamCounts == batchCounts)
   }
 
+  test("streaming retention pins cohorts in state and dedups periods across batches") {
+    import spark.implicits._
+    val src = s"$tmp/src_ret"
+    // periodUs = 10: user 1 cohort 0 active in periods 0,1,3; user 2
+    // cohort 2 with a within-period repeat; period 3 arrives in batch 2
+    val b1 = Seq((5L, 1L), (15L, 1L), (25L, 2L), (27L, 2L))
+    val b2 = Seq((35L, 1L), (36L, 3L)) // + user 3, cohort 3
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("timestamp", "user_id").coalesce(1)
+        .write.mode("append").parquet(src)
+    writeBatch(b1)
+    val schema = org.apache.spark.sql.Encoders
+      .product[StreamingIngest.RetEvent].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .as[StreamingIngest.RetEvent]
+    val q = StreamingIngest.retentionStream(stream, periodUs = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_test").start()
+    try { q.processAllAvailable(); writeBatch(b2); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("ret_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one emission per distinct (user, period), cohort carried
+    assert(got.length == got.distinct.length)
+    val cells = got.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val exp = graft.ops.Funnels.retention(
+      (b1 ++ b2).toDF("timestamp", "user_id"), periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(cells == exp)
+    // user 1's period-3 row (batch 2) kept cohort 0 from batch-1 state
+    assert(got.contains((1L, 0L, 3L)))
+  }
+
   test("watermarked append-mode counts emit only closed windows, all correct") {
     import spark.implicits._
     val src = s"$tmp/src3"
