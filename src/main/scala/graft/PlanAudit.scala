@@ -36,7 +36,15 @@ object PlanAudit {
       "text_similar_rare", // rare-feature posting-list equality join
       "pack_length_buckets", // broadcast quantile boundaries, scan-speed assign
       "events_json_extract", // codegen'd JSON path over the scan
-      "agg_rollup_sets")   // one-shuffle expand + partial aggregate
+      "agg_rollup_sets",   // one-shuffle expand + partial aggregate
+      // round-8 additions
+      "agg_corr",          // fixed-point long moments, no decimal buffers
+      "win_anomaly",       // 1e-4 fixed-point window sums, one keyed sort
+      "asof_join_nearest", // two running frames (base + reversed sort), ONE exchange
+      "dedup_containment", // posting-list-local pairs, no shingle self-join
+      "pack_chunk_overlap", // sequence/posexplode generate, zero exchanges
+      "agg_funnel",        // user-keyed min-agg joins, ReusedExchange prefixes
+      "agg_sketch_merge")  // per-day HLL partials + union, verdict side-by-side
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
