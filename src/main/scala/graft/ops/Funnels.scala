@@ -57,6 +57,38 @@ object Funnels {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[funnel]] with a conversion WINDOW (ClickHouse windowFunnel's
+    * gap argument): step k must land strictly after step k−1 AND
+    * within `windowUs` of the user's step-1 time — a signup only
+    * "converts" if the later steps happen inside the attribution
+    * window. Same frontier chain with one extra bound carried from
+    * the step-1 frontier; identical plan shape. */
+  def funnelWithin(events: DataFrame, types: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(types.size >= 2 && types.size == types.distinct.size,
+      s"need >= 2 distinct steps, got $types")
+    require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
+    val frontiers = types.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (tp, i)) =>
+        val step = events.filter(col("event_type") === tp)
+          .select(col("user_id"), col("timestamp").as("ts"))
+        Some(prev match {
+          case None => step.groupBy("user_id")
+            .agg(min("ts").as("t")).withColumn("t0", col("t"))
+          case Some(f) => step
+            .join(f.select(col("user_id"), col("t").as("prev_t"), col("t0")), "user_id")
+            .filter(col("ts") > col("prev_t") &&
+              col("ts") <= col("t0") + windowUs)
+            .groupBy("user_id", "t0").agg(min("ts").as("t"))
+        })
+    }.flatten
+    frontiers.zip(types).zipWithIndex.map { case ((f, tp), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step"), lit(tp).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cohort retention: users grouped by their FIRST-ACTIVITY period
     * (cohort), counted once per (cohort, offset) cell where offset =
     * active period − cohort period — the day-N/week-N retention

@@ -529,6 +529,12 @@ object AnalyticsSurface {
     "agg_funnel" -> ((s, dir) =>
       graft.ops.Funnels.funnel(Tables.eventSeries(s, dir),
         Seq("signup", "view", "purchase"))),
+    // windowed funnel (Funnels.funnelWithin): steps must convert
+    // within 7 days of the user's step-1 time — the attribution-window
+    // variant (ClickHouse windowFunnel's gap argument)
+    "agg_funnel_gap" -> ((s, dir) =>
+      graft.ops.Funnels.funnelWithin(Tables.eventSeries(s, dir),
+        Seq("signup", "view", "purchase"), 7L * 86400000000L)),
     // weekly cohort retention matrix (Funnels.retention): first-
     // activity cohort x offset distinct-user counts
     "agg_retention" -> ((s, dir) =>
@@ -946,6 +952,24 @@ object AnalyticsSurface {
         |s3 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
         |  JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.timestamp > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+    // same chain with the 7-day bound carried from the step-1 frontier
+    "agg_funnel_gap" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id, event_type FROM events),
+        |s1 AS (SELECT user_id, min(timestamp) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.timestamp > s1.t
+        |    AND e.timestamp <= s1.t + 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.timestamp) AS t FROM ev e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.timestamp > s2.t
+        |    AND e.timestamp <= s1.t + 604800000000 GROUP BY 1)
         |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
         |  (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT CAST(2 AS BIGINT), 'view', (SELECT count(*) FROM s2)

@@ -34,6 +34,27 @@ class FunnelsSpec extends AnyFunSuite {
     assert(got == Set((1L, "signup", 4L), (2L, "view", 3L), (3L, "purchase", 2L)))
   }
 
+  test("windowed funnel bounds every step by the step-1 attribution window") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 5L, "view"), (1L, 8L, "purchase"),   // all inside W=10
+      (2L, 0L, "signup"), (2L, 5L, "view"), (2L, 12L, "purchase"),  // purchase outside
+      (3L, 0L, "signup"), (3L, 20L, "view"),                        // view outside
+      (4L, 0L, "signup"), (4L, 15L, "view"), (4L, 5L, "view"), (4L, 7L, "purchase")
+    ).toDF("user_id", "timestamp", "event_type")
+    def counts(w: Long) = Funnels
+      .funnelWithin(ev, Seq("signup", "view", "purchase"), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // W=10: user 4's in-window view@5 is the frontier (15 ignored),
+    // purchase@7 chains; user 2 loses only the purchase; user 3 stalls
+    assert(counts(10L) == Map(1L -> 4L, 2L -> 3L, 3L -> 2L))
+    // W=6: purchases at 7/8 fall outside; views at 5 still convert
+    assert(counts(6L) == Map(1L -> 4L, 2L -> 3L, 3L -> 0L))
+    // a huge window degenerates to the plain funnel
+    val plain = Funnels.funnel(ev, Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts(1000000L) == plain)
+  }
+
   test("retention counts distinct users per (first-activity cohort, offset)") {
     val ev = Seq(
       (1L, 5L), (1L, 15L), (1L, 35L),   // cohort 0 -> offsets 0, 1, 3
