@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the document corpus — the search-engine
+  * face of the text family (the reference is a query engine; keyword
+  * retrieval is the first thing its users layer on a text column, and
+  * BM25 is the standard scoring function).
+  *
+  * Cross-engine exactness, by construction:
+  *  - idf is the WHOLE-BIT integer surrogate (the LM-surprisal trick):
+  *    idf = len(bin((N + 1) div (df + 1))) − 1 = floor(log₂((N+1)/(df+1)))
+  *    — integer arithmetic, no transcendental ln whose low bits differ
+  *    across engines.
+  *  - the tf saturation term runs in DOUBLE with the identical
+  *    operation order as the oracle text (k1 = 1.2, b = 0.75 literal),
+  *    and each TERM contribution is floored to 1e-6 micros BEFORE the
+  *    per-document sum — so the sum is an integer sum, order- and
+  *    partitioning-independent (a raw double sum would hash-diverge on
+  *    accumulation order).
+  *  - ranks tie-break by doc_id ascending: total order, engine-free.
+  *
+  * Shape at scale: queries are a literal relation (broadcast); only
+  * documents CONTAINING a query term enter the join (posting-list
+  * selectivity); corpus constants (N, total length) attach as a 1-row
+  * broadcast. One grouped sum + one per-query top-k window — the
+  * window partitions by query, never globally.
+  */
+object Search {
+
+  /** The deterministic query workload — ONE definition feeds the Spark
+    * plan AND the oracle's VALUES list (the MIX_TARGETS convention). */
+  val QUERY_SET: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "fast"),
+    2L -> Seq("hash", "table", "scan"),
+    3L -> Seq("window", "sort", "stream"),
+    4L -> Seq("vector", "merge", "dup"),
+    5L -> Seq("the", "slow", "query"))
+
+  /** (doc_id, term, tf) via the fused normalize+tokenize+count walk —
+    * the Terms.termFreq derivation (normText tokens, exact
+    * multiplicities, no token-level explode). */
+  private def termFreq(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(call_function("norm_ngram_counts", col("text"), lit(1))))
+      .select(col("doc_id"), col("key").as("term"), col("value").as("tf"))
+  }
+
+  /** Top-k BM25 results per query over `docs`.
+    * Output: (query_id, doc_id, score6, rank). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])] = QUERY_SET,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && queries.nonEmpty, s"need k >= 1 and queries, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFreq(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus constants as a 1-row broadcast attach (the sim_topk_brute
+    // constant-attach pattern)
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .join(broadcast(consts))
+      .withColumn("idf",
+        (length(bin(expr("(n_docs + 1) div (df + 1)"))) - 1).cast("long"))
+      .withColumn("avgdl", col("total").cast("double") / col("n_docs"))
+      .withColumn("sc6", floor(
+        col("idf").cast("double") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))) *
+          lit(1000000)).cast("long"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(sum("sc6").as("score6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score6").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score6", "rank")
+  }
+
+  /** The oracle-side VALUES list rendered from [[QUERY_SET]]. */
+  def querySetSql: String =
+    QUERY_SET.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+}

@@ -258,6 +258,11 @@ object TextSurface {
     // the cross-engine-gateable face of tf-idf; see graft.ops.Terms)
     "text_top_terms" -> ((s, dir) =>
       graft.ops.Terms.topTermsByRarity(docs(s, dir), 3)),
+    // BM25 ranked retrieval (graft.ops.Search): whole-bit integer idf,
+    // per-term micros floored before the order-independent sum,
+    // broadcast query workload — the search face of the text family
+    "text_bm25" -> ((s, dir) =>
+      graft.ops.Search.bm25TopK(docs(s, dir))),
     // unigram-LM perplexity-band quality filter (whole-bit surprisal —
     // the cross-engine-gateable face of CCNet LM filtering; see
     // graft.ops.Terms.unigramSurprisal). Band calibrated on this
@@ -1063,6 +1068,34 @@ object TextSurface {
          |    AS BIGINT) AS rank
          |  FROM documents)
          |WHERE rank <= 25""".stripMargin,
+    // same whole-bit idf and double chain, per-term floor before sum
+    "text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term <> '' GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl),
+         |q(query_id, term) AS (VALUES ${graft.ops.Search.querySetSql}),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |    CAST(floor(
+         |      CAST(length(bin((c.n_docs + 1) // (dfr.df + 1))) - 1 AS DOUBLE)
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE) + 1.2
+         |        * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(c.total AS DOUBLE) / c.n_docs))))
+         |      * 1000000) AS BIGINT) AS sc6
+         |  FROM tf JOIN q ON tf.term = q.term
+         |  JOIN dfr ON tf.term = dfr.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c),
+         |pd AS (SELECT query_id, doc_id, sum(sc6) AS score6 FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, CAST(score6 AS BIGINT) AS score6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM pd)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score6, rank
+         |FROM r WHERE rank <= 10""".stripMargin,
     "text_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term
          |  FROM documents),
