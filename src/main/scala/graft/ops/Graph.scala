@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over pair graphs — the authority signal on top of
+  * the near-duplicate graph that [[Dedup.duplicateClusters]] labels:
+  * min-id keeps an arbitrary cluster member, PageRank keeps the most
+  * CONNECTED one (the canonical-copy election a curation pipeline
+  * actually wants: the page every mirror points at, not the lowest id).
+  *
+  * INTEGER-EXACT fixed-point PageRank, so it hash-gates: ranks live at
+  * scale S = 10¹², and one iteration is
+  *
+  *   pr'(v) = (S·15) div (100·N)  +  Σ_{u∈in(v)} (pr(u)·85) div (100·deg(u))
+  *
+  * — damping 0.85 decomposed into integer multiply-then-floor-divide,
+  * identical in Spark (`div`) and DuckDB (`//`). No float ever enters,
+  * so iteration T's ranks are a fixed integer fact both engines
+  * reproduce bit-for-bit (the oracle unrolls T CTE rounds of the same
+  * formula). Floor rounding loses mass (Σpr drifts a few units per
+  * round below S) — deterministic, identical both sides, documented.
+  *
+  * Shape at scale: per iteration ONE equality join (edges ⋈ ranks on
+  * the source key) + ONE grouped sum — the standard distributed
+  * PageRank step; ranks are localCheckpointed per round (the
+  * duplicateClusters lineage discipline). Edges are the near-dup pair
+  * graph: bounded by the dedup candidate volume, not the corpus.
+  */
+object Graph {
+
+  val Scale: Long = 1000000000000L
+
+  /** PageRank over an undirected pair graph (columns doc_a, doc_b).
+    * Output: (doc_id, deg, pr12) for every node in the graph. */
+  def pagerank(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    // N is one scalar of bounded model state (node count), the same
+    // collect class as the IVF centroid counts
+    val n = deg.count()
+    require(n > 0, "pagerank over an empty pair graph")
+    val base = Scale * 15 / (100 * n)
+    var pr = deg.select(col("u").as("node"), col("deg"),
+      lit(Scale / n).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, col("u") === col("node"))
+        .select(col("v"), expr("(pr * 85) div (100 * deg)").as("c"))
+        .groupBy("v").agg(sum("c").as("inc"))
+      pr = deg.select(col("u").as("node"), col("deg"))
+        .join(contrib, col("node") === col("v"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + coalesce(col("inc"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    pr.select(col("node").as("doc_id"), col("deg"), col("pr").as("pr12"))
+  }
+
+  /** Oracle-side rendering: `iters` unrolled CTE rounds of the same
+    * integer formula over a pair subquery (recursive CTEs cannot
+    * aggregate their recursive reference, so the rounds unroll —
+    * the minhashSigCtes 64-column convention). */
+  def pagerankOracleSql(pairsSql: String, iters: Int = 10): String = {
+    // every CTE is MATERIALIZED: without the hint DuckDB inlines each
+    // reference, so round t re-evaluates the (heavy) pair subquery
+    // through the whole pr chain — observed as a runaway compare
+    val rounds = (1 to iters).map { t =>
+      s"""pr$t AS MATERIALIZED (SELECT d.u AS node, d.deg,
+         |    (SELECT ($Scale * 15) // (100 * n) FROM nn) + coalesce(inc.s, 0) AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.v AS node, sum((pr.pr * 85) // (100 * pr.deg)) AS s
+         |    FROM e JOIN pr${t - 1} pr ON e.u = pr.node GROUP BY 1) inc
+         |  ON d.u = inc.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED ($pairsSql),
+       |e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM p
+       |  UNION SELECT doc_b, doc_a FROM p),
+       |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+       |pr0 AS MATERIALIZED (SELECT u AS node, deg,
+       |  (SELECT $Scale // n FROM nn) AS pr FROM deg),
+       |$rounds
+       |SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg,
+       |  CAST(pr AS BIGINT) AS pr12 FROM pr$iters""".stripMargin
+  }
+}

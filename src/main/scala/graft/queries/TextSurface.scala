@@ -147,6 +147,11 @@ object TextSurface {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
+    // integer-exact PageRank over the same near-dup pair graph
+    // (graft.ops.Graph): centrality-based canonical-copy election
+    // beside dedup_clusters' min-id
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pagerank(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
     // the composed end-user operation: quality-filter + near-dup
     // materialization in one plan (what a training-data pipeline
     // actually ships to the trainer)
@@ -1032,6 +1037,8 @@ object TextSurface {
          |  JOIN sz y ON y.doc_id = i.doc_b
          |WHERE round(CAST(i.cnt AS DOUBLE) / least(x.n, y.n), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
+    // ten unrolled integer-PageRank rounds over the minhash pair graph
+    "graph_pagerank" -> graft.ops.Graph.pagerankOracleSql(minhashOracle),
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     // exact connected components via transitive closure (recursive CTE)

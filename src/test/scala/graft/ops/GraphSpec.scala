@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph.pagerank: centrality ordering on hand graphs, symmetry,
+  * approximate mass conservation under floor rounding. */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ranks(pairs: Seq[(Long, Long)], iters: Int = 10): Map[Long, Long] =
+    Graph.pagerank(pairs.toDF("doc_a", "doc_b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("a star's center outranks its leaves; leaves tie exactly") {
+    val r = ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert(r(0L) > r(1L))
+    assert(Set(r(1L), r(2L), r(3L), r(4L)).size == 1)
+  }
+
+  test("a symmetric triangle gives identical ranks; a path peaks in the middle") {
+    val tri = ranks(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(Set(tri(1L), tri(2L), tri(3L)).size == 1)
+    val path = ranks(Seq((1L, 2L), (2L, 3L)))
+    assert(path(2L) > path(1L) && path(1L) == path(3L))
+  }
+
+  test("rank mass stays within floor-rounding slack of the scale") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (2L, 5L))
+    val r = ranks(pairs)
+    val total = r.values.sum
+    // each round floors once per (edge endpoint) + once for the base:
+    // drift is at most a few units per node per round at scale 1e12
+    assert(total <= Graph.Scale)
+    assert(total >= Graph.Scale - 1000L)
+    // every node present, every rank positive
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("iteration deltas contract geometrically (damping 0.85)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    def maxDiff(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.map { case (k, v) => math.abs(v - b(k)) }.max
+    val early = maxDiff(ranks(pairs, 2), ranks(pairs, 4))
+    val late = maxDiff(ranks(pairs, 10), ranks(pairs, 12))
+    // eight more rounds shrink the per-round delta by ~0.85^8 ≈ 0.27;
+    // assert a loose 1/2 bound (the exact deltas are fixed integers)
+    assert(late * 2 < early, s"early=$early late=$late")
+  }
+}
