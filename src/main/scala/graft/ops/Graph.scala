@@ -61,6 +61,27 @@ object Graph {
     pr.select(col("node").as("doc_id"), col("deg"), col("pr").as("pr12"))
   }
 
+  /** The curation ACTION [[pagerank]] enables: per duplicate cluster,
+    * keep the most CENTRAL member (highest rank; rank ties break to
+    * the smaller doc_id — total order). Joins the cluster labels with
+    * the ranks over the SAME pair graph — two equality joins and one
+    * per-cluster argmax window (clusters are small by construction;
+    * the window partitions by cluster, never globally).
+    * Output: (cluster_id, keep_doc_id, pr12, n_members). */
+  def canonicalByRank(clusters: DataFrame, pr: DataFrame): DataFrame = {
+    val joined = clusters.join(pr, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("pr12").desc, col("doc_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("pr12"), col("n_members").cast("long").as("n_members"))
+  }
+
   /** Oracle-side rendering: `iters` unrolled CTE rounds of the same
     * integer formula over a pair subquery (recursive CTEs cannot
     * aggregate their recursive reference, so the rounds unroll —

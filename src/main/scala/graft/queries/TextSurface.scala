@@ -152,6 +152,14 @@ object TextSurface {
     // beside dedup_clusters' min-id
     "graph_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pagerank(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
+    // the composed action: per duplicate cluster keep the most central
+    // member (Graph.canonicalByRank over the same pair graph)
+    "dedup_canonical_rank" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Graph.canonicalByRank(
+        Dedup.duplicateClusters(pairs), graft.ops.Graph.pagerank(pairs))
+    }),
     // the composed end-user operation: quality-filter + near-dup
     // materialization in one plan (what a training-data pipeline
     // actually ships to the trainer)
@@ -1039,6 +1047,31 @@ object TextSurface {
     "dedup_minhash" -> minhashOracle,
     // ten unrolled integer-PageRank rounds over the minhash pair graph
     "graph_pagerank" -> graft.ops.Graph.pagerankOracleSql(minhashOracle),
+    // composes the clusters closure and the pagerank rounds, then the
+    // per-cluster argmax with the (rank desc, doc_id) total order
+    "dedup_canonical_rank" -> {
+      val clustersSql =
+        s"""WITH RECURSIVE
+           |p AS (SELECT doc_a, doc_b FROM ($minhashOracle) t),
+           |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+           |n AS (SELECT DISTINCT u FROM e),
+           |reach(u, v) AS (
+           |  SELECT u, u FROM n
+           |  UNION
+           |  SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u)
+           |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
+      s"""WITH cl AS MATERIALIZED ($clustersSql),
+         |pr AS MATERIALIZED (${graft.ops.Graph.pagerankOracleSql(minhashOracle)}),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, pr.pr12
+         |  FROM cl JOIN pr ON cl.doc_id = pr.doc_id),
+         |r AS (SELECT cluster_id, doc_id, pr12,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY pr12 DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS nm
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS keep_doc_id, pr12,
+         |  CAST(nm AS BIGINT) AS n_members FROM r WHERE rn = 1""".stripMargin
+    },
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     // exact connected components via transitive closure (recursive CTE)
