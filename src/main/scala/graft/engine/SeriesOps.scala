@@ -259,6 +259,28 @@ object SeriesOps {
     }
   }
 
+  /** M4 downsampling (Jugel et al., PVLDB 2014): per tumbling window
+    * the FIRST, LAST, MIN and MAX values — the four points that
+    * preserve a line chart's visual envelope at any zoom, THE
+    * dashboard-rendering reduction every TSDB front-end applies before
+    * shipping points to a browser. Same window labeling as
+    * [[sampleBy]]; ONE shuffle with map-side partials (each aggregate
+    * is a plain min/max — struct min/max for the endpoint records,
+    * the [[sampleByFn]] delta tie policy, so duplicate timestamps
+    * resolve deterministically in both engines).
+    * Output: (sample_ts, first_value, last_value, min_value,
+    * max_value, n_points). */
+  def sampleByM4(df: DataFrame, intervalUnits: Long): DataFrame =
+    df.groupBy(sampleWindow(intervalUnits))
+      .agg(
+        min(struct(col("timestamp"), col("value"))).getField("value")
+          .as("first_value"),
+        max(struct(col("timestamp"), col("value"))).getField("value")
+          .as("last_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n_points"))
+
   /** Whole-range delta: last value minus first value over the queried
     * range (PromQL-style increase()). Same struct tie policy as the
     * SAMPLE BY `delta` selector. Output (delta_value, n). */

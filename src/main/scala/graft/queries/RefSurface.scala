@@ -95,6 +95,10 @@ object RefSurface {
         ev(s, dir).filter(col("event_type") === "error"), HOUR_US, "linear")),
     "ts_sample_rate" -> ((s, dir) =>
       SeriesOps.sampleByFn(evRanged(s, dir), HOUR_US, "rate")),
+    // M4 dashboard downsampling (SeriesOps.sampleByM4): first/last/
+    // min/max per window — the visual-envelope reduction (Jugel 2014)
+    "ts_sample_m4" -> ((s, dir) =>
+      SeriesOps.sampleByM4(evRanged(s, dir), HOUR_US)),
     "ts_where" -> ((s, dir) => {
       // lower bound pushed on raw ts (micros > T0 ⟺ raw ≥ T0+1 in the
       // column's own unit — Tables.tsRawAtLeast types the literal)
@@ -162,6 +166,13 @@ object RefSurface {
       (EV + s"""SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
          |  (max({'t': timestamp, 'v': value}).v - min({'t': timestamp, 'v': value}).v)
          |    * 1000000.0 / CAST(nullif(max(timestamp) - min(timestamp), 0) AS DOUBLE) AS rate_value,
+         |  count(*) AS n_points
+         |FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
+    "ts_sample_m4" ->
+      (EV + s"""SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  min({'t': timestamp, 'v': value}).v AS first_value,
+         |  max({'t': timestamp, 'v': value}).v AS last_value,
+         |  min(value) AS min_value, max(value) AS max_value,
          |  count(*) AS n_points
          |FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
     "ts_where" ->

@@ -50,4 +50,18 @@ class SampleFnSpec extends AnyFunSuite {
       SeriesOps.sampleByFn(series, 100L, "median")
     }
   }
+
+  test("M4 keeps first/last/min/max per window with the struct tie policy") {
+    val got = SeriesOps.sampleByM4(series, 100L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    // window 100: first 5 (ts 10), last 7 (ts 99), min 5, max 9
+    assert(got(100L) == ((5.0, 7.0, 5.0, 9.0, 3L)))
+    // single-point window: all four collapse to the point
+    assert(got(200L) == ((4.0, 4.0, 4.0, 4.0, 1L)))
+    // duplicate-ts window: tie goes (smaller, larger) value for
+    // (first, last) — the delta selector's struct policy
+    assert(got(300L) == ((1.0, 3.0, 1.0, 3.0, 2L)))
+  }
 }
