@@ -102,6 +102,12 @@ object StreamSurface {
     runToTable(s,
       SeriesOps.sampleByFn(eventSeriesStream(s, dir), HOUR_US, "rate"), "complete")
 
+  /** M4 as a continuous query — the live dashboard feed: four plain
+    * min/max aggregates per open window, bounded mergeable state. */
+  private def streamSampleM4(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      SeriesOps.sampleByM4(eventSeriesStream(s, dir), HOUR_US), "complete")
+
   /** Sliding windows as a continuous query — the same explode +
     * grouped exact-sum plan as the batch [[SeriesOps.slidingBy]]
     * (stream/batch parity extends to overlapping windows; each point
@@ -383,6 +389,7 @@ object StreamSurface {
     "stream_sample_by" -> streamSampleBy,
     "stream_sample_delta" -> streamSampleDelta,
     "stream_sample_rate" -> streamSampleRate,
+    "stream_sample_m4" -> streamSampleM4,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "stream_sliding_window" -> streamSliding,
     "stream_sliding_pruned" -> streamSlidingPruned,
@@ -551,6 +558,15 @@ object StreamSurface {
         |  SELECT user_id, timestamp, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
         |  FROM ev) WHERE rn <= 3""".stripMargin,
+    // the batch M4 envelope on the unranged stream series
+    "stream_sample_m4" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
+         |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |  min({'t': timestamp, 'v': value}).v AS first_value,
+         |  max({'t': timestamp, 'v': value}).v AS last_value,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  count(*) AS n_points
+         |FROM ev GROUP BY 1""".stripMargin,
     "stream_sample_by" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
          |SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
