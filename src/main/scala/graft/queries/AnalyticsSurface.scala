@@ -587,6 +587,30 @@ object AnalyticsSurface {
         // cells where the oracle's count(CASE ...) yields 0 — align on
         // 0 so the gate doesn't depend on every combo existing
         .na.fill(0, EVENT_TYPES)),
+    // CUBE completes the grouping-sets family next to agg_rollup_sets:
+    // all four (type, cohort) subsets in ONE partial-aggregable pass
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .cube("event_type", "cohort")
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"),
+          grouping_id().as("gid"))),
+    // sample autocorrelation per series at lags 1..3 (graft.ops
+    // .SeriesStats.acf): integer fixed-point moment sums + ONE shared
+    // double chain both engines execute verbatim
+    "ts_acf" -> ((s, dir) =>
+      graft.ops.SeriesStats.acf(Tables.eventSeries(s, dir))),
+    // robust rolling anomaly: median/MAD of the trailing 20-frame —
+    // a level shift cannot poison the detector the way win_anomaly's
+    // mean/stddev ring can (the median absorbs 9 outliers of 20)
+    "win_mad" -> ((s, dir) =>
+      graft.ops.SeriesStats.rollingMad(Tables.eventSeries(s, dir))),
+    // Prometheus-class histogram_quantile(0.9) per hour: bucket counts
+    // are the ONLY data-sized aggregation (mergeable at any fan-in);
+    // rank selection + interpolation run over the (hour, bucket) grid
+    "ts_histogram_quantile" -> ((s, dir) =>
+      graft.ops.SeriesStats.histogramQuantile(
+        Tables.eventSeries(s, dir).select(col("timestamp"), col("value")))),
     "zorder_layout" -> ((s, dir) => {
       // Knuth multiplicative spread before the 16-bit bucket: raw keys
       // at small SFs never reach the high interleave bits (every row
@@ -919,6 +943,17 @@ object AnalyticsSurface {
         s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(", ")
       s"SELECT user_id % 5 AS cohort, $arms FROM events GROUP BY 1"
     },
+    "agg_cube" ->
+      s"""SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+         |  ${sumSql("value")} AS sum_value,
+         |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS BIGINT) AS gid
+         |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin,
+    "ts_acf" ->
+      (EV + ", " + graft.ops.SeriesStats.acfOracleSql()),
+    "win_mad" ->
+      (EV + graft.ops.SeriesStats.rollingMadOracleSql()),
+    "ts_histogram_quantile" ->
+      (EV + ", " + graft.ops.SeriesStats.histogramQuantileOracleSql),
     "zorder_layout" -> {
       val z = graft.ops.ZOrder.interleaveSql(Seq("ox", "oy"), 16)
       s"""WITH k AS (SELECT ((l_orderkey % 65536) * 2654435761) % 65536 AS ox,
