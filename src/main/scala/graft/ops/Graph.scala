@@ -82,6 +82,80 @@ object Graph {
         col("pr12"), col("n_members").cast("long").as("n_members"))
   }
 
+  /** Per-node triangle counts over the undirected pair graph — the
+    * cohesion signal beside [[pagerank]]'s centrality (a duplicate
+    * CLIQUE — mirror farm — is triangle-dense; a hub-and-spoke chain of
+    * borderline matches is triangle-free, and a curation pipeline
+    * treats the two very differently).
+    *
+    * Degree-ordered orientation (Schank/Wagner): every edge points from
+    * its lower-(deg, id) endpoint to the higher, so each triangle is
+    * enumerated EXACTLY once at its lowest-ranked vertex and — the
+    * scale property — out-degrees are bounded by O(√m): the wedge
+    * self-join on a Zipf hub explodes quadratically under plain id
+    * ordering but stays √m-bounded under degree ordering. Three
+    * equality joins + one grouped count; all-integer output, so the
+    * gate hash-checks. The oracle enumerates the same triangle set by
+    * plain id order — orientation changes the JOIN SHAPE, never the
+    * triangle set. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val o = ed.select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("d"), col("du").as("dd")))
+          .as("x"))
+      .select(col("x.s").as("src"), col("x.d").as("dst"), col("x.dd").as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.select(col("src"), col("dst").as("d1"), col("ddeg").as("dd1"))
+      .join(o.select(col("src"), col("dst").as("d2"), col("ddeg").as("dd2")), Seq("src"))
+      .filter(col("dd1") < col("dd2") ||
+        (col("dd1") === col("dd2") && col("d1") < col("d2")))
+    val tris = wedges
+      .join(o.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+      .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
+    val cnt = tris.select(col("x").as("node"))
+      .union(tris.select(col("y").as("node")))
+      .union(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val out = deg.join(cnt, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle twin of [[triangles]]: plain id-ordered enumeration
+    * (x < y < z via three equality joins) — same triangle set, no
+    * orientation machinery. */
+  def trianglesOracleSql(pairsSql: String): String =
+    s"""WITH p AS MATERIALIZED ($pairsSql),
+       |e AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS u,
+       |  greatest(doc_a, doc_b) AS v FROM p),
+       |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM e a JOIN e b ON b.u = a.v
+       |  JOIN e c ON c.u = a.u AND c.v = b.v),
+       |r AS (SELECT x AS node FROM t
+       |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+       |cnt AS (SELECT node, count(*) AS tri FROM r GROUP BY 1),
+       |deg AS (SELECT node, count(*) AS deg FROM
+       |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+       |SELECT deg.node AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+       |  CAST(coalesce(cnt.tri, 0) AS BIGINT) AS tri
+       |FROM deg LEFT JOIN cnt ON deg.node = cnt.node""".stripMargin
+
   /** Oracle-side rendering: `iters` unrolled CTE rounds of the same
     * integer formula over a pair subquery (recursive CTEs cannot
     * aggregate their recursive reference, so the rounds unroll —

@@ -152,6 +152,11 @@ object TextSurface {
     // beside dedup_clusters' min-id
     "graph_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pagerank(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
+    // per-node triangle counts over the same pair graph (Graph
+    // .triangles): clique-vs-chain cohesion — degree-ordered wedge
+    // enumeration keeps the self-join √m-bounded on Zipf hubs
+    "graph_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
     // the composed action: per duplicate cluster keep the most central
     // member (Graph.canonicalByRank over the same pair graph)
     "dedup_canonical_rank" -> ((s, dir) => {
@@ -1047,6 +1052,7 @@ object TextSurface {
     "dedup_minhash" -> minhashOracle,
     // ten unrolled integer-PageRank rounds over the minhash pair graph
     "graph_pagerank" -> graft.ops.Graph.pagerankOracleSql(minhashOracle),
+    "graph_triangles" -> graft.ops.Graph.trianglesOracleSql(minhashOracle),
     // composes the clusters closure and the pagerank rounds, then the
     // per-cluster argmax with the (rank desc, doc_id) total order
     "dedup_canonical_rank" -> {

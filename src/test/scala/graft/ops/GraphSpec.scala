@@ -45,6 +45,30 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.forall(_ > 0))
   }
 
+  private def tris(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.triangles(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangle counts: one triangle, every vertex participates once") {
+    val r = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(r == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("K4 has C(3,2)=3 triangles per vertex; a star and a path have none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tris(k4).values.forall(_ == (3L, 3L)))
+    val star = tris(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star.values.forall(_._2 == 0L))
+    val path = tris(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path.values.forall(_._2 == 0L))
+  }
+
+  test("triangles are orientation-invariant: reversed and duplicated pairs agree") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+    val messy = fwd.map { case (a, b) => (b, a) } ++ fwd // reversed + dup
+    assert(tris(fwd) == tris(messy))
+  }
+
   test("iteration deltas contract geometrically (damping 0.85)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     def maxDiff(a: Map[Long, Long], b: Map[Long, Long]): Long =
