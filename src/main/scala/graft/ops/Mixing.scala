@@ -71,4 +71,47 @@ object Mixing {
                |  THEN (budget * target_bp div 10000) * 10000 div n_tokens
                |  ELSE 0 END""".stripMargin).as("rate_bp"))
   }
+
+  /** Temperature-scaled mixture weights at τ = 2 (α = 1/2) — the
+    * standard multilingual recipe when no hand-written target exists:
+    * sample stratum s proportional to supply^(1/τ), which upweights
+    * tail languages relative to their natural share without ever
+    * inverting the order.
+    *
+    * INTEGER-EXACT cross-engine: α = 1/2 is deliberate — IEEE `sqrt`
+    * is correctly rounded (unlike `pow(x, 0.3)`, whose libm rounding
+    * may differ between engines), so w_s = floor(sqrt(n_tokens_s)) is
+    * the same integer in Spark and DuckDB, and the shares reduce to
+    * integer basis-point division. Same one-aggregation shape as
+    * [[plan]]: the corpus is touched once, everything after is
+    * strata-sized.
+    *
+    * Output: (stratum, n_docs, n_tokens, nat_bp, temp_bp) — natural vs
+    * temperature share, both in basis points. */
+  def temperaturePlan(docs: DataFrame, stratumCol: String): DataFrame = {
+    val per = docs
+      .select(col(stratumCol),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val tot = per.select(sum("n_tokens").as("nt"), sum("w").as("wt"))
+    per.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 div nt").as("nat_bp"),
+        expr("w * 10000 div wt").as("temp_bp"))
+  }
+
+  /** Oracle twin of [[temperaturePlan]] over the documents table. */
+  def temperatureOracleSql(stratumCol: String): String =
+    s"""WITH per AS (SELECT $stratumCol, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+       |  FROM per),
+       |t AS (SELECT sum(n_tokens) AS nt, sum(w) AS wt FROM w)
+       |SELECT $stratumCol, n_docs, n_tokens,
+       |  CAST(n_tokens * 10000 // nt AS BIGINT) AS nat_bp,
+       |  CAST(w * 10000 // wt AS BIGINT) AS temp_bp
+       |FROM w CROSS JOIN t""".stripMargin
 }

@@ -587,6 +587,20 @@ object AnalyticsSurface {
         // cells where the oracle's count(CASE ...) yields 0 — align on
         // 0 so the gate doesn't depend on every combo existing
         .na.fill(0, EVENT_TYPES)),
+    // CDC changelog → current state (SCD-1 upsert): events as an
+    // upsert stream keyed by user, 'error' rows as DELETE tombstones;
+    // the snapshot is ONE grouped struct-max ((ts, event_id) is a total
+    // order) — map-side combinable, no window sort, so the state
+    // rebuild costs one shuffle of partial maxes at any changelog size
+    "cdc_upsert_latest" -> ((s, dir) =>
+      Tables.eventSeries(s, dir)
+        .groupBy("user_id")
+        .agg(max(struct(col("timestamp"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .filter(col("m.event_type") =!= "error")
+        .select(col("user_id"), col("m.timestamp").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))),
     // CUBE completes the grouping-sets family next to agg_rollup_sets:
     // all four (type, cohort) subsets in ONE partial-aggregable pass
     "agg_cube" -> ((s, dir) =>
@@ -943,6 +957,12 @@ object AnalyticsSurface {
         s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(", ")
       s"SELECT user_id % 5 AS cohort, $arms FROM events GROUP BY 1"
     },
+    "cdc_upsert_latest" ->
+      (EV + """SELECT user_id, m.t AS last_ts, m.e AS last_event_id,
+        |  m.v AS last_value
+        |FROM (SELECT user_id, max({'t': timestamp, 'e': event_id,
+        |    'ty': event_type, 'v': value}) AS m FROM ev GROUP BY 1)
+        |WHERE m.ty != 'error'""".stripMargin),
     "agg_cube" ->
       s"""SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
          |  ${sumSql("value")} AS sum_value,

@@ -242,6 +242,11 @@ object TextSurface {
     // builder so the two cannot drift)
     "mix_plan" -> ((s, dir) =>
       graft.ops.Mixing.plan(docs(s, dir), "lang", MIX_TARGETS.toMap)),
+    // temperature sampling at τ=2 when no hand recipe exists: shares ∝
+    // sqrt(supply) upweight tail languages; α=1/2 keeps the weights
+    // integer-exact cross-engine (IEEE sqrt is correctly rounded)
+    "mix_temperature" -> ((s, dir) =>
+      graft.ops.Mixing.temperaturePlan(docs(s, dir), "lang")),
     // URL/provenance canonicalization (graft.ops.UrlCanon): planted
     // messy urls → C4/CCNet rule-chain canonical form + bare host —
     // pure projection, scan speed
@@ -761,6 +766,7 @@ object TextSurface {
          |    ELSE 0 END AS BIGINT) AS rate_bp
          |FROM per CROSS JOIN b""".stripMargin
     },
+    "mix_temperature" -> graft.ops.Mixing.temperatureOracleSql("lang"),
     // the canonicalization CTE chain is rendered once in UrlCanon
     // (canonCteSql) next to its Spark twin — rule-for-rule identical
     "text_url_canon" ->

@@ -94,4 +94,20 @@ class MixingSpec extends AnyFunSuite {
     assert(sampled("b") == 4L)
     assert(sampled.getOrElse("a", 0L) <= 10L && sampled.getOrElse("c", 0L) <= 20L)
   }
+
+  test("temperature shares compress toward uniform without reordering") {
+    val t = Mixing.temperaturePlan(fixture, "stratum")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    // supply 100/40/200 → natural 2941/1176/5882 bp; sqrt weights
+    // 10/6/14 → temp 3333/2000/4666 bp: tail up, head down, order kept
+    assert(t("b")._2 > t("b")._1, s"tail stratum must gain: ${t("b")}")
+    assert(t("c")._2 < t("c")._1, s"head stratum must shed: ${t("c")}")
+    assert(t("c")._2 > t("a")._2 && t("a")._2 > t("b")._2, "order preserved")
+    // integer-exact expected values (floor(sqrt()) weights 10, 6, 14)
+    assert(t == Map(
+      "a" -> ((2941L, 3333L)), "b" -> ((1176L, 2000L)),
+      "c" -> ((5882L, 4666L))))
+  }
 }
