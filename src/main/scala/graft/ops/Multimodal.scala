@@ -1655,6 +1655,344 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeTar(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // Parquet: the container format training data actually ships in —
+  // and the fifth navigation style: after BMFF's forward length
+  // framing, TIFF's offset directory, ZIP's backward trailer and
+  // tar's sequential blocks, the parquet footer is a SELF-DESCRIBING
+  // tagged serialization (Thrift compact protocol: varint/zigzag
+  // field headers with delta-encoded ids, nested structs/lists,
+  // unknown fields skipped by TYPE, not by layout). Discovery is
+  // backward (PAR1 magic + u32 footer length at EOF), then the
+  // FileMetaData walk yields schema leaves, row groups and column
+  // chunks whose offsets index the data region — the decoder
+  // re-reads every chunk extent and checksums it, so the verdicts
+  // only hold when varint decode, field dispatch, framing and
+  // offsets all agree.
+  // ---------------------------------------------------------------
+
+  private[ops] def pqCols(id: Long): Int = (2 + id % 3).toInt
+  private[ops] def pqGroups(id: Long): Int = (1 + id % 4).toInt
+  private[ops] def pqRows(id: Long): Int = (100 + id % 900).toInt
+  private[ops] def pqChunkSize(fill: Int, g: Int, c: Int): Int =
+    10 + (fill + 7 * g + 3 * c) % 200
+  /** Codec enum per column: UNCOMPRESSED(0) / SNAPPY(1) / ZSTD(6). */
+  private[ops] def pqCodec(c: Int): Int = c % 3 match {
+    case 0 => 0; case 1 => 1; case _ => 6
+  }
+  /** Physical type enum per column: INT32(1) / INT64(2) / BYTE_ARRAY(6). */
+  private[ops] def pqType(c: Int): Int = c % 3 match {
+    case 0 => 1; case 1 => 2; case _ => 6
+  }
+  private[ops] def pqChunkByte(fill: Int, k: Int, j: Int): Int =
+    (fill + 11 * k + j) % 251
+
+  /** Thrift compact protocol writer — just enough for FileMetaData. */
+  private final class TcWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var lastId = 0
+    private val stack = new java.util.ArrayDeque[Integer]()
+    def result(): Array[Byte] = out.toByteArray
+    private def vu(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    private def zz(v: Long): Unit = vu((v << 1) ^ (v >> 63))
+    def field(id: Int, tpe: Int): Unit = {
+      val delta = id - lastId
+      if (delta >= 1 && delta <= 15) out.write((delta << 4) | tpe)
+      else { out.write(tpe); zz(id.toLong) }
+      lastId = id
+    }
+    def i32(id: Int, v: Long): Unit = { field(id, 5); zz(v) }
+    def i64(id: Int, v: Long): Unit = { field(id, 6); zz(v) }
+    def str(id: Int, s: String): Unit = {
+      field(id, 8); val b = s.getBytes("UTF-8"); vu(b.length.toLong); out.write(b)
+    }
+    def listBegin(id: Int, size: Int, elemType: Int): Unit = {
+      field(id, 9)
+      if (size < 15) out.write((size << 4) | elemType)
+      else { out.write(0xf0 | elemType); vu(size.toLong) }
+    }
+    def i32Elem(v: Long): Unit = zz(v)
+    def strElem(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); vu(b.length.toLong); out.write(b)
+    }
+    def structBegin(): Unit = { stack.push(lastId); lastId = 0 }
+    def structEnd(): Unit = { out.write(0); lastId = stack.pop() }
+  }
+
+  /** A real, minimal parquet file for media_id: PAR1 magic, a data
+    * region of `groups x cols` planted column chunks, a Thrift-compact
+    * FileMetaData footer (schema root + leaves, per-group RowGroup /
+    * ColumnChunk / ColumnMetaData with real offsets), u32 LE footer
+    * length, PAR1. Row counts split exactly across groups
+    * (nr div ng + carry), chunk bytes are position-dependent so a
+    * wrong offset reads visibly wrong bytes. */
+  private[ops] def buildParquetPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id)
+    val nc = pqCols(id); val ng = pqGroups(id); val nr = pqRows(id)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("US-ASCII"))
+    val offsets = Array.ofDim[Long](ng, nc)
+    for (g <- 0 until ng; c <- 0 until nc) {
+      offsets(g)(c) = out.size().toLong
+      val k = g * nc + c
+      val sz = pqChunkSize(fill, g, c)
+      var j = 0
+      while (j < sz) { out.write(pqChunkByte(fill, k, j)); j += 1 }
+    }
+    val w = new TcWriter
+    w.i32(1, 1) // version
+    w.listBegin(2, 1 + nc, 12) // schema: root + leaves
+    w.structBegin() // root SchemaElement
+    w.str(4, "schema"); w.i32(5, nc.toLong)
+    w.structEnd()
+    for (c <- 0 until nc) {
+      w.structBegin()
+      w.i32(1, pqType(c).toLong) // type
+      w.i32(3, 0L) // repetition_type REQUIRED
+      w.str(4, s"c$c")
+      w.structEnd()
+    }
+    w.i64(3, nr.toLong) // num_rows
+    w.listBegin(4, ng, 12) // row_groups
+    for (g <- 0 until ng) {
+      val rowsG = nr / ng + (if (g < nr % ng) 1 else 0)
+      w.structBegin() // RowGroup
+      w.listBegin(1, nc, 12) // columns
+      for (c <- 0 until nc) {
+        val sz = pqChunkSize(fill, g, c)
+        w.structBegin() // ColumnChunk
+        w.i64(2, offsets(g)(c)) // file_offset
+        w.field(3, 12); w.structBegin() // meta_data: ColumnMetaData
+        w.i32(1, pqType(c).toLong)
+        w.listBegin(2, 2, 5); w.i32Elem(0L); w.i32Elem(3L) // PLAIN, RLE
+        w.listBegin(3, 1, 8); w.strElem(s"c$c") // path_in_schema
+        w.i32(4, pqCodec(c).toLong)
+        w.i64(5, rowsG.toLong) // num_values
+        w.i64(6, sz.toLong * 2) // total_uncompressed_size
+        w.i64(7, sz.toLong) // total_compressed_size
+        w.i64(9, offsets(g)(c)) // data_page_offset
+        w.structEnd()
+        w.structEnd()
+      }
+      w.i64(2, (0 until nc).map(pqChunkSize(fill, g, _).toLong).sum)
+      w.i64(3, rowsG.toLong)
+      w.structEnd()
+    }
+    w.str(6, "graft-synthetic")
+    val footer = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(w.result()); b.write(0) // FileMetaData struct STOP
+      b.toByteArray
+    }
+    out.write(footer)
+    (0 until 4).foreach(k => out.write((footer.length >> (8 * k)) & 0xff))
+    out.write("PAR1".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Parquet media table from the documents fixture (every doc). */
+  def parquetFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildParquetPayload(id), "application/vnd.apache.parquet", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class ParquetFeatures(
+      media_id: Long,
+      format: String,
+      version: Long,
+      n_cols: Long,
+      n_groups: Long,
+      num_rows: Long,
+      n_chunks: Long,
+      values_sum: Long,
+      data_bytes: Long,
+      codec_sum: Long,
+      rows_ok: Long,
+      bounds_ok: Long,
+      data_checksum: Long)
+
+  /** Thrift compact protocol reader: varints, zigzag, and a GENERIC
+    * type-directed skip (nested structs/lists/maps included) so
+    * fields this walk doesn't model — statistics, sort orders, future
+    * additions — pass through by TYPE, exactly how a real reader
+    * survives schema evolution. Throws past `end`; the caller maps
+    * any throw to the tier's "unknown" row. */
+  private final class TcReader(p: Array[Byte], var o: Int, end: Int) {
+    def u8(): Int = {
+      if (o >= end) throw new IndexOutOfBoundsException(s"$o")
+      val v = p(o) & 0xff; o += 1; v
+    }
+    def varint(): Long = {
+      var x = 0L; var s = 0; var b = 0
+      do {
+        b = u8(); x |= (b & 0x7fL) << s; s += 7
+        if (s > 70) throw new NumberFormatException("varint overrun")
+      } while ((b & 0x80) != 0)
+      x
+    }
+    def zig(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    def str(): String = {
+      val len = varint().toInt
+      if (len < 0 || o + len > end) throw new IndexOutOfBoundsException(s"str $len")
+      val s = new String(p, o, len, java.nio.charset.StandardCharsets.UTF_8)
+      o += len; s
+    }
+    def listHeader(): (Int, Int) = {
+      val b = u8(); val t = b & 0x0f
+      val sz = (b >> 4) & 0x0f
+      (if (sz == 15) varint().toInt else sz, t)
+    }
+    /** Skip one value of compact type `t` (element position: bools are
+      * one byte here; field-position bools carry no payload). */
+    def skipValue(t: Int): Unit = t match {
+      case 1 | 2 | 3 => o += 1
+      case 4 | 5 | 6 => varint()
+      case 7 => o += 8
+      case 8 => val len = varint().toInt; o += len
+      case 9 | 10 =>
+        val (n, et) = listHeader(); (0 until n).foreach(_ => skipValue(et))
+      case 11 =>
+        val n = varint().toInt
+        if (n > 0) {
+          val kv = u8(); val kt = (kv >> 4) & 0x0f; val vt = kv & 0x0f
+          (0 until n).foreach { _ => skipValue(kt); skipValue(vt) }
+        }
+      case 12 => readStruct((_, _) => false)
+      case x => throw new IllegalStateException(s"compact type $x")
+    }
+    /** Walk a struct's fields; `handle(id, type)` returns true if it
+      * consumed the value, false to generic-skip it. Field-header
+      * bools (types 1/2) carry their value in the header and are
+      * always consumed. */
+    def readStruct(handle: (Int, Int) => Boolean): Unit = {
+      var last = 0
+      while (true) {
+        val b = u8()
+        if (b == 0) return
+        val t = b & 0x0f
+        val delta = (b >> 4) & 0x0f
+        val id = if (delta != 0) last + delta else zig().toInt
+        last = id
+        if (t != 1 && t != 2 && !handle(id, t)) skipValue(t)
+      }
+    }
+  }
+
+  /** Footer walk + data-region cross-check. Backward discovery (tail
+    * magic + u32 LE footer length), generic Thrift walk of
+    * FileMetaData, then every column chunk's
+    * [data_page_offset, +total_compressed_size) extent is bounds-
+    * checked against the data region and re-checksummed. rows_ok
+    * verifies Σ row-group rows ≡ footer num_rows. Any structural
+    * violation — bad magic, footer overrun, malformed varint, type
+    * mismatch — is the "unknown" row. */
+  private[ops] def decodeParquet(id: Long, p: Array[Byte]): ParquetFeatures = {
+    val bad = ParquetFeatures(id, "unknown", -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    if (n < 12) return bad
+    def ascii(o: Int, len: Int) = new String(p, o, len, "US-ASCII")
+    if (ascii(0, 4) != "PAR1" || ascii(n - 4, 4) != "PAR1") return bad
+    val flen = (0 until 4).map(k => (p(n - 8 + k) & 0xffL) << (8 * k)).sum
+    if (flen <= 0 || flen > n - 12) return bad
+    val fStart = (n - 8 - flen).toInt
+    try {
+      val r = new TcReader(p, fStart, n - 8)
+      var version = -1L; var numRows = -1L
+      var nCols = 0L; var nGroups = 0L; var nChunks = 0L
+      var valuesSum = 0L; var dataBytes = 0L; var codecSum = 0L
+      var groupRowsSum = 0L; var inBounds = 0L; var checksum = 0L
+      r.readStruct { (fid, t) =>
+        (fid, t) match {
+          case (1, 5) => version = r.zig(); true
+          case (2, 9) => // schema
+            val (cnt, et) = r.listHeader()
+            if (et != 12) throw new IllegalStateException("schema elem type")
+            (0 until cnt).foreach { _ =>
+              var isLeaf = true
+              r.readStruct { (sf, st) =>
+                (sf, st) match {
+                  case (5, 5) => r.zig(); isLeaf = false; true // num_children
+                  case _ => false
+                }
+              }
+              if (isLeaf) nCols += 1
+            }
+            true
+          case (3, 6) => numRows = r.zig(); true
+          case (4, 9) => // row_groups
+            val (cnt, et) = r.listHeader()
+            if (et != 12) throw new IllegalStateException("row group type")
+            (0 until cnt).foreach { _ =>
+              nGroups += 1
+              r.readStruct { (gf, gt) =>
+                (gf, gt) match {
+                  case (1, 9) => // columns
+                    val (cn, ct) = r.listHeader()
+                    if (ct != 12) throw new IllegalStateException("chunk type")
+                    (0 until cn).foreach { _ =>
+                      nChunks += 1
+                      r.readStruct { (cf, ctt) =>
+                        (cf, ctt) match {
+                          case (3, 12) => // meta_data
+                            var off = -1L; var csz = -1L
+                            r.readStruct { (mf, mt) =>
+                              (mf, mt) match {
+                                case (4, 5) => codecSum += r.zig(); true
+                                case (5, 6) => valuesSum += r.zig(); true
+                                case (7, 6) => csz = r.zig(); true
+                                case (9, 6) => off = r.zig(); true
+                                case _ => false
+                              }
+                            }
+                            if (csz >= 0) dataBytes += csz
+                            if (off >= 4 && csz >= 0 && off + csz <= fStart) {
+                              inBounds += 1
+                              var j = 0L
+                              while (j < csz) {
+                                checksum += p((off + j).toInt) & 0xff; j += 1
+                              }
+                            }
+                            true
+                          case _ => false
+                        }
+                      }
+                    }
+                    true
+                  case (3, 6) => groupRowsSum += r.zig(); true
+                  case _ => false
+                }
+              }
+            }
+            true
+          case _ => false
+        }
+      }
+      if (version < 0 || numRows < 0 || nCols == 0 || nGroups == 0) bad
+      else ParquetFeatures(id, "parquet", version, nCols, nGroups, numRows,
+        nChunks, valuesSum, dataBytes, codecSum,
+        if (groupRowsSum == numRows) 1 else 0,
+        if (inBounds == nChunks) 1 else 0, checksum)
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
+
+  /** Batch parquet-footer extraction — row-local like every tier. */
+  def extractParquetFeatures(media: DataFrame): Dataset[ParquetFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeParquet(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

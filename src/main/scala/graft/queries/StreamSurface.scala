@@ -468,6 +468,13 @@ object StreamSurface {
     "mm_tar" -> ((s, dir) =>
       Multimodal.extractTarFeatures(
         Multimodal.tarFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // tabular tier: backward PAR1 discovery + Thrift-compact footer
+    // walk (varint/zigzag field headers, delta ids, generic
+    // type-directed skip) with every column-chunk extent re-read and
+    // checksummed against position-dependent planted bytes
+    "mm_parquet" -> ((s, dir) =>
+      Multimodal.extractParquetFeatures(
+        Multimodal.parquetFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -759,6 +766,33 @@ object StreamSurface {
         |  CAST(m.ne AS BIGINT) AS chksum_ok,
         |  CAST(coalesce(cs.cc, 0) AS BIGINT) AS content_checksum
         |FROM m JOIN fb USING (doc_id) LEFT JOIN cs USING (doc_id)""".stripMargin,
+    // closed form from the shared plant: ng*nc chunks of
+    // 10 + (fill+7g+3c) % 200 position-dependent bytes, codecs cycle
+    // {0,1,6}, rows split exactly across groups (Σ = nr ⇒ rows_ok),
+    // every chunk in bounds; the checksum re-derives the byte plant
+    "mm_parquet" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill, 2 + doc_id % 3 AS nc,
+        |  1 + doc_id % 4 AS ng, 100 + doc_id % 900 AS nr FROM documents),
+        |gg AS (SELECT doc_id, fill, nc, unnest(range(ng)) AS g FROM m),
+        |cc AS (SELECT doc_id, fill, nc, g, unnest(range(nc)) AS c FROM gg),
+        |ch AS (SELECT doc_id, fill, g * nc + c AS k,
+        |  10 + (fill + 7 * g + 3 * c) % 200 AS csz,
+        |  CASE c % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 6 END AS codec FROM cc),
+        |agg AS (SELECT doc_id, count(*) AS n_chunks, sum(csz) AS data_bytes,
+        |  sum(codec) AS codec_sum FROM ch GROUP BY 1),
+        |bj AS (SELECT doc_id, fill, k, unnest(range(csz)) AS j FROM ch),
+        |cs AS (SELECT doc_id, sum((fill + 11 * k + j) % 251) AS checksum
+        |  FROM bj GROUP BY 1)
+        |SELECT m.doc_id AS media_id, 'parquet' AS format,
+        |  CAST(1 AS BIGINT) AS version, CAST(nc AS BIGINT) AS n_cols,
+        |  CAST(ng AS BIGINT) AS n_groups, CAST(nr AS BIGINT) AS num_rows,
+        |  CAST(agg.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(nr * nc AS BIGINT) AS values_sum,
+        |  CAST(agg.data_bytes AS BIGINT) AS data_bytes,
+        |  CAST(agg.codec_sum AS BIGINT) AS codec_sum,
+        |  CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS bounds_ok,
+        |  CAST(cs.checksum AS BIGINT) AS data_checksum
+        |FROM m JOIN agg USING (doc_id) JOIN cs USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

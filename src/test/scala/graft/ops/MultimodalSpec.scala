@@ -525,4 +525,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeTar(0L, Multimodal.buildZipPayload(0L)).format == "unknown")
     assert(Multimodal.decodeTar(0L, Multimodal.buildMp4Payload(0L)).format == "unknown")
   }
+
+  test("Parquet: footer walk recovers the planted metadata and checksums") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 11L, 254L, 1000L)) {
+      val f = Multimodal.decodeParquet(id, Multimodal.buildParquetPayload(id))
+      val fill = (id % 251).toInt
+      val nc = (2 + id % 3).toInt; val ng = (1 + id % 4).toInt
+      val nr = (100 + id % 900).toInt
+      assert(f.format == "parquet" && f.version == 1, s"id $id")
+      assert(f.n_cols == nc && f.n_groups == ng && f.num_rows == nr, s"id $id")
+      assert(f.n_chunks == ng * nc && f.values_sum == nr.toLong * nc, s"id $id")
+      val sizes = for (g <- 0 until ng; c <- 0 until nc)
+        yield (g * nc + c, 10 + (fill + 7 * g + 3 * c) % 200)
+      assert(f.data_bytes == sizes.map(_._2).sum, s"id $id bytes")
+      assert(f.codec_sum == ng.toLong * (0 until nc).map(c =>
+        c % 3 match { case 0 => 0; case 1 => 1; case _ => 6 }).sum, s"id $id")
+      val ck = sizes.map { case (k, sz) =>
+        (0 until sz).map(j => (fill + 11 * k + j) % 251).sum.toLong }.sum
+      assert(f.rows_ok == 1 && f.bounds_ok == 1 && f.data_checksum == ck, s"id $id")
+    }
+  }
+
+  test("Parquet: malformed payloads decode as unknown") {
+    val good = Multimodal.buildParquetPayload(5L)
+    assert(Multimodal.decodeParquet(0L, good.take(8)).format == "unknown")
+    val badHead = good.clone(); badHead(0) = 'X'
+    assert(Multimodal.decodeParquet(0L, badHead).format == "unknown")
+    val badTail = good.clone(); badTail(badTail.length - 1) = 'X'
+    assert(Multimodal.decodeParquet(0L, badTail).format == "unknown")
+    // footer length pointing past the file start
+    val badLen = good.clone()
+    badLen(badLen.length - 5) = 0x7f.toByte
+    assert(Multimodal.decodeParquet(0L, badLen).format == "unknown")
+    // truncated mid-footer: magic/length survive the cut, walk throws
+    val cut = good.clone()
+    val cutAt = good.length - 200
+    val shifted = cut.take(cutAt) ++ cut.takeRight(8)
+    assert(Multimodal.decodeParquet(0L, shifted).format == "unknown")
+    // sibling-format payloads are clean unknowns
+    assert(Multimodal.decodeParquet(0L, Multimodal.buildZipPayload(0L)).format == "unknown")
+    assert(Multimodal.decodeParquet(0L, Multimodal.buildTarPayload(0L)).format == "unknown")
+  }
 }
