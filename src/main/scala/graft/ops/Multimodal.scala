@@ -1993,6 +1993,162 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeParquet(id, payload) })
   }
 
+  // ---------------------------------------------------------------
+  // Avro OCF: the row-oriented sibling of the parquet tier — the
+  // container Kafka archives and ingest pipelines ship. Framing is
+  // sync-marker based (16 random-per-file bytes after every block),
+  // lengths are Avro zigzag varints (zigzag at WRITE, unlike Thrift
+  // compact's type-dependent zigzag), and the payload decodes
+  // record-by-record (each planted record is one zigzag long), so
+  // n_records/value_sum only match when the varint walk, the block
+  // framing and the sync discipline all agree.
+  // ---------------------------------------------------------------
+
+  private[ops] def avroBlocks(id: Long): Int = (1 + id % 5).toInt
+  private[ops] def avroRecs(fill: Int, b: Int): Int = 5 + (fill + b) % 20
+  private[ops] def avroValue(fill: Int, b: Int, i: Int): Int =
+    (fill + 13 * b + i) % 1000
+  private[ops] def avroSyncByte(fill: Int, j: Int): Int = (fill + 3 * j) % 256
+  /** Shared with the oracle builder (schema_len is its byte length). */
+  val AvroSchemaJson: String =
+    """{"type":"record","name":"r","fields":[{"name":"v","type":"long"}]}"""
+
+  /** A real, minimal Avro Object Container File for media_id: magic
+    * Obj\x01, file-metadata map (avro.schema + avro.codec null) in the
+    * standard block form, 16-byte sync marker, then `avroBlocks` data
+    * blocks — zigzag-varint record count, zigzag-varint byte length,
+    * the records (each one zigzag long), the sync marker again. */
+  private[ops] def buildAvroPayload(id: Long): Array[Byte] = {
+    val fill = fillByte(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def zz(v0: Long): Unit = {
+      var v = (v0 << 1) ^ (v0 >> 63)
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def bytesV(b: Array[Byte]): Unit = { zz(b.length.toLong); out.write(b) }
+    out.write("Obj".getBytes("US-ASCII")); out.write(1)
+    zz(2L) // metadata map: one block of two entries
+    bytesV("avro.schema".getBytes("UTF-8"))
+    bytesV(AvroSchemaJson.getBytes("UTF-8"))
+    bytesV("avro.codec".getBytes("UTF-8"))
+    bytesV("null".getBytes("UTF-8"))
+    zz(0L) // map end
+    val sync = Array.tabulate(16)(j => avroSyncByte(fill, j).toByte)
+    out.write(sync)
+    for (b <- 0 until avroBlocks(id)) {
+      val nr = avroRecs(fill, b)
+      val body = new java.io.ByteArrayOutputStream()
+      for (i <- 0 until nr) {
+        var v = (avroValue(fill, b, i).toLong << 1) // zigzag of non-negative
+        while ((v & ~0x7fL) != 0) { body.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        body.write(v.toInt)
+      }
+      val bb = body.toByteArray
+      zz(nr.toLong); zz(bb.length.toLong)
+      out.write(bb); out.write(sync)
+    }
+    out.toByteArray
+  }
+
+  /** Avro media table from the documents fixture (every doc). */
+  def avroFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildAvroPayload(id), "avro/binary", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class AvroFeatures(
+      media_id: Long,
+      format: String,
+      n_meta: Long,
+      codec: String,
+      schema_len: Long,
+      n_blocks: Long,
+      n_records: Long,
+      value_sum: Long,
+      sync_ok: Long,
+      bytes_ok: Long)
+
+  /** OCF walk: magic, metadata map blocks (multi-block tolerated),
+    * header sync capture, then block-by-block record decode — every
+    * record's zigzag long is re-walked (not skipped by the byte
+    * length), so bytes_ok cross-checks the declared block length
+    * against the decoded span, and sync_ok re-verifies the marker
+    * after every block. Malformed anything → "unknown". */
+  private[ops] def decodeAvro(id: Long, p: Array[Byte]): AvroFeatures = {
+    val bad = AvroFeatures(id, "unknown", -1, "", -1, -1, -1, -1, -1, -1)
+    val n = p.length
+    if (n < 20 || p(0) != 'O' || p(1) != 'b' || p(2) != 'j' || p(3) != 1)
+      return bad
+    var o = 4
+    try {
+      def varint(): Long = {
+        var x = 0L; var s = 0; var b = 0
+        do {
+          if (o >= n) throw new IndexOutOfBoundsException("varint")
+          b = p(o) & 0xff; o += 1
+          x |= (b & 0x7fL) << s; s += 7
+          if (s > 70) throw new NumberFormatException("varint overrun")
+        } while ((b & 0x80) != 0)
+        (x >>> 1) ^ -(x & 1L)
+      }
+      def bytesV(): Array[Byte] = {
+        val len = varint().toInt
+        if (len < 0 || o + len > n) throw new IndexOutOfBoundsException("bytes")
+        val a = java.util.Arrays.copyOfRange(p, o, o + len); o += len; a
+      }
+      var nMeta = 0L; var codec = "null"; var schemaLen = -1L
+      var cnt = varint()
+      while (cnt != 0) {
+        if (cnt < 0) throw new IllegalStateException("sized map block")
+        (0L until cnt).foreach { _ =>
+          val k = new String(bytesV(), "UTF-8")
+          val v = bytesV()
+          nMeta += 1
+          if (k == "avro.codec") codec = new String(v, "UTF-8")
+          if (k == "avro.schema") schemaLen = v.length.toLong
+        }
+        cnt = varint()
+      }
+      if (o + 16 > n) return bad
+      val sync = java.util.Arrays.copyOfRange(p, o, o + 16); o += 16
+      var blocks = 0L; var recs = 0L; var vsum = 0L
+      var syncOk = 0L; var bytesOk = 0L
+      while (o < n) {
+        val nr = varint(); val blen = varint()
+        if (nr < 0 || blen < 0 || o + blen + 16 > n) return bad
+        val blockEnd = o + blen
+        (0L until nr).foreach { _ =>
+          if (o >= blockEnd) throw new IndexOutOfBoundsException("rec overrun")
+          vsum += varint()
+        }
+        if (o == blockEnd) bytesOk += 1
+        o = blockEnd.toInt
+        if (java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(p, o, o + 16), sync)) syncOk += 1
+        o += 16
+        blocks += 1; recs += nr
+      }
+      if (blocks == 0 || schemaLen < 0) bad
+      else AvroFeatures(id, "avro", nMeta, codec, schemaLen, blocks, recs,
+        vsum, if (syncOk == blocks) 1 else 0, if (bytesOk == blocks) 1 else 0)
+    } catch {
+      case scala.util.control.NonFatal(_) => bad
+    }
+  }
+
+  /** Batch Avro OCF extraction — row-local like every tier. */
+  def extractAvroFeatures(media: DataFrame): Dataset[AvroFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeAvro(id, payload) })
+  }
+
   /** Frame sampling for video-like payloads: emits `n` deterministic
     * byte-slices per payload (a real impl samples decoded frames).
     * Output: (media_id, frame_idx, frame_bytes). */

@@ -475,6 +475,13 @@ object StreamSurface {
     "mm_parquet" -> ((s, dir) =>
       Multimodal.extractParquetFeatures(
         Multimodal.parquetFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // row-container tier: Avro OCF sync-marker framing with zigzag
+    // varints and per-record decode — bytes_ok cross-checks declared
+    // block lengths against the decoded span, sync_ok re-verifies the
+    // 16-byte marker after every block
+    "mm_avro" -> ((s, dir) =>
+      Multimodal.extractAvroFeatures(
+        Multimodal.avroFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -793,6 +800,24 @@ object StreamSurface {
         |  CAST(1 AS BIGINT) AS rows_ok, CAST(1 AS BIGINT) AS bounds_ok,
         |  CAST(cs.checksum AS BIGINT) AS data_checksum
         |FROM m JOIN agg USING (doc_id) JOIN cs USING (doc_id)""".stripMargin,
+    // closed form from the shared plant: nb blocks of 5 + (fill+b)%20
+    // records valued (fill + 13b + i) % 1000; metadata is the constant
+    // two-entry map, framing verdicts hold by construction
+    "mm_avro" ->
+      s"""WITH m AS (SELECT doc_id, doc_id % 251 AS fill, 1 + doc_id % 5 AS nb
+         |  FROM documents),
+         |bb AS (SELECT doc_id, fill, unnest(range(nb)) AS b FROM m),
+         |br AS (SELECT doc_id, fill, b, 5 + (fill + b) % 20 AS nr FROM bb),
+         |ri AS (SELECT doc_id, fill, b, unnest(range(nr)) AS i FROM br),
+         |vs AS (SELECT doc_id, sum((fill + 13 * b + i) % 1000) AS vsum,
+         |    count(*) AS recs FROM ri GROUP BY 1)
+         |SELECT m.doc_id AS media_id, 'avro' AS format,
+         |  CAST(2 AS BIGINT) AS n_meta, 'null' AS codec,
+         |  CAST(${graft.ops.Multimodal.AvroSchemaJson.getBytes("UTF-8").length} AS BIGINT) AS schema_len,
+         |  CAST(nb AS BIGINT) AS n_blocks, CAST(vs.recs AS BIGINT) AS n_records,
+         |  CAST(vs.vsum AS BIGINT) AS value_sum,
+         |  CAST(1 AS BIGINT) AS sync_ok, CAST(1 AS BIGINT) AS bytes_ok
+         |FROM m JOIN vs USING (doc_id)""".stripMargin,
     // closed form per audio doc (doc_id % 3 = 2): ns = 64 + id % 129
     // 16-bit mono samples of the constant fill byte (id % 251), frames
     // of 32 samples → selected frame fi has min(32, ns - 32·fi)

@@ -566,4 +566,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeParquet(0L, Multimodal.buildZipPayload(0L)).format == "unknown")
     assert(Multimodal.decodeParquet(0L, Multimodal.buildTarPayload(0L)).format == "unknown")
   }
+
+  test("Avro: OCF walk recovers blocks, records, values and framing verdicts") {
+    for (id <- Seq(0L, 1L, 4L, 9L, 250L, 999L)) {
+      val f = Multimodal.decodeAvro(id, Multimodal.buildAvroPayload(id))
+      val fill = (id % 251).toInt
+      val nb = (1 + id % 5).toInt
+      val recs = (0 until nb).map(b => 5 + (fill + b) % 20)
+      val vsum = (0 until nb).flatMap(b =>
+        (0 until recs(b)).map(i => (fill + 13 * b + i) % 1000)).map(_.toLong).sum
+      assert(f.format == "avro" && f.n_meta == 2 && f.codec == "null", s"id $id")
+      assert(f.schema_len == Multimodal.AvroSchemaJson.getBytes("UTF-8").length, s"id $id")
+      assert(f.n_blocks == nb && f.n_records == recs.map(_.toLong).sum, s"id $id")
+      assert(f.value_sum == vsum && f.sync_ok == 1 && f.bytes_ok == 1, s"id $id")
+    }
+  }
+
+  test("Avro: malformed payloads decode as unknown; a flipped sync fails sync_ok") {
+    val good = Multimodal.buildAvroPayload(7L)
+    assert(Multimodal.decodeAvro(0L, good.take(10)).format == "unknown")
+    val badMagic = good.clone(); badMagic(3) = 2
+    assert(Multimodal.decodeAvro(0L, badMagic).format == "unknown")
+    assert(Multimodal.decodeAvro(0L, good.dropRight(3)).format == "unknown")
+    // flip one byte of the LAST block's trailing sync: framing
+    // survives, sync_ok verdict drops to 0
+    val flipped = good.clone()
+    flipped(flipped.length - 1) = (flipped(flipped.length - 1) ^ 0x01).toByte
+    val f = Multimodal.decodeAvro(7L, flipped)
+    assert(f.format == "avro" && f.sync_ok == 0 && f.bytes_ok == 1)
+    // sibling-format payloads are clean unknowns
+    assert(Multimodal.decodeAvro(0L, Multimodal.buildParquetPayload(0L)).format == "unknown")
+    assert(Multimodal.decodeAvro(0L, Multimodal.buildTarPayload(0L)).format == "unknown")
+  }
 }
