@@ -91,4 +91,72 @@ object Search {
   def querySetSql: String =
     QUERY_SET.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
+
+  /** The deterministic phrase workload — includes a repeated-term
+    * phrase (5) so the alignment logic is exercised, not just
+    * distinct-term joins. */
+  val PHRASE_SET: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("fast", "table"),
+    2L -> Seq("scan", "query"),
+    3L -> Seq("window", "stream", "sort"),
+    4L -> Seq("the", "slow", "query"),
+    5L -> Seq("value", "value"))
+
+  /** Exact phrase search via a POSITIONAL inverted index — the query
+    * shape BM25's bag-of-words scoring cannot express. The classic
+    * alignment trick makes it ONE equality join + one grouped count:
+    * every posting (doc, pos, term) matching phrase term i votes for
+    * candidate start `pos − i`; a start with `len` votes is a match
+    * (postings are unique per (doc, pos), so vote count ≡ matched
+    * offsets even with repeated phrase terms).
+    *
+    * Shape at scale: the phrase vocabulary is a broadcast literal, so
+    * only postings of queried terms survive the join (posting-list
+    * selectivity) — the corpus-sized tokenize never shuffles; the
+    * grouped count runs on the candidate votes only.
+    * Output: (phrase_id, doc_id, n_matches, first_pos). */
+  def phraseSearch(docs: DataFrame,
+      phrases: Seq[(Long, Seq[String])] = PHRASE_SET): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty), "phrases required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as(Seq("pos", "tok")))
+    val q = phrases.flatMap { case (pid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (pid, i, t) }
+    }.toDF("phrase_id", "idx", "term")
+    val plen = phrases.map { case (pid, ts) => (pid, ts.size) }
+      .toDF("phrase_id", "len")
+    toks.join(broadcast(q), col("tok") === col("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("idx")).cast("long").as("start"))
+      .groupBy("phrase_id", "doc_id", "start")
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("c") === col("len"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+  }
+
+  /** Oracle twin of [[phraseSearch]]: same vote-and-count alignment
+    * over 0-based positions from the same `\S+` tokenizer. */
+  def phraseOracleSql(phrases: Seq[(Long, Seq[String])] = PHRASE_SET): String = {
+    val vals = phrases.flatMap { case (pid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => s"($pid, $i, '$t')" }
+    }.mkString(", ")
+    s"""WITH a AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr
+       |  FROM documents),
+       |p AS (SELECT doc_id, arr, unnest(range(len(arr))) AS pos FROM a),
+       |t AS (SELECT doc_id, pos, arr[pos + 1] AS tok FROM p),
+       |q AS (SELECT * FROM (VALUES $vals) AS q(phrase_id, idx, term)),
+       |pl AS (SELECT phrase_id, count(*) AS plen FROM q GROUP BY 1),
+       |m AS (SELECT q.phrase_id, t.doc_id, t.pos - q.idx AS start
+       |  FROM t JOIN q ON t.tok = q.term),
+       |g AS (SELECT phrase_id, doc_id, start, count(*) AS c
+       |  FROM m GROUP BY 1, 2, 3)
+       |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+       |  count(*) AS n_matches, CAST(min(start) AS BIGINT) AS first_pos
+       |FROM g JOIN pl USING (phrase_id) WHERE c = plen
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -286,6 +286,11 @@ object TextSurface {
     // broadcast query workload — the search face of the text family
     "text_bm25" -> ((s, dir) =>
       graft.ops.Search.bm25TopK(docs(s, dir))),
+    // exact phrase search over a positional inverted index: postings
+    // vote for candidate starts (pos − idx), a start with len votes
+    // matches — one broadcast join + one grouped count
+    "text_phrase_search" -> ((s, dir) =>
+      graft.ops.Search.phraseSearch(docs(s, dir))),
     // unigram-LM perplexity-band quality filter (whole-bit surprisal —
     // the cross-engine-gateable face of CCNet LM filtering; see
     // graft.ops.Terms.unigramSurprisal). Band calibrated on this
@@ -1120,6 +1125,7 @@ object TextSurface {
          |    AS BIGINT) AS rank
          |  FROM documents)
          |WHERE rank <= 25""".stripMargin,
+    "text_phrase_search" -> graft.ops.Search.phraseOracleSql(),
     // same whole-bit idf and double chain, per-term floor before sum
     "text_bm25" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term

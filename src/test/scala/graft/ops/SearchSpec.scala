@@ -53,6 +53,36 @@ class SearchSpec extends AnyFunSuite {
     (0L until 7L).foreach(i => assert(rows(7L) > rows(i), s"doc $i"))
   }
 
+  test("phrase search matches only adjacent in-order tokens") {
+    val docs = Seq(
+      (1L, "fast table scan"),        // "fast table" at 0
+      (2L, "table fast"),             // reversed: no match
+      (3L, "fast slow table"),        // gap: no match
+      (4L, "fast table fast table"),  // two matches
+      (5L, "")).toDF("doc_id", "text")
+    val r = Search.phraseSearch(docs, Seq(1L -> Seq("fast", "table")))
+      .collect().map(x => x.getLong(1) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(1L -> ((1L, 0L)), 4L -> ((2L, 0L))))
+  }
+
+  test("repeated-term phrases need genuine adjacency") {
+    val docs = Seq(
+      (1L, "value value end"),   // match at 0
+      (2L, "value pad value"),   // separated: no match
+      (3L, "value value value")  // overlapping matches at 0 and 1
+    ).toDF("doc_id", "text")
+    val r = Search.phraseSearch(docs, Seq(5L -> Seq("value", "value")))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("three-term phrase anchors at the right first position") {
+    val docs = Seq((9L, "pad window stream sort tail")).toDF("doc_id", "text")
+    val r = Search.phraseSearch(docs, Seq(3L -> Seq("window", "stream", "sort")))
+      .collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L && r.head.getLong(3) == 1L)
+  }
+
   test("scores are partitioning- and order-independent") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Search.bm25TopK(docs).collect()
