@@ -179,14 +179,26 @@ object SeriesStats {
     * statistics). Plan: one grouped count on (hour, bucket) — the only
     * data-sized shuffle, ≤ |buckets| rows per hour after it — then
     * windows over the tiny (hour, bucket) grid. */
-  def histogramQuantile(ev: DataFrame): DataFrame = {
+  def histogramQuantile(ev: DataFrame): DataFrame =
+    quantileFromGrid(histogramGrid(ev))
+
+  /** The data-sized half: per-(hour, bucket) counts. This is the part
+    * that runs EITHER as a batch aggregation or as streaming state —
+    * bucket counts are plain sums, mergeable across micro-batches, ≤
+    * |buckets| longs per open window. */
+  def histogramGrid(ev: DataFrame): DataFrame = {
     val hourUs = 3600000000L
-    val grid = ev
-      .select(((col("timestamp") - pmod(col("timestamp"), lit(hourUs))))
-          .as("hour_ts"),
-        expr(bucketCaseSql).as("bucket"))
+    ev.select(((col("timestamp") - pmod(col("timestamp"), lit(hourUs))))
+        .as("hour_ts"),
+      expr(bucketCaseSql).as("bucket"))
       .groupBy("hour_ts", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The grid-sized half: rank selection + interpolation over the
+    * (hour, bucket) grid — windows partition per hour, never
+    * globally. */
+  def quantileFromGrid(grid: DataFrame): DataFrame = {
     val wTot = Window.partitionBy("hour_ts")
     val wCum = Window.partitionBy("hour_ts").orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

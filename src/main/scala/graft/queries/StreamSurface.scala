@@ -363,6 +363,39 @@ object StreamSurface {
       .select(col("step"), stepType.as("event_type"), col("n_users"))
   }
 
+  /** Histogram quantile as a continuous query — the design dividend of
+    * the bucketed shape: per-(hour, bucket) counts are plain sums, so
+    * the streaming state is ≤ |buckets| longs per open window and
+    * merges across micro-batches; rank selection + interpolation run
+    * grid-sized from the sink. The staged single batch makes stream ≡
+    * batch, so the batch oracle applies on the unranged series. */
+  private def streamHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SeriesStats.quantileFromGrid(
+      runToTable(s,
+        graft.ops.SeriesStats.histogramGrid(eventSeriesStream(s, dir)),
+        "complete"))
+
+  /** CDC keep-latest as a continuous query: the same grouped
+    * struct-max as the batch gate — ONE struct of state per key,
+    * order-independent merge (max is associative/commutative), so the
+    * standing state table is exactly what the batch rebuild computes.
+    * Tombstone filtering runs on the sink. */
+  private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val state = runToTable(s,
+      stream.groupBy("user_id")
+        .agg(max(struct(col("timestamp"), col("event_id"),
+          col("event_type"), col("value"))).as("m")),
+      "complete")
+    state.filter(col("m.event_type") =!= "error")
+      .select(col("user_id"), col("m.timestamp").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+  }
+
   /** Streaming cohort retention ([[graft.streaming.StreamingIngest
     * .retentionStream]]): first-activity cohorts pinned in per-user
     * state, new active periods emitted append-mode, reduced to the
@@ -400,6 +433,8 @@ object StreamSurface {
     "stream_lm_surprisal" -> streamLmSurprisal,
     "stream_classifier" -> streamClassifier,
     "stream_top3" -> streamTop3,
+    "stream_histogram" -> streamHistogram,
+    "stream_cdc_upsert" -> streamCdcUpsert,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
@@ -572,6 +607,14 @@ object StreamSurface {
         |  SELECT user_id, timestamp, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
         |  FROM ev) WHERE rn <= 3""".stripMargin,
+    // the batch histogram oracle on the unranged stream series —
+    // bucket counts merge across micro-batches, so stream ≡ batch
+    "stream_histogram" ->
+      ("WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events), " +
+        graft.ops.SeriesStats.histogramQuantileOracleSql),
+    // stream/batch parity: grouped struct-max state is associative,
+    // so the batch CDC oracle applies verbatim
+    "stream_cdc_upsert" -> AnalyticsSurface.oracleSql("cdc_upsert_latest"),
     // the batch M4 envelope on the unranged stream series
     "stream_sample_m4" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)
