@@ -587,6 +587,46 @@ object AnalyticsSurface {
         // cells where the oracle's count(CASE ...) yields 0 — align on
         // 0 so the gate doesn't depend on every combo existing
         .na.fill(0, EVENT_TYPES)),
+    // hour-of-day seasonal baseline per event type — the profile an
+    // anomaly detector subtracts before thresholding (win_anomaly's
+    // ring treats 3am and 3pm alike; this is the seasonal correction):
+    // integer 1e-6 fixed point, two grouped sums (per-(type, hod) and
+    // per-type) joined on the tiny type relation, dev6 = hour mean −
+    // overall mean in pure integer division
+    "ts_seasonal_profile" -> ((s, dir) => {
+      val ev = Tables.eventSeries(s, dir)
+        .select(col("event_type"),
+          expr("(timestamp div 3600000000) % 24").as("hod"),
+          floor(col("value") * 1000000).cast("long").as("v6"))
+      val byHod = ev.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), sum("v6").as("sv"))
+      val byType = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("tn"), sum("v6").as("tsv"))
+      byHod.join(broadcast(byType), "event_type")
+        .select(col("event_type"), col("hod"), col("n"),
+          expr("sv div n").as("mean6"),
+          expr("sv div n - tsv div tn").as("dev6"))
+    }),
+    // audience overlap between event types: distinct (type, user) →
+    // bounded per-user pair fan-out (k types ⇒ ≤ k(k−1)/2 pairs) →
+    // one grouped count; Jaccard in integer ppm — the segment-overlap
+    // matrix a targeting/retention analysis starts from
+    "agg_audience_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val per = a.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val both = a.select(col("event_type").as("type_a"), col("user_id"))
+        .join(a.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(per.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+        .join(broadcast(per.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          expr("n_both * 1000000 div (n_a + n_b - n_both)").as("jaccard_ppm"))
+    }),
     // CDC changelog → current state (SCD-1 upsert): events as an
     // upsert stream keyed by user, 'error' rows as DELETE tombstones;
     // the snapshot is ONE grouped struct-max ((ts, event_id) is a total
@@ -957,6 +997,32 @@ object AnalyticsSurface {
         s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(", ")
       s"SELECT user_id % 5 AS cohort, $arms FROM events GROUP BY 1"
     },
+    "ts_seasonal_profile" ->
+      (EV + """, v AS (SELECT event_type,
+        |    (timestamp // 3600000000) % 24 AS hod,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v6 FROM ev),
+        |h AS (SELECT event_type, hod, count(*) AS n, sum(v6) AS sv
+        |  FROM v GROUP BY 1, 2),
+        |tt AS (SELECT event_type, count(*) AS tn, sum(v6) AS tsv
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, hod, n,
+        |  CAST(sv // n AS BIGINT) AS mean6,
+        |  CAST(sv // n - tsv // tn AS BIGINT) AS dev6
+        |FROM h JOIN tt USING (event_type)""".stripMargin),
+    "agg_audience_overlap" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+        |per AS (SELECT event_type, count(*) AS n FROM a GROUP BY 1),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM a x JOIN a y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |  pa.n AS n_a, pb.n AS n_b, n_both,
+        |  CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM ov
+        |JOIN per pa ON pa.event_type = type_a
+        |JOIN per pb ON pb.event_type = type_b""".stripMargin,
     "cdc_upsert_latest" ->
       (EV + """SELECT user_id, m.t AS last_ts, m.e AS last_event_id,
         |  m.v AS last_value
