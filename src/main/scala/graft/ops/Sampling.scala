@@ -113,4 +113,27 @@ object Sampling {
     df.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Train/val/test SPLIT assignment: one namespaced hash, cumulative
+    * percentage bands — every id lands in exactly ONE split (the bands
+    * partition [0,100)), membership is stable under corpus growth, and
+    * the train band at rate p is bit-identical to [[uniformHash]] at p
+    * in the same namespace (so a split upgrade of an existing sample
+    * never reshuffles rows between splits). Adds a `split` column;
+    * still a stateless row-local projection — nothing shuffles.
+    *
+    * `splits` are (name, percent) in band order, totalling 100.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], namespace: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must total 100: $splits")
+    val p = pct(col(idCol), namespace)
+    val edges = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.zip(edges).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), edge), els) => when(p < edge, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
 }

@@ -96,4 +96,46 @@ object TextFns {
     * text, so per-kind counts are independent of redaction order). */
   def countMatches(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  // ---- encoding repair (mojibake) ----
+  //
+  // The classic double-decode corruption in web corpora: UTF-8 bytes
+  // re-decoded as Latin-1/cp1252, so e-acute (U+00E9, bytes C3 A9)
+  // renders as the two cp1252 chars U+00C3 U+00A9, and the right
+  // single quote (U+2019, bytes E2 80 99) as U+00E2 U+20AC U+2122.
+  // The repair table below covers the five highest-frequency cases in
+  // the public curation literature; patterns are literal character
+  // sequences (no regex metacharacters), so they render identically
+  // as Java and RE2 regexes, and are written as unicode escapes so a
+  // source-file re-encoding can never corrupt them. Replacement ORDER
+  // is fixed and shared with the oracle builder; the three-char
+  // cp1252 sequences share no char with the two-char ones
+  // (lead U+00E2 vs U+00C3), so the chain is order-stable anyway.
+
+  /** (mojibake, repaired) pairs -- ONE definition feeds the Spark
+    * chain, the oracle SQL and the fixture augmentation. */
+  val MOJIBAKE: Seq[(String, String)] = Seq(
+    "\u00C3\u00A9" -> "\u00E9", // e-acute
+    "\u00C3\u00BC" -> "\u00FC", // u-umlaut
+    "\u00C3\u00B1" -> "\u00F1", // n-tilde
+    "\u00E2\u20AC\u2122" -> "\u2019", // right single quote
+    "\u00E2\u20AC\u201D" -> "\u2014") // em dash
+
+  /** Total mojibake occurrences (counts on the unrepaired text). */
+  def countMojibake(c: Column): Column =
+    MOJIBAKE.map { case (m, _) => countMatches(c, m) }.reduce(_ + _)
+
+  /** Repair mojibake in place -- a codegen'd regexp_replace chain in
+    * the shared fixed order; row-local scan like [[redactPii]]. */
+  def fixMojibake(c: Column): Column =
+    MOJIBAKE.foldLeft(c) { case (acc, (m, f)) => regexp_replace(acc, m, f) }
+
+  /** Oracle renderings of the same chain over a SQL expression. */
+  def fixMojibakeSql(e: String): String =
+    MOJIBAKE.foldLeft(e) { case (acc, (m, f)) =>
+      s"regexp_replace($acc, '$m', '$f', 'g')"
+    }
+  def countMojibakeSql(e: String): String =
+    MOJIBAKE.map { case (m, _) =>
+      s"len(regexp_extract_all($e, '$m'))" }.mkString("(", " + ", ")")
 }

@@ -283,6 +283,16 @@ object StreamSurface {
     runToTable(s, graft.ops.Terms.hashedLinearScore(stream), "append")
   }
 
+  /** Encoding repair on the live document stream: the mojibake
+    * count/repair projection is a stateless per-row scan, so it runs
+    * unchanged as a continuous query and the batch gate's oracle
+    * applies verbatim (stream == batch parity). */
+  private def streamFixMojibake(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
+    runToTable(s, TextSurface.fixMojibakeProjection(stream), "append")
+  }
+
   /** Stream-stream interval join: click→view attribution within 30
     * minutes over the live events stream — both sides watermarked so
     * join state is evictable ([[graft.streaming.StreamingIngest
@@ -432,6 +442,7 @@ object StreamSurface {
     "stream_blocklist" -> streamBlocklist,
     "stream_lm_surprisal" -> streamLmSurprisal,
     "stream_classifier" -> streamClassifier,
+    "stream_fix_mojibake" -> streamFixMojibake,
     "stream_top3" -> streamTop3,
     "stream_histogram" -> streamHistogram,
     "stream_cdc_upsert" -> streamCdcUpsert,
@@ -599,6 +610,8 @@ object StreamSurface {
     "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
     // stream/batch parity: stateless projection, batch oracle verbatim
     "stream_classifier" -> TextSurface.oracleSql("text_classifier"),
+    // stateless projection: the batch mojibake oracle applies verbatim
+    "stream_fix_mojibake" -> TextSurface.oracleSql("text_fix_mojibake"),
     // three-way parity: stream + bounded aggregate + ranking window
     // all produce this one result set
     "stream_top3" ->

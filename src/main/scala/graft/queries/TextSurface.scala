@@ -183,6 +183,13 @@ object TextSurface {
     "sample_eval_topk" -> ((s, dir) =>
       graft.ops.Sampling.topKHash(docs(s, dir), "doc_id", "lang", 25)
         .select("doc_id", "lang", "rank")),
+    // train/val/test split assignment (Sampling.assignSplits): one
+    // hash, cumulative 90/5/5 bands — every doc in exactly one split,
+    // stable under growth; still a stateless row-local projection
+    "sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(docs(s, dir), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select("doc_id", "lang", "split")),
     "sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedHash(docs(s, dir), "doc_id",
           col("n_chars") * 10)
@@ -409,7 +416,23 @@ object TextSurface {
         col("doc_id"), 10, "blocklist")
       Dedup.suppressBlocklist(d.filter(!isBl), d.filter(isBl))
     }),
+    // encoding repair (TextFns.fixMojibake): the fixture text carries
+    // no mojibake, so the gate plants id-derived cp1252 double-decode
+    // sequences (same augmentation discipline as text_pii_redact) and
+    // both engines count + repair them with the shared table
+    "text_fix_mojibake" -> ((s, dir) =>
+      fixMojibakeProjection(docs(s, dir))),
   )
+
+  /** The mojibake gate's projection — shared with StreamSurface's
+    * continuous twin (stateless per-row scan, so stream == batch). */
+  private[queries] def fixMojibakeProjection(d: DataFrame): DataFrame = {
+    val aug = mojiAugmented(col("text"), col("doc_id"))
+    d.select(col("doc_id"),
+      TextFns.countMojibake(aug).as("n_moji"),
+      md5(TextFns.fixMojibake(aug)).as("fixed_fp"),
+      length(TextFns.fixMojibake(aug)).cast("long").as("fixed_len"))
+  }
 
   /** Deterministic PII augmentation — one derivation, rendered for
     * Spark here and for DuckDB in [[PII_AUG_SQL]]; the two strings
@@ -428,6 +451,23 @@ object TextSurface {
       "CAST(doc_id % 7 AS VARCHAR) || '.org call +1-415-555-' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.' || " +
       "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+
+  /** Deterministic mojibake augmentation: per corruption pattern i,
+    * append one copy when doc_id % (i+2) == 0, two copies otherwise —
+    * per-doc counts vary so the gate can't pass on a constant. Both
+    * renderings fold over the SAME [[TextFns.MOJIBAKE]] table. */
+  private def mojiAugmented(text: Column, docId: Column): Column =
+    TextFns.MOJIBAKE.zipWithIndex.foldLeft(text) {
+      case (acc, ((m, _), i)) =>
+        concat(acc, lit(" w"),
+          when(pmod(docId, lit(i + 2)) === 0, lit(m)).otherwise(lit(m + m)))
+    }
+
+  private def mojiAugSql: String =
+    TextFns.MOJIBAKE.zipWithIndex.foldLeft("text") {
+      case (acc, ((m, _), i)) =>
+        s"$acc || ' w' || CASE WHEN doc_id % ${i + 2} = 0 THEN '$m' ELSE '$m$m' END"
+    }
 
   // ---- DuckDB oracles ----
 
@@ -845,6 +885,13 @@ object TextSurface {
          |  CAST(length(red) AS BIGINT) AS red_len
          |FROM r""".stripMargin
     },
+    "text_fix_mojibake" ->
+      s"""WITH a AS (SELECT doc_id, $mojiAugSql AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(${TextFns.countMojibakeSql("aug")} AS BIGINT) AS n_moji,
+         |  md5(${TextFns.fixMojibakeSql("aug")}) AS fixed_fp,
+         |  CAST(length(${TextFns.fixMojibakeSql("aug")}) AS BIGINT) AS fixed_len
+         |FROM a""".stripMargin,
     "pack_length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -1113,6 +1160,12 @@ object TextSurface {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h60sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
          |  < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""".stripMargin,
+    "sample_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${h60sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${h60sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
     "sample_weighted" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${h60sql("'wsample:' || CAST(doc_id AS VARCHAR)")} % 10000

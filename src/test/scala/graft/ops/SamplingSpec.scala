@@ -140,4 +140,26 @@ class SamplingSpec extends AnyFunSuite {
       grown.get(id).foreach(r2 => assert(r2 >= rank))
     }
   }
+
+  test("assignSplits partitions the corpus; train band == uniformHash at 90") {
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val out = Sampling.assignSplits(corpus, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // exactly one split per id, all names from the declared list
+    assert(out.length == 2000)
+    assert(out.map(_._2).toSet.subsetOf(splits.map(_._1).toSet))
+    // near-declared fractions (hash uniformity on 2000 ids)
+    val n = out.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(n("train") > 1700 && n("val") > 50 && n("test") > 50, n.toString)
+    // the train band is EXACTLY uniformHash at the same rate/namespace
+    val train = out.filter(_._2 == "train").map(_._1).toSet
+    val uni = Sampling.uniformHash(corpus, "doc_id", 90, "split")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train == uni)
+    // degenerate band declarations are rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(corpus, "doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
 }

@@ -54,4 +54,29 @@ class TextFnsSpec extends AnyFunSuite {
     val once = redact("ping admin@example.org at 10.1.2.3")
     assert(redact(once) == once)
   }
+
+  private def fixMoji(s: String): String =
+    Seq(s).toDF("t").select(TextFns.fixMojibake(col("t")))
+      .collect().head.getString(0)
+
+  private def countMoji(s: String): Long =
+    Seq(s).toDF("t").select(TextFns.countMojibake(col("t")))
+      .collect().head.getLong(0)
+
+  test("mojibake repair: the five cp1252 double-decode cases") {
+    // caf<e-acute> and don<rsquo>t, corrupted then repaired
+    val bad = "cafÃ© donâ€™t " +
+      "maÃ±ana Ã¼ber â€” dash"
+    val good = "café don’t mañana über — dash"
+    assert(fixMoji(bad) == good)
+    assert(countMoji(bad) == 5L)
+  }
+
+  test("mojibake repair is identity on clean text and idempotent") {
+    val clean = "café naïve — plain ascii too"
+    assert(fixMoji(clean) == clean)
+    assert(countMoji(clean) == 0L)
+    val once = fixMoji("Ã©Ã© twice")
+    assert(fixMoji(once) == once)
+  }
 }
