@@ -281,6 +281,69 @@ object SeriesOps {
         max(col("value")).as("max_value"),
         count(lit(1)).as("n_points"))
 
+  /** LTTB-class dashboard downsampling (Steinarsson 2013), ANCHORED
+    * variant: per tumbling window keep the point forming the largest
+    * triangle against the PREVIOUS and NEXT windows' mean points —
+    * the point that deviates most from the local trend, i.e. the one
+    * a line chart cannot afford to drop. Classic LTTB anchors each
+    * window on the previously SELECTED point, a sequential chain no
+    * parallel engine can partition; anchoring on the neighbor-window
+    * means keeps the perceptual intent while every window selects
+    * independently and deterministically (divergence documented —
+    * this is the parallel-exact sibling, not bit-LTTB). Boundary
+    * windows keep their first/last point, matching LTTB's pinned
+    * endpoints.
+    *
+    * Numeric discipline for the cross-engine hash gate: anchor means
+    * come from accumulation-order-free sums (BIGINT in-window time
+    * offsets, so no epoch-scale overflow; the fixed-point sum_micro
+    * value sum), and the triangle areas are then FIXED-SHAPE double
+    * arithmetic on exact inputs — bit-identical in any IEEE engine.
+    * Ties break by earliest timestamp then largest value via one
+    * lexicographic struct-max.
+    *
+    * Scale shape: window stats are one partial-aggregable shuffle;
+    * the anchor grid (a row per window, bounded by span/interval) has
+    * the only unpartitioned window — grid-sized, never data-sized
+    * (the histogram_quantile discipline) — and broadcast-joins back
+    * to the points; the argmax is a second map-side-combinable
+    * aggregate. No global point sort anywhere.
+    * Output: (sample_ts, sel_ts, sel_value, n_points). */
+  def sampleByLttb(df0: DataFrame, intervalUnits: Long): DataFrame = {
+    val df = withFns(df0)
+    val stats = df.groupBy(sampleWindow(intervalUnits)).agg(
+      sum(pmod(col("timestamp"), lit(intervalUnits))).as("toff_sum"),
+      call_function("sum_micro", col("value").cast("double")).as("v_sum"),
+      count(lit(1)).as("n"))
+    val grid0 = stats.select(col("sample_ts"),
+      (col("sample_ts") - lit(intervalUnits) + expr("toff_sum div n"))
+        .as("t_mean"),
+      (col("v_sum") / col("n").cast("double")).as("v_mean"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sample_ts"))
+    val grid = grid0.select(col("sample_ts"),
+      lag("t_mean", 1).over(w).as("prev_t"),
+      lag("v_mean", 1).over(w).as("prev_v"),
+      lead("t_mean", 1).over(w).as("next_t"),
+      lead("v_mean", 1).over(w).as("next_v"))
+    val pts = df.select(sampleWindow(intervalUnits), col("timestamp"),
+      col("value"))
+    val j = pts.join(broadcast(grid), "sample_ts")
+    val area2 = abs(
+      (col("prev_t") - col("next_t")).cast("double")
+        * (col("value") - col("prev_v"))
+        - (col("prev_t") - col("timestamp")).cast("double")
+          * (col("next_v") - col("prev_v")))
+    val key = when(col("prev_t").isNull, -col("timestamp").cast("double"))
+      .when(col("next_t").isNull, col("timestamp").cast("double"))
+      .otherwise(area2)
+    j.groupBy("sample_ts")
+      .agg(max(struct(key.as("k"), (-col("timestamp")).as("nt"),
+          col("value").as("v"))).as("sel"),
+        count(lit(1)).as("n_points"))
+      .select(col("sample_ts"), (-col("sel.nt")).as("sel_ts"),
+        col("sel.v").as("sel_value"), col("n_points"))
+  }
+
   /** Whole-range delta: last value minus first value over the queried
     * range (PromQL-style increase()). Same struct tie policy as the
     * SAMPLE BY `delta` selector. Output (delta_value, n). */

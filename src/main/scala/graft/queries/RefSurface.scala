@@ -99,6 +99,13 @@ object RefSurface {
     // min/max per window — the visual-envelope reduction (Jugel 2014)
     "ts_sample_m4" -> ((s, dir) =>
       SeriesOps.sampleByM4(evRanged(s, dir), HOUR_US)),
+    // anchored-LTTB downsampling (SeriesOps.sampleByLttb): largest-
+    // triangle point per window against neighbor-window mean anchors —
+    // the perceptual downsampler next to M4's envelope; batch-only
+    // (neighbor anchors need the completed grid, unlike M4's
+    // window-local aggregate, so there is no streaming twin)
+    "ts_sample_lttb" -> ((s, dir) =>
+      SeriesOps.sampleByLttb(evRanged(s, dir), HOUR_US)),
     "ts_where" -> ((s, dir) => {
       // lower bound pushed on raw ts (micros > T0 ⟺ raw ≥ T0+1 in the
       // column's own unit — Tables.tsRawAtLeast types the literal)
@@ -175,6 +182,34 @@ object RefSurface {
          |  min(value) AS min_value, max(value) AS max_value,
          |  count(*) AS n_points
          |FROM ev WHERE timestamp BETWEEN $T0 AND $T1 GROUP BY 1""".stripMargin),
+    // replays sampleByLttb: order-free anchor means (BIGINT offsets +
+    // decimal value sums), fixed-shape double areas, struct-max ties
+    "ts_sample_lttb" ->
+      (EV + s""", p AS (SELECT (timestamp - timestamp % $HOUR_US) + $HOUR_US AS sample_ts,
+         |    timestamp, value FROM ev WHERE timestamp BETWEEN $T0 AND $T1),
+         |st AS (SELECT sample_ts,
+         |    (sample_ts - $HOUR_US) + sum(timestamp % $HOUR_US) // count(*) AS t_mean,
+         |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS v_mean
+         |  FROM p GROUP BY 1),
+         |g AS (SELECT sample_ts,
+         |    lag(t_mean) OVER (ORDER BY sample_ts) AS prev_t,
+         |    lag(v_mean) OVER (ORDER BY sample_ts) AS prev_v,
+         |    lead(t_mean) OVER (ORDER BY sample_ts) AS next_t,
+         |    lead(v_mean) OVER (ORDER BY sample_ts) AS next_v
+         |  FROM st),
+         |j AS (SELECT p.sample_ts, p.timestamp, p.value,
+         |    CASE WHEN g.prev_t IS NULL THEN -CAST(p.timestamp AS DOUBLE)
+         |         WHEN g.next_t IS NULL THEN CAST(p.timestamp AS DOUBLE)
+         |         ELSE abs(CAST(g.prev_t - g.next_t AS DOUBLE) * (p.value - g.prev_v)
+         |                - CAST(g.prev_t - p.timestamp AS DOUBLE) * (g.next_v - g.prev_v))
+         |    END AS k
+         |  FROM p JOIN g USING (sample_ts))
+         |SELECT sample_ts,
+         |  -(max({'k': k, 'nt': -timestamp, 'v': value}).nt) AS sel_ts,
+         |  max({'k': k, 'nt': -timestamp, 'v': value}).v AS sel_value,
+         |  count(*) AS n_points
+         |FROM j GROUP BY 1""".stripMargin),
     "ts_where" ->
       (EV + s"SELECT timestamp, value FROM ev WHERE value > 50.0 AND value <= 150.0 AND timestamp > $T0 ORDER BY timestamp"),
     "ts_limit" ->

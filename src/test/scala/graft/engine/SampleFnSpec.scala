@@ -64,4 +64,27 @@ class SampleFnSpec extends AnyFunSuite {
     // (first, last) — the delta selector's struct policy
     assert(got(300L) == ((1.0, 3.0, 1.0, 3.0, 2L)))
   }
+
+  test("anchored LTTB: boundary windows pin endpoints; duplicate-ts tie by value") {
+    val got = SeriesOps.sampleByLttb(series, 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // first window (no prev anchor): earliest point
+    assert(got(100L) == ((10L, 5.0, 3L)))
+    // interior single-point window: the point itself
+    assert(got(200L) == ((150L, 4.0, 1L)))
+    // last window (no next anchor): latest point; equal-ts tie -> max value
+    assert(got(300L) == ((250L, 3.0, 2L)))
+  }
+
+  test("anchored LTTB selects the spike against flat neighbor anchors") {
+    val flatSpike = Seq(
+      (10L, 10.0), (90L, 10.0),            // w100 anchor mean (50, 10)
+      (110L, 10.0), (150L, 50.0), (190L, 10.0), // w200: spike at 150
+      (210L, 10.0), (290L, 10.0)           // w300 anchor mean (250, 10)
+    ).toDF("timestamp", "value")
+    val got = SeriesOps.sampleByLttb(flatSpike, 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(200L) == ((150L, 50.0)))
+  }
 }
