@@ -844,4 +844,32 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNull.cast("long").as("kept"))
   }
+
+  /** Contrastive-training triplet mining over ANY ranked top-k frame
+    * (brute/LSH/IVF/PQ — backend-pluggable): the self-supervised
+    * convention of dense-retrieval pipelines (DPR/ANCE class), with
+    * the nearest neighbor as the positive and every remaining ranked
+    * neighbor as a HARD negative (top-ranked non-positives are the
+    * negatives that actually move a contrastive loss; random
+    * negatives are trivially separable). The margin (pos_sim −
+    * neg_sim) ships as basis points so the gate stays integral.
+    *
+    * Input must carry (query_id, neighbor_id, sim, rank) — the shared
+    * output contract of every sim_topk_* operator. A per-query
+    * self-join on the already-k-bounded frame: ≤ k−1 rows per query,
+    * equality join on query_id, nothing data-sized.
+    * Output: (query_id, pos_id, neg_id, neg_rank, margin_bp).
+    */
+  def hardNegatives(topk: DataFrame): DataFrame = {
+    val pos = topk.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val negs = topk.filter(col("rank") >= 2)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("sim").as("neg_sim"), col("rank").as("neg_rank"))
+    pos.join(negs, "query_id")
+      .select(col("query_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
+        round((col("pos_sim") - col("neg_sim")) * 10000).cast("long")
+          .as("margin_bp"))
+  }
 }

@@ -61,6 +61,13 @@ object SimilaritySurface {
     // sides are THE gated operators themselves; the oracle composes
     // their oracle SQL verbatim, so evaluator and evaluated cannot
     // drift. Basis-point integers (rule 3: no float round).
+    // contrastive triplet mining (Similarity.hardNegatives) over the
+    // IVF index — the scale path; positives/negatives come from the
+    // SAME gated ranking, so miner and index cannot drift
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS,
+          NPROBE, KMEANS_ITERS, expr(TRAIN_SQL)))),
     "sim_recall_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
@@ -403,5 +410,14 @@ object SimilaritySurface {
          |FROM (${oracleSqlBase("sim_topk_brute")}) b
          |LEFT JOIN (${oracleSqlBase("sim_topk_ivf")}) i
          |  USING (query_id, neighbor_id)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin) +
+    // composes the IVF oracle verbatim twice (positive row + negative
+    // rows), mirroring Similarity.hardNegatives over the same index
+    ("sim_hard_negatives" ->
+      s"""SELECT p.query_id, p.neighbor_id AS pos_id, n.neighbor_id AS neg_id,
+         |  n.rank AS neg_rank,
+         |  CAST(round((p.sim - n.sim) * 10000) AS BIGINT) AS margin_bp
+         |FROM (${oracleSqlBase("sim_topk_ivf")}) p
+         |JOIN (${oracleSqlBase("sim_topk_ivf")}) n ON n.query_id = p.query_id
+         |WHERE p.rank = 1 AND n.rank >= 2""".stripMargin)
 }

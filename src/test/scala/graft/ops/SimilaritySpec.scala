@@ -295,4 +295,19 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs2.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 1.0))
   }
+
+  test("hardNegatives: rank 1 is the positive, ranks 2+ become margined negatives") {
+    import spark.implicits._
+    val topk = Seq(
+      (0L, 10L, 0.9, 1L), (0L, 11L, 0.7, 2L), (0L, 12L, 0.4, 3L),
+      (1L, 20L, 0.8, 1L), (1L, 21L, 0.8, 2L) // zero-margin tie survives
+    ).toDF("query_id", "neighbor_id", "sim", "rank")
+    val got = Similarity.hardNegatives(topk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 10L, 11L, 2L, 2000L),
+      (0L, 10L, 12L, 3L, 5000L),
+      (1L, 20L, 21L, 2L, 0L)))
+  }
 }
