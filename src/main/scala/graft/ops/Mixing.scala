@@ -102,6 +102,95 @@ object Mixing {
         expr("w * 10000 div wt").as("temp_bp"))
   }
 
+  /** Fixed-BUDGET epoch planning — the complement of [[plan]]: where
+    * plan shrinks the corpus until no stratum needs upsampling, the
+    * epoch plan takes the training token budget as given and answers
+    * how many PASSES (epochs) over each stratum the recipe implies —
+    * the published practice when the recipe demands more of a stratum
+    * than exists (repeat the high-quality tail rather than shrink the
+    * run). Budget = total supply · budgetFactorPct / 100, so the knob
+    * is scale-free and the gate needs no absolute constant.
+    *
+    * Integer basis-point arithmetic throughout ([[plan]]'s rules):
+    *  - take_s        = budget · target_bp_s div 10⁴
+    *  - epochs_centi  = ceil(take_s · 100 / supply_s)  (100 = one pass)
+    *  - oversampled_s = epochs_centi > 100
+    * A declared stratum with zero supply but nonzero take marks
+    * epochs_centi = −1 (unachievable at any repeat count) instead of
+    * silently renormalizing — the [[plan]] discipline.
+    *
+    * Same one-aggregation shape: corpus touched once, everything after
+    * is strata-sized with the scalar budget broadcast back. */
+  def epochPlan(docs: DataFrame, stratumCol: String,
+      targetBp: Map[String, Int], budgetFactorPct: Int = 200,
+      defaultBp: Int = 0): DataFrame = {
+    require((defaultBp +: targetBp.values.toSeq).forall(b => b >= 0 && b <= 10000),
+      s"targets in [0, 10000] bp: $targetBp default $defaultBp")
+    require(budgetFactorPct > 0, s"budgetFactorPct > 0: $budgetFactorPct")
+    val target = targetBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp): Column) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val declared = targetBp.keys.toSeq.sorted.toDF(stratumCol)
+      .withColumn("n_docs", lit(0L)).withColumn("n_tokens", lit(0L))
+    val per = docs
+      .select(col(stratumCol),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .unionByName(declared)
+      .groupBy(stratumCol)
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("target_bp", target.cast("long"))
+    val tot = per.select(
+      expr(s"sum(n_tokens) * $budgetFactorPct div 100").as("budget"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("take_tokens", expr("budget * target_bp div 10000"))
+      .withColumn("epochs_centi", expr(
+        """CASE WHEN take_tokens = 0 THEN 0
+          |     WHEN n_tokens = 0 THEN -1
+          |     ELSE (take_tokens * 100 + n_tokens - 1) div n_tokens
+          |END""".stripMargin))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("target_bp"), col("take_tokens"), col("epochs_centi"),
+        (col("epochs_centi") > 100).cast("long").as("oversampled"))
+  }
+
+  /** Oracle twin of [[epochPlan]] over the documents table (declared
+    * strata inlined; DuckDB `//` matches Spark `div` on the
+    * non-negative operands here). */
+  def epochOracleSql(stratumCol: String, targetBp: Map[String, Int],
+      budgetFactorPct: Int = 200): String = {
+    val caseArms = targetBp.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    val declList = targetBp.keys.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""WITH per0 AS (SELECT $stratumCol, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |decl AS (SELECT unnest([$declList]) AS $stratumCol),
+       |per AS (SELECT $stratumCol,
+       |    CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |    CAST(CASE $stratumCol $caseArms ELSE 0 END AS BIGINT) AS target_bp
+       |  FROM decl FULL OUTER JOIN per0 USING ($stratumCol)),
+       |b AS (SELECT sum(n_tokens) * $budgetFactorPct // 100 AS budget FROM per),
+       |e AS (SELECT $stratumCol, n_docs, n_tokens, target_bp,
+       |    budget * target_bp // 10000 AS take_tokens
+       |  FROM per CROSS JOIN b)
+       |SELECT $stratumCol, n_docs, n_tokens, target_bp,
+       |  CAST(take_tokens AS BIGINT) AS take_tokens,
+       |  CAST(CASE WHEN take_tokens = 0 THEN 0
+       |            WHEN n_tokens = 0 THEN -1
+       |            ELSE (take_tokens * 100 + n_tokens - 1) // n_tokens
+       |       END AS BIGINT) AS epochs_centi,
+       |  CAST(CASE WHEN (CASE WHEN take_tokens = 0 THEN 0
+       |            WHEN n_tokens = 0 THEN -1
+       |            ELSE (take_tokens * 100 + n_tokens - 1) // n_tokens END) > 100
+       |       THEN 1 ELSE 0 END AS BIGINT) AS oversampled
+       |FROM e""".stripMargin
+  }
+
   /** Oracle twin of [[temperaturePlan]] over the documents table. */
   def temperatureOracleSql(stratumCol: String): String =
     s"""WITH per AS (SELECT $stratumCol, count(*) AS n_docs,

@@ -254,6 +254,11 @@ object TextSurface {
     // integer-exact cross-engine (IEEE sqrt is correctly rounded)
     "mix_temperature" -> ((s, dir) =>
       graft.ops.Mixing.temperaturePlan(docs(s, dir), "lang")),
+    // fixed-budget epoch planning (Mixing.epochPlan): budget = 2x the
+    // corpus, so recipe strata above their natural share must REPEAT
+    // (epochs > 1.00) — the oversampling answer mix_plan refuses
+    "mix_epochs" -> ((s, dir) =>
+      graft.ops.Mixing.epochPlan(docs(s, dir), "lang", MIX_TARGETS.toMap)),
     // URL/provenance canonicalization (graft.ops.UrlCanon): planted
     // messy urls → C4/CCNet rule-chain canonical form + bare host —
     // pure projection, scan speed
@@ -812,6 +817,7 @@ object TextSurface {
          |FROM per CROSS JOIN b""".stripMargin
     },
     "mix_temperature" -> graft.ops.Mixing.temperatureOracleSql("lang"),
+    "mix_epochs" -> graft.ops.Mixing.epochOracleSql("lang", MIX_TARGETS.toMap),
     // the canonicalization CTE chain is rendered once in UrlCanon
     // (canonCteSql) next to its Spark twin — rule-for-rule identical
     "text_url_canon" ->

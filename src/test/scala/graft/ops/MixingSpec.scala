@@ -110,4 +110,18 @@ class MixingSpec extends AnyFunSuite {
       "a" -> ((2941L, 3333L)), "b" -> ((1176L, 2000L)),
       "c" -> ((5882L, 4666L))))
   }
+
+  test("epoch plan: fixed budget forces repeats; zero supply marks unachievable") {
+    // budget = 2 x 340 = 680 tokens; takes = budget * target / 1e4
+    val got = Mixing.epochPlan(fixture, "stratum",
+        Map("a" -> 4000, "b" -> 2500, "c" -> 2500, "d" -> 1000))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (n_tokens, take_tokens, epochs_centi, oversampled)
+    assert(got == Map(
+      "a" -> ((100L, 272L, 272L, 1L)), // 2.72 epochs
+      "b" -> ((40L, 170L, 425L, 1L)),  // the tail stratum repeats most
+      "c" -> ((200L, 170L, 85L, 0L)),  // under one pass
+      "d" -> ((0L, 68L, -1L, 0L))))    // demanded but absent
+  }
 }
