@@ -130,14 +130,15 @@ object UrlCanon {
       "host", HOST_TARGETS.toMap)
 
   /** DuckDB CTE chain computing (doc_id, url, url_canon, host) from
-    * the planted urls — the oracle-side rendering of rules 1-6. */
-  val canonCteSql: String =
-    s"""u AS (SELECT doc_id, $AUG_SQL AS url FROM documents),
-       |r AS (SELECT doc_id, url,
+    * ANY source CTE exposing (doc_id, url) — the oracle-side rendering
+    * of rules 1-6, reusable wherever urls surface (the planted column
+    * here, extracted hrefs in [[Html]]'s link gate). Ends in `canon`. */
+  def canonChainSql(src: String): String =
+    s"""r AS (SELECT doc_id, url,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
        |    regexp_replace(regexp_replace(regexp_replace(url,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$$', ''), '\\?.*$$', '') AS rest
-       |  FROM u),
+       |  FROM $src),
        |pp AS (SELECT doc_id, url, sch,
        |    regexp_replace(lower(regexp_extract(rest, '^([^/]*)', 1)), '^www\\.', '') AS hp1,
        |    lower(regexp_replace(rest, '^[^/]*', '')) AS p0
@@ -151,4 +152,9 @@ object UrlCanon {
        |      AS url_canon,
        |    regexp_replace(hp1, ':[0-9]+$$', '') AS host
        |  FROM pp)""".stripMargin
+
+  /** The original planted-url instance of the chain (gate oracles). */
+  val canonCteSql: String =
+    s"""u AS (SELECT doc_id, $AUG_SQL AS url FROM documents),
+       |${canonChainSql("u")}""".stripMargin
 }

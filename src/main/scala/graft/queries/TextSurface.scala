@@ -427,6 +427,17 @@ object TextSurface {
     // both engines count + repair them with the shared table
     "text_fix_mojibake" -> ((s, dir) =>
       fixMojibakeProjection(docs(s, dir))),
+    // HTML main-content extraction (Html.extractText): planted page
+    // wrapper stripped back to text — script/style payloads vanish
+    // with content, entities decode, tags become spaces; scan speed
+    "text_strip_html" -> ((s, dir) =>
+      graft.ops.Html.extractText(docs(s, dir))),
+    // href extraction + canonicalization (Html.extractLinks): the
+    // anchor's messy planted url flows through the SAME canonical
+    // rule chain as text_url_canon — extracted and declared
+    // provenance share one key space
+    "text_html_links" -> ((s, dir) =>
+      graft.ops.Html.extractLinks(docs(s, dir))),
   )
 
   /** The mojibake gate's projection — shared with StreamSurface's
@@ -898,6 +909,19 @@ object TextSurface {
          |  md5(${TextFns.fixMojibakeSql("aug")}) AS fixed_fp,
          |  CAST(length(${TextFns.fixMojibakeSql("aug")}) AS BIGINT) AS fixed_len
          |FROM a""".stripMargin,
+    "text_strip_html" ->
+      s"""WITH a AS (SELECT doc_id, ${graft.ops.Html.AUG_SQL} AS page FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(page, '<[^>]+>')) AS BIGINT) AS n_tags,
+         |  md5(${graft.ops.Html.stripHtmlSql("page")}) AS clean_fp,
+         |  CAST(length(${graft.ops.Html.stripHtmlSql("page")}) AS BIGINT) AS clean_len
+         |FROM a""".stripMargin,
+    "text_html_links" ->
+      s"""WITH a AS (SELECT doc_id, ${graft.ops.Html.AUG_SQL} AS page FROM documents),
+         |lk AS (SELECT doc_id, unnest(regexp_extract_all(page,
+         |    '<a[^>]*href="([^"]*)"', 1)) AS url FROM a),
+         |${graft.ops.UrlCanon.canonChainSql("lk")}
+         |SELECT doc_id, url, url_canon, host FROM canon""".stripMargin,
     "pack_length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
