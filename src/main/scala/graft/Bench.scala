@@ -67,7 +67,11 @@ object Bench {
     // day-partial HLL merge
     "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
     "stream_top3", "dedup_containment", "pack_chunk_overlap",
-    "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards")
+    "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards",
+    // round-8 late wave: HTML strip + mojibake regex scans, anchored
+    // LTTB grid selection, IVF-backed triplet mining
+    "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
+    "sim_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,8 +64,10 @@ object Html {
       "(?s)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noPayload, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // entities are literal strings — a literal replace chain, not
+    // regex passes (the mojibake lesson: ~4x at sf1)
     val decoded = ENTITIES.foldLeft(noTags) { case (acc, (e, ch)) =>
-      regexp_replace(acc, e, ch)
+      replace(acc, lit(e), lit(ch))
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -79,7 +81,7 @@ object Html {
     val noTags = s"regexp_replace($noComment, '<[^>]+>', ' ', 'g')"
     val decoded = ENTITIES.foldLeft(noTags) { case (acc, (ent, ch)) =>
       val lit = ch.replace("'", "''")
-      s"regexp_replace($acc, '$ent', '$lit', 'g')"
+      s"replace($acc, '$ent', '$lit')"
     }
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }

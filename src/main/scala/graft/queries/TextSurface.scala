@@ -441,13 +441,30 @@ object TextSurface {
   )
 
   /** The mojibake gate's projection — shared with StreamSurface's
-    * continuous twin (stateless per-row scan, so stream == batch). */
+    * continuous twin (stateless per-row scan, so stream == batch).
+    *
+    * Zero regex passes: the repairs are stepwise literal `replace`
+    * columns, and since every occurrence of a length-L pattern
+    * shrinks the string by exactly L−1 chars, the count falls out of
+    * the per-step LENGTH deltas — no alternation scan (which measured
+    * as the dominant cost at sf1/30x). Equal to
+    * [[TextFns.countMojibake]] because distinct patterns can never
+    * overlap (disjoint lead chars + per-family second chars). */
   private[queries] def fixMojibakeProjection(d: DataFrame): DataFrame = {
-    val aug = mojiAugmented(col("text"), col("doc_id"))
-    d.select(col("doc_id"),
-      TextFns.countMojibake(aug).as("n_moji"),
-      md5(TextFns.fixMojibake(aug)).as("fixed_fp"),
-      length(TextFns.fixMojibake(aug)).cast("long").as("fixed_len"))
+    val steps = TextFns.MOJIBAKE.zipWithIndex
+    val chained = steps.foldLeft(
+      d.select(col("doc_id"),
+        mojiAugmented(col("text"), col("doc_id")).as("s0"))) {
+      case (df, ((m, f), i)) =>
+        df.withColumn(s"s${i + 1}", replace(col(s"s$i"), lit(m), lit(f)))
+    }
+    val last = s"s${steps.size}"
+    val nMoji = steps.map { case ((m, _), i) =>
+      expr(s"(length(s$i) - length(s${i + 1})) div ${m.length - 1}")
+    }.reduce(_ + _)
+    chained.select(col("doc_id"), nMoji.cast("long").as("n_moji"),
+      md5(col(last)).as("fixed_fp"),
+      length(col(last)).cast("long").as("fixed_len"))
   }
 
   /** Deterministic PII augmentation — one derivation, rendered for

@@ -47,6 +47,8 @@ HEADLINE = [
     "win_anomaly", "win_rolling_median", "agg_corr", "asof_join_nearest",
     "stream_top3", "dedup_containment", "pack_chunk_overlap",
     "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards",
+    "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
+    "sim_hard_negatives",
 ]
 
 
