@@ -44,7 +44,12 @@ object PlanAudit {
       "dedup_containment", // posting-list-local pairs, no shingle self-join
       "pack_chunk_overlap", // sequence/posexplode generate, zero exchanges
       "agg_funnel",        // user-keyed min-agg joins, ReusedExchange prefixes
-      "agg_sketch_merge")  // per-day HLL partials + union, verdict side-by-side
+      "agg_sketch_merge",  // per-day HLL partials + union, verdict side-by-side
+      // round-8 late wave
+      "ts_sample_lttb",    // partial-agg window stats, broadcast anchor grid
+      "text_strip_html",   // literal+regex strip chain over the scan
+      "sim_hard_negatives", // triplet join suffix on the IVF search
+      "text_fix_mojibake") // stepwise literal replaces, zero regex
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
