@@ -47,15 +47,18 @@ object Html {
     lit("\">read &lt;more&gt;</a><!-- c"), docId.cast("string"),
     lit(" --></body></html>"))
 
-  val AUG_SQL: String =
+  /** Oracle rendering of [[augHtml]] with any body expression. */
+  def augSql(body: String): String =
     "('<html><head><title>t' || CAST(doc_id AS VARCHAR)" +
       " || '</title><script>var x=' || CAST(doc_id AS VARCHAR)" +
       " || ';</script><style>.c{color:red}</style></head><body><h1>Doc &amp; '" +
       " || CAST(doc_id % 9 AS VARCHAR)" +
-      " || '</h1><p class=\"main\">' || text" +
+      " || '</h1><p class=\"main\">' || " + body +
       " || '</p><a href=\"' || " + UrlCanon.AUG_SQL +
       " || '\">read &lt;more&gt;</a><!-- c' || CAST(doc_id AS VARCHAR)" +
       " || ' --></body></html>')"
+
+  val AUG_SQL: String = augSql("text")
 
   /** The strip chain over any string column (rules 1-5). */
   def stripHtml(c: Column): Column = {

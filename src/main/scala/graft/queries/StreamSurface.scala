@@ -293,6 +293,14 @@ object StreamSurface {
     runToTable(s, TextSurface.fixMojibakeProjection(stream), "append")
   }
 
+  /** HTML main-content extraction on the live stream — stateless
+    * per-row strip chain, so the batch gate's oracle applies verbatim. */
+  private def streamStripHtml(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
+    runToTable(s, graft.ops.Html.extractText(stream), "append")
+  }
+
   /** Stream-stream interval join: click→view attribution within 30
     * minutes over the live events stream — both sides watermarked so
     * join state is evictable ([[graft.streaming.StreamingIngest
@@ -443,6 +451,7 @@ object StreamSurface {
     "stream_lm_surprisal" -> streamLmSurprisal,
     "stream_classifier" -> streamClassifier,
     "stream_fix_mojibake" -> streamFixMojibake,
+    "stream_strip_html" -> streamStripHtml,
     "stream_top3" -> streamTop3,
     "stream_histogram" -> streamHistogram,
     "stream_cdc_upsert" -> streamCdcUpsert,
@@ -610,8 +619,9 @@ object StreamSurface {
     "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
     // stream/batch parity: stateless projection, batch oracle verbatim
     "stream_classifier" -> TextSurface.oracleSql("text_classifier"),
-    // stateless projection: the batch mojibake oracle applies verbatim
+    // stateless projections: the batch oracles apply verbatim
     "stream_fix_mojibake" -> TextSurface.oracleSql("text_fix_mojibake"),
+    "stream_strip_html" -> TextSurface.oracleSql("text_strip_html"),
     // three-way parity: stream + bounded aggregate + ranking window
     // all produce this one result set
     "stream_top3" ->

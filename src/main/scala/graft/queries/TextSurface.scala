@@ -438,6 +438,37 @@ object TextSurface {
     // provenance share one key space
     "text_html_links" -> ((s, dir) =>
       graft.ops.Html.extractLinks(docs(s, dir))),
+    // the composed WEB-INGESTION pipeline: raw crawl page (pii +
+    // mojibake planted inside the html body) → strip boilerplate →
+    // repair encoding (stepwise literal chain) → redact PII →
+    // url-grain keep on the canonicalized extracted href — the chain
+    // a crawl actually ships through before any text operator, as ONE
+    // plan (single corpus scan per side + a tiny url-winner join)
+    "pipeline_web_ingest" -> ((s, dir) => {
+      val body = mojiAugmented(
+        piiAugmented(col("text"), col("doc_id")), col("doc_id"))
+      val page = graft.ops.Html.augHtml(body, col("doc_id"))
+      val stripped = docs(s, dir).select(col("doc_id"), page.as("page"))
+        .withColumn("s0", graft.ops.Html.stripHtml(col("page")))
+      val chained = TextFns.MOJIBAKE.zipWithIndex.foldLeft(stripped) {
+        case (df, ((m, f), i)) =>
+          df.withColumn(s"s${i + 1}", replace(col(s"s$i"), lit(m), lit(f)))
+      }
+      val staged = chained.select(col("doc_id"), col("page"),
+        TextFns.redactPii(col(s"s${TextFns.MOJIBAKE.size}")).as("clean"))
+      val keyed = staged.withColumn("url",
+          regexp_extract(col("page"), "<a[^>]*href=\"([^\"]*)\"", 1))
+        .select(col("doc_id"), col("clean"),
+          graft.ops.UrlCanon.canonical(col("url")).as("url_canon"),
+          graft.ops.UrlCanon.host(col("url")).as("host"))
+      val winners = keyed.groupBy("url_canon")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      keyed.join(winners, "doc_id")
+        .select(col("doc_id"), col("host"),
+          md5(col("clean")).as("clean_fp"),
+          length(col("clean")).cast("long").as("clean_len"),
+          TextFns.countMatches(col("clean"), "\\S+").as("n_tokens"))
+    }),
   )
 
   /** The mojibake gate's projection — shared with StreamSurface's
@@ -479,11 +510,13 @@ object TextSurface {
       lit(" host 10."), (docId % 256).cast("string"),
       lit(".0."), (docId % 100).cast("string"))
 
-  private val PII_AUG_SQL: String =
-    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+  private def piiAugSql(e: String): String =
+    s"$e || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
       "CAST(doc_id % 7 AS VARCHAR) || '.org call +1-415-555-' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' host 10.' || " +
       "CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+
+  private val PII_AUG_SQL: String = piiAugSql("text")
 
   /** Deterministic mojibake augmentation: per corruption pattern i,
     * append one copy when doc_id % (i+2) == 0, two copies otherwise —
@@ -496,11 +529,13 @@ object TextSurface {
           when(pmod(docId, lit(i + 2)) === 0, lit(m)).otherwise(lit(m + m)))
     }
 
-  private def mojiAugSql: String =
-    TextFns.MOJIBAKE.zipWithIndex.foldLeft("text") {
+  private def mojiAugSqlOf(e: String): String =
+    TextFns.MOJIBAKE.zipWithIndex.foldLeft(e) {
       case (acc, ((m, _), i)) =>
         s"$acc || ' w' || CASE WHEN doc_id % ${i + 2} = 0 THEN '$m' ELSE '$m$m' END"
     }
+
+  private def mojiAugSql: String = mojiAugSqlOf("text")
 
   // ---- DuckDB oracles ----
 
@@ -939,6 +974,28 @@ object TextSurface {
          |    '<a[^>]*href="([^"]*)"', 1)) AS url FROM a),
          |${graft.ops.UrlCanon.canonChainSql("lk")}
          |SELECT doc_id, url, url_canon, host FROM canon""".stripMargin,
+    "pipeline_web_ingest" -> {
+      def redactSql(e: String) =
+        s"regexp_replace(regexp_replace(regexp_replace($e, " +
+          s"'${TextFns.EMAIL_RE}', '<EMAIL>', 'g'), " +
+          s"'${TextFns.PHONE_RE}', '<PHONE>', 'g'), " +
+          s"'${TextFns.IP_RE}', '<IP>', 'g')"
+      val pageSql = graft.ops.Html.augSql(mojiAugSqlOf(piiAugSql("text")))
+      val cleanSql = redactSql(
+        TextFns.fixMojibakeSql(graft.ops.Html.stripHtmlSql("page")))
+      s"""WITH a AS (SELECT doc_id, $pageSql AS page FROM documents),
+         |c AS (SELECT doc_id, page, $cleanSql AS clean FROM a),
+         |lk AS (SELECT doc_id, clean,
+         |    regexp_extract(page, '<a[^>]*href="([^"]*)"', 1) AS url FROM c),
+         |${graft.ops.UrlCanon.canonChainSql("lk")},
+         |keyed AS (SELECT lk.doc_id, lk.clean, canon.url_canon, canon.host
+         |  FROM lk JOIN canon ON canon.doc_id = lk.doc_id),
+         |w AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY url_canon)
+         |SELECT k.doc_id, k.host, md5(k.clean) AS clean_fp,
+         |  CAST(length(k.clean) AS BIGINT) AS clean_len,
+         |  CAST(len(regexp_extract_all(k.clean, '\\S+')) AS BIGINT) AS n_tokens
+         |FROM keyed k JOIN w ON w.doc_id = k.doc_id""".stripMargin
+    },
     "pack_length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
