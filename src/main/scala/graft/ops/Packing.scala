@@ -117,22 +117,14 @@ object Packing {
   def lengthBuckets(docs: DataFrame, nBuckets: Int = 4): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 100,
       s"nBuckets must be in [2, 100], got $nBuckets")
-    // the token-count relation feeds the boundary computation (twice,
-    // inside Percentiles.exact) AND the assignment join — persist so
-    // the corpus tokenize scan runs once (caller releases via
-    // clearCache, the shared-relation convention)
-    val toks = docs.select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pcts = (1 until nBuckets).map(i => (s"b$i", i.toDouble / nBuckets))
-    val bounds = Percentiles.exactGlobal(toks, "n_tokens", pcts).drop("n")
-    // one-row model relation: the broadcast NLJ here is a constant
-    // attach, the sim_topk_brute pattern
-    toks.join(broadcast(bounds))
-      .withColumn("bucket",
-        (1 until nBuckets).map(i =>
-          (col("n_tokens") > col(s"b$i")).cast("long")).reduce(_ + _) + 1)
-      .select("doc_id", "n_tokens", "bucket")
+    // delegate to the generalized calibration shape (persist + no
+    // corpus sort + broadcast boundary attach live there)
+    Percentiles.calibrateBands(
+      docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens")),
+      "doc_id", "n_tokens", nBuckets)
+      .withColumnRenamed("band", "bucket")
   }
 
   /** Sketch tier of [[lengthBuckets]] under the in-plan verification

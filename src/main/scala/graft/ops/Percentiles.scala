@@ -117,6 +117,32 @@ object Percentiles {
       .select(pcts.map { case (nm, q) => interp(nm, q) } :+ col("n"): _*)
   }
 
+  /** Percentile-band CALIBRATION of any integer signal: boundaries
+    * from [[exactGlobal]] (no corpus sort — the two-level rank
+    * selection), broadcast back as a one-row model relation, band
+    * assigned at scan speed. Rank-normalizing a raw score is what
+    * makes a threshold transfer across corpora (a "keep the top 30%"
+    * rule survives a distribution shift; "score ≥ 74000" does not) —
+    * the Packing.lengthBuckets shape generalized to any (id, value)
+    * relation. The input relation feeds both the boundary computation
+    * and the assignment join, so it is persisted (caller releases via
+    * clearCache — the shared-relation convention).
+    * Output: (idCol, valueCol, band in 1..nBands). */
+  def calibrateBands(rel: DataFrame, idCol: String, valueCol: String,
+      nBands: Int): DataFrame = {
+    require(nBands >= 2 && nBands <= 100,
+      s"nBands must be in [2, 100], got $nBands")
+    val r = rel.select(col(idCol), col(valueCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcts = (1 until nBands).map(i => (s"b$i", i.toDouble / nBands))
+    val bounds = exactGlobal(r, valueCol, pcts).drop("n")
+    r.join(broadcast(bounds))
+      .withColumn("band",
+        (1 until nBands).map(i =>
+          (col(valueCol) > col(s"b$i")).cast("long")).reduce(_ + _) + 1)
+      .select(idCol, valueCol, "band")
+  }
+
   /** [[exact]] without the 4dp gate rounding — the raw interpolated
     * doubles, used by PercentilesSpec's boundary-margin invariant
     * (which checks the rounding itself is cross-engine safe). */

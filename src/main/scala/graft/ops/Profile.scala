@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass table profiling — the data-validation stage a pipeline
+  * runs before trusting an input (the Deequ/dbt-test class): per
+  * column, row/null/distinct counts plus numeric min/max, computed in
+  * ONE aggregate over the table and unpivoted to a row per column.
+  *
+  * Distinct counts are EXACT — the cross-engine gate needs integers,
+  * and Spark's HLL++ and DuckDB's approx_distinct are different
+  * sketches. Spark plans the multi-column distinct via one Expand:
+  * O(k·rows) map-side work but still a single scan and one exchange
+  * of partial aggregates. At 100 TB the same shape holds with
+  * approx_count_distinct swapped in per column (documented trade —
+  * the agg_approx_distinct gate locks that estimator separately).
+  *
+  * The unpivot is a literal k-element array over the one-row
+  * aggregate — no second scan, no driver loop.
+  */
+object Profile {
+
+  /** Profile `numericCols` (full stats) and `otherCols` (counts only;
+    * min/max null — cross-type min/max strings do not round-trip
+    * identically between engines). Output: one row per column:
+    * (col_name, n_rows, n_null, n_distinct, min_v, max_v). */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      otherCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || otherCols.nonEmpty, "no columns")
+    val all = numericCols.map((_, true)) ++ otherCols.map((_, false))
+    val aggs = all.flatMap { case (c, isNum) =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__d")) ++
+        (if (isNum)
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        else
+          Seq(lit(null).cast("double").as(s"${c}__min"),
+            lit(null).cast("double").as(s"${c}__max")))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("__total").as("n_rows"),
+        (col("__total") - col(s"${c}__n")).as("n_null"),
+        col(s"${c}__d").as("n_distinct"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB twin: one UNION ALL branch per column over a shared CTE. */
+  def profileOracleSql(src: String, numericCols: Seq[String],
+      otherCols: Seq[String]): String = {
+    val branches =
+      numericCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM t""".stripMargin
+      } ++ otherCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+           |FROM t""".stripMargin
+      }
+    s"WITH t AS ($src)\n" + branches.mkString("\nUNION ALL\n")
+  }
+}

@@ -632,6 +632,12 @@ object AnalyticsSurface {
     // the snapshot is ONE grouped struct-max ((ts, event_id) is a total
     // order) — map-side combinable, no window sort, so the state
     // rebuild costs one shuffle of partial maxes at any changelog size
+    // single-pass table profile (graft.ops.Profile): the validation
+    // gate a pipeline runs before trusting an input — per-column
+    // null/distinct/min/max in ONE aggregate, unpivoted
+    "profile_events" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.load(s, dir, "events"),
+        Seq("event_id", "user_id", "value"), Seq("event_type"))),
     "cdc_upsert_latest" -> ((s, dir) =>
       Tables.eventSeries(s, dir)
         .groupBy("user_id")
@@ -1023,6 +1029,9 @@ object AnalyticsSurface {
         |FROM ov
         |JOIN per pa ON pa.event_type = type_a
         |JOIN per pb ON pb.event_type = type_b""".stripMargin,
+    "profile_events" -> graft.ops.Profile.profileOracleSql(
+      "SELECT event_id, user_id, value, event_type FROM events",
+      Seq("event_id", "user_id", "value"), Seq("event_type")),
     "cdc_upsert_latest" ->
       (EV + """SELECT user_id, m.t AS last_ts, m.e AS last_event_id,
         |  m.v AS last_value

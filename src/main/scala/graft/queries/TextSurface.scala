@@ -110,9 +110,28 @@ object TextSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_quality_gopher" -> qualityGopher,
+    // percentile-CALIBRATED quality bands (Percentiles.calibrateBands):
+    // the raw score rank-normalized into deciles, so "top 30%" rules
+    // transfer across corpora; boundaries via the two-level rank
+    // selection, never a corpus sort
+    "text_quality_calibrated" -> ((s, dir) =>
+      graft.ops.Percentiles.calibrateBands(
+        textStats(s, dir).select(col("doc_id"), col("quality_score")),
+        "doc_id", "quality_score", 10)),
     "text_langid" -> langId,
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       md5(TextFns.normText(col("text"))).as("fp"))),
+    // lexical diversity: type-token ratio on the \S+ tokenizer — the
+    // Gopher-class "fraction of unique words" signal (a low TTR doc
+    // is boilerplate/repetition even when its other stats pass);
+    // row-local array_distinct, scan speed
+    "text_ttr" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long")
+          .as("n_tokens"),
+        size(array_distinct(expr("regexp_extract_all(text, '\\\\S+', 0)")))
+          .cast("long").as("n_types"))
+        .withColumn("ttr_bp", expr("n_types * 10000 div greatest(n_tokens, 1)"))),
     "text_token_count" -> ((s, dir) =>
       TextFns.withShingles(docs(s, dir)).select(col("doc_id"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_tokens"),
@@ -1144,6 +1163,15 @@ object TextSurface {
     // OCCURRENCE = the tf-weighted fold); empty-norm docs left-join 0s
     "text_classifier" -> classifierOracle,
     "text_stats" -> textStatsOracle,
+    "text_quality_calibrated" -> {
+      val bs = (1 to 9).map(i =>
+        s"round(quantile_cont(quality_score, ${i / 10.0}), 4) AS b$i").mkString(", ")
+      val cmp = (1 to 9).map(i => s"CAST(quality_score > b$i AS INT)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, quality_score FROM ($textStatsOracle)),
+         |b AS (SELECT $bs FROM t)
+         |SELECT doc_id, quality_score, CAST(1 + $cmp AS BIGINT) AS band
+         |FROM t, b""".stripMargin
+    },
     "text_quality_gopher" -> qualityGopherOracle,
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
@@ -1163,6 +1191,13 @@ object TextSurface {
          |  FROM documents)""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "text_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) * 10000
+        |    // greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS ttr_bp
+        |FROM documents""".stripMargin,
     "text_token_count" ->
       s"""WITH $SHINGLE_CTES
          |SELECT d.doc_id, len(regexp_extract_all(d.text, '\\S+')) AS n_tokens,
