@@ -159,4 +159,82 @@ object Search {
        |FROM g JOIN pl USING (phrase_id) WHERE c = plen
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** The deterministic misspelled-query workload: one deletion, one
+    * substitution-shaped miss, one insertion, one exact hit, one
+    * no-match — the edit classes a distance-1 lookup must cover. */
+  val FUZZY_QUERIES: Seq[(Long, String)] = Seq(
+    1L -> "sprk",   // deletion of 'spark'
+    2L -> "windw",  // deletion of 'window'
+    3L -> "joinn",  // insertion on 'join'
+    4L -> "scan",   // exact
+    5L -> "qzx")    // no vocabulary term within distance 1
+
+  /** Typo-tolerant term lookup via a DELETION-NEIGHBORHOOD index (the
+    * SymSpell construction): every vocabulary term emits itself plus
+    * its |t| single-deletion variants; a query does the same; an
+    * equality join on variants yields every pair within deletion
+    * distance 1 per side — a superset of levenshtein ≤ 1 (covers
+    * substitution = same-position deletions, insertion, deletion,
+    * exact) — and an exact `levenshtein` verify prunes the distance-2
+    * residue. Candidate generation is therefore an equality join on
+    * bounded keys, never an all-pairs distance scan (the dedup_editdist
+    * discipline applied to search).
+    *
+    * Shape at scale: the vocabulary index is |vocab| · (len+1) rows —
+    * the classic SymSpell space-for-time trade, grouped/joined on
+    * hashable strings; the query side is a broadcast literal. Output:
+    * (query_id, q, term, dist, df) for every vocabulary term within
+    * `maxDist`. */
+  def fuzzyLookup(docs: DataFrame,
+      queries: Seq[(Long, String)] = FUZZY_QUERIES,
+      maxDist: Int = 1): DataFrame = {
+    require(queries.nonEmpty && maxDist == 1,
+      s"distance-1 neighborhood index, got maxDist=$maxDist")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vocab = docs.select(col("doc_id"),
+        explode(call_function("norm_ngram_counts", col("text"), lit(1))))
+      .select(col("doc_id"), col("key").as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    def withVariants(df: DataFrame, c: String): DataFrame = df
+      .withColumn("i", explode(sequence(lit(0), length(col(c)))))
+      .withColumn("variant", when(col("i") === 0, col(c))
+        .otherwise(expr(s"concat(substring($c, 1, i - 1), substring($c, i + 1))")))
+    val vIdx = withVariants(vocab, "term").select("term", "df", "variant")
+    val qIdx = withVariants(queries.toDF("query_id", "q"), "q")
+      .select("query_id", "q", "variant")
+    qIdx.join(vIdx, "variant")
+      .select(col("query_id"), col("q"), col("term"), col("df"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Oracle twin of [[fuzzyLookup]] over the shared normalized-token
+    * CTE chain (`normExpr` renders the corpus normalization). */
+  def fuzzyOracleSql(normExpr: String,
+      queries: Seq[(Long, String)] = FUZZY_QUERIES): String = {
+    val vals = queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normExpr, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY 1, 2),
+       |vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |vidx AS (
+       |  SELECT term, df, term AS variant FROM vocab
+       |  UNION ALL
+       |  SELECT term, df, substr(term, 1, i - 1) || substr(term, i + 1) AS variant
+       |  FROM vocab, unnest(range(1, length(term) + 1)) AS u(i)),
+       |q AS (SELECT * FROM (VALUES $vals) AS q(query_id, q)),
+       |qidx AS (
+       |  SELECT query_id, q, q AS variant FROM q
+       |  UNION ALL
+       |  SELECT query_id, q, substr(q, 1, i - 1) || substr(q, i + 1) AS variant
+       |  FROM q, unnest(range(1, length(q) + 1)) AS u(i))
+       |SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, q, term, df,
+       |  CAST(levenshtein(q, term) AS BIGINT) AS dist
+       |FROM qidx JOIN vidx USING (variant)
+       |WHERE levenshtein(q, term) <= 1""".stripMargin
+  }
 }

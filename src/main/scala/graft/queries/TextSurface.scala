@@ -322,6 +322,11 @@ object TextSurface {
     // matches — one broadcast join + one grouped count
     "text_phrase_search" -> ((s, dir) =>
       graft.ops.Search.phraseSearch(docs(s, dir))),
+    // typo-tolerant lookup via a deletion-neighborhood (SymSpell)
+    // index: equality-join candidates + exact levenshtein verify —
+    // never an all-pairs distance scan
+    "search_fuzzy" -> ((s, dir) =>
+      graft.ops.Search.fuzzyLookup(docs(s, dir))),
     // unigram-LM perplexity-band quality filter (whole-bit surprisal —
     // the cross-engine-gateable face of CCNet LM filtering; see
     // graft.ops.Terms.unigramSurprisal). Band calibrated on this
@@ -1318,6 +1323,7 @@ object TextSurface {
          |  FROM documents)
          |WHERE rank <= 25""".stripMargin,
     "text_phrase_search" -> graft.ops.Search.phraseOracleSql(),
+    "search_fuzzy" -> graft.ops.Search.fuzzyOracleSql(NORM),
     // same whole-bit idf and double chain, per-term floor before sum
     "text_bm25" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($NORM, ' ')) AS term

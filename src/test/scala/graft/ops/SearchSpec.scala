@@ -83,6 +83,27 @@ class SearchSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(2) == 1L && r.head.getLong(3) == 1L)
   }
 
+  test("fuzzy lookup covers deletion/insertion/substitution/exact, excludes distance 2") {
+    val docs = Seq(
+      (0L, "spark window join scan scant"),
+      (1L, "spark scan")).toDF("doc_id", "text")
+    val qs = Seq(
+      1L -> "sprk",   // deletion
+      2L -> "windoww", // insertion
+      3L -> "jqin",   // substitution
+      4L -> "scan",   // exact (plus 'scant' at insertion distance 1)
+      5L -> "spxxk")  // distance 2 from 'spark' -> no match
+    val got = Search.fuzzyLookup(docs, qs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "spark", 1L), (2L, "window", 1L), (3L, "join", 1L),
+      (4L, "scan", 0L), (4L, "scant", 1L)))
+    // df rides along: 'scan' appears in both docs
+    val dfOfScan = Search.fuzzyLookup(docs, qs).collect()
+      .collectFirst { case r if r.getString(2) == "scan" => r.getLong(3) }
+    assert(dfOfScan.contains(2L))
+  }
+
   test("scores are partitioning- and order-independent") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Search.bm25TopK(docs).collect()
