@@ -845,6 +845,33 @@ object Similarity {
         col("dup_of").isNull.cast("long").as("kept"))
   }
 
+  /** IVF index-health diagnostics: per-cell population and share in
+    * basis points — the cell-balance check a production ANN
+    * deployment monitors before trusting an index (a skewed codebook
+    * turns nprobe retrieval into a hot-cell full scan; rebalance =
+    * retrain with more iterations or centroids). Training and
+    * assignment are [[ivfTopK]]'s own, so the diagnostic measures the
+    * exact index the sim gates search. One aggregation over the
+    * corpus; everything after is codebook-sized.
+    * Output: (cell, n_vecs, share_bp, n_total). */
+  def ivfCellStats(embeddings: DataFrame, nCentroids: Int = 8,
+      kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNorm(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val centStructs = centroidStructs(cents)
+    val assigned = base.withColumn("cell",
+      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*)
+        .getField("ncid"))
+    val per = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum("n_vecs").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 div n_total").as("share_bp"), col("n_total"))
+  }
+
   /** Contrastive-training triplet mining over ANY ranked top-k frame
     * (brute/LSH/IVF/PQ — backend-pluggable): the self-supervised
     * convention of dense-retrieval pipelines (DPR/ANCE class), with

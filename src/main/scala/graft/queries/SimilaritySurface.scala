@@ -61,6 +61,11 @@ object SimilaritySurface {
     // sides are THE gated operators themselves; the oracle composes
     // their oracle SQL verbatim, so evaluator and evaluated cannot
     // drift. Basis-point integers (rule 3: no float round).
+    // IVF index-health diagnostics (Similarity.ivfCellStats): cell
+    // population balance of the exact index the sim gates search
+    "sim_index_stats" -> ((s, dir) =>
+      Similarity.ivfCellStats(emb(s, dir), NCENTROIDS, KMEANS_ITERS,
+        expr(TRAIN_SQL))),
     // contrastive triplet mining (Similarity.hardNegatives) over the
     // IVF index — the scale path; positives/negatives come from the
     // SAME gated ranking, so miner and index cannot drift
@@ -413,6 +418,21 @@ object SimilaritySurface {
          |GROUP BY 1""".stripMargin) +
     // composes the IVF oracle verbatim twice (positive row + negative
     // rows), mirroring Similarity.hardNegatives over the same index
+    ("sim_index_stats" ->
+      s"""WITH $baseCte,
+         |$kmeansCtes,
+         |sims AS (SELECT b.vec_id, c.cid,
+         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+         |  FROM base b, cents$KMEANS_ITERS c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims) WHERE rn = 1),
+         |per AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY 1),
+         |t AS (SELECT sum(n_vecs) AS n_total FROM per)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
+         |  CAST(n_total AS BIGINT) AS n_total
+         |FROM per CROSS JOIN t""".stripMargin) +
     ("sim_hard_negatives" ->
       s"""SELECT p.query_id, p.neighbor_id AS pos_id, n.neighbor_id AS neg_id,
          |  n.rank AS neg_rank,

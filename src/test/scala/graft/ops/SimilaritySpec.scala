@@ -296,6 +296,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs2.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 1.0))
   }
 
+  test("ivfCellStats: every vector lands in one cell; shares are basis-point exact") {
+    val got = Similarity.ivfCellStats(emb, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 30L)          // partition of the corpus
+    assert(got.forall(_._4 == 30L))           // shared total rides along
+    got.foreach { case (_, n, bp, tot) => assert(bp == n * 10000 / tot) }
+    assert(got.map(_._1).distinct.length == got.length) // one row per cell
+  }
+
   test("hardNegatives: rank 1 is the positive, ranks 2+ become margined negatives") {
     import spark.implicits._
     val topk = Seq(
