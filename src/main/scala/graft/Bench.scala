@@ -71,7 +71,8 @@ object Bench {
     // round-8 late wave: HTML strip + mojibake regex scans, anchored
     // LTTB grid selection, IVF-backed triplet mining
     "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
-    "sim_hard_negatives")
+    "sim_hard_negatives", "profile_events", "text_ttr",
+    "text_quality_calibrated", "pipeline_web_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,7 +48,8 @@ HEADLINE = [
     "stream_top3", "dedup_containment", "pack_chunk_overlap",
     "agg_sketch_merge", "agg_funnel", "emb_pca", "pipeline_pretrain_shards",
     "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
-    "sim_hard_negatives",
+    "sim_hard_negatives", "profile_events", "text_ttr",
+    "text_quality_calibrated", "pipeline_web_ingest",
 ]
 
 
