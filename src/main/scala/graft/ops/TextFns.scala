@@ -141,4 +141,46 @@ object TextFns {
     }
   def countMojibakeSql(e: String): String =
     s"len(regexp_extract_all($e, '${MOJIBAKE.map(_._1).mkString("|")}'))"
+
+  // ---- Unicode-script composition ----
+
+  /** Script classes with their per-engine property renderings:
+    * (name, java regex char class, RE2 char class). Same SEMANTICS,
+    * two syntaxes (Java needs the Is- prefix for scripts; RE2 does
+    * not) -- the gate hash locks that both engines agree on the char
+    * sets. Order matters: ties in [[dominantScript]] resolve to the
+    * EARLIEST entry, so latin is the all-zero default. */
+  val SCRIPTS: Seq[(String, String, String)] = Seq(
+    ("latin", "[\\p{IsLatin}]", "[\\p{Latin}]"),
+    ("cyrillic", "[\\p{IsCyrillic}]", "[\\p{Cyrillic}]"),
+    ("han", "[\\p{IsHan}]", "[\\p{Han}]"),
+    ("arabic", "[\\p{IsArabic}]", "[\\p{Arabic}]"))
+
+  /** Per-script char count as LENGTH arithmetic (chars removed by
+    * deleting the class) -- no per-char match list materializes. */
+  def scriptCount(c: Column, javaRe: String): Column =
+    (length(c) - length(regexp_replace(c, javaRe, ""))).cast("long")
+
+  def scriptCountSql(e: String, re2: String): String =
+    s"CAST(length($e) - length(regexp_replace($e, '$re2', '', 'g')) AS BIGINT)"
+
+  /** Dominant script by char count, ties to the earliest [[SCRIPTS]]
+    * entry -- greatest over the counts, then a first-match when-chain
+    * (CASE shape; DuckDB's greatest cannot compare structs, so both
+    * engines share this form). */
+  def dominantScript(c: Column): Column = {
+    val counts = SCRIPTS.map { case (n, j, _) => n -> scriptCount(c, j) }
+    val maxc = greatest(counts.map(_._2): _*)
+    counts.tail.foldLeft(
+      when(counts.head._2 === maxc, lit(counts.head._1))) {
+      case (acc, (n, cc)) => acc.when(cc === maxc, lit(n))
+    }
+  }
+
+  def dominantScriptSql(e: String): String = {
+    val counts = SCRIPTS.map { case (n, _, r) => n -> scriptCountSql(e, r) }
+    val maxc = s"greatest(${counts.map(_._2).mkString(", ")})"
+    "CASE " + counts.map { case (n, cSql) =>
+      s"WHEN $cSql = $maxc THEN '$n'" }.mkString(" ") + " END"
+  }
 }

@@ -451,6 +451,17 @@ object TextSurface {
     // both engines count + repair them with the shared table
     "text_fix_mojibake" -> ((s, dir) =>
       fixMojibakeProjection(docs(s, dir))),
+    // Unicode-script composition (TextFns.scriptCount/dominantScript):
+    // the script-mix signal language id alone misses (code-switching,
+    // wrong-script spam); planted runs make per-doc counts vary and
+    // flip dominance on the %7 docs — pure length-arithmetic scan
+    "text_script_mix" -> ((s, dir) => {
+      val aug = scriptAugmented(col("text"), col("doc_id"))
+      docs(s, dir).select((col("doc_id") +:
+        TextFns.SCRIPTS.map { case (n, j, _) =>
+          TextFns.scriptCount(aug, j).as(s"${n}_n") }) :+
+        TextFns.dominantScript(aug).as("dominant"): _*)
+    }),
     // HTML main-content extraction (Html.extractText): planted page
     // wrapper stripped back to text — script/style payloads vanish
     // with content, entities decode, tags become spaces; scan speed
@@ -560,6 +571,30 @@ object TextSurface {
     }
 
   private def mojiAugSql: String = mojiAugSqlOf("text")
+
+  // script-plant runs (escape-only literals, the MOJIBAKE discipline):
+  // Cyrillic abvg, Han one-two-three, Arabic alef-ba
+  private val CYR = "\u0430\u0431\u0432\u0433"
+  private val HAN = "\u4E00\u4E8C\u4E09"
+  private val ARB = "\u0627\u0628"
+
+  /** Deterministic script augmentation: a long Cyrillic run on doc_id
+    * % 7 == 0 (flips dominance for short docs), small varied runs
+    * otherwise -- per-doc counts vary per script. */
+  private def scriptAugmented(text: Column, id: Column): Column =
+    concat(text, lit(" "),
+      when(pmod(id, lit(7)) === 0, lit(CYR * 30))
+        .when(pmod(id, lit(3)) === 0, lit(CYR)).otherwise(lit(CYR + CYR)),
+      lit(" "),
+      when(pmod(id, lit(2)) === 0, lit(HAN)).otherwise(lit(HAN + HAN)),
+      lit(" "),
+      when(pmod(id, lit(5)) === 0, lit(ARB)).otherwise(lit("")))
+
+  private def scriptAugSql: String =
+    s"text || ' ' || CASE WHEN doc_id % 7 = 0 THEN '${CYR * 30}' " +
+      s"WHEN doc_id % 3 = 0 THEN '$CYR' ELSE '$CYR$CYR' END" +
+      s" || ' ' || CASE WHEN doc_id % 2 = 0 THEN '$HAN' ELSE '$HAN$HAN' END" +
+      s" || ' ' || CASE WHEN doc_id % 5 = 0 THEN '$ARB' ELSE '' END"
 
   // ---- DuckDB oracles ----
 
@@ -985,6 +1020,15 @@ object TextSurface {
          |  md5(${TextFns.fixMojibakeSql("aug")}) AS fixed_fp,
          |  CAST(length(${TextFns.fixMojibakeSql("aug")}) AS BIGINT) AS fixed_len
          |FROM a""".stripMargin,
+    "text_script_mix" -> {
+      val counts = TextFns.SCRIPTS.map { case (n, _, r) =>
+        s"${TextFns.scriptCountSql("aug", r)} AS ${n}_n" }.mkString(",\n  ")
+      s"""WITH a AS (SELECT doc_id, ($scriptAugSql) AS aug FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  ${TextFns.dominantScriptSql("aug")} AS dominant
+         |FROM a""".stripMargin
+    },
     "text_strip_html" ->
       s"""WITH a AS (SELECT doc_id, ${graft.ops.Html.AUG_SQL} AS page FROM documents)
          |SELECT doc_id,

@@ -72,6 +72,25 @@ class TextFnsSpec extends AnyFunSuite {
     assert(countMoji(bad) == 5L)
   }
 
+  test("script counts and dominance: mixed-script text, latin default on ties") {
+    def counts(s: String): Seq[Long] =
+      Seq(s).toDF("t").select(
+        TextFns.SCRIPTS.map { case (_, j, _) =>
+          TextFns.scriptCount(col("t"), j) }: _*).collect().head
+        .toSeq.map(_.asInstanceOf[Long])
+    def dom(s: String): String =
+      Seq(s).toDF("t").select(TextFns.dominantScript(col("t")))
+        .collect().head.getString(0)
+    // "abc" + cyrillic ab + han one = 3 latin, 2 cyrillic, 1 han
+    val mixed = "abc аб 一"
+    assert(counts(mixed) == Seq(3L, 2L, 1L, 0L))
+    assert(dom(mixed) == "latin")
+    assert(dom("абв ok") == "cyrillic")
+    // digits/punct belong to no script: all-zero ties default latin
+    assert(dom("123 ...") == "latin")
+    assert(dom("اباب a") == "arabic")
+  }
+
   test("mojibake repair is identity on clean text and idempotent") {
     val clean = "café naïve — plain ascii too"
     assert(fixMoji(clean) == clean)
