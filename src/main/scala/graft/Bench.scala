@@ -122,6 +122,12 @@ object Bench {
       // which needs a GC to enqueue them. Force that collection OUTSIDE
       // the timed region so every rep starts from a drained heap
       // instead of inheriting the fleet's accumulated pressure.
+      // TWO collections with a breath between: the first enqueues the
+      // weak refs, the async cleaner drains them, the second reclaims
+      // what the drain released (one GC left a rep-3 2.6x spike on the
+      // fleet's tail queries — 67-query window, dedup_containment).
+      System.gc()
+      Thread.sleep(150)
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
