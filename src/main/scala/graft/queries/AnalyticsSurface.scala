@@ -593,6 +593,15 @@ object AnalyticsSurface {
     // integer 1e-6 fixed point, two grouped sums (per-(type, hod) and
     // per-type) joined on the tiny type relation, dev6 = hour mean −
     // overall mean in pure integer division
+    // dashboard HEATMAP reduction: hour-of-day x value-band cell
+    // counts — the 2-D companion of the seasonal profile and the
+    // M4/LTTB downsamplers; ONE partial-aggregable groupBy, output
+    // bounded by 24 x bands regardless of event count
+    "ts_heatmap" -> ((s, dir) =>
+      Tables.eventSeries(s, dir)
+        .groupBy(expr("(timestamp div 3600000000) % 24").as("hod"),
+          floor(col("value") / 25.0).cast("long").as("vband"))
+        .agg(count(lit(1)).as("n"))),
     "ts_seasonal_profile" -> ((s, dir) => {
       val ev = Tables.eventSeries(s, dir)
         .select(col("event_type"),
@@ -1003,6 +1012,10 @@ object AnalyticsSurface {
         s"count(CASE WHEN event_type = '$v' THEN 1 END) AS $v").mkString(", ")
       s"SELECT user_id % 5 AS cohort, $arms FROM events GROUP BY 1"
     },
+    "ts_heatmap" ->
+      (EV + """SELECT (timestamp // 3600000000) % 24 AS hod,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS vband, count(*) AS n
+        |FROM ev GROUP BY 1, 2""".stripMargin),
     "ts_seasonal_profile" ->
       (EV + """, v AS (SELECT event_type,
         |    (timestamp // 3600000000) % 24 AS hod,

@@ -301,6 +301,13 @@ object StreamSurface {
     runToTable(s, graft.ops.Html.extractText(stream), "append")
   }
 
+  /** Script-composition detection on the live stream — stateless. */
+  private def streamScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val stream = s.readStream.schema(documentsSchema)
+      .parquet(stageParquet(dir, "documents.parquet"))
+    runToTable(s, TextSurface.scriptMixProjection(stream), "append")
+  }
+
   /** Stream-stream interval join: click→view attribution within 30
     * minutes over the live events stream — both sides watermarked so
     * join state is evictable ([[graft.streaming.StreamingIngest
@@ -452,6 +459,7 @@ object StreamSurface {
     "stream_classifier" -> streamClassifier,
     "stream_fix_mojibake" -> streamFixMojibake,
     "stream_strip_html" -> streamStripHtml,
+    "stream_script_mix" -> streamScriptMix,
     "stream_top3" -> streamTop3,
     "stream_histogram" -> streamHistogram,
     "stream_cdc_upsert" -> streamCdcUpsert,
@@ -622,6 +630,7 @@ object StreamSurface {
     // stateless projections: the batch oracles apply verbatim
     "stream_fix_mojibake" -> TextSurface.oracleSql("text_fix_mojibake"),
     "stream_strip_html" -> TextSurface.oracleSql("text_strip_html"),
+    "stream_script_mix" -> TextSurface.oracleSql("text_script_mix"),
     // three-way parity: stream + bounded aggregate + ranking window
     // all produce this one result set
     "stream_top3" ->

@@ -455,13 +455,8 @@ object TextSurface {
     // the script-mix signal language id alone misses (code-switching,
     // wrong-script spam); planted runs make per-doc counts vary and
     // flip dominance on the %7 docs — pure length-arithmetic scan
-    "text_script_mix" -> ((s, dir) => {
-      val aug = scriptAugmented(col("text"), col("doc_id"))
-      docs(s, dir).select((col("doc_id") +:
-        TextFns.SCRIPTS.map { case (n, j, _) =>
-          TextFns.scriptCount(aug, j).as(s"${n}_n") }) :+
-        TextFns.dominantScript(aug).as("dominant"): _*)
-    }),
+    "text_script_mix" -> ((s, dir) =>
+      scriptMixProjection(docs(s, dir))),
     // HTML main-content extraction (Html.extractText): planted page
     // wrapper stripped back to text — script/style payloads vanish
     // with content, entities decode, tags become spaces; scan speed
@@ -589,6 +584,16 @@ object TextSurface {
       when(pmod(id, lit(2)) === 0, lit(HAN)).otherwise(lit(HAN + HAN)),
       lit(" "),
       when(pmod(id, lit(5)) === 0, lit(ARB)).otherwise(lit("")))
+
+  /** The script gate's projection — shared with StreamSurface's
+    * continuous twin (stateless per-row scan, so stream == batch). */
+  private[queries] def scriptMixProjection(d: DataFrame): DataFrame = {
+    val aug = scriptAugmented(col("text"), col("doc_id"))
+    d.select((col("doc_id") +:
+      TextFns.SCRIPTS.map { case (n, j, _) =>
+        TextFns.scriptCount(aug, j).as(s"${n}_n") }) :+
+      TextFns.dominantScript(aug).as("dominant"): _*)
+  }
 
   private def scriptAugSql: String =
     s"text || ' ' || CASE WHEN doc_id % 7 = 0 THEN '${CYR * 30}' " +
