@@ -400,6 +400,17 @@ object StreamSurface {
         graft.ops.SeriesStats.histogramGrid(eventSeriesStream(s, dir)),
         "complete"))
 
+  /** The hour/value heatmap as a continuous query: cell counts merge
+    * across micro-batches (complete mode over a grid-bounded state
+    * table), so the live dashboard feed equals the batch reduction. */
+  private def streamHeatmap(s: SparkSession, dir: String): DataFrame =
+    runToTable(s,
+      eventSeriesStream(s, dir)
+        .groupBy(expr("(timestamp div 3600000000) % 24").as("hod"),
+          floor(col("value") / 25.0).cast("long").as("vband"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+
   /** CDC keep-latest as a continuous query: the same grouped
     * struct-max as the batch gate — ONE struct of state per key,
     * order-independent merge (max is associative/commutative), so the
@@ -462,6 +473,7 @@ object StreamSurface {
     "stream_script_mix" -> streamScriptMix,
     "stream_top3" -> streamTop3,
     "stream_histogram" -> streamHistogram,
+    "stream_heatmap" -> streamHeatmap,
     "stream_cdc_upsert" -> streamCdcUpsert,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -644,6 +656,8 @@ object StreamSurface {
     "stream_histogram" ->
       ("WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events), " +
         graft.ops.SeriesStats.histogramQuantileOracleSql),
+    // grid cell counts merge across micro-batches: batch oracle verbatim
+    "stream_heatmap" -> AnalyticsSurface.oracleSql("ts_heatmap"),
     // stream/batch parity: grouped struct-max state is associative,
     // so the batch CDC oracle applies verbatim
     "stream_cdc_upsert" -> AnalyticsSurface.oracleSql("cdc_upsert_latest"),
