@@ -483,6 +483,18 @@ object StreamSurface {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // the multimodal DATASET CARD: per-format counts, byte totals and
+    // pixel mass over the decoded features — the corpus summary a
+    // training run reads before sizing its loaders; one grouped
+    // aggregation over the same decode the mm_features gate locks
+    "mm_summary" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"),
+          sum(when(col("width") >= 0, col("width") * col("height"))
+            .otherwise(lit(0L))).as("sum_px"))),
     // the resized payloads re-decode through the same extractor, so
     // this gate differentially verifies resize + re-encode + decode
     "mm_resize" -> ((s, dir) =>
@@ -747,6 +759,13 @@ object StreamSurface {
          |SELECT user_id, min(timestamp) AS session_start, count(*) AS n
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
+    "mm_summary" ->
+      s"""SELECT format, count(*) AS n,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+         |  CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+         |  CAST(sum(CASE WHEN width >= 0 THEN width * height ELSE 0 END) AS BIGINT) AS sum_px
+         |FROM ($mmOracle) GROUP BY 1""".stripMargin,
     "mm_resize" -> mmResizeOracle,
     // PNG closed form: geometry from the shared fixture arithmetic;
     // filter_sum = Σ_{y<h} (y mod 5) = (h div 5)·10 + r(r−1)/2 with

@@ -121,6 +121,22 @@ object TextSurface {
     "text_langid" -> langId,
     "text_fingerprint" -> ((s, dir) => docs(s, dir).select(col("doc_id"),
       md5(TextFns.normText(col("text"))).as("fp"))),
+    // tokenizer FERTILITY by language: chars per BPE-ish token in
+    // centi-units — the multilingual tokenizer-efficiency diagnostic
+    // (a high-fertility language pays more tokens per char of content,
+    // skewing compute share); per-stratum aggregate of the same
+    // subword pattern text_token_count locks
+    "text_fertility" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(regexp_extract_all(col("text"),
+          lit("'[sdmt]|'ll|'ve|'re| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"),
+          lit(0))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+          sum("nt").as("n_bpe_tokens"))
+        .withColumn("cpt_centi",
+          expr("n_chars * 100 div greatest(n_bpe_tokens, 1)"))),
     // lexical diversity: type-token ratio on the \S+ tokenizer — the
     // Gopher-class "fraction of unique words" signal (a low TTR doc
     // is boilerplate/repetition even when its other stats pass);
@@ -1245,6 +1261,15 @@ object TextSurface {
          |  FROM documents)""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($NORM) AS fp FROM documents",
+    "text_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(length(text)) * 100
+        |    // greatest(sum(len(regexp_extract_all(text,
+        |    '''[sdmt]|''ll|''ve|''re| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))), 1) AS BIGINT) AS cpt_centi
+        |FROM documents GROUP BY 1""".stripMargin,
     "text_ttr" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
