@@ -495,6 +495,21 @@ object StreamSurface {
           min("n_bytes").as("min_bytes"), max("n_bytes").as("max_bytes"),
           sum(when(col("width") >= 0, col("width") * col("height"))
             .otherwise(lit(0L))).as("sum_px"))),
+    // the composed MULTIMODAL curation pipeline: decode features,
+    // drop malformed/unknown media, keep only media whose PAIRED
+    // document passes the Gopher quality gate — the text-filters-
+    // media chain an image/audio-text corpus ships through; both
+    // stages are themselves gated operators
+    "pipeline_mm_curate" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()
+      val keep = TextSurface.queries("text_quality_gopher")(s, dir)
+        .filter(col("keep") === 1)
+        .select(col("doc_id").as("media_id"))
+      feats.filter(col("format") =!= "unknown")
+        .join(keep, "media_id")
+        .select("media_id", "format", "n_bytes", "width", "height")
+    }),
     // the resized payloads re-decode through the same extractor, so
     // this gate differentially verifies resize + re-encode + decode
     "mm_resize" -> ((s, dir) =>
@@ -759,6 +774,12 @@ object StreamSurface {
          |SELECT user_id, min(timestamp) AS session_start, count(*) AS n
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "mm_features" -> mmOracle,
+    "pipeline_mm_curate" ->
+      s"""SELECT m.media_id, m.format, m.n_bytes, m.width, m.height
+         |FROM ($mmOracle) m
+         |JOIN (${TextSurface.oracleSql("text_quality_gopher")}) q
+         |  ON q.doc_id = m.media_id
+         |WHERE q.keep = 1 AND m.format <> 'unknown'""".stripMargin,
     "mm_summary" ->
       s"""SELECT format, count(*) AS n,
          |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
