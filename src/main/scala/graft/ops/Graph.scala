@@ -97,7 +97,16 @@ object Graph {
     * equality joins + one grouped count; all-integer output, so the
     * gate hash-checks. The oracle enumerates the same triangle set by
     * plain id order — orientation changes the JOIN SHAPE, never the
-    * triangle set. */
+    * triangle set.
+    *
+    * Cache lifecycle contract (the Decontam.overlap convention): the
+    * distinct edge set `e` (read by deg + both orientation inputs) and
+    * the oriented relation `o` (read by all three wedge-join sides)
+    * are persisted, and the RESULT IS LAZY — this method cannot
+    * unpersist either without un-materializing them before any action
+    * runs. The caller owns release: `spark.catalog.clearCache()` after
+    * materializing (the Verify/Bench convention), or track both via
+    * `spark.sharedState.cacheManager`. */
   def triangles(pairs: DataFrame): DataFrame = {
     val e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
@@ -130,11 +139,9 @@ object Graph {
       .union(tris.select(col("y").as("node")))
       .union(tris.select(col("z").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    val out = deg.join(cnt, Seq("node"), "left")
+    deg.join(cnt, Seq("node"), "left")
       .select(col("node").as("doc_id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
-    e.unpersist(false)
-    out
   }
 
   /** Oracle twin of [[triangles]]: plain id-ordered enumeration

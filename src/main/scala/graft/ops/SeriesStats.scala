@@ -23,9 +23,18 @@ object SeriesStats {
 
   /** Sample autocorrelation per series at lags 1..maxLag, one output
     * row per user: lag products/sums accumulate as 1e-2 fixed-point
-    * longs (value domain |v| ≤ 5e4 ⇒ vi ≤ 5e6, vi² ≤ 2.5e13; the
-    * div/mod-1e6 split keeps both partial sums under int64 past 1e11
-    * rows per series), then one shared double chain computes
+    * longs, then one shared double chain computes the formula below.
+    *
+    * INPUT CONTRACT: `value` must be NON-NEGATIVE with v ≤ 5e4 (the
+    * events fixture is U[0,560)). Non-negativity is load-bearing, not
+    * incidental: the hi/lo split uses Spark `div` (truncating) on one
+    * side and DuckDB `//` (flooring) on the other, which agree ONLY
+    * when every product vi·l_k ≥ 0 — a signed series would make the
+    * two engines disagree on negative cross-products. The magnitude
+    * bound then gives vi ≤ 5e6, vi² ≤ 2.5e13, and the div/mod-1e6
+    * split keeps both partial sums under int64 past 1e11 rows per
+    * series. Callers with signed series must re-center to ≥ 0 first
+    * (acf is shift-invariant: acf(v+c) = acf(v)).
     *
     *   acf_k = (Σxy/n_k − x̄·Σx/n_k − x̄·Σy/n_k + x̄²) / var
     *
@@ -75,8 +84,9 @@ object SeriesStats {
   }
 
   /** Oracle-side rendering of [[acf]]: the same integer accumulation
-    * (`//` ≡ Spark `div` on the non-negative products) and the same
-    * [[acfFormulaSql]] text verbatim. */
+    * (`//` ≡ Spark `div` — equivalence REQUIRES the non-negative input
+    * contract stated on [[acf]]; floor and truncate diverge on negative
+    * products) and the same [[acfFormulaSql]] text verbatim. */
   def acfOracleSql(maxLag: Int = 3): String = {
     val lagCols = (1 to maxLag).map(k =>
       s"lag(vi, $k) OVER (PARTITION BY user_id ORDER BY timestamp, event_id) AS l$k")
