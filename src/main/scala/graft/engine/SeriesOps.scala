@@ -305,9 +305,18 @@ object SeriesOps {
     * Scale shape: window stats are one partial-aggregable shuffle;
     * the anchor grid (a row per window, bounded by span/interval) has
     * the only unpartitioned window — grid-sized, never data-sized
-    * (the histogram_quantile discipline) — and broadcast-joins back
-    * to the points; the argmax is a second map-side-combinable
-    * aggregate. No global point sort anywhere.
+    * (the histogram_quantile discipline). When the dense window axis
+    * fits [[LttbGridCap]], the grid binds back into the point scan as
+    * LITERAL anchor arrays indexed by window ordinal (the
+    * dedup_blocklist collect-model-state-as-plan-constant pattern:
+    * grid size is span/interval — MODEL shape, not data — and the
+    * per-row anchor fetch becomes four element_at lookups instead of a
+    * broadcast-hash-join probe + 4-column row attach); beyond the cap
+    * it falls back to the broadcast join. Either way the argmax is a
+    * second map-side-combinable aggregate — the native flat-buffer
+    * `lttb_pick` (no per-row struct allocation; see
+    * [[graft.functions.LttbPick]]), which also folds in the window
+    * count. No global point sort anywhere; no data-sized exchange.
     * Output: (sample_ts, sel_ts, sel_value, n_points). */
   def sampleByLttb(df0: DataFrame, intervalUnits: Long): DataFrame = {
     val df = withFns(df0)
@@ -327,7 +336,42 @@ object SeriesOps {
       lead("v_mean", 1).over(w).as("next_v"))
     val pts = df.select(sampleWindow(intervalUnits), col("timestamp"),
       col("value"))
-    val j = pts.join(broadcast(grid), "sample_ts")
+
+    // model-sized grid → literal-array binding (grid rows ≤ cap AND the
+    // dense ordinal axis ≤ cap; both are span/interval-bounded)
+    val gridRows = grid.limit(LttbGridCap + 1).collect()
+    val dense: Option[(Long, Int)] =
+      if (gridRows.isEmpty || gridRows.length > LttbGridCap) None
+      else {
+        val keys = gridRows.map(_.getLong(0))
+        val (mn, mx) = (keys.min, keys.max)
+        val span = (mx - mn) / intervalUnits
+        if (span >= LttbGridCap) None else Some((mn, span.toInt + 1))
+      }
+    val augmented = dense match {
+      case Some((minTs, size)) =>
+        val prevT = Array.fill(size)(Option.empty[Long])
+        val prevV = Array.fill(size)(Option.empty[Double])
+        val nextT = Array.fill(size)(Option.empty[Long])
+        val nextV = Array.fill(size)(Option.empty[Double])
+        gridRows.foreach { r =>
+          val i = ((r.getLong(0) - minTs) / intervalUnits).toInt
+          if (!r.isNullAt(1)) { prevT(i) = Some(r.getLong(1)); prevV(i) = Some(r.getDouble(2)) }
+          if (!r.isNullAt(3)) { nextT(i) = Some(r.getLong(3)); nextV(i) = Some(r.getDouble(4)) }
+        }
+        // ordinal is exact: labels are interval multiples, size ≤ cap,
+        // so the double division below is integer-exact
+        val idx = (((col("sample_ts") - lit(minTs)) / lit(intervalUnits))
+          .cast("int") + lit(1)).as("_gi")
+        pts.select(col("sample_ts"), col("timestamp"), col("value"), idx)
+          .select(col("sample_ts"), col("timestamp"), col("value"),
+            element_at(typedLit(prevT.toSeq), col("_gi")).as("prev_t"),
+            element_at(typedLit(prevV.toSeq), col("_gi")).as("prev_v"),
+            element_at(typedLit(nextT.toSeq), col("_gi")).as("next_t"),
+            element_at(typedLit(nextV.toSeq), col("_gi")).as("next_v"))
+      case None =>
+        pts.join(broadcast(grid), "sample_ts")
+    }
     val area2 = abs(
       (col("prev_t") - col("next_t")).cast("double")
         * (col("value") - col("prev_v"))
@@ -336,13 +380,21 @@ object SeriesOps {
     val key = when(col("prev_t").isNull, -col("timestamp").cast("double"))
       .when(col("next_t").isNull, col("timestamp").cast("double"))
       .otherwise(area2)
-    j.groupBy("sample_ts")
-      .agg(max(struct(key.as("k"), (-col("timestamp")).as("nt"),
-          col("value").as("v"))).as("sel"),
-        count(lit(1)).as("n_points"))
-      .select(col("sample_ts"), (-col("sel.nt")).as("sel_ts"),
-        col("sel.v").as("sel_value"), col("n_points"))
+    augmented.groupBy("sample_ts")
+      .agg(call_function("lttb_pick", key, col("timestamp"), col("value"))
+        .as("sel"))
+      .select(col("sample_ts"), col("sel.sel_ts").as("sel_ts"),
+        col("sel.sel_value").as("sel_value"),
+        col("sel.n_points").as("n_points"))
   }
+
+  /** Ceiling on the literal-anchor-array form of [[sampleByLttb]]: the
+    * dense window axis (span/interval ordinals) above which the anchor
+    * grid stops being plan-constant model state and the broadcast-join
+    * form takes over. 64k ordinals ≈ 1.5 MB of literal arrays — the
+    * typedLit passes by reference (no codegen blowup; the centroid
+    * convention). */
+  val LttbGridCap: Int = 1 << 16
 
   /** Whole-range delta: last value minus first value over the queried
     * range (PromQL-style increase()). Same struct tie policy as the

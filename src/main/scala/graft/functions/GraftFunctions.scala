@@ -93,6 +93,8 @@ object GraftFunctions {
       NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("lttb_pick", classOf[LttbPick],
+      exprs => LttbPick(exprs(0), exprs(1), exprs(2))),
     ("topk_records", classOf[TopKRecords], exprs => {
       // k is model shape, not data: require a plan-time constant
       require(exprs.length == 3 && exprs(2).foldable,
