@@ -318,7 +318,12 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       checkpointDir: Option[String] = None,
-      smallGraphEdges: Int = 1000000): DataFrame = {
+      smallGraphEdges: Int = 1000000,
+      // test seam (CheckpointRecoverySpec): invoked after every round's
+      // checkpoint + in-loop GC with the lowest label round still
+      // referenced — lets a fault-injection test observe/delete
+      // superseded round dirs MID-RUN and prove nothing reads them
+      roundHook: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     // fast-path probe: bounded-size limit+1 collect (one job, no
@@ -365,7 +370,8 @@ object Dedup {
         val labels = save(edges.select(col("u").as("doc_id")).distinct()
           .withColumn("label", col("doc_id")))
         val out =
-          duplicateClustersLoop(edges, labels, maxIters, save, dropRoundsBelow, () => round)
+          duplicateClustersLoop(edges, labels, maxIters, save,
+            keep => { dropRoundsBelow(keep); roundHook(keep) }, () => round)
         // converged: the returned plan reads only the FINAL labels
         // checkpoint — the in-loop cleanup already dropped superseded
         // label rounds, and the edges checkpoint (round-0, the largest
