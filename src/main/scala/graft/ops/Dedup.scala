@@ -231,23 +231,12 @@ object Dedup {
   }
 
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-      k: Int = 64, bands: Int = 16): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
+      k: Int = 64, bands: Int = 16,
+      maxBandGroup: Int = Int.MaxValue): DataFrame = {
     val docsSh = TextFns.withShingles(docs)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // row-level signatures: one native scan per doc, zero shuffle
-    // (the exploded groupBy twin lives in minhashSignatures)
-    val sigs = docsSh
-      .select(col("doc_id"), minhashSigCol(docsSh, k).as("sig"))
-      .where(col("sig").isNotNull)
-    val banded = bandedKeys(sigs, bands, r)
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = minhashBandCandidates(docsSh, k, bands, maxBandGroup)
 
     // exact-Jaccard verification restricted to candidates: intersect
     // the cached per-doc shingle arrays directly (shingles are distinct
@@ -260,6 +249,62 @@ object Dedup {
         jaccard(col("i"), size(col("sha")).cast("long"),
           size(col("shb")).cast("long")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Banded-LSH candidate generation over a (doc_id, shingles)
+    * relation — the pair source of [[minhashLshPairs]], factored so
+    * specs can count candidates directly.
+    *
+    * `maxBandGroup` is the HOT-BAND guard (the skew fixture's
+    * template-family hazard): a band-key group of g docs expands to
+    * C(g,2) pairs under the plain self-join — a single 10k-member
+    * boilerplate family makes 50M candidates per colliding band, the
+    * one quadratic hole in the banded shape. Groups LARGER than the
+    * cap therefore emit STAR candidates only: (hub = min doc_id,
+    * member) — g−1 rows, linear. Contract: within an oversized group,
+    * only hub pairs are ENUMERATED, which preserves exactly what the
+    * downstream consumers need — connectivity for
+    * [[duplicateClusters]] (the star spans the group) and keep-first
+    * suppression for [[dropNearDuplicates]] (every non-hub member
+    * pairs with an earlier doc) — and groups only exceed a sane cap
+    * when their members share the template that put them in one
+    * bucket, so hub–member similarity holds where member–member does.
+    * A non-hub pair whose docs ONLY ever co-occur in oversized groups
+    * is not reported; callers needing the exhaustive pair list keep
+    * the default no-cap behavior (which also skips the group-size
+    * aggregation entirely — zero plan change for existing gates). */
+  private[graft] def minhashBandCandidates(docsSh: DataFrame,
+      k: Int, bands: Int, maxBandGroup: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // row-level signatures: one native scan per doc, zero shuffle
+    // (the exploded groupBy twin lives in minhashSignatures)
+    val sigs = docsSh
+      .select(col("doc_id"), minhashSigCol(docsSh, k).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = bandedKeys(sigs, bands, r)
+    val cand =
+      if (maxBandGroup == Int.MaxValue) {
+        banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      } else {
+        val gs = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("gn"), min("doc_id").as("hub"))
+        val bg = banded.join(gs, Seq("band", "key"))
+        val small = bg.filter(col("gn") <= maxBandGroup)
+          .select(col("band"), col("key"), col("doc_id"))
+        val smallPairs = small.as("x").join(small.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val starPairs = bg
+          .filter(col("gn") > maxBandGroup && col("doc_id") > col("hub"))
+          .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+        smallPairs.union(starPairs)
+      }
+    cand.distinct()
   }
 
   /** Exact duplicate clusters: connected components over the near-dup

@@ -182,6 +182,15 @@ object TextSurface {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(Dedup.minhashLshPairs(docs(s, dir), 0.8))),
+    // skewed-corpus twins: corpus + a planted 400-member template
+    // family (every LSH band a hot key), run with the hot-band cap so
+    // candidate volume stays linear — see skewedDocs/skewMinhashOracle
+    "dedup_minhash_skew" -> ((s, dir) =>
+      Dedup.minhashLshPairs(skewedDocs(s, dir), 0.8,
+        maxBandGroup = SKEW_CAP)),
+    "dedup_clusters_skew" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.minhashLshPairs(skewedDocs(s, dir), 0.8,
+        maxBandGroup = SKEW_CAP))),
     // integer-exact PageRank over the same near-dup pair graph
     // (graft.ops.Graph): centrality-based canonical-copy election
     // beside dedup_clusters' min-id
@@ -687,14 +696,17 @@ object TextSurface {
        |FROM documents d LEFT JOIN sa USING (doc_id) LEFT JOIN sb USING (doc_id)""".stripMargin
   }
 
-  /** Shared shingle CTEs (norm → tokens → distinct word trigrams). */
-  private val SHINGLE_CTES =
-    s"""n AS (SELECT doc_id, $NORM AS t FROM documents),
+  /** Shared shingle CTEs (norm → tokens → distinct word trigrams) over
+    * an arbitrary (doc_id, text) source relation. */
+  private def shingleCtesOver(src: String) =
+    s"""n AS (SELECT doc_id, $NORM AS t FROM $src),
        |tk AS (SELECT doc_id, string_split(t, ' ') AS t2 FROM n),
        |s AS (SELECT doc_id, unnest(list_distinct(
        |  [t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] FOR i IN range(1, len(t2)-1)])) AS sh
        |  FROM tk WHERE len(t2) >= 3),
        |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1)""".stripMargin
+
+  private val SHINGLE_CTES = shingleCtesOver("documents")
 
   private[queries] def h60sql(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
@@ -708,13 +720,15 @@ object TextSurface {
   /** WITH-clause body ending in sig(doc_id, m0..m63) — the signature
     * derivation shared by [[minhashOracle]] and the streaming
     * signature-set dedup oracle (StreamSurface.stream_dedup_minhash). */
-  private[queries] val minhashSigCtes: String = {
+  private[queries] def minhashSigCtesOver(src: String): String = {
     val sigCols = Dedup.mhParams(64).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * (${h60sql("sh")} % ${Dedup.MH_M}) + $b) % ${Dedup.MH_P}) AS m$i"
     }.mkString(", ")
-    s"""$SHINGLE_CTES,
+    s"""${shingleCtesOver(src)},
        |sig AS (SELECT doc_id, $sigCols FROM s GROUP BY 1)""".stripMargin
   }
+
+  private[queries] val minhashSigCtes: String = minhashSigCtesOver("documents")
 
   private val minhashOracle: String = {
     val k = 64; val bands = 16; val r = k / bands
@@ -726,6 +740,70 @@ object TextSurface {
        |bands AS ($bandRows),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cand
+       |  JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
+  }
+
+  // ---- skewed-corpus dedup fixture (the hot-band hazard) ----
+  // One pathological template family planted IN-PLAN beside the real
+  // corpus: every member shares a 47-word boilerplate plus a tiny
+  // per-member suffix (pairwise Jaccard ≈ 0.96), so nearly all 16 LSH
+  // bands collide for the WHOLE family — the exact shape (mirror
+  // farms, license boilerplate) that makes plain banded self-joins
+  // quadratic. The gates run minhashLshPairs with the hot-band cap
+  // (maxBandGroup=64): oversized groups emit hub-star candidates only,
+  // keeping candidate volume linear in the family size. Both engines
+  // generate the family from the same template + range arithmetic.
+  private[queries] val SKEW_FAMILY = 400
+  private[queries] val SKEW_CAP = 64
+  private[queries] val SKEW_TEMPLATE: String =
+    "this website and its contents are provided for general information " +
+    "purposes only and nothing on this page constitutes professional " +
+    "advice please consult a qualified specialist before acting on any " +
+    "information contained herein all rights reserved unauthorized " +
+    "reproduction of this material is strictly prohibited without prior " +
+    "written consent"
+
+  private[queries] def skewedDocs(s: SparkSession, dir: String): DataFrame = {
+    val family = s.range(SKEW_FAMILY)
+      .select((col("id") + 9000000L).as("doc_id"),
+        concat(lit(SKEW_TEMPLATE + " edition "),
+          col("id").cast("string")).as("text"))
+    docs(s, dir).select(col("doc_id"), col("text")).unionByName(family)
+  }
+
+  private val skewSrcCte: String =
+    s"""skewsrc AS (SELECT doc_id, text FROM documents UNION ALL
+       |  SELECT 9000000 + i AS doc_id,
+       |    '$SKEW_TEMPLATE edition ' || CAST(i AS VARCHAR) AS text
+       |  FROM range($SKEW_FAMILY) t(i))""".stripMargin
+
+  /** [[minhashOracle]] with the hub-star candidate rule for band-key
+    * groups above SKEW_CAP — mirrors Dedup.minhashBandCandidates'
+    * capped branch literally. */
+  private val skewMinhashOracle: String = {
+    val k = 64; val bands = 16; val r = k / bands
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', " +
+        (0 until r).map(j => s"m${b * r + j}").mkString(", ") + ") AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $skewSrcCte,
+       |${minhashSigCtesOver("skewsrc")},
+       |bands AS ($bandRows),
+       |gs AS (SELECT band, key, count(*) AS gn, min(doc_id) AS hub
+       |  FROM bands GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM bands x JOIN gs g ON g.band = x.band AND g.key = x.key AND g.gn <= $SKEW_CAP
+       |    JOIN bands y ON y.band = x.band AND y.key = x.key AND x.doc_id < y.doc_id
+       |  UNION ALL
+       |  SELECT g.hub AS doc_a, b.doc_id AS doc_b
+       |    FROM bands b JOIN gs g ON g.band = b.band AND g.key = b.key
+       |    WHERE g.gn > $SKEW_CAP AND b.doc_id > g.hub)),
        |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cand
        |  JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
        |  GROUP BY 1, 2)
@@ -1326,6 +1404,19 @@ object TextSurface {
          |  JOIN sz y ON y.doc_id = i.doc_b
          |WHERE round(CAST(i.cnt AS DOUBLE) / least(x.n, y.n), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_skew" -> skewMinhashOracle,
+    // exact closure over the capped skew pair graph: the hub stars
+    // span each template family, so the clustering is unchanged
+    "dedup_clusters_skew" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($skewMinhashOracle) t),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT u FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM n
+         |  UNION
+         |  SELECT e.u, r.v FROM e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
     // ten unrolled integer-PageRank rounds over the minhash pair graph
     "graph_pagerank" -> graft.ops.Graph.pagerankOracleSql(minhashOracle),
     "graph_triangles" -> graft.ops.Graph.trianglesOracleSql(minhashOracle),
