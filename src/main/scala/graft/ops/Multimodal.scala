@@ -687,6 +687,323 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeJpeg(id, payload) })
   }
 
+  // ---- JPEG pixel tier: REAL baseline-sequential entropy decode ----
+  // The metadata tier above stops at entropy-scan framing (triage);
+  // this tier closes the image family: the payloads carry VALID
+  // Huffman-coded scan data (DQT/DHT/SOF0/SOS, one grayscale
+  // component), and the decoder runs the full baseline pipeline —
+  // canonical Huffman tables from the DHT, DC prediction + EXTEND,
+  // AC run/size RLE with EOB/ZRL, zigzag→natural dequantization, 2-D
+  // IDCT, level shift, clamp, and MCU edge clipping. The planted
+  // per-block DC pattern makes every decoded pixel id-derivable, so
+  // the oracle checks the decode pixel-for-pixel in closed form.
+
+  /** ITU T.81 zigzag scan order: zigzag index → natural (row*8+col). */
+  private val ZIGZAG: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 luminance-DC code lengths (symbols 0..11). */
+  private val DC_BITS = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DC_VALS = Array.tabulate(12)(identity)
+  /** Minimal valid AC table: the single EOB symbol at code length 1. */
+  private val AC_BITS = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AC_VALS = Array(0x00)
+
+  /** Planted per-block flat pixel value: 128 + ((fill + block) % 17 − 8)
+    * — encoded as a DC-only block (q=8 for every coefficient, DC =
+    * value−128, all AC zero), whose IDCT is exactly the flat value. */
+  private[ops] def jpegBlockPixel(id: Long, block: Int): Int =
+    128 + ((fillByte(id) + block) % 17) - 8
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); n += 1
+        if (n == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit =
+      if (n > 0) { put((1 << (8 - n)) - 1, 8 - n) } // pads to a byte boundary
+  }
+
+  /** A fully decodable grayscale baseline JFIF: per-8×8-block DC-only
+    * data under the planted [[jpegBlockPixel]] pattern. */
+  private[ops] def buildJpegPixelPayload(id: Long): Array[Byte] = {
+    val w = imgW(id); val h = imgH(id)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(67); out.write(0) // DQT id 0: all-8 table
+    (0 until 64).foreach(_ => out.write(8))
+    // DHT: DC class0/id0 then AC class1/id0 in one segment
+    val dhtLen = 2 + (1 + 16 + DC_VALS.length) + (1 + 16 + AC_VALS.length)
+    marker(0xc4); be16(dhtLen)
+    out.write(0x00); DC_BITS.foreach(out.write); DC_VALS.foreach(out.write)
+    out.write(0x10); AC_BITS.foreach(out.write); AC_VALS.foreach(out.write)
+    marker(0xc0); be16(8 + 3) // SOF0: 8-bit, 1 component
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xda); be16(6 + 2) // SOS: 1 component, tables 0/0
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    // entropy: canonical Huffman codes derived from the tables above
+    val (dcCodes, dcLens) = canonicalCodes(DC_BITS, DC_VALS.length)
+    val bwr = new BitWriter(out)
+    var pred = 0
+    var b = 0
+    while (b < bw * bh) {
+      val dc = jpegBlockPixel(id, b) - 128
+      val diff = dc - pred
+      pred = dc
+      val mag = Math.abs(diff)
+      var s = 0
+      while ((mag >> s) != 0) s += 1
+      bwr.put(dcCodes(s), dcLens(s))
+      if (s > 0) bwr.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      // AC: immediate EOB (code '0', length 1 in the minimal table)
+      bwr.put(0, 1)
+      b += 1
+    }
+    bwr.flushOnes()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman assignment (T.81 C.2): symbol index → (code,
+    * length), in BITS/HUFFVAL order. */
+  private def canonicalCodes(bits: Array[Int], nSyms: Int): (Array[Int], Array[Int]) = {
+    val codes = new Array[Int](nSyms); val lens = new Array[Int](nSyms)
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) { codes(k) = code; lens(k) = l; code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    (codes, lens)
+  }
+
+  def jpegPixelFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        (id, buildJpegPixelPayload(id), "image/jpeg", source)
+      }).toDF("media_id", "payload", "media_type", "source")
+  }
+
+  final case class JpegPixelFeatures(
+      media_id: Long,
+      format: String,
+      width: Long,
+      height: Long,
+      n_blocks: Long,
+      pixel_sum: Long,
+      pixel_min: Long,
+      pixel_max: Long)
+
+  /** Full baseline-sequential grayscale decode: marker walk → Huffman
+    * tables → per-block entropy decode (DC predict/EXTEND, AC run/size
+    * with EOB/ZRL) → zigzag dequant → 2-D IDCT → level shift/clamp →
+    * edge-clipped pixel aggregation. Malformed payloads yield
+    * "unknown"/−1 (row-level tolerance, the decoder-tier contract). */
+  private[ops] def decodeJpegPixels(id: Long, p: Array[Byte]): JpegPixelFeatures = {
+    val bad = JpegPixelFeatures(id, "unknown", -1, -1, -1, -1, -1, -1)
+    try decodeJpegPixelsImpl(id, p).getOrElse(bad)
+    catch { case scala.util.control.NonFatal(_) => bad }
+  }
+
+  private def decodeJpegPixelsImpl(id: Long, p: Array[Byte]): Option[JpegPixelFeatures] = {
+    val n = p.length
+    if (n < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+    def be16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    val qt = Array.ofDim[Int](4, 64)
+    // Huffman maps per (class, id): (len, code) → symbol
+    val huff = Array.fill(2, 4)(null: java.util.HashMap[Int, Int])
+    var w = -1; var h = -1; var dcSel = -1; var acSel = -1; var tq = -1
+    var off = 2
+    var scanAt = -1
+    while (scanAt < 0 && off + 4 <= n) {
+      if ((p(off) & 0xff) != 0xff) return None
+      val m = p(off + 1) & 0xff
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > n) return None
+      m match {
+        case 0xdb =>
+          var i = off + 4
+          while (i < off + 2 + len) {
+            val pq = (p(i) & 0xff) >> 4; val id0 = p(i) & 0x0f
+            if (pq != 0 || id0 > 3) return None // 8-bit tables only
+            var z = 0
+            while (z < 64) { qt(id0)(ZIGZAG(z)) = p(i + 1 + z) & 0xff; z += 1 }
+            i += 65
+          }
+        case 0xc4 =>
+          var i = off + 4
+          while (i < off + 2 + len) {
+            val tc = (p(i) & 0xff) >> 4; val th = p(i) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(j => p(i + 1 + j) & 0xff)
+            val nsym = bits.sum
+            val vals = Array.tabulate(nsym)(j => p(i + 17 + j) & 0xff)
+            val (codes, lens) = canonicalCodes(bits, nsym)
+            val map = new java.util.HashMap[Int, Int]()
+            var k = 0
+            while (k < nsym) { map.put((lens(k) << 16) | codes(k), vals(k)); k += 1 }
+            huff(tc)(th) = map
+            i += 17 + nsym
+          }
+        case 0xc0 => // baseline SOF only in this tier
+          if (len < 8) return None
+          h = be16(off + 5); w = be16(off + 7)
+          if ((p(off + 9) & 0xff) != 1) return None // grayscale tier
+          tq = p(off + 12) & 0x0f
+        case 0xda =>
+          if (w < 0) return None
+          dcSel = (p(off + 6) & 0xff) >> 4; acSel = p(off + 6) & 0x0f
+          scanAt = off + 2 + len
+        case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          return None // progressive/arithmetic: out of tier
+        case _ => ()
+      }
+      if (scanAt < 0) off += 2 + len
+    }
+    if (scanAt < 0) return None
+    val dcMap = huff(0)(dcSel); val acMap = huff(1)(acSel)
+    if (dcMap == null || acMap == null) return None
+    val q = qt(tq)
+
+    // entropy bit reader over the stuffed scan
+    var pos = scanAt; var acc = 0; var nb = 0; var eoi = false
+    def nextBit(): Int = {
+      if (nb == 0) {
+        if (pos + 1 >= n) throw new RuntimeException("eof")
+        val b = p(pos) & 0xff
+        if (b == 0xff) {
+          val nx = p(pos + 1) & 0xff
+          if (nx == 0x00) { acc = 0xff; pos += 2 }
+          else if (nx == 0xd9) { eoi = true; throw new RuntimeException("eoi") }
+          else throw new RuntimeException("marker in scan")
+        } else { acc = b; pos += 1 }
+        nb = 8
+      }
+      nb -= 1
+      (acc >> nb) & 1
+    }
+    def decodeSym(map: java.util.HashMap[Int, Int]): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        code = (code << 1) | nextBit(); l += 1
+        val key = (l << 16) | code
+        if (map.containsKey(key)) return map.get(key)
+      }
+      throw new RuntimeException("bad code")
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var r = 0; var i = 0
+      while (i < s) { r = (r << 1) | nextBit(); i += 1 }
+      if (r < (1 << (s - 1))) r - (1 << s) + 1 else r
+    }
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    var pred = 0
+    var pixSum = 0L; var pixMin = 256L; var pixMax = -1L
+    val coef = new Array[Int](64)
+    val px = new Array[Double](64)
+    var b = 0
+    try {
+      while (b < bw * bh) {
+        java.util.Arrays.fill(coef, 0)
+        val s = decodeSym(dcMap)
+        pred += receiveExtend(s)
+        coef(0) = pred * q(0)
+        var zi = 1
+        var done = false
+        while (!done && zi < 64) {
+          val rs = decodeSym(acMap)
+          if (rs == 0x00) done = true // EOB
+          else if (rs == 0xf0) zi += 16 // ZRL
+          else {
+            zi += rs >> 4
+            if (zi > 63) throw new RuntimeException("ac overflow")
+            coef(ZIGZAG(zi)) = receiveExtend(rs & 15) * q(ZIGZAG(zi))
+            zi += 1
+          }
+        }
+        idct8x8(coef, px)
+        val bx = b % bw; val by = b / bw
+        val cw = math.min(8, w - bx * 8); val ch = math.min(8, h - by * 8)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            var v = math.round(px(y * 8 + x) + 128.0)
+            if (v < 0) v = 0; if (v > 255) v = 255
+            pixSum += v
+            if (v < pixMin) pixMin = v
+            if (v > pixMax) pixMax = v
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+    } catch { case _: RuntimeException => return None }
+    Some(JpegPixelFeatures(id, "jpeg", w, h, bw.toLong * bh, pixSum, pixMin, pixMax))
+  }
+
+  /** Naive exact 2-D IDCT (T.81 A.3.3) — 64 basis sums per pixel;
+    * per-block cost is constant and the fixture blocks are DC-dominant,
+    * so clarity wins over an AAN butterfly here. */
+  private def idct8x8(coef: Array[Int], out: Array[Double]): Unit = {
+    val isq2 = 0.7071067811865476
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) isq2 else 1.0
+              val cv = if (v == 0) isq2 else 1.0
+              sum += cu * cv * c *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+            }
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = sum / 4.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Batch pixel-tier decode, row-local like every decoder here. */
+  def extractJpegPixelFeatures(media: DataFrame): Dataset[JpegPixelFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeJpegPixels(id, payload) })
+  }
+
   // ---------------------------------------------------------------
   // GIF: the dictionary-compression tier. PNG exercises inflate
   // (zlib), JPEG the marker walk; GIF89a requires a REAL LZW decode —

@@ -535,6 +535,14 @@ object StreamSurface {
     "mm_jpeg" -> ((s, dir) =>
       Multimodal.extractJpegFeatures(
         Multimodal.jpegFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
+    // pixel tier: fully decodable grayscale baseline payloads — DHT
+    // canonical Huffman decode, DC predict/EXTEND, AC RLE, zigzag
+    // dequant, 2-D IDCT, edge clipping; the planted per-block DC
+    // pattern makes every pixel id-derivable, so the sum/min/max only
+    // match if the whole entropy pipeline decodes exactly
+    "mm_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.extractJpegPixelFeatures(
+        Multimodal.jpegPixelFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
     // dictionary-compression tier: full GIF89a decode (sub-block
     // reassembly + variable-width LZW with dictionary growth, CLEAR
     // resets and the KwKwK case + palette read). The planted index
@@ -815,6 +823,31 @@ object StreamSurface {
         |  CAST(3 AS BIGINT) AS n_segments, CAST(el AS BIGINT) AS entropy_bytes,
         |  CAST(64 * fill AS BIGINT) AS dqt_sum
         |FROM m""".stripMargin,
+    // block-enumerated closed form: block b decodes to the flat value
+    // 128 + (fill+b)%17 − 8 over its edge-clipped coverage — the
+    // decoder's Huffman+IDCT pipeline must reproduce it exactly
+    "mm_jpeg_pixels" ->
+      """WITH m AS (SELECT doc_id, doc_id % 251 AS fill,
+        |  16 + doc_id % 97 AS w, 16 + doc_id % 53 AS h FROM documents),
+        |g AS (SELECT doc_id, fill, w, h,
+        |  (w + 7) // 8 AS bw, (h + 7) // 8 AS bh FROM m),
+        |b AS (SELECT doc_id, fill, w, h, bw, bh,
+        |  unnest(range(bw * bh)) AS bi FROM g),
+        |pv AS (SELECT doc_id,
+        |    128 + (fill + bi) % 17 - 8 AS pix,
+        |    least(8, w - (bi % bw) * 8) AS cw,
+        |    least(8, h - (bi // bw) * 8) AS ch
+        |  FROM b),
+        |sums AS (SELECT doc_id, sum(pix * cw * ch) AS psum,
+        |    min(pix) AS pmin, max(pix) AS pmax
+        |  FROM pv GROUP BY 1)
+        |SELECT g.doc_id AS media_id, 'jpeg' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(bw * bh AS BIGINT) AS n_blocks,
+        |  CAST(psum AS BIGINT) AS pixel_sum,
+        |  CAST(pmin AS BIGINT) AS pixel_min,
+        |  CAST(pmax AS BIGINT) AS pixel_max
+        |FROM g JOIN sums USING (doc_id)""".stripMargin,
     // pixel-enumerated oracle (the mm_frame_sample unnest style): the
     // planted index is (x + y + fill) % 256 and the palette entry for
     // index i is (7i%256, 11i%256, 13i%256) — both mirrored here, so

@@ -598,4 +598,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAvro(0L, Multimodal.buildParquetPayload(0L)).format == "unknown")
     assert(Multimodal.decodeAvro(0L, Multimodal.buildTarPayload(0L)).format == "unknown")
   }
+  test("JPEG pixel tier: planted closed form, byte stuffing live, malformed tolerated") {
+    for (id <- Seq(0L, 5L, 96L, 250L, 441L)) {
+      val f = Multimodal.decodeJpegPixels(id, Multimodal.buildJpegPixelPayload(id))
+      val w = 16 + (id % 97).toInt; val h = 16 + (id % 53).toInt
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      var sum = 0L; var mn = 256L; var mx = -1L
+      for (b <- 0 until bw * bh) {
+        val pix = Multimodal.jpegBlockPixel(id, b).toLong
+        val cw = math.min(8, w - (b % bw) * 8); val ch = math.min(8, h - (b / bw) * 8)
+        sum += pix * cw * ch; mn = math.min(mn, pix); mx = math.max(mx, pix)
+      }
+      assert(f == Multimodal.JpegPixelFeatures(id, "jpeg", w, h, bw.toLong * bh, sum, mn, mx))
+    }
+    // byte-stuffing path, deterministically: a one-block scan whose DC
+    // code is category 11 (code 111111110) starts with a raw 0xFF scan
+    // byte, so the stream carries FF 00 and the reader must unstuff it
+    // (diff 1024, q=1 -> pixel round(1024/8)+128 = 256 clamps to 255)
+    val so = new java.io.ByteArrayOutputStream()
+    def sbe16(x: Int): Unit = { so.write((x >> 8) & 0xff); so.write(x & 0xff) }
+    def smk(m: Int): Unit = { so.write(0xff); so.write(m) }
+    smk(0xd8)
+    smk(0xdb); sbe16(67); so.write(0); (0 until 64).foreach(_ => so.write(1))
+    val sdc = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val sac = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    smk(0xc4); sbe16(2 + (1 + 16 + 12) + (1 + 16 + 1))
+    so.write(0x00); sdc.foreach(so.write); (0 until 12).foreach(so.write)
+    so.write(0x10); sac.foreach(so.write); so.write(0x00)
+    smk(0xc0); sbe16(11); so.write(8); sbe16(8); sbe16(8); so.write(1)
+    so.write(1); so.write(0x11); so.write(0)
+    smk(0xda); sbe16(8); so.write(1); so.write(1); so.write(0x00)
+    so.write(0); so.write(63); so.write(0)
+    // bits: 111111110 (cat11) 10000000000 (1024) 0 (EOB) + pad ones
+    so.write(0xff); so.write(0x00); so.write(0x40); so.write(0x07)
+    smk(0xd9)
+    val sf = Multimodal.decodeJpegPixels(9L, so.toByteArray)
+    assert(sf == Multimodal.JpegPixelFeatures(9L, "jpeg", 8, 8, 1, 64L * 255, 255, 255))
+    // malformed: truncation, garbage, and the 3-component metadata-tier
+    // payload (out of the grayscale pixel tier) all yield unknown
+    val good = Multimodal.buildJpegPixelPayload(7L)
+    assert(Multimodal.decodeJpegPixels(7L, good.take(20)).format == "unknown")
+    assert(Multimodal.decodeJpegPixels(7L, Array[Byte](1, 2, 3, 4)).format == "unknown")
+    assert(Multimodal.decodeJpegPixels(7L, Multimodal.buildJpegPayload(7L)).format == "unknown")
+  }
+
+  test("JPEG pixel tier: AC coefficient path (run/size + EXTEND + IDCT) decodes exactly") {
+    // hand-assembled one-block 8x8 grayscale JPEG: q=16 everywhere,
+    // Annex-K DC table, a 2-symbol AC table {EOB, run0/size3}; scan =
+    // DC cat0 (diff 0) + AC (0x03, value 111b=+7) + EOB -> one AC
+    // coefficient 7*16=112 at zigzag index 1 (u=1, v=0)
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(x: Int): Unit = { out.write((x >> 8) & 0xff); out.write(x & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xdb); be16(67); out.write(0); (0 until 64).foreach(_ => out.write(16))
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xc4); be16(2 + (1 + 16 + 12) + (1 + 16 + 2))
+    out.write(0x00); dcBits.foreach(out.write); (0 until 12).foreach(out.write)
+    out.write(0x10); acBits.foreach(out.write); out.write(0x00); out.write(0x03)
+    marker(0xc0); be16(11); out.write(8); be16(8); be16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xda); be16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    out.write(0x1e); out.write(0x7f) // 00 | 01 111 | 00 + pad ones
+    marker(0xd9)
+    val f = Multimodal.decodeJpegPixels(42L, out.toByteArray)
+    // independent expectation: f(x,y) = 0.25 * (1/sqrt2) * 112 * cos((2x+1)*pi/16)
+    var expSum = 0L; var expMin = 256L; var expMax = -1L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v0 = 0.25 * 0.7071067811865476 * 112.0 * math.cos((2 * x + 1) * math.Pi / 16)
+      var v = math.round(v0 + 128.0)
+      if (v < 0) v = 0; if (v > 255) v = 255
+      expSum += v; expMin = math.min(expMin, v); expMax = math.max(expMax, v)
+    }
+    assert(f == Multimodal.JpegPixelFeatures(42L, "jpeg", 8, 8, 1, expSum, expMin, expMax))
+    assert(expMax - expMin > 30, "AC coefficient must actually modulate pixels")
+  }
+
 }
