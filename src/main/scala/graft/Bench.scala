@@ -137,8 +137,15 @@ object Bench {
       }
     }
 
+    // BENCH_ONLY may also name non-headline gate keys (scale-proof
+    // sweeps over families the headline set doesn't carry) — they run
+    // the same way; the default full-fleet run is unchanged
+    val extras = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filterNot(headline.contains)
+        .filter(SparkEntry.queries.contains))
+      .getOrElse(Nil)
     val queryRuns: Seq[(String, Seq[Double])] =
-      headline.filter(only).flatMap { name =>
+      (headline ++ extras).filter(only).flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           name -> (1 to reps).map(_ => timeOnce(fn, name))
         }

@@ -55,7 +55,19 @@ HEADLINE = [
 
 def main(out_dir: str, sf_dir: str, runs: int = 3) -> int:
     only = os.environ.get("GRAFT_BENCH_ONLY")
-    names = [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    # GRAFT_BENCH_ONLY may also name non-headline gate keys (scale-proof
+    # sweeps); they resolve from oracle_sql.json like any other
+    if only:
+        wanted = only.split(",")
+        head = set(HEADLINE)
+        names = [n for n in HEADLINE if n in set(wanted)] + \
+            [n for n in wanted if n not in head]
+    else:
+        names = HEADLINE
+    # per-query wall ceiling (seconds): a quadratic re-derivation in the
+    # embedded engine (minhash at 150k docs) must report '>cap', not
+    # stall the whole sweep
+    cap = float(os.environ.get("GRAFT_BENCH_TIMEOUT", "0") or 0)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -70,13 +82,30 @@ def main(out_dir: str, sf_dir: str, runs: int = 3) -> int:
             print(f"| {name} | (no oracle) |")
             continue
         best = None
+        timed_out = False
         for _ in range(runs):
             t0 = time.monotonic()
-            con.execute(sql).fetchall()
+            if cap > 0:
+                import threading
+                timer = threading.Timer(cap, con.interrupt)
+                timer.start()
+                try:
+                    con.execute(sql).fetchall()
+                except duckdb.InterruptException:
+                    timed_out = True
+                finally:
+                    timer.cancel()
+            else:
+                con.execute(sql).fetchall()
             dt = time.monotonic() - t0
             best = dt if best is None or dt < best else best
+            if timed_out:
+                break
         total += best
-        print(f"| {name} | {best:.3f} |")
+        if timed_out:
+            print(f"| {name} | >{cap:.0f} (timed out) |")
+        else:
+            print(f"| {name} | {best:.3f} |")
     print(f"| **total** | **{total:.3f}** |")
     return 0
 
