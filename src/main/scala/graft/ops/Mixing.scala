@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   *             [[Sampling.stratifiedHash]] as the per-stratum percent)
   *
   * Shape at scale: one groupBy over the corpus (map-side partial
-  * count/sum), then arithmetic over a strata-sized relation with the
-  * scalar B broadcast back — the planning step costs one aggregation
-  * regardless of corpus size. Strata with target 0 are excluded from
-  * the min (they cap nothing) and emit rate 0.
+  * count/sum), then arithmetic over a strata-sized relation — the
+  * planning step costs ONE aggregation regardless of corpus size. The
+  * budget min rides an unpartitioned window over that strata-sized
+  * relation (grid-sized, never data-sized — the histogram_quantile
+  * discipline): the earlier crossJoin(broadcast(min-subquery)) form
+  * re-evaluated the whole corpus aggregation per consumer subtree,
+  * measured 9.5 s vs 1.2 s at 150k docs (r9 probe). Strata with
+  * target 0 are excluded from the min (they cap nothing) and emit
+  * rate 0.
   */
 object Mixing {
 
@@ -61,9 +66,12 @@ object Mixing {
       .groupBy(stratumCol)
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
       .withColumn("target_bp", target.cast("long"))
-    val cap = per.filter(col("target_bp") > 0)
-      .select(min(expr("n_tokens * 10000 div target_bp")).as("budget"))
-    per.crossJoin(broadcast(cap))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    per
+      .withColumn("budget",
+        min(when(col("target_bp") > 0, expr("n_tokens * 10000 div target_bp")))
+          .over(w))
       .select(col(stratumCol), col("n_docs"), col("n_tokens"), col("target_bp"),
         expr("CASE WHEN target_bp > 0 THEN budget * target_bp div 10000 ELSE 0 END")
           .as("take_tokens"),
