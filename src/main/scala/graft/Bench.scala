@@ -72,7 +72,12 @@ object Bench {
     // LTTB grid selection, IVF-backed triplet mining
     "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
     "sim_hard_negatives", "profile_events", "text_ttr",
-    "text_quality_calibrated", "pipeline_web_ingest")
+    "text_quality_calibrated", "pipeline_web_ingest",
+    // round-9 additions: hot-band-capped skew dedup, graph analytics
+    // over the near-dup graph, posting-list search, provenance mixing,
+    // the JPEG pixel-decode tier
+    "dedup_minhash_skew", "graph_pagerank", "graph_triangles",
+    "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,6 +50,9 @@ HEADLINE = [
     "text_strip_html", "text_fix_mojibake", "ts_sample_lttb",
     "sim_hard_negatives", "profile_events", "text_ttr",
     "text_quality_calibrated", "pipeline_web_ingest",
+    # round-9 additions (keep in sync with graft.Bench.headline)
+    "dedup_minhash_skew", "graph_pagerank", "graph_triangles",
+    "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels",
 ]
 
 
