@@ -458,7 +458,7 @@ object Dedup {
     * binary ordering), NOT java.lang.String's UTF-16 order. Exotic key
     * types get None and take the distributed path, whose `min` is
     * type-correct by construction. */
-  private def smallGraphOrdering(
+  private[ops] def smallGraphOrdering(
       dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
     import org.apache.spark.sql.types._
     dt match {

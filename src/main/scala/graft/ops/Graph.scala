@@ -32,9 +32,36 @@ object Graph {
   val Scale: Long = 1000000000000L
 
   /** PageRank over an undirected pair graph (columns doc_a, doc_b).
-    * Output: (doc_id, deg, pr12) for every node in the graph. */
-  def pagerank(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    * Output: (doc_id, deg, pr12) for every node in the graph.
+    *
+    * Small-graph fast path (the [[Dedup.duplicateClusters]] probe
+    * convention): a near-dup pair graph is usually tiny relative to
+    * its corpus, and the iterative loop pays 1-2 scheduler-floor jobs
+    * PER ROUND for it (measured 5.1 s at sf0.1 for a 25-pair graph).
+    * When the pair relation fits `smallGraphEdges` (bounded-collect
+    * class) and the key type has a supported ordering-free equality
+    * (numeric/string), the T rounds run driver-side with the IDENTICAL
+    * integer formula — same truncating division on positive operands,
+    * same self-loop and isolated-contribution semantics — and the
+    * result is a driver-built relation (spec-locked distributed ≡
+    * driver). Pass smallGraphEdges = 0 to force the distributed loop. */
+  def pagerank(pairs: DataFrame, iters: Int = 10,
+      smallGraphEdges: Int = 1000000): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val pk = pairs.select(col("doc_a"), col("doc_b"))
+    if (smallGraphEdges > 0) {
+      val cached = pk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val probe = cached.limit(smallGraphEdges + 1).collect()
+        if (probe.length <= smallGraphEdges)
+          return smallGraphPagerank(pairs.sparkSession, probe,
+            pk.schema.head, iters)
+        distributedPagerank(cached, iters)
+      } finally cached.unpersist(false) // final pr is eagerly checkpointed
+    } else distributedPagerank(pk, iters)
+  }
+
+  private def distributedPagerank(pairs: DataFrame, iters: Int): DataFrame = {
     val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
@@ -59,6 +86,49 @@ object Graph {
     }
     e.unpersist(false)
     pr.select(col("node").as("doc_id"), col("deg"), col("pr").as("pr12"))
+  }
+
+  /** Driver replica of the distributed loop for bounded pair graphs:
+    * same directed-distinct edge set (a self-pair contributes ONE
+    * directed edge and degree 1, exactly like the union+distinct), the
+    * same truncating integer division (operands are non-negative, so
+    * Java `/` ≡ Spark `div`), T rounds of the identical formula. */
+  private def smallGraphPagerank(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      keyField: org.apache.spark.sql.types.StructField, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(x: Any): Int = idx.getOrElseUpdate(x, { nodes += x; nodes.size - 1 })
+    val directed = scala.collection.mutable.HashSet.empty[(Int, Int)]
+    edges.foreach { r =>
+      val (a, b) = (id(r.get(0)), id(r.get(1)))
+      directed += ((a, b)); directed += ((b, a))
+    }
+    val n = nodes.size
+    require(n > 0, "pagerank over an empty pair graph")
+    val adjOut = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    directed.foreach { case (u, v) => adjOut(u) += v }
+    val deg = adjOut.map(_.size.toLong)
+    val base = Scale * 15 / (100 * n)
+    var pr = Array.fill(n)(Scale / n)
+    for (_ <- 1 to iters) {
+      val inc = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        val c = pr(u) * 85 / (100 * deg(u))
+        adjOut(u).foreach(v => inc(v) += c)
+        u += 1
+      }
+      pr = Array.tabulate(n)(v => base + inc(v))
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.indices.map(i =>
+        org.apache.spark.sql.Row(nodes(i), deg(i), pr(i))): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", keyField.dataType, nullable = false),
+      StructField("deg", LongType, nullable = false),
+      StructField("pr12", LongType, nullable = false))))
   }
 
   /** The curation ACTION [[pagerank]] enables: per duplicate cluster,
@@ -106,8 +176,40 @@ object Graph {
     * unpersist either without un-materializing them before any action
     * runs. The caller owns release: `spark.catalog.clearCache()` after
     * materializing (the Verify/Bench convention), or track both via
-    * `spark.sharedState.cacheManager`. */
-  def triangles(pairs: DataFrame): DataFrame = {
+    * `spark.sharedState.cacheManager`.
+    *
+    * Small-graph fast path (the [[pagerank]] probe convention): pair
+    * graphs under `smallGraphEdges` with an ordering-supported key
+    * type count driver-side — canonical min/max edges under the SAME
+    * ordering Spark's least/greatest applies, per-edge common-neighbor
+    * scan (each triangle increments each of its three nodes exactly
+    * once). Pass 0 to force the join form.
+    *
+    * Degenerate SELF-pairs (doc_a = doc_b — which a near-dup pair
+    * source never emits) are DROPPED up front in both paths: the
+    * oriented wedge join would otherwise manufacture (x, x, y)
+    * "triangles" through a self-loop's src row, r9's parity fuzzing
+    * caught it, and a simple-graph contract is the only sane one for
+    * a cohesion metric. */
+  def triangles(pairs: DataFrame, smallGraphEdges: Int = 1000000): DataFrame = {
+    val pk = pairs.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val keyOrd = Dedup.smallGraphOrdering(pk.schema.head.dataType)
+    if (smallGraphEdges > 0 && keyOrd.isDefined) {
+      val cached = pk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = cached.limit(smallGraphEdges + 1).collect()
+      if (probe.length <= smallGraphEdges) {
+        cached.unpersist(false)
+        return smallGraphTriangles(pairs.sparkSession, probe,
+          pk.schema.head, keyOrd.get)
+      }
+      // big graph: fall through to the join form over the cached pairs
+      // (the caller-owned release contract above covers this persist)
+      distributedTriangles(cached)
+    } else distributedTriangles(pk)
+  }
+
+  private def distributedTriangles(pairs: DataFrame): DataFrame = {
     val e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -142,6 +244,50 @@ object Graph {
     deg.join(cnt, Seq("node"), "left")
       .select(col("node").as("doc_id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
+  /** Driver replica of the oriented-join triangle count for bounded
+    * pair graphs — same canonical distinct edge set (self-pairs are
+    * filtered before either path), same degree semantics, same
+    * once-per-triangle node counting (parity fuzz-locked vs the
+    * distributed join in GraphSpec). */
+  private def smallGraphTriangles(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      keyField: org.apache.spark.sql.types.StructField,
+      ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def id(x: Any): Int = idx.getOrElseUpdate(x, { nodes += x; nodes.size - 1 })
+    val canon = scala.collection.mutable.HashSet.empty[(Int, Int)]
+    edges.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      val (lo, hi) = if (ord.lteq(a, b)) (a, b) else (b, a)
+      canon += ((id(lo), id(hi)))
+    }
+    val n = nodes.size
+    val deg = new Array[Long](n)
+    val adj = Array.fill(n)(scala.collection.mutable.HashSet.empty[Int])
+    canon.foreach { case (u, v) =>
+      deg(u) += 1; deg(v) += 1
+      if (u != v) { adj(u) += v; adj(v) += u }
+    }
+    val tri = new Array[Long](n)
+    canon.foreach { case (u, v) =>
+      if (u != v) {
+        val (s, l) = if (adj(u).size <= adj(v).size) (u, v) else (v, u)
+        adj(s).foreach { c =>
+          if (c != u && c != v && adj(l).contains(c)) tri(c) += 1
+        }
+      }
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.indices.map(i =>
+        org.apache.spark.sql.Row(nodes(i), deg(i), tri(i))): _*)
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", keyField.dataType, nullable = false),
+      StructField("deg", LongType, nullable = false),
+      StructField("tri", LongType, nullable = false))))
   }
 
   /** Oracle twin of [[triangles]]: plain id-ordered enumeration

@@ -79,4 +79,30 @@ class GraphSpec extends AnyFunSuite {
     // assert a loose 1/2 bound (the exact deltas are fixed integers)
     assert(late * 2 < early, s"early=$early late=$late")
   }
+  test("driver fast path == distributed loop: pagerank and triangles, random graphs") {
+    val rnd = new scala.util.Random(11)
+    // random graph + a clique + a self-pair + duplicate/reversed pairs
+    val base = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong + 1)) ++
+      Seq((50L, 51L), (51L, 52L), (50L, 52L), (7L, 7L)) ++
+      Seq((3L, 9L), (9L, 3L), (3L, 9L))
+    val df = base.toDF("doc_a", "doc_b").repartition(4)
+    def m3(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m3(Graph.pagerank(df)) ==
+      m3(Graph.pagerank(df, smallGraphEdges = 0)))
+    assert(m3(Graph.triangles(df)) ==
+      m3(Graph.triangles(df, smallGraphEdges = 0)))
+  }
+
+  test("driver fast path == distributed loop: string keys (UTF-8 ordering)") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("\u00e9", "z"),
+      ("z", "Z"), ("Z", "\u00e9")).toDF("doc_a", "doc_b")
+    def m3(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m3(Graph.triangles(pairs)) ==
+      m3(Graph.triangles(pairs, smallGraphEdges = 0)))
+    assert(m3(Graph.pagerank(pairs)) ==
+      m3(Graph.pagerank(pairs, smallGraphEdges = 0)))
+  }
+
 }
