@@ -49,7 +49,13 @@ object PlanAudit {
       "ts_sample_lttb",    // partial-agg window stats, broadcast anchor grid
       "text_strip_html",   // literal+regex strip chain over the scan
       "sim_hard_negatives", // triplet join suffix on the IVF search
-      "text_fix_mojibake") // stepwise literal replaces, zero regex
+      "text_fix_mojibake", // stepwise literal replaces, zero regex
+      // round-9 additions
+      "dedup_minhash_skew", // hot-band star cap: gs agg + split candidates
+      "mix_hosts",         // single-pass budget: strata-sized window min
+      "text_bm25",         // posting aggregation + broadcast df join
+      "search_fuzzy",      // deletion-variant index, broadcast query side
+      "mm_jpeg_pixels")    // row-local full baseline decode, zero exchange
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
