@@ -77,7 +77,9 @@ object Bench {
     // over the near-dup graph, posting-list search, provenance mixing,
     // the JPEG pixel-decode tier
     "dedup_minhash_skew", "graph_pagerank", "graph_triangles",
-    "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels")
+    "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels",
+    // cluster-side model TRAINING: the linear quality probe
+    "probe_train_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

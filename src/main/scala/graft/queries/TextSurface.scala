@@ -110,6 +110,13 @@ object TextSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_quality_gopher" -> qualityGopher,
+    // train the cheap linear probe that approximates the expensive
+    // Gopher verdict (graft.ops.Probe): deterministic surrogate-loss
+    // GD, integer-exact gradient sums, weights hash-gate bit-for-bit
+    "probe_train_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Probe.trainQualityProbe(qualityGopher(s, dir))
+    }),
     // percentile-CALIBRATED quality bands (Percentiles.calibrateBands):
     // the raw score rank-normalized into deciles, so "top 30%" rules
     // transfer across corpora; boundaries via the two-level rank
@@ -1321,6 +1328,9 @@ object TextSurface {
          |FROM t, b""".stripMargin
     },
     "text_quality_gopher" -> qualityGopherOracle,
+    // the probe trainer's unrolled GD rounds over stats ⋈ gopher-keep
+    "probe_train_quality" ->
+      graft.ops.Probe.trainOracleSql(qualityGopherOracle),
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
          |  CASE WHEN zh_chars > 0 THEN 'zh'

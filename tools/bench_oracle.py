@@ -53,6 +53,7 @@ HEADLINE = [
     # round-9 additions (keep in sync with graft.Bench.headline)
     "dedup_minhash_skew", "graph_pagerank", "graph_triangles",
     "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels",
+    "probe_train_quality",
 ]
 
 
