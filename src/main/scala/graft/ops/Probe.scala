@@ -120,26 +120,41 @@ object Probe {
     * memorize the verdict: a conjunction of hard cuts is not linearly
     * separable, and the probe's value is exactly its SMOOTH score for
     * ranking borderline documents where the bands say only yes/no. */
+  /** The projection both train and score run on: label + features
+    * (+ doc_id when the caller's relation carries one — scoring needs
+    * it, the gradient aggregations ignore it). */
+  private def featurize(statsWithLabel: DataFrame): DataFrame = {
+    val id = if (statsWithLabel.columns.contains("doc_id")) Seq("doc_id") else Nil
+    statsWithLabel.selectExpr(
+      id ++ Seq("CAST(keep AS DOUBLE) AS y") ++
+        FEATURES.map { case (n, t) => s"$t AS $n" }: _*)
+  }
+
+  /** The GD loop over a persisted featurized relation — the shared
+    * core of train/score. */
+  private def fit(f: DataFrame, n: Long, iters: Int): Array[Double] = {
+    var w = Array.fill(WeightNames.size)(0.0)
+    for (_ <- 1 to iters) {
+      val r = f.selectExpr(gradAggSqls(w.map(dbl).toSeq, "div"): _*)
+        .collect()(0)
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val g = (r.getLong(2 * j) * 1000000L + r.getLong(2 * j + 1)) - n * OFF
+        // the updateSql chain, in driver doubles: identical IEEE ops
+        wj - 4.0 * ((g.toDouble / 1000000000.0) / n.toDouble)
+      }
+    }
+    w
+  }
+
   def trainQualityProbe(statsWithLabel: DataFrame,
       iters: Int = Iters): DataFrame = {
     val spark = statsWithLabel.sparkSession
-    val f = statsWithLabel.selectExpr(
-      Seq("CAST(keep AS DOUBLE) AS y") ++
-        FEATURES.map { case (n, t) => s"$t AS $n" }: _*)
+    val f = featurize(statsWithLabel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = f.count()
       require(n > 0, "probe training over an empty corpus")
-      var w = Array.fill(WeightNames.size)(0.0)
-      for (_ <- 1 to iters) {
-        val r = f.selectExpr(gradAggSqls(w.map(dbl).toSeq, "div"): _*)
-          .collect()(0)
-        w = w.zipWithIndex.map { case (wj, j) =>
-          val g = (r.getLong(2 * j) * 1000000L + r.getLong(2 * j + 1)) - n * OFF
-          // the updateSql chain, in driver doubles: identical IEEE ops
-          wj - 4.0 * ((g.toDouble / 1000000000.0) / n.toDouble)
-        }
-      }
+      val w = fit(f, n, iters)
       val zF = zSql(w.map(dbl).toSeq)
       val acc = f.selectExpr(
         s"CAST(sum(CASE WHEN ($zF) >= 0.0 THEN CASE WHEN y = 1.0 THEN 1 ELSE 0 END " +
@@ -159,13 +174,40 @@ object Probe {
     } finally f.unpersist(false) // all jobs ran; result is driver-built
   }
 
-  /** Oracle-side rendering: the same `iters` rounds as unrolled
-    * MATERIALIZED CTEs over `featSql` (a relation with the stats
-    * columns + keep), every arithmetic fragment from the same builders
-    * as the Spark loop. */
-  def trainOracleSql(featSql: String, iters: Int = Iters): String = {
-    def wCols(t: Int): Seq[String] =
-      WeightNames.indices.map(j => s"w$t.c$j")
+  /** Train, then APPLY: every document scored with the trained probe —
+    * the end-user operation the trainer exists for (rank borderline
+    * docs by the smooth score where the bands give only yes/no).
+    * Output: (doc_id, score6 = floor(z·10⁶), probe_keep, keep).
+    *
+    * Cache lifecycle contract (the Decontam.overlap convention): the
+    * featurized relation is persisted — the fit loop's jobs read it,
+    * and the RETURNED LAZY scoring plan reads it again — so this
+    * method cannot unpersist; the caller owns release
+    * (`spark.catalog.clearCache()` after materializing). */
+  def scoreQualityProbe(statsWithLabel: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    require(statsWithLabel.columns.contains("doc_id"),
+      "scoring needs a doc_id column")
+    val f = featurize(statsWithLabel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = f.count()
+    require(n > 0, "probe training over an empty corpus")
+    val w = fit(f, n, iters)
+    val zF = zSql(w.map(dbl).toSeq)
+    f.selectExpr("doc_id",
+      s"CAST(floor(($zF) * 1000000.0) AS BIGINT) AS score6",
+      s"CAST(CASE WHEN ($zF) >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS probe_keep",
+      "CAST(y AS BIGINT) AS keep")
+  }
+
+  private def wCols(t: Int): Seq[String] =
+    WeightNames.indices.map(j => s"w$t.c$j")
+
+  /** The shared oracle prefix: featurized CTE (doc_id carried when the
+    * source has one — the gradient sums ignore it), count, w0, and
+    * `iters` unrolled MATERIALIZED GD rounds. */
+  private def oraclePrefix(featSql: String, iters: Int,
+      withDocId: Boolean): String = {
     val rounds = (1 to iters).map { t =>
       val aggs = gradAggSqls(wCols(t - 1), "//").mkString(",\n    ")
       val upd = WeightNames.indices.map { j =>
@@ -176,23 +218,43 @@ object Probe {
     }.mkString(",\n")
     val w0 = WeightNames.indices.map(j => s"CAST('0.0' AS DOUBLE) AS c$j")
       .mkString(", ")
+    val id = if (withDocId) "doc_id, " else ""
+    s"""WITH f AS MATERIALIZED (SELECT ${id}CAST(keep AS DOUBLE) AS y,
+       |    ${FEATURES.map { case (n, t) => s"$t AS $n" }.mkString(",\n    ")}
+       |  FROM ($featSql)),
+       |nn AS (SELECT count(*) AS c FROM f),
+       |w0 AS (SELECT $w0),
+       |$rounds""".stripMargin
+  }
+
+  /** Oracle-side rendering of [[trainQualityProbe]]: the same `iters`
+    * rounds as unrolled MATERIALIZED CTEs over `featSql` (a relation
+    * with the Gopher metric columns + keep), every arithmetic fragment
+    * from the same builders as the Spark loop. */
+  def trainOracleSql(featSql: String, iters: Int = Iters): String = {
     val zF = zSql(wCols(iters))
     val outRows = WeightNames.indices.map { j =>
       s"SELECT '${WeightNames(j)}' AS feature, " +
         s"CAST(floor(w$iters.c$j * 1000000.0) AS BIGINT) AS weight6, " +
         s"acc.n_correct, acc.n FROM w$iters, acc"
     }.mkString("\nUNION ALL ")
-    s"""WITH f AS MATERIALIZED (SELECT CAST(keep AS DOUBLE) AS y,
-       |    ${FEATURES.map { case (n, t) => s"$t AS $n" }.mkString(",\n    ")}
-       |  FROM ($featSql)),
-       |nn AS (SELECT count(*) AS c FROM f),
-       |w0 AS (SELECT $w0),
-       |$rounds,
+    s"""${oraclePrefix(featSql, iters, withDocId = false)},
        |acc AS (SELECT
        |    CAST(sum(CASE WHEN ($zF) >= 0.0 THEN CASE WHEN y = 1.0 THEN 1 ELSE 0 END
        |      ELSE CASE WHEN y = 1.0 THEN 0 ELSE 1 END END) AS BIGINT) AS n_correct,
        |    CAST(count(*) AS BIGINT) AS n
        |  FROM f, w$iters)
        |$outRows""".stripMargin
+  }
+
+  /** Oracle-side rendering of [[scoreQualityProbe]]. */
+  def scoreOracleSql(featSql: String, iters: Int = Iters): String = {
+    val zF = zSql(wCols(iters))
+    s"""${oraclePrefix(featSql, iters, withDocId = true)}
+       |SELECT f.doc_id,
+       |  CAST(floor(($zF) * 1000000.0) AS BIGINT) AS score6,
+       |  CAST(CASE WHEN ($zF) >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS probe_keep,
+       |  CAST(y AS BIGINT) AS keep
+       |FROM f, w$iters""".stripMargin
   }
 }

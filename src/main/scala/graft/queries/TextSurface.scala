@@ -117,6 +117,13 @@ object TextSurface {
       graft.functions.GraftFunctions.register(s)
       graft.ops.Probe.trainQualityProbe(qualityGopher(s, dir))
     }),
+    // …and APPLY it: every doc scored with the trained probe — the
+    // smooth ranking the hard bands cannot give (train -> score in
+    // one composed operation)
+    "probe_score_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Probe.scoreQualityProbe(qualityGopher(s, dir))
+    }),
     // percentile-CALIBRATED quality bands (Percentiles.calibrateBands):
     // the raw score rank-normalized into deciles, so "top 30%" rules
     // transfer across corpora; boundaries via the two-level rank
@@ -1331,6 +1338,8 @@ object TextSurface {
     // the probe trainer's unrolled GD rounds over stats ⋈ gopher-keep
     "probe_train_quality" ->
       graft.ops.Probe.trainOracleSql(qualityGopherOracle),
+    "probe_score_quality" ->
+      graft.ops.Probe.scoreOracleSql(qualityGopherOracle),
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
          |  CASE WHEN zh_chars > 0 THEN 'zh'
