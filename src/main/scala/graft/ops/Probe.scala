@@ -64,7 +64,7 @@ object Probe {
     * class (r9 tuning note). */
   val FEATURES: Seq[(String, String)] = Seq(
     "f_words" -> "((CAST(least(n_words, 150) AS DOUBLE) - 30.0) / 120.0)",
-    "f_mwl" -> "((CAST(least(mean_word_len_bp, 120000) AS DOUBLE) - 65000.0) / 55000.0)",
+    "f_mwl" -> "((CAST(greatest(least(mean_word_len_bp, 120000), 10000) AS DOUBLE) - 65000.0) / 55000.0)",
     "f_dup2" -> "((CAST(least(dup_2gram_bp, 2000) AS DOUBLE) - 600.0) / 1400.0)",
     "f_dup3" -> "((CAST(least(dup_3gram_bp, 400) AS DOUBLE) - 200.0) / 200.0)",
     "f_top" -> "((CAST(least(top_word_bp, 3000) AS DOUBLE) - 1500.0) / 1500.0)")
@@ -131,19 +131,74 @@ object Probe {
   }
 
   /** The GD loop over a persisted featurized relation — the shared
-    * core of train/score. */
+    * core of train/score.
+    *
+    * Round shape (r10 rework, the trainIvfPqCodebooksOn convention):
+    * ONE treeAggregate per round over a cached primitive RDD of the
+    * featurized rows, weights broadcast in the task closure. The first
+    * formulation re-planned a 12-aggregate selectExpr per round; with
+    * fresh weight LITERALS each round the whole-stage source is new,
+    * so Janino re-compiled every round — a measured ~180 ms/round
+    * floor at sf0.1 of which ~10 ms was the actual 5k-row aggregation.
+    * The treeAggregate round is the same map-side-combining 12-sum
+    * job with zero planning/codegen (~20 ms/round; 5.3 s → ~2 s
+    * headline).
+    *
+    * Bit-exactness is preserved because the per-row chain mirrors
+    * [[gradAggSqls]] op for op in the same shape: the left-associated
+    * z fold, the clamped cubic sigmoid polynomial with the same
+    * coefficient doubles, contrib = (σ̃(z)−y)[·f_j], gq =
+    * floor(contrib·10⁹)+OFF as a Long (gq ≥ 0 by the clamp invariant,
+    * where Java's truncating `/`/`%` agree with SQL `div`/`//`), and
+    * order-independent Long hi/lo sums. ProbeSpec locks weight
+    * identity across partitionings; the oracle hash gate locks the
+    * cross-engine replay. */
   private def fit(f: DataFrame, n: Long, iters: Int): Array[Double] = {
     var w = Array.fill(WeightNames.size)(0.0)
-    for (_ <- 1 to iters) {
-      val r = f.selectExpr(gradAggSqls(w.map(dbl).toSeq, "div"): _*)
-        .collect()(0)
-      w = w.zipWithIndex.map { case (wj, j) =>
-        val g = (r.getLong(2 * j) * 1000000L + r.getLong(2 * j + 1)) - n * OFF
-        // the updateSql chain, in driver doubles: identical IEEE ops
-        wj - 4.0 * ((g.toDouble / 1000000000.0) / n.toDouble)
+    if (iters == 0) return w
+    val m = WeightNames.size
+    val cols = ("y" +: FEATURES.map(_._1)).map(org.apache.spark.sql.functions.col)
+    val data = f.select(cols: _*)
+      .rdd.map(r => Array.tabulate(m)(i => r.getDouble(i)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val wB = w
+        val (hs, ls) = data.treeAggregate((new Array[Long](m), new Array[Long](m)))(
+          seqOp = { case (acc, a) =>
+            val y = a(0)
+            // zSql's left-associated fold, then sigmoidSql's clamped cubic
+            var z = wB(0)
+            var j = 1
+            while (j < m) { z = z + wB(j) * a(j); j += 1 }
+            val s =
+              if (z <= -2.0) 0.0
+              else if (z >= 2.0) 1.0
+              else 0.5 + z * (0.25 - z * z * 0.020833333333333332)
+            val d = s - y
+            var k = 0
+            while (k < m) {
+              val contrib = if (k == 0) d else d * a(k)
+              val gq = math.floor(contrib * 1000000000.0).toLong + OFF
+              acc._1(k) += gq / 1000000L
+              acc._2(k) += gq % 1000000L
+              k += 1
+            }
+            acc
+          },
+          combOp = { case ((h1, l1), (h2, l2)) =>
+            var k = 0
+            while (k < m) { h1(k) += h2(k); l1(k) += l2(k); k += 1 }
+            (h1, l1)
+          })
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val g = (hs(j) * 1000000L + ls(j)) - n * OFF
+          // the updateSql chain, in driver doubles: identical IEEE ops
+          wj - 4.0 * ((g.toDouble / 1000000000.0) / n.toDouble)
+        }
       }
-    }
-    w
+      w
+    } finally data.unpersist(false)
   }
 
   def trainQualityProbe(statsWithLabel: DataFrame,

@@ -66,6 +66,29 @@ class ProbeSpec extends AnyFunSuite {
     assert(a == b && b == c)
   }
 
+  test("every feature is clamped to [-1, 1] even for zero-word documents") {
+    // n_words=0 forces mean_word_len_bp=0; without the lower clamp f_mwl
+    // would be (0-65000)/55000 < -1, the quantized gradient could go
+    // negative, and Spark's truncating `div` would diverge from DuckDB's
+    // flooring `//` — breaking cross-engine weight parity.
+    val degenerate = Seq((0L, 0L, 0L, 0L, 0L, 0L), (150L, 120000L, 2000L, 400L, 3000L, 1L))
+      .toDF("n_words", "mean_word_len_bp", "dup_2gram_bp",
+        "dup_3gram_bp", "top_word_bp", "keep")
+    val feats = degenerate.selectExpr(
+      Probe.FEATURES.map { case (n, t) => s"$t AS $n" }: _*).collect()
+    for (r <- feats; j <- 0 until r.length) {
+      val v = r.getDouble(j)
+      assert(v >= -1.0 && v <= 1.0, s"${Probe.FEATURES(j)._1} = $v out of [-1,1]")
+    }
+    // and training over a corpus containing such docs stays engine-stable
+    val mixed = corpus(200).union(degenerate)
+    val w1 = Probe.trainQualityProbe(mixed.repartition(1), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w2 = Probe.trainQualityProbe(mixed.repartition(7), iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == w2)
+  }
+
   test("empty corpus fails loudly; zero rounds returns the zero model") {
     intercept[IllegalArgumentException] {
       Probe.trainQualityProbe(corpus(10).limit(0))
