@@ -47,6 +47,32 @@ object Similarity {
   def cosine(a: String, b: String, normA: Column, normB: Column): Column =
     round(dotDec(a, b) / nullif(normA * normB, lit(0.0)), 4)
 
+  /** Opt-in cross-query codebook memo (VERDICT r9 item 4). A trained
+    * codebook is driver-side model state — a pure deterministic
+    * function of (corpus, k, rounds, train predicate) — and the
+    * production shape is TRAIN ONCE, SERVE MANY: every query of an ANN
+    * deployment searches the same index artifact. Re-deriving the
+    * identical codebook inside each of the seven IVF-family operators
+    * was a gate-shape artifact costing an init collect + `iters`
+    * aggregation jobs per query. Callers opt in by supplying a STABLE
+    * IMMUTABLE corpus identity (the query surface passes the sf
+    * directory; the fixture tables never mutate) — results are
+    * bit-identical either way, so the oracle CTEs that re-derive the
+    * books per query still hash-match. `None` (the default, and what
+    * every spec uses) trains fresh. */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memoized[T <: AnyRef](corpusKey: Option[String], tag: String)(
+      train: => T): T = corpusKey match {
+    case None => train
+    case Some(ck) =>
+      codebookMemo.computeIfAbsent(s"$ck|$tag", _ => train).asInstanceOf[T]
+  }
+
+  /** Test hook: drop every memoized codebook. */
+  def clearCodebookMemo(): Unit = codebookMemo.clear()
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queryPred` selects the query rows (e.g. vec_id < 5).
     * Output: (query_id, neighbor_id, sim, rank).
@@ -383,7 +409,8 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
-      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // ONE normed corpus materialization feeds k-means training, the
     // corpus-side cell assignment, and the probe side — previously
@@ -391,7 +418,9 @@ object Similarity {
     // Lloyd round paid the norm scan again
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    }
 
     // per-row array of (cosine-to-centroid, -cid) structs
     val centStructs = centroidStructs(cents)
@@ -443,11 +472,14 @@ object Similarity {
     */
   def ivfTopKQ8(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
-      trainPred: Column = expr("vec_id % 2 = 0"), rerank: Int = 50): DataFrame = {
+      trainPred: Column = expr("vec_id % 2 = 0"), rerank: Int = 50,
+      cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    }
 
     val centStructs = centroidStructs(cents)
     val assigned = base
@@ -646,12 +678,15 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0"),
-      nSub: Int = 4, kSub: Int = 4, rerank: Int = 50): DataFrame = {
+      nSub: Int = 4, kSub: Int = 4, rerank: Int = 50,
+      cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, books) =
+    val (cents, books) = memoized(cacheKey,
+        s"pq|$nCentroids|$nSub|$kSub|$kmeansIters|$trainPred") {
       trainIvfPqCodebooksOn(base, nCentroids, nSub, kSub, kmeansIters, trainPred)
+    }
     val subDim = books.head.head._2.length
 
     // corpus side: coarse cell + per-subspace codes, computed in one
@@ -821,7 +856,8 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nCentroids: Int = 8, kmeansIters: Int = 2,
-      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // one normed corpus materialization feeds training, assignment and
     // both sides of the intra-cell join (the ivfTopK convention; the
@@ -829,7 +865,9 @@ object Similarity {
     // contract as on Decontam.overlap)
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    }
     val centStructs = centroidStructs(cents)
     val assigned = base.withColumn("cell",
       -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
@@ -856,11 +894,14 @@ object Similarity {
     * Output: (cell, n_vecs, share_bp, n_total). */
   def ivfCellStats(embeddings: DataFrame, nCentroids: Int = 8,
       kmeansIters: Int = 2,
-      trainPred: Column = expr("vec_id % 2 = 0")): DataFrame = {
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    }
     val centStructs = centroidStructs(cents)
     val assigned = base.withColumn("cell",
       -greatest(cents.indices.map(i => centStructs.getItem(i)): _*)

@@ -27,17 +27,21 @@ object SimilaritySurface {
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") < 5, K)),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshBucketTopK(emb(s, dir), col("vec_id") < 5, K, NPLANES, DIM)),
+    // the IVF family passes the sf dir as the codebook-memo key: one
+    // training per corpus serves all seven index consumers (the
+    // train-once/serve-many production shape; values are identical to
+    // a fresh train, so every oracle CTE chain still hash-matches)
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
-        KMEANS_ITERS, expr(TRAIN_SQL))),
+        KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))),
     "sim_topk_ivf_q8" -> ((s, dir) =>
       Similarity.ivfTopKQ8(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
-        KMEANS_ITERS, expr(TRAIN_SQL), RERANK)),
+        KMEANS_ITERS, expr(TRAIN_SQL), RERANK, cacheKey = Some(s"$dir#embeddings"))),
     "sim_topk_mrl" -> ((s, dir) =>
       Similarity.mrlTopK(emb(s, dir), col("vec_id") < 5, K, COARSE_DIMS, RERANK)),
     "sim_topk_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS, NPROBE,
-        KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK)),
+        KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK, cacheKey = Some(s"$dir#embeddings"))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -47,7 +51,7 @@ object SimilaritySurface {
     // the ivf gates, then the intra-cell pair join
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), DUP_THRESHOLD, NCENTROIDS,
-        KMEANS_ITERS, expr(TRAIN_SQL))),
+        KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeSummary(emb(s, dir))),
     // verified PCA (graft.ops.Pca): one treeAggregate pass → d×d model
@@ -65,20 +69,20 @@ object SimilaritySurface {
     // population balance of the exact index the sim gates search
     "sim_index_stats" -> ((s, dir) =>
       Similarity.ivfCellStats(emb(s, dir), NCENTROIDS, KMEANS_ITERS,
-        expr(TRAIN_SQL))),
+        expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))),
     // contrastive triplet mining (Similarity.hardNegatives) over the
     // IVF index — the scale path; positives/negatives come from the
     // SAME gated ranking, so miner and index cannot drift
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(
         Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS,
-          NPROBE, KMEANS_ITERS, expr(TRAIN_SQL)))),
+          NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings")))),
     "sim_recall_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
         .select("query_id", "neighbor_id")
       val ivf = Similarity.ivfTopK(e, col("vec_id") < 5, K, NCENTROIDS,
-        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL))
+        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")

@@ -305,6 +305,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == got.length) // one row per cell
   }
 
+  test("codebook memo: keyed reuse returns identical results; keys do not collide") {
+    Similarity.clearCodebookMemo()
+    try {
+      val fresh = Similarity.ivfTopK(emb, col("vec_id") < 3, 5, 4, 2, 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      val memo1 = Similarity.ivfTopK(emb, col("vec_id") < 3, 5, 4, 2, 2,
+        cacheKey = Some("specA")).orderBy("query_id", "rank").collect().toSeq
+      val memo2 = Similarity.ivfTopK(emb, col("vec_id") < 3, 5, 4, 2, 2,
+        cacheKey = Some("specA")).orderBy("query_id", "rank").collect().toSeq
+      assert(memo1 == fresh)   // first keyed call trains the same book
+      assert(memo2 == fresh)   // second serves from the memo, same result
+      // a DIFFERENT corpus under a DIFFERENT key must not see specA's book:
+      // train params identical, corpus disjoint — results must reflect ITS data
+      val other = emb.withColumn("embedding",
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+      val otherFresh = Similarity.ivfTopK(other, col("vec_id") < 3, 5, 4, 2, 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      val otherMemo = Similarity.ivfTopK(other, col("vec_id") < 3, 5, 4, 2, 2,
+        cacheKey = Some("specB")).orderBy("query_id", "rank").collect().toSeq
+      assert(otherMemo == otherFresh)
+      // params are part of the tag: same key, different k-means rounds retrain
+      val moreIters = Similarity.ivfTopK(emb, col("vec_id") < 3, 5, 4, 2, 4,
+        cacheKey = Some("specA")).orderBy("query_id", "rank").collect().toSeq
+      val moreFresh = Similarity.ivfTopK(emb, col("vec_id") < 3, 5, 4, 2, 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(moreIters == moreFresh)
+    } finally Similarity.clearCodebookMemo()
+  }
+
   test("hardNegatives: rank 1 is the positive, ranks 2+ become margined negatives") {
     import spark.implicits._
     val topk = Seq(
