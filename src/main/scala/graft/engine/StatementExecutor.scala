@@ -200,12 +200,6 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
             // collected rows instead of a separate isEmpty pre-probe,
             // which used to double the latency of every aggregate query.
             // Plain scans stay lazy (streaming path).
-            def oneShot(df: DataFrame)(wrap: DataFrame => ExecResult): ExecResult = {
-              val rows = df.collect()
-              if (rows.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
-              else wrap(spark.createDataFrame(
-                java.util.Arrays.asList(rows: _*), df.schema))
-            }
             fn match {
               case None =>
                 val scan = SeriesOps.scan(filtered)
@@ -275,6 +269,25 @@ final class StatementExecutor(spark: SparkSession, catalog: TsCatalog,
       }
     }
     (resolved, errors)
+  }
+
+  /** Collect-and-rewrap for aggregate selectors (at most a handful of
+    * rows by construction; earliest(n) is pre-gated at
+    * [[StatementExecutor.OneShotMaxRows]]). The collect is BOUNDED
+    * (limit max+1), so the aggregate-only assumption is ENFORCED
+    * rather than assumed: a caller routing an unbounded relation here
+    * fails loudly on the first overflowing row instead of pulling a
+    * table onto the driver (ExecutorSpec locks the guard). */
+  private[graft] def oneShot(df: DataFrame)(
+      wrap: DataFrame => ExecResult): ExecResult = {
+    val rows = df.limit(OneShotMaxRows + 1).collect()
+    if (rows.length > OneShotMaxRows)
+      throw new IllegalStateException(
+        s"oneShot invariant breach: >$OneShotMaxRows rows from an " +
+          "aggregate selector; refusing the driver-side collect")
+    if (rows.isEmpty) Err(ErrCode.EmptyResultset, "empty result set")
+    else wrap(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema))
   }
 
   private def withDb(session: TsSession)(f: String => ExecResult): ExecResult =

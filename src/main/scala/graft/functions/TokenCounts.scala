@@ -35,8 +35,7 @@ object TokenCountsCodec {
         val start = i
         while (i < len && s.charAt(i) != ' ') i += 1
         val t = s.substring(start, i)
-        val prev = counts.get(t)
-        counts.put(t, if (prev == null) 1L else prev + 1L)
+        counts.put(t, counts.getOrDefault(t, 0L) + 1L)
       }
     }
     val n = counts.size
@@ -119,8 +118,7 @@ object NormTokenWalk {
           }
           sb.toString
         }
-        val prev = counts.get(g)
-        counts.put(g, if (prev == null) 1L else prev + 1L)
+        counts.put(g, counts.getOrDefault(g, 0L) + 1L)
         j += 1
       }
     }
@@ -196,8 +194,7 @@ object NgramCountsCodec {
           q += 1
         }
         val g = sb.toString
-        val prev = counts.get(g)
-        counts.put(g, if (prev == null) 1L else prev + 1L)
+        counts.put(g, counts.getOrDefault(g, 0L) + 1L)
         j += 1
       }
     }

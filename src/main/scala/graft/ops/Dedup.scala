@@ -230,6 +230,23 @@ object Dedup {
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
+  /** MinHash-banded-LSH near-dup pairs: candidates from
+    * [[minhashBandCandidates]], then exact-Jaccard verification
+    * restricted to candidates. Output: (doc_a, doc_b, jaccard).
+    *
+    * RECALL CAVEAT when `maxBandGroup` is set (finite): oversized
+    * band groups enumerate STAR (hub, member) candidates only, and
+    * verification happens downstream — so a member–member pair whose
+    * true Jaccard clears `threshold` while BOTH members' hub pairs
+    * fail it is NOT reported, and its docs lose connectivity in
+    * [[duplicateClusters]] / keep-first suppression in
+    * [[dropNearDuplicates]]. How much recall this costs is
+    * DATA-DEPENDENT: zero when oversized groups are template families
+    * whose members all match their hub (the scenario the cap exists
+    * for), non-zero when a group mixes a template collision with an
+    * unrelated near-dup pair. Callers needing exhaustive recall keep
+    * the default no-cap behavior; callers at template-skew scale
+    * accept the caveat as the price of the linear candidate bound. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16,
       maxBandGroup: Int = Int.MaxValue): DataFrame = {
@@ -435,9 +452,9 @@ object Dedup {
       }
     try {
       cached.foreach { c =>
-        val probe = c.limit(smallGraphEdges + 1).collect()
-        if (probe.length <= smallGraphEdges)
+        boundedEdgeProbe(c, smallGraphEdges).foreach { probe =>
           return smallGraphClusters(spark, probe, pk.schema.head, keyOrd.get)
+        }
       }
       if (reliable) reliableCkptLock.synchronized(body()) else body()
     } finally {
@@ -452,6 +469,19 @@ object Dedup {
     * [[duplicateClusters]] — guards the process-global checkpoint
     * dir). */
   private val reliableCkptLock = new Object
+
+  /** Bounded small-graph probe over a persisted pair relation: a
+    * limited COUNT (one scalar to the driver) decides the path, and
+    * edge rows are collected only when the graph actually fits the
+    * bound — the big-graph path never pulls `bound` rows onto the
+    * driver (r9 verdict item 6; the prior probe collected bound+1 rows
+    * just to learn the graph was big). The count pass also warms the
+    * cache the distributed path reads, so the extra job is a cached
+    * limited scan on the small path only. */
+  private[ops] def boundedEdgeProbe(cached: org.apache.spark.sql.DataFrame,
+      bound: Int): Option[Array[org.apache.spark.sql.Row]] =
+    if (cached.limit(bound + 1).count() > bound) None
+    else Some(cached.limit(bound).collect())
 
   /** Orderings matching Spark's `min` over the supported cluster-key
     * types — strings compare as UTF-8 bytes unsigned (UTF8String's

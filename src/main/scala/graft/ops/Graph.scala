@@ -38,9 +38,12 @@ object Graph {
     * convention): a near-dup pair graph is usually tiny relative to
     * its corpus, and the iterative loop pays 1-2 scheduler-floor jobs
     * PER ROUND for it (measured 5.1 s at sf0.1 for a 25-pair graph).
-    * When the pair relation fits `smallGraphEdges` (bounded-collect
-    * class) and the key type has a supported ordering-free equality
-    * (numeric/string), the T rounds run driver-side with the IDENTICAL
+    * When the pair relation fits `smallGraphEdges` (decided by a
+    * bounded COUNT — the big-graph path never collects edge rows) and
+    * the key type passes [[Dedup.smallGraphOrdering]] (numeric/string,
+    * where driver-side HashMap equality matches Spark's value
+    * equality — a binary key would fragment nodes under reference
+    * equality), the T rounds run driver-side with the IDENTICAL
     * integer formula — same truncating division on positive operands,
     * same self-loop and isolated-contribution semantics — and the
     * result is a driver-built relation (spec-locked distributed ≡
@@ -49,14 +52,16 @@ object Graph {
       smallGraphEdges: Int = 1000000): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val pk = pairs.select(col("doc_a"), col("doc_b"))
-    if (smallGraphEdges > 0) {
+    if (smallGraphEdges > 0 &&
+        Dedup.smallGraphOrdering(pk.schema.head.dataType).isDefined) {
       val cached = pk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val probe = cached.limit(smallGraphEdges + 1).collect()
-        if (probe.length <= smallGraphEdges)
-          return smallGraphPagerank(pairs.sparkSession, probe,
-            pk.schema.head, iters)
-        distributedPagerank(cached, iters)
+        Dedup.boundedEdgeProbe(cached, smallGraphEdges) match {
+          case Some(probe) =>
+            return smallGraphPagerank(pairs.sparkSession, probe,
+              pk.schema.head, iters)
+          case None => distributedPagerank(cached, iters)
+        }
       } finally cached.unpersist(false) // final pr is eagerly checkpointed
     } else distributedPagerank(pk, iters)
   }
@@ -197,15 +202,17 @@ object Graph {
     val keyOrd = Dedup.smallGraphOrdering(pk.schema.head.dataType)
     if (smallGraphEdges > 0 && keyOrd.isDefined) {
       val cached = pk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val probe = cached.limit(smallGraphEdges + 1).collect()
-      if (probe.length <= smallGraphEdges) {
-        cached.unpersist(false)
-        return smallGraphTriangles(pairs.sparkSession, probe,
-          pk.schema.head, keyOrd.get)
+      Dedup.boundedEdgeProbe(cached, smallGraphEdges) match {
+        case Some(probe) =>
+          cached.unpersist(false)
+          return smallGraphTriangles(pairs.sparkSession, probe,
+            pk.schema.head, keyOrd.get)
+        case None =>
+          // big graph: fall through to the join form over the cached
+          // pairs (the caller-owned release contract above covers this
+          // persist); no edge rows ever reached the driver
+          distributedTriangles(cached)
       }
-      // big graph: fall through to the join form over the cached pairs
-      // (the caller-owned release contract above covers this persist)
-      distributedTriangles(cached)
     } else distributedTriangles(pk)
   }
 

@@ -774,6 +774,14 @@ object TextSurface {
   // generate the family from the same template + range arithmetic.
   private[queries] val SKEW_FAMILY = 400
   private[queries] val SKEW_CAP = 64
+  /** Planted-family doc_id offset. 9·10⁹ keeps the family disjoint from
+    * any reachable corpus id (the base corpus ids are dense from 0, so
+    * a collision needs a ~2M× scale multiple); the build-time guard in
+    * [[skewedDocs]] fails loudly if a corpus ever reaches it — an
+    * overlapping id would merge two texts' shingle sets under one
+    * doc_id, silently corrupting the fixture on BOTH engines (gates
+    * would still pass). */
+  private[queries] val SKEW_OFFSET = 9000000000L
   private[queries] val SKEW_TEMPLATE: String =
     "this website and its contents are provided for general information " +
     "purposes only and nothing on this page constitutes professional " +
@@ -783,16 +791,22 @@ object TextSurface {
     "written consent"
 
   private[queries] def skewedDocs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+    // fixture-integrity guard (one column-pruned max scan): an id
+    // collision would merge two texts' shingles under one doc_id
+    val maxId = corpus.agg(max("doc_id")).head.getLong(0)
+    require(maxId < SKEW_OFFSET,
+      s"corpus doc_id $maxId reaches the planted-family offset $SKEW_OFFSET")
     val family = s.range(SKEW_FAMILY)
-      .select((col("id") + 9000000L).as("doc_id"),
+      .select((col("id") + SKEW_OFFSET).as("doc_id"),
         concat(lit(SKEW_TEMPLATE + " edition "),
           col("id").cast("string")).as("text"))
-    docs(s, dir).select(col("doc_id"), col("text")).unionByName(family)
+    corpus.unionByName(family)
   }
 
   private val skewSrcCte: String =
     s"""skewsrc AS (SELECT doc_id, text FROM documents UNION ALL
-       |  SELECT 9000000 + i AS doc_id,
+       |  SELECT $SKEW_OFFSET + i AS doc_id,
        |    '$SKEW_TEMPLATE edition ' || CAST(i AS VARCHAR) AS text
        |  FROM range($SKEW_FAMILY) t(i))""".stripMargin
 

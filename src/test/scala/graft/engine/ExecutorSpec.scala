@@ -419,4 +419,24 @@ class ExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally sc.removeSparkListener(listener)
   }
+
+  test("oneShot enforces the aggregate-only bound (bounded collect, loud breach)") {
+    // an unbounded relation routed to the collect-and-rewrap path must
+    // fail loudly, never pull a table onto the driver
+    val big = spark.range(StatementExecutor.OneShotMaxRows + 5L).toDF("v")
+    val ex = intercept[IllegalStateException] {
+      exec.oneShot(big)(ExecResult.Rows)
+    }
+    assert(ex.getMessage.contains("invariant breach"))
+    // within the bound: collected once, rewrapped as a local relation
+    exec.oneShot(spark.range(3).toDF("v"))(ExecResult.Rows) match {
+      case ExecResult.Rows(df) => assert(df.count() == 3)
+      case other => fail(s"got $other")
+    }
+    // empty stays the reference's EmptyResultset taxonomy error
+    exec.oneShot(spark.range(3).toDF("v").filter("v < 0"))(ExecResult.Rows) match {
+      case ExecResult.Err(code, _) => assert(code == ErrCode.EmptyResultset)
+      case other => fail(s"got $other")
+    }
+  }
 }

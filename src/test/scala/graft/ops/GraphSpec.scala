@@ -105,4 +105,17 @@ class GraphSpec extends AnyFunSuite {
       m3(Graph.pagerank(pairs, smallGraphEdges = 0)))
   }
 
+  test("binary keys take the distributed path and never fragment nodes") {
+    // a driver HashMap keyed on byte arrays would use reference
+    // equality, splitting node B into two — the key-type gate must
+    // route binary keys to the distributed loop (value equality)
+    val pairs = Seq(
+      (Array[Byte](1, 2), Array[Byte](3, 4)),
+      (Array[Byte](3, 4), Array[Byte](5, 6))).toDF("doc_a", "doc_b")
+    val pr = Graph.pagerank(pairs).collect()
+    assert(pr.length == 3, s"expected 3 nodes, got ${pr.length}")
+    val tri = Graph.triangles(pairs).collect()
+    assert(tri.length == 3 && tri.forall(_.getLong(2) == 0L))
+  }
+
 }

@@ -8,7 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.TsCatalog
-import graft.engine.StatementExecutor
+import graft.engine.{ErrCode, StatementExecutor}
 import graft.protocol.{Wire, WireResponse}
 
 /** End-to-end wire-protocol test: a real TCP client process boundary —
@@ -142,6 +142,51 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         case other => fail(s"expected listing, got $other")
       }
     } finally c2.close()
+  }
+
+  test("every ErrCode renders over the wire as the reference's ! form") {
+    // one statement per taxonomy code (statement_execute.h:11-26 analog);
+    // the closing completeness assert means a NEW ErrCode cannot ship
+    // without a wire-rendering case here
+    val c = new Client
+    try {
+      c.send("CREATEDB errdb"); c.readResponse()
+      c.send("USE errdb"); c.readResponse()
+      c.send("CREATE etemp"); c.readResponse()
+      c.send("INSERT INTO etemp VALUES (1000, 1.0)"); c.readResponse()
+      val cases: Map[ErrCode.Value, String] = Map(
+        ErrCode.ParseError -> "SELEKT nonsense",
+        ErrCode.DbNotFound -> "USE missingdb",
+        ErrCode.TsNotFound -> "SELECT value FROM missing",
+        ErrCode.TsExists -> "CREATE etemp",
+        ErrCode.EmptyResultset ->
+          "SELECT min(value) FROM etemp BETWEEN 900000 AND 900100",
+        ErrCode.InvalidRange -> "SELECT value FROM etemp BETWEEN 2000 AND 1000",
+        ErrCode.UnknownKey -> "SELECT value FROM etemp WHERE bogus > 1",
+        ErrCode.Unsupported ->
+          "SELECT min(value) FROM etemp SAMPLE BY 1s FILL(prev)")
+      for ((code, stmt) <- cases) {
+        c.send(stmt)
+        c.readResponse() match {
+          case WireResponse.Str(rc, msg) =>
+            assert(rc == 1 && msg.startsWith(s"$code:"),
+              s"$stmt -> rc=$rc '$msg', want !$code")
+          case other => fail(s"$stmt: expected ! string, got $other")
+        }
+      }
+      // NoActiveDb needs a connection that never issued USE
+      val fresh = new Client
+      try {
+        fresh.send("SELECT value FROM etemp")
+        fresh.readResponse() match {
+          case WireResponse.Str(rc, msg) =>
+            assert(rc == 1 && msg.startsWith("NoActiveDb:"))
+          case other => fail(s"expected NoActiveDb, got $other")
+        }
+      } finally fresh.close()
+      assert(cases.keySet + ErrCode.NoActiveDb == ErrCode.values.toSet,
+        "taxonomy drift: an ErrCode has no wire-rendering case")
+    } finally c.close()
   }
 
   test("large scans stream in 1000-record batches with ~0 terminator") {
