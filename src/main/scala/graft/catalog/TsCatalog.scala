@@ -251,6 +251,23 @@ final class TsCatalog(spark: SparkSession, val root: String,
     * entire window is older than `now - retention` — a metadata-only
     * delete (no rewrite), the scalable analog of retention enforcement
     * the reference declares but never runs (src/timeseries.h:88-92).
+    *
+    * CONCURRENT-INGEST CONTRACT (unlike [[compact]], which demands a
+    * quiet window): the reaper IS safe against a concurrent
+    * micro-batch append, by disjointness rather than locking. The
+    * reaper touches only bucket dirs whose ENTIRE window predates
+    * `now − retention`; an append touches only its own rows' buckets,
+    * and its ignore-policy read side prunes to the batch's own bucket
+    * span ([[bucketPrunePredicate]]). So as long as
+    * `retention > ingest lateness + bucket width` — i.e. arriving rows
+    * are never already expired — the two paths' directory sets are
+    * DISJOINT, and a dir delete cannot interact with a rename-in
+    * commit or a pruned-out listing entry on a different dir
+    * (StreamingSpec races the two and locks the invariant). Ingesting
+    * rows OLDER than the retention window concurrently with the reaper
+    * is outside the contract: such an append can recreate a bucket dir
+    * the reaper just dropped, resurrecting only the new rows until the
+    * next reap.
     */
   def enforceRetention(db: String, name: String, nowNs: Long): Int = {
     val meta = seriesMeta(db, name).getOrElse(return 0)

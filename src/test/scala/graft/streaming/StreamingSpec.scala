@@ -58,6 +58,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (0 until 80).map(_.toDouble))
   }
 
+  test("retention reaper racing live micro-batch ingest: no loss, expired buckets gone") {
+    // enforceRetention's concurrent-ingest contract (TsCatalog scaladoc):
+    // the reaper deletes only fully-expired bucket dirs, the append
+    // touches only its rows' own (recent) buckets and its ignore-policy
+    // read side prunes to the batch's span — disjoint directory sets,
+    // so no serialization is needed. This spec runs the reaper in a
+    // tight loop against live ingest (dup policy "ignore", so the read
+    // side of insert races too) and asserts neither side failed, every
+    // within-retention point survives exactly once, and expired buckets
+    // are physically gone.
+    import spark.implicits._
+    val src = s"$tmp/retsrc"
+    val catalog = new TsCatalog(spark, s"$tmp/retcat", bucketNs = 1000000000L)
+    catalog.createDb("rdb")
+    catalog.createSeries("rdb", "ev",
+      graft.catalog.SeriesMeta(Some(10L * 1000000000L), dupPolicy = "ignore"))
+    val base = 1700000000000000000L
+    def stage(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (base + i * 1000000000L, i.toDouble))
+        .toDF("timestamp", "value").coalesce(1).write.mode("append").parquet(src)
+    stage(0, 10)
+    val q = StreamingIngest.ingest(spark, src, catalog, "rdb", "ev", s"$tmp/retckpt")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reaperErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val nowNs = new java.util.concurrent.atomic.AtomicLong(base)
+    val reaper = new Thread(() => {
+      try while (!stop.get()) {
+        catalog.enforceRetention("rdb", "ev", nowNs.get()); ()
+      } catch { case t: Throwable => reaperErr.set(t) }
+    }, "retention-reaper")
+    reaper.start()
+    try {
+      q.processAllAvailable()
+      for (step <- 1 to 5) {
+        stage(step * 10, step * 10 + 10)
+        // "now" tracks the newest staged point, so arriving rows are
+        // always inside the retention window (the contract precondition)
+        nowNs.set(base + (step * 10 + 10) * 1000000000L)
+        q.processAllAvailable()
+      }
+    } finally { stop.set(true); reaper.join(); q.stop() }
+    assert(reaperErr.get() == null, s"reaper failed: ${reaperErr.get()}")
+    // deterministic final reap: cutoff = base + 50 s, 1 s buckets =>
+    // point i (bucket ending at base + (i+1) s) survives iff i >= 50
+    catalog.enforceRetention("rdb", "ev", base + 60L * 1000000000L)
+    val got = catalog.readSeries("rdb", "ev").orderBy("timestamp").collect()
+      .map(_.getDouble(1)).toSeq
+    assert(got == (50 until 60).map(_.toDouble))
+  }
+
   test("windowed stream aggregation matches the batch computation (complete mode)") {
     import spark.implicits._
     val src = s"$tmp/src2"
