@@ -50,7 +50,7 @@ object SimilaritySurface {
     // survivor per cell — the oracle replays the same Lloyd rounds as
     // the ivf gates, then the intra-cell pair join
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), DUP_THRESHOLD, NCENTROIDS,
+      Similarity.semanticDedup(emb(s, dir), DUP_THRESHOLD, SEM_CENTROIDS,
         KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeSummary(emb(s, dir))),
@@ -92,6 +92,16 @@ object SimilaritySurface {
   )
 
   private val NCENTROIDS = 8
+  /** SemDeDup cell count. Deliberately much larger than the IVF search
+    * book: the intra-cell pair stage is quadratic PER CELL and the
+    * cell id is the join key, so k bounds both the candidate volume
+    * (~n²/k pairs) and the shuffle parallelism (k distinct keys). At
+    * 8 cells the 60k-vector 30x corpus meant ~225M pairs on 8-way
+    * parallelism (r10 measurement: 160 s); 64 cells cut candidates 8x
+    * and spread them over every core. The SemDeDup convention scales k
+    * with corpus size; 64 covers the gate scales while staying far
+    * under the first-k-vectors init's reach on the smallest fixture. */
+  private val SEM_CENTROIDS = 64
   private val NPROBE = 2
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
@@ -132,7 +142,7 @@ object SimilaritySurface {
     * then per-dimension exact-DECIMAL means rounded to 6 decimals;
     * empty cells keep the old centroid. Ends in
     * cents{KMEANS_ITERS}(cid, ce, cn). */
-  private def kmeansCtes: String = {
+  private def kmeansCtes(nc: Int = NCENTROIDS): String = {
     val meanCols = (1 to DIM).map(d =>
       s"round(CAST(sum(CAST(CAST(embedding[$d] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS m$d")
       .mkString(", ")
@@ -140,7 +150,7 @@ object SimilaritySurface {
     val init =
       s"""train AS (SELECT * FROM base WHERE $TRAIN_SQL),
          |cents0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce, nrm AS cn
-         |  FROM base WHERE vec_id < $NCENTROIDS)""".stripMargin
+         |  FROM base WHERE vec_id < $nc)""".stripMargin
     val iters = (0 until KMEANS_ITERS).map { i =>
       s"""tsims$i AS (SELECT t.vec_id, t.embedding, c.cid,
          |    round(${dotSql("t.embedding", "c.ce")} / (t.nrm * c.cn), 4) AS cs
@@ -245,7 +255,7 @@ object SimilaritySurface {
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH $baseCte,
-         |$kmeansCtes,
+         |${kmeansCtes()},
          |sims AS (SELECT b.vec_id, c.cid,
          |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
          |  FROM base b, cents$KMEANS_ITERS c),
@@ -269,7 +279,7 @@ object SimilaritySurface {
     // decimal cosine only on the rerank list
     "sim_topk_ivf_q8" ->
       s"""WITH $baseCte,
-         |$kmeansCtes,
+         |${kmeansCtes()},
          |sims AS (SELECT b.vec_id, c.cid,
          |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
          |  FROM base b, cents$KMEANS_ITERS c),
@@ -309,7 +319,7 @@ object SimilaritySurface {
     // for a bit-stable top-RERANK cut; exact cosine on the rerank list
     "sim_topk_ivf_pq" ->
       s"""WITH $baseCte,
-         |$kmeansCtes,
+         |${kmeansCtes()},
          |${(0 until NSUB).map(pqKmeansCtes).mkString(",\n")},
          |${(0 until NSUB).map(pqCodeAdcCtes).mkString(",\n")},
          |sims AS (SELECT b.vec_id, c.cid,
@@ -342,7 +352,7 @@ object SimilaritySurface {
          |SELECT query_id, neighbor_id, sim, rank FROM rr3 WHERE rank <= $K""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $baseCte,
-         |$kmeansCtes,
+         |${kmeansCtes(SEM_CENTROIDS)},
          |sims AS (SELECT b.vec_id, c.cid,
          |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
          |  FROM base b, cents$KMEANS_ITERS c),
@@ -424,7 +434,7 @@ object SimilaritySurface {
     // rows), mirroring Similarity.hardNegatives over the same index
     ("sim_index_stats" ->
       s"""WITH $baseCte,
-         |$kmeansCtes,
+         |${kmeansCtes()},
          |sims AS (SELECT b.vec_id, c.cid,
          |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
          |  FROM base b, cents$KMEANS_ITERS c),
