@@ -94,6 +94,13 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // split big parquet files finer than the 128 MB default so a
+      // single-file scale fixture still fans out across the 32 cores
+      // (a 460 MB replicated lineitem read as 4 splits left 28 cores
+      // idle in the r10 agg_corr scale row); 32 MB is still far above
+      // the openCost floor, so the many-small-files tables are packed
+      // exactly as before — docs/SCALING.md records the sizing rule
+      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

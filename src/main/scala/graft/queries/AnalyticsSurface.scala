@@ -469,9 +469,15 @@ object AnalyticsSurface {
       // in DOUBLE with the identical IEEE operation order as the
       // oracle text — identical ops, not exactness, is what keeps the
       // floored verdicts bit-equal once totals pass 2^53.
+      // quantize 2dp doubles with floor(x*100 + 0.5), NOT round(): Spark's
+      // Round-on-double goes through Double.toString + BigDecimal per row
+      // (measured ~2/3 of the query at 18M rows); the floor form is pure
+      // FP, identical IEEE ops in both engines, and equal to HALF_UP
+      // whenever x*100 sits within 0.499 of an integer — always true for
+      // doubles that ARE 2dp quantities (the quantization contract)
       val pre = t(s, dir, "lineitem").select(col("l_returnflag"),
-          round(col("l_quantity") * 100).cast("long").as("qi"),
-          round(col("l_extendedprice") * 100).cast("long").as("pi"))
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("qi"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pi"))
         .selectExpr("l_returnflag", "qi", "pi", "qi * pi AS pxy",
           "qi * qi AS pxx", "pi * pi AS pyy")
       val g = pre.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
@@ -863,8 +869,8 @@ object AnalyticsSurface {
     // the Spark plan, identical IEEE operation order before the floors
     "agg_corr" ->
       """WITH p AS (SELECT l_returnflag,
-        |    CAST(round(l_quantity * 100) AS BIGINT) AS qi,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pi
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qi,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pi
         |  FROM lineitem),
         |q AS (SELECT l_returnflag, qi, pi, qi * pi AS pxy,
         |    qi * qi AS pxx, pi * pi AS pyy FROM p),
