@@ -235,6 +235,45 @@ object Similarity {
   private def centroidStructs(cents: Seq[(Long, Array[Double])]): Column =
     centroidStructsOn("embedding", "nrm", cents)
 
+  /** Relational cell assignment for LARGE codebooks (the SemDeDup
+    * k-grows-with-corpus regime): broadcast the codebook as ROWS and
+    * reduce per vector with a map-side-combined struct-max. The plan
+    * is O(1) in k, where the literal [[centroidStructs]] expression
+    * grows the TREE with k and Catalyst re-walks it per rule per
+    * reference — measured 4.5 s of pure planning at k=64 on a
+    * three-reference plan (the 8-cell search books keep the
+    * zero-shuffle literal form, which stays faster at small k). The
+    * crossJoin(broadcast) replicas collapse map-side before the
+    * 1-row-per-vector shuffle; at 10k cells this is the only shape
+    * that flies. Ordering semantics are IDENTICAL to
+    * greatest(centroidStructs) and to the oracle's row_number CTE:
+    * null cosine (zero norm either side) sorts below any value, ties
+    * resolve to the smallest cid.
+    * Output: (vec_id, embedding, nrm, cell). */
+  private def assignCellsByJoin(base: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val spark = base.sparkSession
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(cents.map { case (cid, ce) =>
+        org.apache.spark.sql.Row(cid, ce.toSeq,
+          math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
+      }: _*)
+    val centDf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("ce", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("cn", DoubleType, nullable = false))))
+    base.crossJoin(broadcast(centDf))
+      .withColumn("cs", when(col("nrm") =!= 0.0 && col("cn") =!= 0.0,
+        round(call_function("dot_dec", col("embedding"), col("ce")) /
+          (col("cn") * col("nrm")), 4)))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("best"),
+        first("embedding").as("embedding"), first("nrm").as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("best").getField("ncid")).as("cell"))
+  }
+
   /** Lloyd-iteration k-means codebook trained with DataFrame ops over a
     * deterministic training sample.
     *
@@ -868,9 +907,7 @@ object Similarity {
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
-    val centStructs = centroidStructs(cents)
-    val assigned = base.withColumn("cell",
-      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
+    val assigned = assignCellsByJoin(base, cents)
     val side = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val dupOf = side.as("x").join(side.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
