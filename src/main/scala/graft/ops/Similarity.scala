@@ -907,7 +907,12 @@ object Similarity {
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
+    // materialized ONCE: the relation is referenced three times (both
+    // pair-join sides + the final labeling), and without the persist
+    // each reference would re-run the corpus x codebook assignment
+    // pass (same caller-owned release contract as `base`)
     val assigned = assignCellsByJoin(base, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val side = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val dupOf = side.as("x").join(side.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))

@@ -71,8 +71,18 @@ class PlanSpec extends AnyFunSuite {
 
   test("semantic dedup's pairwise stage is an equality join on the cell id") {
     val p = plan("dedup_semantic")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      p.take(2000))
+    // the r10 assignment shape: the corpus crossed with the BROADCAST
+    // CODEBOOK (k rows of model state, plan O(1) in k) — a
+    // BuildRight Cross nested-loop whose build side is bounded, cached
+    // once and textually repeated per InMemoryRelation reference in
+    // explain output. The quadratic hazard — the pairwise stage — must
+    // stay an equality join ON THE CELL ID, and no unbounded cross
+    // join may appear anywhere
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight, Cross")), p.take(2000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell#".r
+      .findFirstIn(p).isDefined, p.take(2000))
     spark.catalog.clearCache()
   }
 
