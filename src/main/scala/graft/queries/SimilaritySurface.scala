@@ -89,6 +89,25 @@ object SimilaritySurface {
         .agg(count(col("hit")).as("n_hits"))
         .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
     }),
+    // recall@K of the COMPRESSED index (IVF-PQ under its shipping
+    // rerank budget) against exact brute force — the measurement that
+    // decides whether a PQ deployment's ADC budget is losing real
+    // neighbors, beside sim_recall_ivf's uncompressed-index recall.
+    // Both sides are the gated operators; the oracle composes their
+    // SQL verbatim, so evaluator and evaluated cannot drift.
+    "sim_recall_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.ivfPqTopK(e, col("vec_id") < 5, K, NCENTROIDS,
+        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK,
+        cacheKey = Some(s"$dir#embeddings"))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+    }),
   )
 
   private val NCENTROIDS = 8
@@ -428,6 +447,14 @@ object SimilaritySurface {
          |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
          |FROM (${oracleSqlBase("sim_topk_brute")}) b
          |LEFT JOIN (${oracleSqlBase("sim_topk_ivf")}) i
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin) +
+    ("sim_recall_pq" ->
+      s"""SELECT b.query_id,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+         |FROM (${oracleSqlBase("sim_topk_brute")}) b
+         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf_pq")}) i
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin) +
     // composes the IVF oracle verbatim twice (positive row + negative
