@@ -255,29 +255,64 @@ object Probe {
       "CAST(y AS BIGINT) AS keep")
   }
 
+  /** Train on the `trainPredSql` slice only, score EVERY document —
+    * the train/serve split hygiene every production probe needs: the
+    * model must be judged on documents it never saw, and the scorer
+    * is the serving path (new corpora score against weights trained
+    * elsewhere). `trainPredSql` evaluates over the featurized relation
+    * (doc_id, y, features), e.g. "doc_id % 2 = 0".
+    * Output: (doc_id, score6, probe_keep, keep, is_train) — held-out
+    * accuracy is a one-line aggregation over the is_train=0 rows, and
+    * ProbeSpec locks it above the majority class (generalization, not
+    * memorization). Same cache lifecycle contract as
+    * [[scoreQualityProbe]]. */
+  def scoreHoldoutProbe(statsWithLabel: DataFrame, trainPredSql: String,
+      iters: Int = Iters): DataFrame = {
+    require(statsWithLabel.columns.contains("doc_id"),
+      "scoring needs a doc_id column")
+    val f = featurize(statsWithLabel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fTrain = f.filter(org.apache.spark.sql.functions.expr(trainPredSql))
+    val n = fTrain.count()
+    require(n > 0, "probe training over an empty train slice")
+    val w = fit(fTrain, n, iters)
+    val zF = zSql(w.map(dbl).toSeq)
+    f.selectExpr("doc_id",
+      s"CAST(floor(($zF) * 1000000.0) AS BIGINT) AS score6",
+      s"CAST(CASE WHEN ($zF) >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS probe_keep",
+      "CAST(y AS BIGINT) AS keep",
+      s"CAST(CASE WHEN $trainPredSql THEN 1 ELSE 0 END AS BIGINT) AS is_train")
+  }
+
   private def wCols(t: Int): Seq[String] =
     WeightNames.indices.map(j => s"w$t.c$j")
 
   /** The shared oracle prefix: featurized CTE (doc_id carried when the
     * source has one — the gradient sums ignore it), count, w0, and
-    * `iters` unrolled MATERIALIZED GD rounds. */
+    * `iters` unrolled MATERIALIZED GD rounds. When `trainWhere` is set
+    * the rounds (and the count) read only the train slice `ft`, the
+    * holdout convention — scoring still reads the full `f`. */
   private def oraclePrefix(featSql: String, iters: Int,
-      withDocId: Boolean): String = {
+      withDocId: Boolean, trainWhere: Option[String] = None): String = {
+    val trainRel = if (trainWhere.isDefined) "ft" else "f"
     val rounds = (1 to iters).map { t =>
       val aggs = gradAggSqls(wCols(t - 1), "//").mkString(",\n    ")
       val upd = WeightNames.indices.map { j =>
         s"${updateSql(s"w${t - 1}.c$j", j, "nn.c")} AS c$j"
       }.mkString(",\n    ")
-      s"""g$t AS MATERIALIZED (SELECT $aggs FROM f, w${t - 1}),
+      s"""g$t AS MATERIALIZED (SELECT $aggs FROM $trainRel, w${t - 1}),
          |w$t AS MATERIALIZED (SELECT $upd FROM g$t, w${t - 1}, nn)""".stripMargin
     }.mkString(",\n")
     val w0 = WeightNames.indices.map(j => s"CAST('0.0' AS DOUBLE) AS c$j")
       .mkString(", ")
     val id = if (withDocId) "doc_id, " else ""
+    val ftCte = trainWhere
+      .map(p => s"\nft AS MATERIALIZED (SELECT * FROM f WHERE $p),")
+      .getOrElse("")
     s"""WITH f AS MATERIALIZED (SELECT ${id}CAST(keep AS DOUBLE) AS y,
        |    ${FEATURES.map { case (n, t) => s"$t AS $n" }.mkString(",\n    ")}
-       |  FROM ($featSql)),
-       |nn AS (SELECT count(*) AS c FROM f),
+       |  FROM ($featSql)),$ftCte
+       |nn AS (SELECT count(*) AS c FROM $trainRel),
        |w0 AS (SELECT $w0),
        |$rounds""".stripMargin
   }
@@ -310,6 +345,21 @@ object Probe {
        |  CAST(floor(($zF) * 1000000.0) AS BIGINT) AS score6,
        |  CAST(CASE WHEN ($zF) >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS probe_keep,
        |  CAST(y AS BIGINT) AS keep
+       |FROM f, w$iters""".stripMargin
+  }
+
+  /** Oracle-side rendering of [[scoreHoldoutProbe]]: the GD rounds
+    * aggregate only the `trainPredSql` slice; scoring reads the full
+    * corpus and flags the slice. */
+  def scoreHoldoutOracleSql(featSql: String, trainPredSql: String,
+      iters: Int = Iters): String = {
+    val zF = zSql(wCols(iters))
+    s"""${oraclePrefix(featSql, iters, withDocId = true, Some(trainPredSql))}
+       |SELECT f.doc_id,
+       |  CAST(floor(($zF) * 1000000.0) AS BIGINT) AS score6,
+       |  CAST(CASE WHEN ($zF) >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS probe_keep,
+       |  CAST(y AS BIGINT) AS keep,
+       |  CAST(CASE WHEN $trainPredSql THEN 1 ELSE 0 END AS BIGINT) AS is_train
        |FROM f, w$iters""".stripMargin
   }
 }

@@ -124,6 +124,14 @@ object TextSurface {
       graft.functions.GraftFunctions.register(s)
       graft.ops.Probe.scoreQualityProbe(qualityGopher(s, dir))
     }),
+    // train/serve split hygiene: weights fit on HALF the corpus, every
+    // doc scored, held-out rows flagged — the generalization check a
+    // production probe ships with (ProbeSpec locks held-out accuracy
+    // above the majority class)
+    "probe_holdout_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Probe.scoreHoldoutProbe(qualityGopher(s, dir), "doc_id % 2 = 0")
+    }),
     // percentile-CALIBRATED quality bands (Percentiles.calibrateBands):
     // the raw score rank-normalized into deciles, so "top 30%" rules
     // transfer across corpora; boundaries via the two-level rank
@@ -1354,6 +1362,8 @@ object TextSurface {
       graft.ops.Probe.trainOracleSql(qualityGopherOracle),
     "probe_score_quality" ->
       graft.ops.Probe.scoreOracleSql(qualityGopherOracle),
+    "probe_holdout_quality" ->
+      graft.ops.Probe.scoreHoldoutOracleSql(qualityGopherOracle, "doc_id % 2 = 0"),
     "text_langid" ->
       s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_chars,
          |  CASE WHEN zh_chars > 0 THEN 'zh'

@@ -66,6 +66,37 @@ class ProbeSpec extends AnyFunSuite {
     assert(a == b && b == c)
   }
 
+  test("holdout scoring: trains on the slice, generalizes to unseen docs") {
+    val rnd0 = new scala.util.Random(5)
+    val df = (1 to 3000).map { i =>
+      val words = 10 + rnd0.nextInt(120)
+      val dup2 = rnd0.nextInt(1500)
+      val top = rnd0.nextInt(2500)
+      val keep = if (words >= 40 && dup2 <= 900 && top <= 1800) 1L else 0L
+      (i.toLong, words.toLong, 45000L, dup2.toLong,
+        rnd0.nextInt(300).toLong, top.toLong, keep)
+    }.toDF("doc_id", "n_words", "mean_word_len_bp", "dup_2gram_bp",
+      "dup_3gram_bp", "top_word_bp", "keep")
+    val rows = Probe.scoreHoldoutProbe(df, "doc_id % 2 = 0").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 3000)
+    // the flag reflects the predicate exactly
+    assert(rows.forall { case (id, _, _, isTrain) =>
+      isTrain == (if (id % 2 == 0) 1L else 0L) })
+    // held-out accuracy beats the majority class: the probe learned
+    // band structure from the train half, not the held-out labels
+    val held = rows.filter(_._4 == 0L)
+    val acc = held.count { case (_, pk, k, _) => pk == k }.toDouble / held.length
+    val keepRate = held.count(_._3 == 1L).toDouble / held.length
+    assert(acc > math.max(keepRate, 1 - keepRate) + 0.05, s"heldout acc=$acc")
+    // deterministic across partitionings
+    val again = Probe.scoreHoldoutProbe(df.repartition(7), "doc_id % 2 = 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val first = rows.map(r => r._1).zip(
+      Probe.scoreHoldoutProbe(df, "doc_id % 2 = 0").collect().map(_.getLong(1))).toMap
+    assert(again == first)
+  }
+
   test("every feature is clamped to [-1, 1] even for zero-word documents") {
     // n_words=0 forces mean_word_len_bp=0; without the lower clamp f_mwl
     // would be (0-65000)/55000 < -1, the quantized gradient could go
