@@ -79,7 +79,10 @@ object Bench {
     "dedup_minhash_skew", "graph_pagerank", "graph_triangles",
     "text_bm25", "search_fuzzy", "mix_hosts", "mm_jpeg_pixels",
     // cluster-side model TRAINING: the linear quality probe
-    "probe_train_quality")
+    "probe_train_quality",
+    // round-10 additions: train/serve split scoring, compressed-index
+    // recall evaluation
+    "probe_holdout_quality", "sim_recall_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -55,7 +55,10 @@ object PlanAudit {
       "mix_hosts",         // single-pass budget: strata-sized window min
       "text_bm25",         // posting aggregation + broadcast df join
       "search_fuzzy",      // deletion-variant index, broadcast query side
-      "mm_jpeg_pixels")    // row-local full baseline decode, zero exchange
+      "mm_jpeg_pixels",    // row-local full baseline decode, zero exchange
+      // round-10 additions
+      "probe_holdout_quality", // train-slice filter + full-corpus scoring projection
+      "sim_recall_pq")     // composed brute vs PQ recall, equality joins only
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
