@@ -197,6 +197,21 @@ object TextSurface {
       Dedup.containmentPairs(docs(s, dir), 0.8, 32)),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 0.8)),
+    // LSH candidate-recall evaluation: what fraction of the TRUE
+    // >=0.8-Jaccard pairs does banded MinHash recover — the
+    // index-trust measurement loop on the dedup plane (sim_recall's
+    // twin; at k=64/b=16 the S-curve puts j=0.8 recall near 100%, and
+    // THIS gate is what proves that instead of assuming it)
+    "dedup_recall_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, 0.8).select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLshPairs(d, 0.8)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .selectExpr("n_true", "n_found",
+          "CASE WHEN n_true = 0 THEN 10000 ELSE n_found * 10000 div n_true END AS recall_bp")
+    }),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
     "dedup_materialize" -> ((s, dir) =>
@@ -751,6 +766,14 @@ object TextSurface {
   }
 
   private[queries] val minhashSigCtes: String = minhashSigCtesOver("documents")
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $SHINGLE_CTES,
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
 
   private val minhashOracle: String = {
     val k = 64; val bands = 16; val r = k / bands
@@ -1420,13 +1443,18 @@ object TextSurface {
     "dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
          |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_ngram" ->
-      s"""WITH $SHINGLE_CTES,
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
-         |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin,
+    "dedup_ngram" -> ngramJaccardOracle,
+    // LSH candidate-recall: composes the exact-Jaccard and banded-
+    // MinHash oracles verbatim, so evaluator and evaluated cannot
+    // drift (the sim_recall convention on the dedup plane)
+    "dedup_recall_minhash" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(l.hit) AS BIGINT) AS n_found,
+         |  CAST(CASE WHEN count(*) = 0 THEN 10000
+         |    ELSE count(l.hit) * 10000 // count(*) END AS BIGINT) AS recall_bp
+         |FROM ($ngramJaccardOracle) e
+         |LEFT JOIN (SELECT doc_a, doc_b, 1 AS hit FROM ($minhashOracle)) l
+         |  USING (doc_a, doc_b)""".stripMargin,
     // replays containmentPairs: candidates restricted to pairs sharing
     // a 2..32-df shingle (the declared posting-list ceiling), exact
     // intersection over full distinct shingle sets, score i/min(n)
