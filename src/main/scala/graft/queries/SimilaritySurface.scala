@@ -108,6 +108,33 @@ object SimilaritySurface {
         .agg(count(col("hit")).as("n_hits"))
         .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
     }),
+    // ...and the q8 / sign-LSH variants: EVERY index the engine ships
+    // now ships with its evaluator (recall@K vs brute), so an operator
+    // choice at deployment is a measured trade, never a guess
+    "sim_recall_q8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
+        .select("query_id", "neighbor_id")
+      val q8 = Similarity.ivfTopKQ8(e, col("vec_id") < 5, K, NCENTROIDS,
+        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), RERANK,
+        cacheKey = Some(s"$dir#embeddings"))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(q8, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+    }),
+    "sim_recall_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshBucketTopK(e, col("vec_id") < 5, K, NPLANES, DIM)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+    }),
   )
 
   private val NCENTROIDS = 8
@@ -455,6 +482,22 @@ object SimilaritySurface {
          |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
          |FROM (${oracleSqlBase("sim_topk_brute")}) b
          |LEFT JOIN (${oracleSqlBase("sim_topk_ivf_pq")}) i
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin) +
+    ("sim_recall_q8" ->
+      s"""SELECT b.query_id,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+         |FROM (${oracleSqlBase("sim_topk_brute")}) b
+         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf_q8")}) i
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin) +
+    ("sim_recall_lsh" ->
+      s"""SELECT b.query_id,
+         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+         |FROM (${oracleSqlBase("sim_topk_brute")}) b
+         |LEFT JOIN (${oracleSqlBase("sim_topk_lsh")}) i
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin) +
     // composes the IVF oracle verbatim twice (positive row + negative
