@@ -271,7 +271,34 @@ object Similarity {
       .agg(max(struct(col("cs"), (-col("cid")).as("ncid"))).as("best"),
         first("embedding").as("embedding"), first("nrm").as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        (-col("best").getField("ncid")).as("cell"))
+        (-col("best").getField("ncid")).as("cell"),
+        col("best").getField("cs").as("cs"))
+  }
+
+  /** Index-serving INGESTION: place a batch of NEW vectors into an
+    * EXISTING codebook trained on the indexed corpus — the continuous
+    * path of an ANN deployment (codebooks rebuild rarely; arrivals
+    * are assigned to cells between rebuilds, exactly how the memoized
+    * train-once books are meant to be consumed). Training reads only
+    * the corpus; the arrivals never influence the centroids — the
+    * production invariant that makes placement reproducible.
+    * Output: (vec_id, cell, cs) per arrival, cs = rounded cosine to
+    * the assigned centroid (placement confidence; NULL for a
+    * zero-norm arrival, which then lands in cell 0 by the shared
+    * tie rule). */
+  def assignIncremental(corpus: DataFrame, arrivals: DataFrame,
+      nCentroids: Int = 8, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      cacheKey: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val base = withNorm(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+        trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+      } finally base.unpersist(false) // training ran; arrivals don't read it
+    assignCellsByJoin(withNorm(arrivals), cents)
+      .select(col("vec_id"), col("cell"), col("cs"))
   }
 
   /** Lloyd-iteration k-means codebook trained with DataFrame ops over a

@@ -124,6 +124,17 @@ object SimilaritySurface {
         .agg(count(col("hit")).as("n_hits"))
         .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
     }),
+    // index-serving ingestion: vectors arriving AFTER the index build
+    // (vec_id % 10 >= 8) are placed into the codebook trained on the
+    // indexed corpus only — the between-rebuilds path of a production
+    // ANN deployment; arrivals never influence the centroids
+    "sim_assign_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.assignIncremental(
+        e.filter(expr("vec_id % 10 < 8")), e.filter(expr("vec_id % 10 >= 8")),
+        NCENTROIDS, KMEANS_ITERS, expr(TRAIN_SQL),
+        cacheKey = Some(s"$dir#embeddings%10lt8"))
+    }),
     "sim_recall_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
@@ -414,6 +425,21 @@ object SimilaritySurface {
          |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
          |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM assign a LEFT JOIN d USING (vec_id)""".stripMargin,
+    // corpus-only training (base restricted to the indexed slice),
+    // then assignment of the arrivals by the shared row_number rule
+    "sim_assign_incremental" ->
+      s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id % 10 < 8),
+         |${kmeansCtes()},
+         |arr AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id % 10 >= 8),
+         |sims AS (SELECT a.vec_id, c.cid,
+         |    round(${dotSql("a.embedding", "c.ce")} / (a.nrm * c.cn), 4) AS cs
+         |  FROM arr a, cents$KMEANS_ITERS c),
+         |asg AS (SELECT vec_id, cid, cs,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         |  FROM sims)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cell, cs FROM asg WHERE rn = 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -334,6 +334,27 @@ class SimilaritySpec extends AnyFunSuite {
     } finally Similarity.clearCodebookMemo()
   }
 
+  test("incremental assignment: arrivals land in the corpus-trained cells") {
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") < 20)
+    // arrival 100 is an exact copy of corpus vec 0; arrival 101 copies vec 7
+    val src = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val arrivals = Seq((100L, src(0L), 0), (101L, src(7L), 0))
+      .toDF("vec_id", "embedding", "label")
+    val placed = Similarity.assignIncremental(corpus, arrivals, 4, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(placed.keySet == Set(100L, 101L))
+    // arrivals land inside the corpus-trained book (ivfCellStats reads
+    // the exact index the corpus occupies)
+    val cells = Similarity.ivfCellStats(corpus, 4, 2).collect().map(_.getLong(0)).toSet
+    assert(placed.values.forall { case (cell, _) => cells.contains(cell) })
+    // determinism: same result across partitionings
+    val again = Similarity.assignIncremental(corpus.repartition(3),
+      arrivals.repartition(2), 4, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == placed)
+  }
+
   test("hardNegatives: rank 1 is the positive, ranks 2+ become margined negatives") {
     import spark.implicits._
     val topk = Seq(
