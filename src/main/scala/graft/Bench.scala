@@ -128,9 +128,22 @@ object Bench {
     // a failed query records the sentinel -1 (and lands in "errors")
     // instead of its near-zero elapsed time — a crash must never make
     // the benchmark look faster
+    // serve-many mode: keep the codebook memo across reps so the IVF
+    // family is timed as TRAIN ONCE, SERVE MANY (the production serving
+    // shape). Off by default — see the clearCodebookMemo call below.
+    val keepMemo = sys.env.get("SPARK_GRAFT_BENCH_KEEP_MEMO").contains("1")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
       spark.sharedState.cacheManager.clearCache()
+      // per-rep memo hygiene (r10 advice): without this, every IVF-family
+      // rep after the first — and sim_recall_pq entirely, since it shares
+      // a codebook key with sim_topk_ivf_pq — excluded k-means/PQ
+      // training while the DuckDB oracle paid its full kmeans CTE chain
+      // per run, so paired ratios partially measured caching policy.
+      // Default timings are TRAIN-INCLUSIVE on both engines; the
+      // memoized serve-many cost is a separate, explicitly-labeled
+      // BASELINE.md row measured with SPARK_GRAFT_BENCH_KEEP_MEMO=1.
+      if (!keepMemo) graft.ops.Similarity.clearCodebookMemo()
       // cleanup hygiene (r7 finding: pack_length_buckets degraded
       // monotonically ACROSS reps inside the full fleet while running
       // clean in isolation): dropping the SQL cache only unpins blocks

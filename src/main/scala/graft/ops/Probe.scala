@@ -157,9 +157,23 @@ object Probe {
     var w = Array.fill(WeightNames.size)(0.0)
     if (iters == 0) return w
     val m = WeightNames.size
-    val cols = ("y" +: FEATURES.map(_._1)).map(org.apache.spark.sql.functions.col)
+    val colNames = "y" +: FEATURES.map(_._1)
+    val cols = colNames.map(org.apache.spark.sql.functions.col)
+    // fail loudly on dirty stats: getDouble on a NULL would be a bare
+    // NPE deep in a Spark task; the earlier selectExpr/sum formulation
+    // silently skipped null contributions (while still counting the row
+    // in n) — quietly divergent. A NULL label or feature is a data bug
+    // the caller must fix upstream, so name the column in the error.
     val data = f.select(cols: _*)
-      .rdd.map(r => Array.tabulate(m)(i => r.getDouble(i)))
+      .rdd.map { r =>
+        Array.tabulate(m) { i =>
+          if (r.isNullAt(i)) throw new IllegalArgumentException(
+            s"probe training: NULL in column '${colNames(i)}' — the label " +
+              "and every Gopher stat must be non-null; filter or coalesce " +
+              "the stats relation before trainQualityProbe/scoreQuality")
+          r.getDouble(i)
+        }
+      }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {

@@ -60,17 +60,48 @@ object Similarity {
     * bit-identical either way, so the oracle CTEs that re-derive the
     * books per query still hash-match. `None` (the default, and what
     * every spec uses) trains fresh. */
+  private val MemoMaxEntries = 64
+
+  /** LRU-bounded (access-order, [[MemoMaxEntries]] entries — a codebook
+    * is k×dim doubles, so the bound caps the memo at a few MB) so a
+    * long-lived JVM (the server) can't accumulate every (corpus,
+    * params) codebook it ever trained. Staleness is governed by the
+    * KEY, not the map: see the cacheKey contract on each operator. */
   private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, AnyRef](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, AnyRef]): Boolean =
+          size() > MemoMaxEntries
+      })
 
   private def memoized[T <: AnyRef](corpusKey: Option[String], tag: String)(
       train: => T): T = corpusKey match {
     case None => train
     case Some(ck) =>
-      codebookMemo.computeIfAbsent(s"$ck|$tag", _ => train).asInstanceOf[T]
+      val key = s"$ck|$tag"
+      val hit = codebookMemo.get(key)
+      if (hit != null) hit.asInstanceOf[T]
+      else {
+        // trained OUTSIDE the map lock: training is minutes at corpus
+        // scale and deterministic, so a concurrent duplicate train for
+        // the same key wastes work but never diverges — last put wins
+        // with an identical value
+        val v = train
+        codebookMemo.put(key, v)
+        v
+      }
   }
 
-  /** Test hook: drop every memoized codebook. */
+  /** Cross-operator contract for every `cacheKey` parameter below (the
+    * memo behind it is private; this doc is the public surface):
+    * supply ONLY a stable identity of an IMMUTABLE corpus — e.g. a
+    * versioned/content-addressed dataset path. The key IS the
+    * invalidation scheme: if data under a key's directory is
+    * regenerated in-process, the memo serves the OLD centroids, by
+    * design. Re-keying (new path/version per corpus generation) is the
+    * supported way to pick up new data; [[clearCodebookMemo]] is the
+    * blunt one. `None` (the default) always trains fresh. */
   def clearCodebookMemo(): Unit = codebookMemo.clear()
 
   /** Exact top-k cosine neighbors for each query vector.
@@ -285,7 +316,8 @@ object Similarity {
     * Output: (vec_id, cell, cs) per arrival, cs = rounded cosine to
     * the assigned centroid (placement confidence; NULL for a
     * zero-norm arrival, which then lands in cell 0 by the shared
-    * tie rule). */
+    * tie rule). `cacheKey`: opt-in codebook memo — immutable-corpus
+    * contract on [[clearCodebookMemo]]. */
   def assignIncremental(corpus: DataFrame, arrivals: DataFrame,
       nCentroids: Int = 8, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0"),
@@ -471,7 +503,8 @@ object Similarity {
     *  3. search: each query probes its `nProbe` best cells; only
     *     vectors in probed cells pay the exact cosine.
     *
-    * Output: (query_id, neighbor_id, sim, rank).
+    * Output: (query_id, neighbor_id, sim, rank). `cacheKey`: opt-in
+    * codebook memo — immutable-corpus contract on [[clearCodebookMemo]].
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
@@ -534,7 +567,9 @@ object Similarity {
     *     like every other search path.
     *
     * Output: (query_id, neighbor_id, sim, rank). Recall vs
-    * [[bruteForceTopK]] is asserted in SimilaritySpec.
+    * [[bruteForceTopK]] is asserted in SimilaritySpec. `cacheKey`:
+    * opt-in codebook memo — immutable-corpus contract on
+    * [[clearCodebookMemo]].
     */
   def ivfTopKQ8(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
@@ -739,7 +774,8 @@ object Similarity {
     * Output: (query_id, neighbor_id, sim, rank). With `rerank` ≥ the
     * probed-candidate count this equals [[ivfTopK]] exactly (same
     * cells, exact rescore) — SimilaritySpec locks that and the recall
-    * under a tight budget.
+    * under a tight budget. `cacheKey`: opt-in codebook memo —
+    * immutable-corpus contract on [[clearCodebookMemo]].
     */
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
@@ -918,7 +954,8 @@ object Similarity {
     * [[embeddingDupPairs]]' label block, never past it.
     *
     * Output, one row per vector: (vec_id, cell, dup_of = smallest
-    * matched cluster-mate or NULL, kept verdict).
+    * matched cluster-mate or NULL, kept verdict). `cacheKey`: opt-in
+    * codebook memo — immutable-corpus contract on [[clearCodebookMemo]].
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nCentroids: Int = 8, kmeansIters: Int = 2,
@@ -960,7 +997,8 @@ object Similarity {
     * assignment are [[ivfTopK]]'s own, so the diagnostic measures the
     * exact index the sim gates search. One aggregation over the
     * corpus; everything after is codebook-sized.
-    * Output: (cell, n_vecs, share_bp, n_total). */
+    * Output: (cell, n_vecs, share_bp, n_total). `cacheKey`: opt-in
+    * codebook memo — immutable-corpus contract on [[clearCodebookMemo]]. */
   def ivfCellStats(embeddings: DataFrame, nCentroids: Int = 8,
       kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0"),

@@ -85,7 +85,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nowNs = new java.util.concurrent.atomic.AtomicLong(base)
     val reaper = new Thread(() => {
       try while (!stop.get()) {
-        catalog.enforceRetention("rdb", "ev", nowNs.get()); ()
+        catalog.enforceRetention("rdb", "ev", nowNs.get())
+        // small backoff between reaps: the race coverage (reaper listing
+        // and deleting while micro-batches append) is preserved — dozens
+        // of reaps still interleave each ingest step — but the directory
+        // listing pressure on a shared CI filesystem drops by orders of
+        // magnitude vs a hot spin
+        Thread.sleep(20)
       } catch { case t: Throwable => reaperErr.set(t) }
     }, "retention-reaper")
     reaper.start()
