@@ -1020,6 +1020,49 @@ object Similarity {
         expr("n_vecs * 10000 div n_total").as("share_bp"), col("n_total"))
   }
 
+  /** Deterministic bounded query sample for recall evaluation: the
+    * smallest `maxQueries` vec_ids satisfying `queryPred`, returned as
+    * a predicate selecting exactly those rows. The collect is bounded
+    * by maxQueries — model-scale driver state, the k-centroids
+    * discipline — and the smallest-id rule makes the sample
+    * reproducible in any engine (the oracle mirrors it as
+    * `ORDER BY vec_id LIMIT maxQueries`). */
+  def boundedQueryPred(embeddings: DataFrame, queryPred: Column,
+      maxQueries: Int): Column = {
+    require(maxQueries >= 1, s"maxQueries must be >= 1, got $maxQueries")
+    val ids = embeddings.filter(queryPred).select("vec_id")
+      .orderBy(col("vec_id")).limit(maxQueries).collect().map(_.getLong(0))
+    col("vec_id").isin(ids.toSeq: _*)
+  }
+
+  /** recall@K evaluator shared by every index variant: per sampled
+    * query, |approx ∩ brute| out of K, in basis points.
+    *
+    * The exact brute-force referent costs O(queries × corpus) — the
+    * one intentionally-quadratic stage in the family — so the
+    * evaluator is BOUNDED BY CONSTRUCTION: it never runs more than
+    * `maxQueries` queries, sampled deterministically by
+    * [[boundedQueryPred]], no matter how wide `queryPred` is. That is
+    * the corpus-scale contract: recall evaluation at 100 TB is a
+    * sampled measurement (a few hundred queries estimate recall to a
+    * tight interval), never brute force per corpus vector. `approxOf`
+    * receives the bounded predicate and must return the standard
+    * ranked frame (query_id, neighbor_id, ...) — pass the gated
+    * operator itself so evaluator and evaluated cannot drift.
+    * Output: (query_id, n_hits, recall_bp). */
+  def recallAtK(embeddings: DataFrame, queryPred: Column, k: Int,
+      maxQueries: Int, approxOf: Column => DataFrame): DataFrame = {
+    val qp = boundedQueryPred(embeddings, queryPred, maxQueries)
+    val brute = bruteForceTopK(embeddings, qp, k)
+      .select("query_id", "neighbor_id")
+    val approx = approxOf(qp)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
+  }
+
   /** Contrastive-training triplet mining over ANY ranked top-k frame
     * (brute/LSH/IVF/PQ — backend-pluggable): the self-supervised
     * convention of dense-retrieval pipelines (DPR/ANCE class), with

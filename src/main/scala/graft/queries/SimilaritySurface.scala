@@ -77,17 +77,15 @@ object SimilaritySurface {
       Similarity.hardNegatives(
         Similarity.ivfTopK(emb(s, dir), col("vec_id") < 5, K, NCENTROIDS,
           NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings")))),
+    // every recall gate runs through Similarity.recallAtK with the
+    // MAXQ sampled-query bound ACTIVE (4 of the 5 matching queries) —
+    // the corpus-scale evaluator contract: brute force is paid for a
+    // bounded deterministic sample, never per matching query
     "sim_recall_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
-        .select("query_id", "neighbor_id")
-      val ivf = Similarity.ivfTopK(e, col("vec_id") < 5, K, NCENTROIDS,
-        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings"))
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"))
-        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+      Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.ivfTopK(e, qp, K, NCENTROIDS, NPROBE,
+          KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings")))
     }),
     // recall@K of the COMPRESSED index (IVF-PQ under its shipping
     // rerank budget) against exact brute force — the measurement that
@@ -97,32 +95,20 @@ object SimilaritySurface {
     // SQL verbatim, so evaluator and evaluated cannot drift.
     "sim_recall_pq" -> ((s, dir) => {
       val e = emb(s, dir)
-      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
-        .select("query_id", "neighbor_id")
-      val pq = Similarity.ivfPqTopK(e, col("vec_id") < 5, K, NCENTROIDS,
-        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK,
-        cacheKey = Some(s"$dir#embeddings"))
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"))
-        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+      Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.ivfPqTopK(e, qp, K, NCENTROIDS, NPROBE,
+          KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK,
+          cacheKey = Some(s"$dir#embeddings")))
     }),
     // ...and the q8 / sign-LSH variants: EVERY index the engine ships
     // now ships with its evaluator (recall@K vs brute), so an operator
     // choice at deployment is a measured trade, never a guess
     "sim_recall_q8" -> ((s, dir) => {
       val e = emb(s, dir)
-      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
-        .select("query_id", "neighbor_id")
-      val q8 = Similarity.ivfTopKQ8(e, col("vec_id") < 5, K, NCENTROIDS,
-        NPROBE, KMEANS_ITERS, expr(TRAIN_SQL), RERANK,
-        cacheKey = Some(s"$dir#embeddings"))
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(q8, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"))
-        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+      Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.ivfTopKQ8(e, qp, K, NCENTROIDS, NPROBE,
+          KMEANS_ITERS, expr(TRAIN_SQL), RERANK,
+          cacheKey = Some(s"$dir#embeddings")))
     }),
     // index-serving ingestion: vectors arriving AFTER the index build
     // (vec_id % 10 >= 8) are placed into the codebook trained on the
@@ -137,18 +123,18 @@ object SimilaritySurface {
     }),
     "sim_recall_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      val brute = Similarity.bruteForceTopK(e, col("vec_id") < 5, K)
-        .select("query_id", "neighbor_id")
-      val lsh = Similarity.lshBucketTopK(e, col("vec_id") < 5, K, NPLANES, DIM)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"))
-        .withColumn("recall_bp", expr(s"n_hits * 10000 div $K"))
+      Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.lshBucketTopK(e, qp, K, NPLANES, DIM))
     }),
   )
 
   private val NCENTROIDS = 8
+  /** Sampled-query bound for the recall evaluators — deliberately
+    * BINDING at gate scale (4 of the 5 vec_id < 5 queries survive the
+    * smallest-id sample) so the bound itself is oracle-verified, not
+    * dormant. At corpus scale this is the knob that keeps the exact
+    * brute-force referent a sampled measurement. */
+  private val MAXQ = 4
   /** SemDeDup cell count. Deliberately much larger than the IVF search
     * book: the intra-cell pair stage is quadratic PER CELL and the
     * cell id is the join key, so k bounds both the candidate volume
@@ -163,6 +149,16 @@ object SimilaritySurface {
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
   private val RERANK = 50
+  /** Shared query predicate of the sim_topk_* / sim_recall_* family. */
+  private val QPRED = "vec_id < 5"
+  /** SQL mirror of Similarity.boundedQueryPred: the smallest MAXQ
+    * vec_ids satisfying QPRED. Applied inside BOTH composed sides of
+    * every recall oracle, so the oracle pays exactly the sampled work
+    * the Spark evaluator pays — paired ratios measure engines, not a
+    * query-count mismatch. */
+  private val SAMPLED_QPRED =
+    s"$QPRED AND vec_id IN (SELECT vec_id FROM embeddings WHERE $QPRED " +
+      s"ORDER BY vec_id LIMIT $MAXQ)"
   private val COARSE_DIMS = 16
   private val NSUB = 4
   private val KSUB = 4
@@ -258,7 +254,7 @@ object SimilaritySurface {
     * ties → smallest cid) and the per-query ADC table (exact-decimal
     * dot of the query slice against every sub-centroid) for subspace
     * `m`. */
-  private def pqCodeAdcCtes(m: Int): String =
+  private def pqCodeAdcCtes(m: Int, qp: String): String =
     s"""pq${m}sims AS (SELECT b.vec_id, c.cid,
        |    round(${dotSql("b.se", "c.ce")} / (b.sn * c.cn), 4) AS cs
        |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c),
@@ -267,17 +263,116 @@ object SimilaritySurface {
        |  FROM pq${m}sims) WHERE rn = 1),
        |pq${m}adc AS (SELECT b.vec_id AS query_id, c.cid AS code,
        |    ${dotSql("b.se", "c.ce")} AS av
-       |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c WHERE b.vec_id < 5)""".stripMargin
+       |  FROM pq${m}b b, pq${m}c$KMEANS_ITERS c WHERE $qp)""".stripMargin
+
+  // ---- topk oracle builders, parameterized on the query predicate
+  // (unqualified vec_id references) so the recall oracles can compose
+  // them under the sampled-query bound ----
+
+  private def bruteTopkSql(qp: String): String =
+    s"""WITH $baseCte,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM base WHERE $qp),
+       |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
+       |  FROM base b, q WHERE b.vec_id != q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  private def lshTopkSql(qp: String): String =
+    s"""WITH $baseCte,
+       |bb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM base),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb FROM bb WHERE $qp),
+       |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
+       |  FROM bb b, q WHERE b.bucket = q.qb AND b.vec_id != q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Shared IVF cell CTEs: corpus assignment + the probe set under the
+    * given query predicate. References `base` and cents$KMEANS_ITERS. */
+  private def ivfCellCtes(qp: String): String =
+    s"""sims AS (SELECT b.vec_id, c.cid,
+       |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+       |  FROM base b, cents$KMEANS_ITERS c),
+       |ranked_cells AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM sims),
+       |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+       |  WHERE rn <= $NPROBE AND $qp)""".stripMargin
+
+  private def ivfTopkSql(qp: String): String =
+    s"""WITH $baseCte,
+       |${kmeansCtes()},
+       |${ivfCellCtes(qp)},
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id,
+       |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+       |  FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base b ON b.vec_id = c.neighbor_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM rr WHERE rank <= $K""".stripMargin
+
+  /** Mirrors Similarity.ivfTopKQ8: the shared IVF cell CTEs, then an
+    * ALL-INTEGER candidate score (int8 dot * scale6 * scale6 — floor
+    * quantization per emb_quantize) whose top-RERANK cut is bit-stable
+    * in any engine, then the exact decimal cosine on the rerank list. */
+  private def ivfQ8TopkSql(qp: String): String =
+    s"""WITH $baseCte,
+       |${kmeansCtes()},
+       |${ivfCellCtes(qp)},
+       |q8 AS (SELECT vec_id,
+       |    CAST(greatest(floor(maxabs * 1000000), 1) AS BIGINT) AS scale6,
+       |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+       |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT) END) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |      list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+       |    FROM embeddings)),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    list_aggregate(list_transform(list_zip(qa.q, qb.q), x -> x[1] * x[2]), 'sum')
+       |      * qa.scale6 * qb.scale6 AS score
+       |  FROM (SELECT p.query_id, a.vec_id AS neighbor_id
+       |        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id) c
+       |  JOIN q8 qa ON qa.vec_id = c.query_id
+       |  JOIN q8 qb ON qb.vec_id = c.neighbor_id),
+       |topr AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
+       |  FROM scored),
+       |pairs AS (SELECT t.query_id, t.neighbor_id,
+       |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+       |  FROM topr t JOIN base q ON q.vec_id = t.query_id
+       |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
+       |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin
+
+  private def ivfPqTopkSql(qp: String): String =
+    s"""WITH $baseCte,
+       |${kmeansCtes()},
+       |${(0 until NSUB).map(pqKmeansCtes).mkString(",\n")},
+       |${(0 until NSUB).map(m => pqCodeAdcCtes(m, qp)).mkString(",\n")},
+       |${ivfCellCtes(qp)},
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    coalesce(round((${(0 until NSUB).map(m => s"a$m.av").mkString(" + ")})
+       |      / nullif(q.nrm * b.nrm, 0), 4), -2) AS score
+       |  FROM cand c
+       |${(0 until NSUB).map(m => s"  JOIN pq${m}code k$m ON k$m.vec_id = c.neighbor_id").mkString("\n")}
+       |${(0 until NSUB).map(m => s"  JOIN pq${m}adc a$m ON a$m.query_id = c.query_id AND a$m.code = k$m.code").mkString("\n")}
+       |  JOIN base q ON q.vec_id = c.query_id
+       |  JOIN base b ON b.vec_id = c.neighbor_id),
+       |topr AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
+       |  FROM scored),
+       |pairs AS (SELECT t.query_id, t.neighbor_id,
+       |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+       |  FROM topr t JOIN base q ON q.vec_id = t.query_id
+       |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
+       |rr3 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM rr3 WHERE rank <= $K""".stripMargin
 
   private val oracleSqlBase: Map[String, String] = Map(
-    "sim_topk_brute" ->
-      s"""WITH $baseCte,
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM base WHERE vec_id < 5),
-         |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-         |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
-         |  FROM base b, q WHERE b.vec_id != q.query_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
-         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
+    "sim_topk_brute" -> bruteTopkSql(QPRED),
     // coarse pass on the first COARSE_DIMS dims (list slice), exact
     // rerank of the top-RERANK candidates; zero-norm prefixes coarse
     // at -2 on both engines (no NULL-ordering hazard)
@@ -301,112 +396,20 @@ object SimilaritySurface {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rer)
          |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
-    "sim_topk_lsh" ->
-      s"""WITH $baseCte,
-         |bb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM base),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb FROM bb WHERE vec_id < 5),
-         |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-         |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
-         |  FROM bb b, q WHERE b.bucket = q.qb AND b.vec_id != q.query_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
-         |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin,
-    "sim_topk_ivf" ->
-      s"""WITH $baseCte,
-         |${kmeansCtes()},
-         |sims AS (SELECT b.vec_id, c.cid,
-         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
-         |  FROM base b, cents$KMEANS_ITERS c),
-         |ranked_cells AS (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-         |  FROM sims),
-         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
-         |  WHERE rn <= $NPROBE AND vec_id < 5),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
-         |pairs AS (SELECT c.query_id, c.neighbor_id,
-         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
-         |  FROM cand c JOIN base q ON q.vec_id = c.query_id JOIN base b ON b.vec_id = c.neighbor_id),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
-         |SELECT query_id, neighbor_id, sim, rank FROM rr WHERE rank <= $K""".stripMargin,
+    "sim_topk_lsh" -> lshTopkSql(QPRED),
+    "sim_topk_ivf" -> ivfTopkSql(QPRED),
     // mirrors Similarity.ivfTopKQ8: same codebook/assignment CTEs as
     // sim_topk_ivf, then an ALL-INTEGER candidate score
     // (int8 dot * scale6 * scale6 — floor quantization per emb_quantize)
     // whose top-RERANK cut is bit-stable in any engine, then the exact
     // decimal cosine only on the rerank list
-    "sim_topk_ivf_q8" ->
-      s"""WITH $baseCte,
-         |${kmeansCtes()},
-         |sims AS (SELECT b.vec_id, c.cid,
-         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
-         |  FROM base b, cents$KMEANS_ITERS c),
-         |ranked_cells AS (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-         |  FROM sims),
-         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
-         |  WHERE rn <= $NPROBE AND vec_id < 5),
-         |q8 AS (SELECT vec_id,
-         |    CAST(greatest(floor(maxabs * 1000000), 1) AS BIGINT) AS scale6,
-         |    list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
-         |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT) END) AS q
-         |  FROM (SELECT vec_id, embedding,
-         |      list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
-         |    FROM embeddings)),
-         |scored AS (SELECT c.query_id, c.neighbor_id,
-         |    list_aggregate(list_transform(list_zip(qa.q, qb.q), x -> x[1] * x[2]), 'sum')
-         |      * qa.scale6 * qb.scale6 AS score
-         |  FROM (SELECT p.query_id, a.vec_id AS neighbor_id
-         |        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id) c
-         |  JOIN q8 qa ON qa.vec_id = c.query_id
-         |  JOIN q8 qb ON qb.vec_id = c.neighbor_id),
-         |topr AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
-         |  FROM scored),
-         |pairs AS (SELECT t.query_id, t.neighbor_id,
-         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
-         |  FROM topr t JOIN base q ON q.vec_id = t.query_id
-         |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
-         |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
-         |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin,
+    "sim_topk_ivf_q8" -> ivfQ8TopkSql(QPRED),
     // mirrors Similarity.ivfPqTopK: coarse IVF cells/probes exactly as
     // sim_topk_ivf; per-subspace PQ codebooks re-derived by the pq CTE
     // chains; candidates scored by the ADC table-sum (subspace order,
     // left-to-right double adds) over TRUE stored norms, rounded to 4
     // for a bit-stable top-RERANK cut; exact cosine on the rerank list
-    "sim_topk_ivf_pq" ->
-      s"""WITH $baseCte,
-         |${kmeansCtes()},
-         |${(0 until NSUB).map(pqKmeansCtes).mkString(",\n")},
-         |${(0 until NSUB).map(pqCodeAdcCtes).mkString(",\n")},
-         |sims AS (SELECT b.vec_id, c.cid,
-         |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
-         |  FROM base b, cents$KMEANS_ITERS c),
-         |ranked_cells AS (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-         |  FROM sims),
-         |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
-         |  WHERE rn <= $NPROBE AND vec_id < 5),
-         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
-         |scored AS (SELECT c.query_id, c.neighbor_id,
-         |    coalesce(round((${(0 until NSUB).map(m => s"a$m.av").mkString(" + ")})
-         |      / nullif(q.nrm * b.nrm, 0), 4), -2) AS score
-         |  FROM cand c
-         |${(0 until NSUB).map(m => s"  JOIN pq${m}code k$m ON k$m.vec_id = c.neighbor_id").mkString("\n")}
-         |${(0 until NSUB).map(m => s"  JOIN pq${m}adc a$m ON a$m.query_id = c.query_id AND a$m.code = k$m.code").mkString("\n")}
-         |  JOIN base q ON q.vec_id = c.query_id
-         |  JOIN base b ON b.vec_id = c.neighbor_id),
-         |topr AS (SELECT query_id, neighbor_id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS crank
-         |  FROM scored),
-         |pairs AS (SELECT t.query_id, t.neighbor_id,
-         |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
-         |  FROM topr t JOIN base q ON q.vec_id = t.query_id
-         |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
-         |rr3 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
-         |SELECT query_id, neighbor_id, sim, rank FROM rr3 WHERE rank <= $K""".stripMargin,
+    "sim_topk_ivf_pq" -> ivfPqTopkSql(QPRED),
     "dedup_semantic" ->
       s"""WITH $baseCte,
          |${kmeansCtes(SEM_CENTROIDS)},
@@ -490,42 +493,24 @@ object SimilaritySurface {
         |  CAST(1 AS BIGINT) AS recon_ok""".stripMargin,
   )
 
-  /** The recall oracle COMPOSES the brute and IVF oracles verbatim
-    * (as subqueries), so the three gates can never drift apart:
-    * per query, recall@K = |ivf ∩ brute| · 10⁴ div K. */
+  /** Each recall oracle COMPOSES the same builders the sim_topk_*
+    * gates use — under the SAMPLED_QPRED query bound on BOTH sides —
+    * so evaluator and evaluated can never drift apart: per sampled
+    * query, recall@K = |approx ∩ brute| · 10⁴ div K. */
+  private def recallSql(approxSql: String): String =
+    s"""SELECT b.query_id,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+       |FROM (${bruteTopkSql(SAMPLED_QPRED)}) b
+       |LEFT JOIN ($approxSql) i
+       |  USING (query_id, neighbor_id)
+       |GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = oracleSqlBase +
-    ("sim_recall_ivf" ->
-      s"""SELECT b.query_id,
-         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
-         |FROM (${oracleSqlBase("sim_topk_brute")}) b
-         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf")}) i
-         |  USING (query_id, neighbor_id)
-         |GROUP BY 1""".stripMargin) +
-    ("sim_recall_pq" ->
-      s"""SELECT b.query_id,
-         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
-         |FROM (${oracleSqlBase("sim_topk_brute")}) b
-         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf_pq")}) i
-         |  USING (query_id, neighbor_id)
-         |GROUP BY 1""".stripMargin) +
-    ("sim_recall_q8" ->
-      s"""SELECT b.query_id,
-         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
-         |FROM (${oracleSqlBase("sim_topk_brute")}) b
-         |LEFT JOIN (${oracleSqlBase("sim_topk_ivf_q8")}) i
-         |  USING (query_id, neighbor_id)
-         |GROUP BY 1""".stripMargin) +
-    ("sim_recall_lsh" ->
-      s"""SELECT b.query_id,
-         |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-         |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
-         |FROM (${oracleSqlBase("sim_topk_brute")}) b
-         |LEFT JOIN (${oracleSqlBase("sim_topk_lsh")}) i
-         |  USING (query_id, neighbor_id)
-         |GROUP BY 1""".stripMargin) +
+    ("sim_recall_ivf" -> recallSql(ivfTopkSql(SAMPLED_QPRED))) +
+    ("sim_recall_pq" -> recallSql(ivfPqTopkSql(SAMPLED_QPRED))) +
+    ("sim_recall_q8" -> recallSql(ivfQ8TopkSql(SAMPLED_QPRED))) +
+    ("sim_recall_lsh" -> recallSql(lshTopkSql(SAMPLED_QPRED))) +
     // composes the IVF oracle verbatim twice (positive row + negative
     // rows), mirroring Similarity.hardNegatives over the same index
     ("sim_index_stats" ->

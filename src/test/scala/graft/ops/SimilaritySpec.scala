@@ -369,4 +369,26 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 10L, 12L, 3L, 5000L),
       (1L, 20L, 21L, 2L, 0L)))
   }
+
+  test("recallAtK: maxQueries bounds the sampled query set deterministically") {
+    // pred matches 10 queries; the bound keeps the smallest 4 vec_ids
+    val pred = col("vec_id") < 10
+    val bounded = Similarity.recallAtK(emb, pred, 5, maxQueries = 4,
+      qp => Similarity.bruteForceTopK(emb, qp, 5)).collect()
+    assert(bounded.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // approx == brute on the same bounded set → perfect recall
+    assert(bounded.forall(_.getLong(2) == 10000L))
+    // a non-binding bound evaluates every matching query
+    val full = Similarity.recallAtK(emb, pred, 5, maxQueries = 100,
+      qp => Similarity.lshBucketTopK(emb, qp, 5, nPlanes = 4, dim = 16))
+    assert(full.count() == 10)
+    // bounded evaluation equals the full evaluation restricted to the
+    // sampled queries — sampling changes cost, never per-query values
+    val fullOnSample = full.filter(col("query_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val boundedLsh = Similarity.recallAtK(emb, pred, 5, maxQueries = 4,
+      qp => Similarity.lshBucketTopK(emb, qp, 5, nPlanes = 4, dim = 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(boundedLsh == fullOnSample)
+  }
 }
