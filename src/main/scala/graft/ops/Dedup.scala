@@ -246,7 +246,12 @@ object Dedup {
     * for), non-zero when a group mixes a template collision with an
     * unrelated near-dup pair. Callers needing exhaustive recall keep
     * the default no-cap behavior; callers at template-skew scale
-    * accept the caveat as the price of the linear candidate bound. */
+    * accept the caveat as the price of the linear candidate bound.
+    * MEASURED (not just documented): the dedup_recall_minhash_capped
+    * gate runs this evaluation on the planted-skew fixture with the
+    * cap active — pair recall collapses to the hub stars exactly as
+    * stated, while dedup_clusters_skew proves cluster membership is
+    * unchanged. */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16,
       maxBandGroup: Int = Int.MaxValue): DataFrame = {

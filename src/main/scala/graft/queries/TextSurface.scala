@@ -228,6 +228,23 @@ object TextSurface {
     "dedup_clusters_skew" -> ((s, dir) =>
       Dedup.duplicateClusters(Dedup.minhashLshPairs(skewedDocs(s, dir), 0.8,
         maxBandGroup = SKEW_CAP))),
+    // the hot-band cap's MEASURED pair recall (the documented caveat on
+    // minhashLshPairs as a gated number): same evaluation as
+    // dedup_recall_minhash, over the planted-skew corpus WITH the cap
+    // active. Pair-level recall is LOW BY DESIGN here — the capped
+    // family enumerates hub stars (399 of its 79.8k true pairs); the
+    // cluster-level complement, dedup_clusters_skew, proves the star
+    // preserves every family's connected component exactly
+    "dedup_recall_minhash_capped" -> ((s, dir) => {
+      val d = skewedDocs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, 0.8).select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLshPairs(d, 0.8, maxBandGroup = SKEW_CAP)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .selectExpr("n_true", "n_found",
+          "CASE WHEN n_true = 0 THEN 10000 ELSE n_found * 10000 div n_true END AS recall_bp")
+    }),
     // integer-exact PageRank over the same near-dup pair graph
     // (graft.ops.Graph): centrality-based canonical-copy election
     // beside dedup_clusters' min-id
@@ -871,6 +888,18 @@ object TextSurface {
        |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
   }
 
+  /** Exact-Jaccard TRUE pairs over the planted-skew source — the
+    * referent of the capped-recall gate ([[ngramJaccardOracle]] over
+    * `skewsrc`). */
+  private val skewNgramJaccardOracle: String =
+    s"""WITH $skewSrcCte,
+       |${shingleCtesOver("skewsrc")},
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |WHERE round(CAST(i AS DOUBLE) / (x.n + y.n - i), 4) >= 0.8""".stripMargin
+
   /** n-bit SimHash signature CTE chain ending in sig(doc_id, simhash);
     * nHex md5 hex chars = 4*nHex vote bits, mirroring Dedup.simhashN. */
   private def simhashCtes(nBits: Int, nHex: Int): String = {
@@ -1476,6 +1505,16 @@ object TextSurface {
          |WHERE round(CAST(i.cnt AS DOUBLE) / least(x.n, y.n), 4) >= 0.8""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_skew" -> skewMinhashOracle,
+    // the capped branch's recall, composed from the skew exact-Jaccard
+    // referent and the capped minhash oracle verbatim
+    "dedup_recall_minhash_capped" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(l.hit) AS BIGINT) AS n_found,
+         |  CAST(CASE WHEN count(*) = 0 THEN 10000
+         |    ELSE count(l.hit) * 10000 // count(*) END AS BIGINT) AS recall_bp
+         |FROM ($skewNgramJaccardOracle) e
+         |LEFT JOIN (SELECT doc_a, doc_b, 1 AS hit FROM ($skewMinhashOracle)) l
+         |  USING (doc_a, doc_b)""".stripMargin,
     // exact closure over the capped skew pair graph: the hub stars
     // span each template family, so the clustering is unchanged
     "dedup_clusters_skew" ->
