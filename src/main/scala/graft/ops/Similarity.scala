@@ -520,7 +520,14 @@ object Similarity {
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
+    ivfSearch(base, cents, queryPred, k, nProbe)
+  }
 
+  /** The IVF search stage over a normed population and a trained
+    * codebook — shared by [[ivfTopK]] (book trained on the searched
+    * population) and [[ivfTopKStale]] (book from the last rebuild). */
+  private def ivfSearch(base: DataFrame, cents: Seq[(Long, Array[Double])],
+      queryPred: Column, k: Int, nProbe: Int): DataFrame = {
     // per-row array of (cosine-to-centroid, -cid) structs
     val centStructs = centroidStructs(cents)
     val assigned = base.withColumn("cell",
@@ -546,6 +553,35 @@ object Similarity {
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF search over an incrementally-maintained (STALE) index: the
+    * codebook comes from the last rebuild — trained on `corpus` only —
+    * while the searched population is corpus ∪ arrivals, the arrivals
+    * having been placed into the stale cells exactly as
+    * [[assignIncremental]] places them (same max-cosine rule, same
+    * book). The recall of this shape vs a fresh retrain over the full
+    * population ([[ivfTopK]]) is the staleness cost a rebuild cadence
+    * trades against training time — measure it with [[recallAtK]]
+    * before stretching the cadence. `cacheKey`: opt-in codebook memo —
+    * immutable-corpus contract on [[clearCodebookMemo]]; the key must
+    * identify the CORPUS slice (training never reads arrivals).
+    * Output: (query_id, neighbor_id, sim, rank). */
+  def ivfTopKStale(corpus: DataFrame, arrivals: DataFrame, queryPred: Column,
+      k: Int, nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      cacheKey: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val corpusBase = withNorm(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents =
+      try memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
+        trainCodebookOn(corpusBase, nCentroids, kmeansIters, trainPred)
+      } finally corpusBase.unpersist(false) // the search reads the union
+    val base = withNorm(corpus.select("vec_id", "embedding")
+      .unionByName(arrivals.select("vec_id", "embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfSearch(base, cents, queryPred, k, nProbe)
   }
 
   /** IVF top-k with an int8-quantized candidate stage — the serving

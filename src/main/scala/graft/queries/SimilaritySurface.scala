@@ -126,6 +126,26 @@ object SimilaritySurface {
       Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
         qp => Similarity.lshBucketTopK(e, qp, K, NPLANES, DIM))
     }),
+    // staleness of the incrementally-maintained index as a measured
+    // pair: search recall with arrivals PLACED into the stale
+    // (corpus-trained) cells vs a fresh full REBUILD — the number that
+    // decides how far a production deployment can stretch its rebuild
+    // cadence before placement costs real neighbors
+    "sim_recall_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(expr("vec_id % 10 < 8"))
+      val arrivals = e.filter(expr("vec_id % 10 >= 8"))
+      val placed = Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.ivfTopKStale(corpus, arrivals, qp, K, NCENTROIDS,
+          NPROBE, KMEANS_ITERS, expr(TRAIN_SQL),
+          cacheKey = Some(s"$dir#embeddings%10lt8")))
+        .withColumn("variant", lit("placed"))
+      val rebuilt = Similarity.recallAtK(e, col("vec_id") < 5, K, MAXQ,
+        qp => Similarity.ivfTopK(e, qp, K, NCENTROIDS, NPROBE,
+          KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings")))
+        .withColumn("variant", lit("rebuilt"))
+      placed.unionByName(rebuilt)
+    }),
   )
 
   private val NCENTROIDS = 8
@@ -345,6 +365,32 @@ object SimilaritySurface {
        |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
        |SELECT query_id, neighbor_id, sim, rank FROM rr2 WHERE rank <= $K""".stripMargin
 
+  /** Mirrors Similarity.ivfTopKStale: codebook trained on the corpus
+    * slice only (base := indexed slice feeds the kmeans CTEs), then
+    * the full population — corpus plus arrivals placed into the stale
+    * cells — is assigned and searched. */
+  private def staleIvfTopkSql(qp: String): String =
+    s"""WITH base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+       |  FROM embeddings WHERE vec_id % 10 < 8),
+       |${kmeansCtes()},
+       |allv AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |sims AS (SELECT b.vec_id, c.cid,
+       |    round(${dotSql("b.embedding", "c.ce")} / (b.nrm * c.cn), 4) AS cs
+       |  FROM allv b, cents$KMEANS_ITERS c),
+       |ranked_cells AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+       |  FROM sims),
+       |assign AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+       |  WHERE rn <= $NPROBE AND $qp),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id,
+       |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
+       |  FROM cand c JOIN allv q ON q.vec_id = c.query_id JOIN allv b ON b.vec_id = c.neighbor_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
+       |SELECT query_id, neighbor_id, sim, rank FROM rr WHERE rank <= $K""".stripMargin
+
   private def ivfPqTopkSql(qp: String): String =
     s"""WITH $baseCte,
        |${kmeansCtes()},
@@ -497,17 +543,26 @@ object SimilaritySurface {
     * gates use — under the SAMPLED_QPRED query bound on BOTH sides —
     * so evaluator and evaluated can never drift apart: per sampled
     * query, recall@K = |approx ∩ brute| · 10⁴ div K. */
-  private def recallSql(approxSql: String): String =
+  private def recallSql(approxSql: String,
+      variant: Option[String] = None): String = {
+    val vcol = variant.map(v => s",\n  '$v' AS variant").getOrElse("")
     s"""SELECT b.query_id,
        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-       |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp
+       |  CAST(count(i.neighbor_id) * 10000 // $K AS BIGINT) AS recall_bp$vcol
        |FROM (${bruteTopkSql(SAMPLED_QPRED)}) b
        |LEFT JOIN ($approxSql) i
        |  USING (query_id, neighbor_id)
        |GROUP BY 1""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = oracleSqlBase +
     ("sim_recall_ivf" -> recallSql(ivfTopkSql(SAMPLED_QPRED))) +
+    // placed-vs-rebuilt staleness pair, each side composing the same
+    // builders as its gated twin under the sampled-query bound
+    ("sim_recall_incremental" ->
+      s"""${recallSql(staleIvfTopkSql(SAMPLED_QPRED), Some("placed"))}
+         |UNION ALL
+         |${recallSql(ivfTopkSql(SAMPLED_QPRED), Some("rebuilt"))}""".stripMargin) +
     ("sim_recall_pq" -> recallSql(ivfPqTopkSql(SAMPLED_QPRED))) +
     ("sim_recall_q8" -> recallSql(ivfQ8TopkSql(SAMPLED_QPRED))) +
     ("sim_recall_lsh" -> recallSql(lshTopkSql(SAMPLED_QPRED))) +

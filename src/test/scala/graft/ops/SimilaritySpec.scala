@@ -370,6 +370,27 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, 20L, 21L, 2L, 0L)))
   }
 
+  test("ivfTopKStale: arrivals searchable through the stale book; empty batch equals fresh IVF") {
+    val corpus = emb.filter(col("vec_id") < 25)
+    val arrivals = emb.filter(col("vec_id") >= 25)
+    // probe every cell: the candidate set is the full union population,
+    // so all 29 other vectors — arrivals included — must rank
+    val stale = Similarity.ivfTopKStale(corpus, arrivals, col("vec_id") === 0,
+      k = 29, nCentroids = 4, nProbe = 4).collect()
+    assert(stale.length == 29)
+    assert(stale.minBy(_.getLong(3)).getLong(1) == 1L) // planted dup leads
+    assert((25L until 30L).forall(a => stale.exists(_.getLong(1) == a)))
+    // an empty arrival batch makes the stale path plain ivfTopK
+    val none = arrivals.filter(col("vec_id") < 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val a = Similarity.ivfTopKStale(corpus, none, col("vec_id") === 0,
+      k = 5, nCentroids = 4, nProbe = 2).collect().map(key).toSet
+    val b = Similarity.ivfTopK(corpus, col("vec_id") === 0,
+      k = 5, nCentroids = 4, nProbe = 2).collect().map(key).toSet
+    assert(a == b)
+  }
+
   test("recallAtK: maxQueries bounds the sampled query set deterministically") {
     // pred matches 10 queries; the bound keeps the smallest 4 vec_ids
     val pred = col("vec_id") < 10
