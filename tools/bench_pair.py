@@ -48,8 +48,12 @@ def run_duck(sf_dir: str, verify_out: str, names, reps: int,
              cap: float) -> dict:
     con = duckdb.connect()
     for t in TABLES:
+        # a table may be a single file or a directory of part files
+        # (the PER_THREAD_OUTPUT layout of the big scale fixtures)
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     oracle = json.loads(Path(verify_out, "oracle_sql.json").read_text())
     out = {}
     for name in names:
