@@ -333,6 +333,29 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("cs"))
   }
 
+  /** STATELESS per-row cell placement against a TRAINED codebook — the
+    * streaming-ingest form of [[assignIncremental]]: the book is tiny
+    * driver-side model state bound as literals, so the plan is a pure
+    * projection (no join, no aggregation, no state) and runs unchanged
+    * on a STREAMING DataFrame in append mode — the shape of an ANN
+    * ingestion pipeline placing live arrivals between rebuilds.
+    * Semantics are identical to [[assignIncremental]]'s relational
+    * assignment (max rounded cosine, smallest-cid ties, zero-norm →
+    * cell 0 with NULL cs) — SimilaritySpec locks row equality and the
+    * stream_assign_incremental gate shares the batch oracle verbatim.
+    * Output: (vec_id, cell, cs). */
+  def placeIntoBook(arrivals: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(arrivals.sparkSession)
+    val withN = arrivals.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normDec("embedding"))
+    val cs = centroidStructsOn("embedding", "nrm", cents)
+    withN
+      .withColumn("best", greatest(cents.indices.map(i => cs.getItem(i)): _*))
+      .select(col("vec_id"), (-col("best").getField("ncid")).as("cell"),
+        col("best").getField("cs").as("cs"))
+  }
+
   /** Lloyd-iteration k-means codebook trained with DataFrame ops over a
     * deterministic training sample.
     *

@@ -38,6 +38,10 @@ object StreamSurface {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
 
   /** Stage one parquet file into a per-(sfDir, file) temp DIRECTORY
     * (the streaming file source requires one). ALWAYS overwrites: a
@@ -184,6 +188,25 @@ object StreamSurface {
     * keyed uniformly; move to dropDuplicatesWithinWatermark to bound it
     * when docs carry event time (same pattern as
     * [[streamDedupWatermarked]]). */
+  /** Streaming ANN ingestion: arrivals (vec_id % 10 >= 8) flow as a
+    * vector STREAM placed into the codebook trained on the static
+    * indexed corpus — [[graft.ops.Similarity.placeIntoBook]] binds the
+    * book as literals, so the continuous query is a pure projection
+    * (append mode, ZERO streaming state) at any arrival rate. Rows
+    * equal the batch sim_assign_incremental gate; its oracle applies
+    * verbatim. */
+  private def streamAssignIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val staged = stageParquet(dir, "embeddings.parquet")
+    val corpus = s.read.schema(embeddingsSchema).parquet(staged)
+      .filter(expr("vec_id % 10 < 8"))
+    val cents = graft.ops.Similarity.trainCodebook(corpus, 8, 2,
+      expr("vec_id % 2 = 0"))
+    val arrivals = s.readStream.schema(embeddingsSchema).parquet(staged)
+      .filter(expr("vec_id % 10 >= 8"))
+    runToTable(s, graft.ops.Similarity.placeIntoBook(arrivals, cents), "append")
+  }
+
   private def streamDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val stream = s.readStream.schema(documentsSchema)
@@ -464,6 +487,7 @@ object StreamSurface {
     "stream_sliding_pruned" -> streamSlidingPruned,
     "stream_dedup_fp" -> streamDedupFp,
     "stream_dedup_minhash" -> streamDedupMinhash,
+    "stream_assign_incremental" -> streamAssignIncremental,
     "stream_dedup_watermarked" -> streamDedupWatermarked,
     "stream_blocklist" -> streamBlocklist,
     "stream_lm_surprisal" -> streamLmSurprisal,
@@ -670,6 +694,10 @@ object StreamSurface {
       "SELECT DISTINCT user_id, event_type, value FROM events",
     // stream/batch parity: the batch gate's exact anti-join oracle
     "stream_blocklist" -> TextSurface.oracleSql("dedup_blocklist"),
+    // the batch incremental-assignment oracle verbatim: the staged
+    // single batch makes stream ≡ batch for the stateless placement
+    "stream_assign_incremental" ->
+      SimilaritySurface.oracleSql("sim_assign_incremental"),
     // stream/batch parity: model = corpus, so the batch LM oracle holds
     "stream_lm_surprisal" -> TextSurface.oracleSql("text_lm_surprisal"),
     // stream/batch parity: stateless projection, batch oracle verbatim

@@ -391,6 +391,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("placeIntoBook: stateless placement equals the relational incremental assignment") {
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val arrivals = emb.filter(col("vec_id") % 10 >= 8)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val relational = Similarity.assignIncremental(corpus, arrivals, 4, 2)
+      .collect().map(key).toSet
+    val cents = Similarity.trainCodebook(corpus, 4, 2, expr("vec_id % 2 = 0"))
+    val placed = Similarity.placeIntoBook(arrivals, cents).collect().map(key).toSet
+    assert(placed == relational)
+    // zero-norm arrival: cell 0, NULL confidence (the shared tie rule)
+    import spark.implicits._
+    val zero = Seq((999L, Array.fill(16)(0f))).toDF("vec_id", "embedding")
+    val z = Similarity.placeIntoBook(zero, cents).collect()(0)
+    assert(z.getLong(1) == cents.head._1 && z.isNullAt(2))
+  }
+
   test("recallAtK: maxQueries bounds the sampled query set deterministically") {
     // pred matches 10 queries; the bound keeps the smallest 4 vec_ids
     val pred = col("vec_id") < 10
