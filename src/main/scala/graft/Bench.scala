@@ -82,7 +82,11 @@ object Bench {
     "probe_train_quality",
     // round-10 additions: train/serve split scoring, compressed-index
     // recall evaluation
-    "probe_holdout_quality", "sim_recall_pq")
+    "probe_holdout_quality", "sim_recall_pq",
+    // round-11 additions: the hot-band cap's measured pair recall on
+    // the planted-skew corpus, and the placed-vs-rebuilt staleness
+    // pair of the incrementally-maintained ANN index
+    "dedup_recall_minhash_capped", "sim_recall_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
