@@ -93,6 +93,8 @@ object GraftFunctions {
       NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("h60_long", classOf[H60Long], exprs => H60Long(exprs.head)),
+    ("json_long", classOf[JsonLong], exprs => JsonLong(exprs(0), exprs(1))),
     ("lttb_pick", classOf[LttbPick],
       exprs => LttbPick(exprs(0), exprs(1), exprs(2))),
     ("topk_records", classOf[TopKRecords], exprs => {

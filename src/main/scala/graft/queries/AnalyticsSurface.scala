@@ -560,16 +560,23 @@ object AnalyticsSurface {
     // interleave ARITHMETIC cross-engine (per-z-bucket counts + both
     // dims' bounding boxes over lineitem keys); the locality property
     // of clustering by it is ZOrderSpec's measured claim
-    // semi-structured extraction: get_json_object runs inside codegen
-    // at scan speed — the sidecar-JSON-metadata face of the pipeline
-    // (every corpus ships provenance/stats as a JSON string column)
-    "events_json_extract" -> ((s, dir) =>
+    // semi-structured extraction — the sidecar-JSON-metadata face of
+    // the pipeline (every corpus ships provenance/stats as a JSON
+    // string column). The native json_long expression (graft.functions
+    // .JsonLongCodec) replaces get_json_object's per-row Jackson parse
+    // with a single-pass allocation-free byte scan: 15.0 s → 1.6 s at
+    // 100M events (CorrProfile events mode; from_json measured the
+    // same 15 s) — identical values on integer sidecar fields,
+    // contract on the codec scaladoc, parity fuzzed in JsonFastSpec
+    "events_json_extract" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("json_long(props, 'k')").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-          min("k").as("min_k"), max("k").as("max_k"))),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
     // multi-level aggregation: ROLLUP emits per-(type,cohort),
     // per-type and grand-total rows in ONE partial-aggregable pass —
     // one shuffle, not three queries; grouping_id disambiguates

@@ -24,6 +24,7 @@ object CorrProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.length > 1 && args(1) == "events") { eventsMode(spark, dir); spark.stop(); return }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
 
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
@@ -139,5 +140,61 @@ object CorrProfile {
         sum("hyy").as("hyy"), sum("lyy").as("lyy"))
     }
     spark.stop()
+  }
+
+  /** Events-side decomposition (the r11 100M-event straggler windows):
+    * isolates scan, grouped sum_micro, the md5 split chain, JSON
+    * extraction variants, and the incremental-rollup machinery. */
+  private def eventsMode(spark: SparkSession, dir: String): Unit = {
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.write.mode("overwrite").format("noop").save()
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[corrprofile] $name%-28s ${reps.map(r => f"$r%.2f").mkString(" ")}")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val ev = graft.core.Tables.eventSeries(spark, dir)
+    val hourUs = 3600000000L
+    time("ev_scan_count")(ev.select(count(lit(1))))
+    time("hour_type_count")(ev.groupBy(
+        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("h"),
+        col("event_type")).agg(count(lit(1))))
+    time("hour_type_summicro")(ev.groupBy(
+        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("h"),
+        col("event_type"))
+      .agg(count(lit(1)), call_function("sum_micro", col("value").cast("double"))))
+    time("fine_group_user")(ev.groupBy(
+        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("h"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)), call_function("sum_micro", col("value").cast("double"))))
+    val pctNative = pmod(graft.ops.TextFns.h60(
+      concat(lit("incr:"), col("event_id").cast("string"))), lit(100L))
+    time("split_h60_native")(ev.select(col("event_id"))
+      .select(sum((pctNative < 80).cast("long"))))
+    val pctLegacy = pmod(conv(substring(md5(
+      concat(lit("incr:"), col("event_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+    time("split_h60_legacy")(ev.select(col("event_id"))
+      .select(sum((pctLegacy < 80).cast("long"))))
+    time("incremental_full")(graft.queries.AnalyticsSurface
+      .queries("agg_incremental_rollup")(spark, dir))
+    val raw = graft.core.Tables.load(spark, dir, "events")
+    time("json_get_object")(raw.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type").agg(count(lit(1)), sum("k"), min("k"), max("k")))
+    time("json_long_native")(raw.select(col("event_type"),
+        expr("json_long(props, 'k')").as("k"))
+      .groupBy("event_type").agg(count(lit(1)), sum("k"), min("k"), max("k")))
+    time("json_from_json")(raw.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))("k").as("k"))
+      .groupBy("event_type").agg(count(lit(1)), sum("k"), min("k"), max("k")))
+    time("sketch_merge_full")(graft.queries.AnalyticsSurface
+      .queries("agg_sketch_merge")(spark, dir))
   }
 }

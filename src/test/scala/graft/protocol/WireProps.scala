@@ -3,67 +3,111 @@ package graft.protocol
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import WireResponse._
-
-/** Property-based codec spec: every encodable message round-trips
-  * exactly, and NO byte sequence can make the decoder throw — the
-  * server feeds it raw socket bytes. */
+/** Property-based wire-codec fuzz beside WireSpec's hand-pinned
+  * encoding_test.c mirror: round-trips over the generated space,
+  * byte-exact re-encode fixpoints (values quantize to the %.6f wire
+  * rendering ONCE and then stay stable), exact consumed-byte
+  * accounting under trailing garbage, and the incremental-delivery
+  * contract (every strict prefix of a length-framed response is
+  * need-more, never a wrong parse) — the properties the streaming
+  * socket reader in TsServer/ServerSpec actually relies on. */
 object WireProps extends Properties("Wire") {
 
-  // %lf renders 6 decimals; values quantized to 2^-20 round-trip exactly
-  private val genValue: Gen[Double] =
-    Gen.chooseNum(-8e6.toLong, 8e6.toLong).map(_ / 64.0)
+  // arbitrary unicode payload under the reference QUERYSIZE in UTF-8
+  // bytes (multi-byte chars mean the char count is NOT the bound)
+  private val genPayload: Gen[String] =
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.asciiPrintableChar,
+        1 -> Gen.oneOf('é', '中', '€'),
+        1 -> Gen.oneOf('\t', ' ', '\\'))).map(_.mkString))
+      .suchThat(_.getBytes("UTF-8").length < Wire.MaxQuerySize)
+
+  private val genValue: Gen[Double] = Gen.frequency(
+    6 -> Gen.chooseNum(-1e9, 1e9),
+    2 -> Gen.chooseNum(-1000000L, 1000000L).map(_ / 1e6), // 6dp exact-ish
+    1 -> Gen.oneOf(0.0, -0.0, 0.0078125, -2.5e-7, 1e15),
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity))
 
   private val genRecord: Gen[(Long, Double)] =
-    Gen.zip(Gen.chooseNum(0L, Long.MaxValue / 2), genValue)
+    Gen.zip(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), genValue)
 
-  private val genMsg: Gen[String] = Gen.listOfN(40,
-    Gen.frequency(20 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
-      1 -> Gen.const('\''))).map(_.mkString)
+  private val genRecords: Gen[Seq[(Long, Double)]] =
+    Gen.chooseNum(0, 30).flatMap(Gen.listOfN(_, genRecord))
 
-  private val genResponse: Gen[WireResponse] = Gen.oneOf(
-    Gen.zip(Gen.oneOf(0, 1), genMsg).map { case (rc, m) => Str(rc, m) },
-    Gen.listOf(genRecord).map(Arr(_)),
-    Gen.zip(Gen.resize(50, Gen.listOf(genRecord)), Gen.oneOf(true, false))
-      // empty non-final chunks are rejected at encode time (terminator-
-      // ambiguous on a split read) — the codec contract excludes them
-      .map { case (rs, fin) => StreamChunk(rs, fin || rs.isEmpty) })
+  private def enc(r: WireResponse): Array[Byte] =
+    Wire.encodeResponse(r).fold(e => sys.error(e), identity)
 
-  property("encode/decode round-trip for every response shape") =
-    forAll(genResponse) { r =>
-      Wire.encodeResponse(r) match {
-        case Left(_) => Prop(false)
-        case Right(bytes) =>
-          Prop(Wire.decodeResponse(bytes) == Right((r, bytes.length)))
+  property("request round-trip, exact consumed bytes") =
+    forAll(genPayload) { q =>
+      val bytes = Wire.encodeRequest(q).fold(e => sys.error(e), identity)
+      Wire.decodeRequest(bytes) == Right((q, bytes.length))
+    }
+
+  property("Str round-trip for both markers") =
+    forAll(genPayload, Gen.oneOf(0, 1)) { (msg, rc) =>
+      val bytes = enc(WireResponse.Str(rc, msg))
+      Wire.decodeResponse(bytes) ==
+        Right((WireResponse.Str(rc, msg), bytes.length))
+    }
+
+  property("Arr decode/re-encode fixpoint, exact consumed bytes") =
+    forAll(genRecords) { rs =>
+      val bytes = enc(WireResponse.Arr(rs))
+      Wire.decodeResponse(bytes) match {
+        case Right((decoded: WireResponse.Arr, n)) =>
+          // values quantize to the 6-decimal wire rendering once; the
+          // re-encode of the decoded frame must be byte-identical
+          n == bytes.length &&
+            java.util.Arrays.equals(enc(decoded), bytes)
+        case _ => false
       }
     }
 
-  property("request round-trip for any sub-bound query text") =
-    forAll(genMsg) { q =>
-      Wire.encodeRequest(q) match {
-        case Right(bytes) =>
-          Prop(Wire.decodeRequest(bytes) == Right((q, bytes.length)))
-        case Left(_) => Prop(q.getBytes("UTF-8").length >= Wire.MaxQuerySize)
+  property("final StreamChunk round-trip preserves finality") =
+    forAll(genRecords) { rs =>
+      val bytes = enc(WireResponse.StreamChunk(rs, isFinal = true))
+      Wire.decodeResponse(bytes) match {
+        case Right((WireResponse.StreamChunk(decRs, fin), n)) =>
+          fin && n == bytes.length && decRs.length == rs.length
+        case _ => false
       }
     }
 
-  property("decoder totality: arbitrary bytes never throw") =
-    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bs =>
-      val arr = bs.toArray
-      Prop(try { Wire.decodeResponse(arr); Wire.decodeRequest(arr); true }
-        catch { case _: Throwable => false })
+  property("non-empty non-final StreamChunk round-trip") =
+    forAll(genRecords.suchThat(_.nonEmpty)) { rs =>
+      val bytes = enc(WireResponse.StreamChunk(rs, isFinal = false))
+      Wire.decodeResponse(bytes) match {
+        case Right((WireResponse.StreamChunk(decRs, fin), n)) =>
+          !fin && n == bytes.length && decRs.length == rs.length
+        case _ => false
+      }
     }
 
-  property("decoder totality on near-valid frames (mutated valid messages)") =
-    forAll(genResponse, Gen.chooseNum(0, 1000), Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) {
-      (r, pos, b) =>
-        Wire.encodeResponse(r) match {
-          case Right(bytes) if bytes.nonEmpty =>
-            val mutated = bytes.clone()
-            mutated(pos % bytes.length) = b
-            Prop(try { Wire.decodeResponse(mutated); true }
-              catch { case _: Throwable => false })
-          case _ => Prop(true)
-        }
+  property("empty non-final chunk is rejected at encode (terminator ambiguity)") =
+    Prop(Wire.encodeResponse(
+      WireResponse.StreamChunk(Nil, isFinal = false)).isLeft)
+
+  property("every strict prefix of a length-framed frame is need-more") =
+    forAll(genPayload, genRecords, Gen.chooseNum(0.0, 1.0)) { (msg, rs, f) =>
+      val frames = Seq(enc(WireResponse.Str(1, msg)), enc(WireResponse.Arr(rs)))
+      frames.forall { bytes =>
+        val k = (f * (bytes.length - 1)).toInt // strictly shorter
+        Wire.decodeResponse(bytes.take(k)).isLeft
+      }
+    }
+
+  property("trailing garbage: exact consume, remainder decodes next frame") =
+    forAll(genPayload, genRecords) { (msg, rs) =>
+      val a = enc(WireResponse.Str(0, msg))
+      val b = enc(WireResponse.Arr(rs))
+      val buf = a ++ b
+      Wire.decodeResponse(buf) match {
+        case Right((WireResponse.Str(0, m2), n)) =>
+          m2 == msg && n == a.length &&
+            Wire.decodeResponse(buf.drop(n)).isRight
+        case _ => false
+      }
     }
 }
