@@ -94,6 +94,7 @@ object GraftFunctions {
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("h60_long", classOf[H60Long], exprs => H60Long(exprs.head)),
+    ("micros6", classOf[Micros6], exprs => Micros6(exprs.head)),
     ("json_long", classOf[JsonLong], exprs => JsonLong(exprs(0), exprs(1))),
     ("lttb_pick", classOf[LttbPick],
       exprs => LttbPick(exprs(0), exprs(1), exprs(2))),

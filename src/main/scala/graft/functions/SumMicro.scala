@@ -255,3 +255,47 @@ case class SumMicro(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SumMicro =
     copy(child = newChild)
 }
+
+/** `micros6(x)` — per-row exact micro-units of a double under the
+  * SAME DECIMAL(30,6)-cast semantics as [[SumMicro]]'s per-row step
+  * ([[MicroSumOps.toMicros]]: HALF_UP at scale 6, the guard-band
+  * proof), restricted to the single-long domain |x| < 9.2e12 (beyond
+  * it the exact conversion fails LOUDLY with ArithmeticException —
+  * never a silent wrap; callers needing the full decimal domain use
+  * [[SumMicro]] itself). NaN/Infinity yield NULL exactly like the
+  * decimal cast, so `sum(micros6(x))` skips those rows the way
+  * `sum(CAST(x AS DECIMAL))` does.
+  *
+  * Purpose: the mergeable LONG-state building block for incremental
+  * partials — data-scale passes sum plain longs (codegen'd integer
+  * adds, ANSI-loud on overflow) and only state-scale relations widen
+  * back to decimal (see graft.ops.Incremental). */
+case class Micros6(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "micros6"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"micros6 requires a double argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) null
+    else MicroSumOps.toMicros(x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (java.lang.Double.isNaN($c) || java.lang.Double.isInfinite($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.MicroSumOps.toMicros($c);
+      }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Micros6 =
+    copy(child = newChild)
+}

@@ -149,9 +149,16 @@ object Approx {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"),
         count(lit(1)).as("n_partials"))
     val direct = withDay.groupBy(key)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("n_direct"),
-        count_distinct(col(value)).as("exact_n"))
-    merged.join(direct, Seq(key))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("n_direct"))
+    // exact referent via the two-phase distinct (pre-group on the
+    // (key, value) pair, then count the fine groups): a count_distinct
+    // NEXT TO the hll aggregate made Catalyst plan an Expand — every
+    // input row duplicated per aggregate arm — measured ~2x the whole
+    // query at 100M events; the fine-group relation here is
+    // key-cardinality × value-cardinality, nothing data-sized
+    val exact = withDay.groupBy(col(key), col(value)).agg(count(lit(1)))
+      .groupBy(key).agg(count(lit(1)).as("exact_n"))
+    merged.join(direct, Seq(key)).join(exact, Seq(key))
       .select(col(key), col("exact_n"), col("n_partials"),
         (abs(col("n_merged") - col("exact_n")) * 100 <= col("exact_n") * 15)
           .cast("long").as("merged_ok"),
