@@ -208,9 +208,16 @@ object AnalyticsSurface {
         col("event_id"), 20, "incr")
       // ONE corpus scan: partials grouped by the split flag, then the
       // tiny per-split state relations merge — the fold itself never
-      // re-reads the corpus, which is the operator's point
+      // re-reads the corpus, which is the operator's point. The
+      // grouped-state relation is PERSISTED before branching (the
+      // dedup_minhash shared-shingle precedent): the two filtered
+      // references are separate plan branches whose exchanges do NOT
+      // canonicalize to a reuse (measured scans=2 at 100M events —
+      // the whole corpus aggregated twice); caching the 7200-row
+      // state is what "standing state" means anyway
       val bySplit = graft.ops.Incremental.hourlyPartialsBy(
-        Tables.eventSeries(s, dir), isNew)
+          Tables.eventSeries(s, dir), isNew)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Incremental.merge(
         bySplit.filter(!col("split")).drop("split"),
         bySplit.filter(col("split")).drop("split"))

@@ -179,8 +179,13 @@ object CorrProfile {
       .cast("long"), lit(100L))
     time("split_h60_legacy")(ev.select(col("event_id"))
       .select(sum((pctLegacy < 80).cast("long"))))
-    time("incremental_full")(graft.queries.AnalyticsSurface
-      .queries("agg_incremental_rollup")(spark, dir))
+    val incrDf = graft.queries.AnalyticsSurface
+      .queries("agg_incremental_rollup")(spark, dir)
+    val plan = incrDf.queryExecution.executedPlan.toString
+    println(s"[corrprofile] incr plan: scans=${
+      plan.sliding(12).count(_ == "Scan parquet")} reused=${
+      plan.contains("ReusedExchange")}")
+    time("incremental_full")(incrDf)
     val raw = graft.core.Tables.load(spark, dir, "events")
     time("json_get_object")(raw.select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
