@@ -93,6 +93,8 @@ object GraftFunctions {
       NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("hi_limb", classOf[HiLimb], exprs => HiLimb(exprs.head)),
+    ("lo_limb", classOf[LoLimb], exprs => LoLimb(exprs.head)),
     ("h60_long", classOf[H60Long], exprs => H60Long(exprs.head)),
     ("micros6", classOf[Micros6], exprs => Micros6(exprs.head)),
     ("json_long", classOf[JsonLong], exprs => JsonLong(exprs(0), exprs(1))),

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
@@ -37,9 +36,12 @@ import org.apache.spark.sql.types._
   * trees), a boxed Double, and a virtual update call — measured as
   * most of the remaining q1-class marginal gap vs the referent's
   * native int128 sums. Declarative update/merge expressions inline
-  * into the generated aggregate loop; the only non-codegen'd piece is
-  * one static call ([[MicroLimbs]] → `MicroSumOps.limbsOrNull`)
-  * returning the per-row limb pair.
+  * into the generated aggregate loop; the only non-codegen'd pieces
+  * are two long-valued static calls ([[HiLimb]]/[[LoLimb]]) returning
+  * the per-row limbs. (r11: those statics replaced a struct-returning
+  * one — the GenericInternalRow + two boxed longs it allocated per
+  * row per aggregate measured as ~3x of the whole q1-class
+  * aggregation at 180M rows; the long form allocates nothing.)
   *
   * Bounds: per-row micros are limb-split before accumulating (via
   * BigInteger division when |x| ≥ 9.2·10¹² — beyond single-long
@@ -97,32 +99,43 @@ object MicroSumOps {
       .movePointRight(6).longValueExact()
   }
 
-  /** Per-row (hi, lo) micro-unit limbs of x under DECIMAL(30,6) cast
-    * semantics, or null where the cast yields NULL (NaN/Infinity —
-    * the row is skipped, exactly like the decimal sum). |lo| < LIMB
-    * always (truncated division pair), the invariant the aggregate's
-    * single-conditional carry requires. Called from generated code —
-    * standalone object so the Janino call site binds a plain static
-    * (the Q8Codec precedent). */
-  def limbsOrNull(x: Double): InternalRow = {
-    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
-    if (Math.abs(x) < 9.2e12) {
-      val micros = toMicros(x)
-      new GenericInternalRow(Array[Any](micros / LIMB, micros % LIMB))
-    } else {
-      // beyond long micro-units: limb-split the exact decimal directly
-      // so the full DECIMAL(30,6) per-row domain stays exact —
-      // including its loud ANSI overflow at |x| >= 1e24
-      val bi = java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP)
-        .movePointRight(6).toBigIntegerExact
-      if (bi.abs.compareTo(DEC30_MICROS) >= 0)
-        throw new ArithmeticException(
-          s"sum_micro: $x cannot be represented as DECIMAL(30,6)")
-      val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
-      new GenericInternalRow(Array[Any](qr(0).longValueExact, qr(1).longValue))
-    }
+  /** Rare-path limb (|x| ≥ 9.2·10¹² — beyond single-long micro-units):
+    * limb-split the exact decimal directly so the full DECIMAL(30,6)
+    * per-row domain stays exact, including its loud ANSI overflow at
+    * |x| ≥ 10²⁴. Computed per limb (hi and lo each redo the split) —
+    * the path is off the hot loop by construction. */
+  private def bigLimb(x: Double, wantHi: Boolean): Long = {
+    val bi = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).toBigIntegerExact
+    if (bi.abs.compareTo(DEC30_MICROS) >= 0)
+      throw new ArithmeticException(
+        s"sum_micro: $x cannot be represented as DECIMAL(30,6)")
+    val qr = bi.divideAndRemainder(java.math.BigInteger.valueOf(LIMB))
+    if (wantHi) qr(0).longValueExact else qr(1).longValue
   }
+
+  /** Per-row hi micro-unit limb of x under DECIMAL(30,6) cast
+    * semantics. NaN/Infinity return 0 — callers (the aggregate's
+    * update) guard those rows out with an explicit skip predicate, the
+    * way the decimal cast yields NULL. (hi, lo) are the truncated
+    * division pair so |lo| < LIMB always — the invariant the
+    * aggregate's single-conditional carry requires. Plain longs from
+    * standalone statics so the generated update loop stays
+    * ALLOCATION-FREE: the struct-returning predecessor paid a
+    * GenericInternalRow + two boxed longs per row per aggregate —
+    * measured as most of the q1-class marginal gap (4.4 s vs 1.5 s for
+    * the 5-sum q1 aggregate at 180M rows). */
+  def hiLimb(x: Double): Long =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) 0L
+    else if (Math.abs(x) < 9.2e12) toMicros(x) / LIMB
+    else bigLimb(x, wantHi = true)
+
+  /** Per-row lo micro-unit limb — see [[hiLimb]]. */
+  def loLimb(x: Double): Long =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) 0L
+    else if (Math.abs(x) < 9.2e12) toMicros(x) % LIMB
+    else bigLimb(x, wantHi = false)
 
   /** Exact decimal reconstruction of the limb sum, then the same
     * BigDecimal→double conversion CAST(decimal AS DOUBLE) performs.
@@ -133,34 +146,52 @@ object MicroSumOps {
       .scaleByPowerOfTen(-6).doubleValue()
 }
 
-/** `micro_limbs(double)` → struct(hi BIGINT, lo BIGINT), null for
-  * NaN/Infinity (see [[MicroSumOps.limbsOrNull]]). The codegen'd
-  * scalar feeding [[SumMicro]]'s declarative update. */
-case class MicroLimbs(child: Expression) extends UnaryExpression {
+/** `hi_limb(double)` → BIGINT (see [[MicroSumOps.hiLimb]]): the
+  * codegen'd long-valued scalar feeding [[SumMicro]]'s declarative
+  * update. Long-typed (not a struct) so the generated aggregate loop
+  * allocates NOTHING per row — one static call, one long. NaN/Infinity
+  * yield 0; the aggregate's skip predicate excludes those rows before
+  * the value is used. */
+case class HiLimb(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("hi", LongType, nullable = false),
-    StructField("lo", LongType, nullable = false)))
-
-  override def nullable: Boolean = true
-  override def prettyName: String = "micro_limbs"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hi_limb"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"micro_limbs requires a double argument, got $other")
+      s"hi_limb requires a double argument, got $other")
   }
 
   override def nullSafeEval(input: Any): Any =
-    MicroSumOps.limbsOrNull(input.asInstanceOf[Double])
+    MicroSumOps.hiLimb(input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.MicroSumOps.limbsOrNull($c);
-      ${ev.isNull} = (${ev.value} == null);
-    """)
+    defineCodeGen(ctx, ev, c => s"graft.functions.MicroSumOps.hiLimb($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): MicroLimbs =
+  override protected def withNewChildInternal(newChild: Expression): HiLimb =
+    copy(child = newChild)
+}
+
+/** `lo_limb(double)` → BIGINT — the lo pair of [[HiLimb]]. */
+case class LoLimb(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lo_limb"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lo_limb requires a double argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MicroSumOps.loLimb(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MicroSumOps.loLimb($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LoLimb =
     copy(child = newChild)
 }
 
@@ -237,12 +268,16 @@ case class SumMicro(child: Expression)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val limbs = MicroLimbs(child)
-    val upd = carried(hi, lo, cnt,
-      GetStructField(limbs, 0, Some("hi")),
-      GetStructField(limbs, 1, Some("lo")), Literal(1L))
-    // null limbs (null child, NaN, Infinity) → row skipped, buffer kept
-    val skip = IsNull(limbs)
+    val upd = carried(hi, lo, cnt, HiLimb(child), LoLimb(child), Literal(1L))
+    // null / NaN / Infinity child → row skipped, buffer kept (exactly
+    // the rows whose decimal cast yields NULL). The skip predicate is
+    // pure double compares so the limb statics stay the only calls in
+    // the generated loop — r11: the struct-returning predecessor
+    // (GenericInternalRow + two boxed longs per row per aggregate) was
+    // measured as ~3x of the whole q1 aggregation at 180M rows.
+    val skip = Or(IsNull(child), Or(IsNaN(child),
+      Or(EqualTo(child, Literal(Double.PositiveInfinity)),
+        EqualTo(child, Literal(Double.NegativeInfinity)))))
     Seq(If(skip, hi, upd(0)), If(skip, lo, upd(1)), If(skip, cnt, upd(2)))
   }
 

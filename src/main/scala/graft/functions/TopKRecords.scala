@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
   * (no whole-group materialization, ever).
   *
   * Fully DECLARATIVE (the SumMicro lesson): update/merge are
-  * `slice(array_sort(concat(buffer, new)), 1, k)` expression trees that
-  * inline into the generated aggregate loop. Elements are
+  * expression trees that inline into the generated aggregate loop —
+  * the update is an allocation-free accept test against the worst kept
+  * element, falling into `slice(array_sort(concat(buffer, new)), 1,
+  * k)` only for the O(k·log n) rows per partition-group that actually
+  * improve the top-k (r11: the unconditional sort-and-slice was 16.7 s
+  * vs 4.9 s for win_top3_agg at 100M events). Elements are
   * struct(nv = −value, t = ts), so the DEFAULT lexicographic struct
   * ordering (nv asc = value desc, then t asc) implements the ranking
   * comparator with no lambda. Callers posexplode the result and flip
@@ -79,11 +83,31 @@ case class TopKRecords(valueE: Expression, tsE: Expression, k: Int)
     Slice(SortArray(e, Literal(true)), Literal(1), Literal(k))
 
   override lazy val updateExpressions: Seq[Expression] = {
+    val nv = UnaryMinus(valueE)
     val newElem = CreateNamedStruct(Seq(
-      Literal("nv"), UnaryMinus(valueE),
+      Literal("nv"), nv,
       Literal("t"), tsE))
     val upd = topk(Concat(Seq(buf, CreateArray(Seq(newElem)))))
-    Seq(If(Or(Or(IsNull(valueE), IsNull(tsE)), IsNaN(valueE)), buf, upd))
+    // Accept test BEFORE the sort-and-slice: once the buffer holds k
+    // elements, a row enters only if it beats the worst kept element
+    // (buf is sorted ascending, so that is the LAST one). The steady-
+    // state per-row path is then two scalar compares against the tail
+    // — allocation-free — while the sort+concat+slice (5 array/struct
+    // allocations + an O(k log k) boxed-struct sort) runs only the
+    // O(k·log n) times per partition-group a row actually improves the
+    // top-k (r11: measured as most of win_top3_agg's 100M-event cost).
+    // GetArrayItem with failOnError=false yields NULL on the empty
+    // buffer rather than ANSI-throwing (the not-full disjunct already
+    // admits the row; null `beats` is never the deciding branch).
+    val worst = GetArrayItem(buf, Subtract(Size(buf, false), Literal(1)),
+      failOnError = false)
+    val worstNv = GetStructField(worst, 0, Some("nv"))
+    val worstT = GetStructField(worst, 1, Some("t"))
+    val beats = Or(LessThan(nv, worstNv),
+      And(EqualTo(nv, worstNv), LessThan(tsE, worstT)))
+    val enters = Or(LessThan(Size(buf, false), Literal(k)), beats)
+    val skip = Or(Or(IsNull(valueE), IsNull(tsE)), IsNaN(valueE))
+    Seq(If(skip, buf, If(enters, upd, buf)))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =
