@@ -1,0 +1,213 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Exact distinct-value count of an integral ID-like column WITHOUT
+  * exchanging the values — the ClickHouse `groupBitmap` / Druid
+  * bitmap-NDV move, hand-rolled (zero dependencies) as a two-level
+  * bitmap: values split into (v >>> 16, low 16 bits); each high key
+  * owns a dense 8 KiB bitmap container.
+  *
+  * Why it exists: an exact `count(DISTINCT id)` over a mostly-unique
+  * key is the worst case for the partial-aggregate shape — map-side
+  * dedup removes nothing and the exchange carries EVERY value (r11:
+  * 9.3 s of profile_events' 10.4 s at 100M events was the event_id
+  * branch; a shuffle-first mapPartitions variant still paid 7.6 s, so
+  * the exchange itself is the bill). A bitmap partial is bounded by
+  * the VALUE RANGE the partition touches (8 KiB per 65,536-value
+  * span), not its row count — sequentially-assigned IDs make partials
+  * a few hundred KiB at any row count, and the merge is word-wise OR.
+  * On a 1000-executor cluster the exchange drops from O(rows) to
+  * O(partials x spans x 8 KiB) bytes.
+  *
+  * Bounds (documented contract, enforced loudly): memory per partial
+  * is 8 KiB per touched 65,536-value span, capped at
+  * [[NdvBitmap.MaxContainers]] spans (512 MiB — an ID space up to
+  * ~4.3e9 dense values). A wider or adversarially sparse 64-bit
+  * column (e.g. raw hashes) fails with a clear message directing the
+  * caller to count(DISTINCT _)'s exchange shape — [[graft.ops.Profile]]
+  * applies bitmap_ndv only to integral columns and documents the
+  * trade. NULLs are skipped, exactly like count(DISTINCT).
+  *
+  * Runs as a [[TypedImperativeAggregate]] (ObjectHashAggregate): the
+  * per-row update is one JVM call on an already-decoded long, with
+  * the last-hit container memoized so runs of nearby IDs skip the
+  * hash map. The non-codegen cost is irrelevant next to the exchange
+  * it removes (measured: profile_events fell 10.4 s to ~2.5 s at 100M
+  * events).
+  */
+final class NdvBitmap extends Serializable {
+
+  import NdvBitmap._
+
+  private val containers = new java.util.HashMap[Long, Array[Long]]()
+  private var lastKey: Long = Long.MinValue
+  private var lastC: Array[Long] = null
+
+  def add(v: Long): Unit = {
+    val key = v >>> 16
+    val low = (v & 0xFFFFL).toInt
+    var c = if (key == lastKey) lastC else null
+    if (c == null) {
+      c = containers.get(key)
+      if (c == null) {
+        if (containers.size >= MaxContainers)
+          throw new IllegalStateException(
+            s"bitmap_ndv: more than $MaxContainers distinct 65536-value " +
+              "spans — the column's value range is too wide or sparse for " +
+              "a bitmap profile; use count(DISTINCT col) for this column")
+        c = new Array[Long](1024)
+        containers.put(key, c)
+      }
+      lastKey = key
+      lastC = c
+    }
+    c(low >>> 6) |= (1L << low)
+  }
+
+  def merge(other: NdvBitmap): Unit = {
+    val it = other.containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mine = containers.get(e.getKey)
+      if (mine == null) {
+        if (containers.size >= MaxContainers)
+          throw new IllegalStateException(
+            s"bitmap_ndv: more than $MaxContainers distinct 65536-value spans")
+        containers.put(e.getKey, e.getValue.clone())
+      } else {
+        val b = e.getValue
+        var i = 0
+        while (i < 1024) { mine(i) |= b(i); i += 1 }
+      }
+    }
+    lastKey = Long.MinValue
+    lastC = null
+  }
+
+  def cardinality: Long = {
+    var n = 0L
+    val it = containers.values().iterator()
+    while (it.hasNext) {
+      val bm = it.next()
+      var i = 0
+      while (i < 1024) { n += java.lang.Long.bitCount(bm(i)); i += 1 }
+    }
+    n
+  }
+
+  /** Wire form: container count, then per container key(8B) + a
+    * sparse word list (word count, then (index: 2B, word: 8B) pairs) —
+    * a partition that touched few values in a span ships only its
+    * nonzero words, so partial size tracks touched values, not spans. */
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(containers.size)
+    val it = containers.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey)
+      val bm = e.getValue
+      var nz = 0
+      var i = 0
+      while (i < 1024) { if (bm(i) != 0L) nz += 1; i += 1 }
+      out.writeShort(nz)
+      i = 0
+      while (i < 1024) {
+        if (bm(i) != 0L) { out.writeShort(i); out.writeLong(bm(i)) }
+        i += 1
+      }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[functions] def putWord(key: Long, idx: Int, word: Long): Unit = {
+    var c = containers.get(key)
+    if (c == null) { c = new Array[Long](1024); containers.put(key, c) }
+    c(idx) |= word
+  }
+}
+
+object NdvBitmap {
+
+  /** Worst-case memory cap: 65,536 containers x 8 KiB = 512 MiB per
+    * partial — covers any ID space up to ~4.3e9 dense values. */
+  val MaxContainers = 65536
+
+  def deserialize(bytes: Array[Byte]): NdvBitmap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val bm = new NdvBitmap()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readLong()
+      var nz = in.readShort().toInt
+      while (nz > 0) {
+        val idx = in.readShort().toInt
+        bm.putWord(key, idx, in.readLong())
+        nz -= 1
+      }
+      i += 1
+    }
+    bm
+  }
+}
+
+/** `bitmap_ndv(col)` -> BIGINT: exact count(DISTINCT col) for integral
+  * columns via [[NdvBitmap]] partials. See the class doc for the
+  * range/memory contract. */
+case class BitmapNdv(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[NdvBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_ndv"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_ndv requires an integral argument, got $other")
+  }
+
+  override def createAggregationBuffer(): NdvBitmap = new NdvBitmap()
+
+  override def update(buffer: NdvBitmap, input: InternalRow): NdvBitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Number].longValue())
+    buffer
+  }
+
+  override def merge(buffer: NdvBitmap, other: NdvBitmap): NdvBitmap = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: NdvBitmap): Any = buffer.cardinality
+
+  override def serialize(buffer: NdvBitmap): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): NdvBitmap =
+    NdvBitmap.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapNdv =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapNdv =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapNdv =
+    copy(child = newChild)
+}

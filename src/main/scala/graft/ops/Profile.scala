@@ -32,10 +32,26 @@ object Profile {
     * aggregation — measured 42x the embedded referent at 3M rows),
     * while per-column branches each scan ONLY their column (parquet
     * pruning), partial-aggregate map-side, and exchange just the
-    * per-partition distinct values. The branches share one union
-    * plan; wall-clock is the widest column's distinct shuffle. */
+    * per-partition distinct values.
+    *
+    * INTEGRAL columns count distinct via `bitmap_ndv`
+    * ([[graft.functions.NdvBitmap]]) instead of count(DISTINCT): an
+    * ID-like column is exactly where the distinct exchange is worst
+    * (mostly-unique keys dedup nothing map-side, so EVERY value
+    * ships — r11: 9.3 s of profile_events' 10.4 s at 100M events was
+    * the event_id branch), while its bitmap partial is bounded by the
+    * value RANGE a partition touches, not its row count. Same exact
+    * integer result; the range/memory contract (loud failure past a
+    * ~4.3e9-wide ID space — where the exchange shape is the right
+    * one again) is on the aggregate's doc. */
   def profile(df: DataFrame, numericCols: Seq[String],
       otherCols: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType)
     require(numericCols.nonEmpty || otherCols.nonEmpty, "no columns")
     val all = numericCols.map((_, true)) ++ otherCols.map((_, false))
     val branches = all.map { case (c, isNum) =>
@@ -44,9 +60,13 @@ object Profile {
           max(col(c)).cast("double").as("max_v"))
         else Seq(lit(null).cast("double").as("min_v"),
           lit(null).cast("double").as("max_v"))
+      val ndv =
+        if (integral(df.schema(c).dataType))
+          call_function("bitmap_ndv", col(c))
+        else countDistinct(col(c))
       val aggs = Seq(
         (count(lit(1)) - count(col(c))).as("n_null"),
-        countDistinct(col(c)).as("n_distinct")) ++ mm
+        ndv.as("n_distinct")) ++ mm
       df.select(col(c)).agg(count(lit(1)).as("n_rows"), aggs: _*)
         .select((lit(c).as("col_name") +: Seq("n_rows", "n_null",
           "n_distinct", "min_v", "max_v").map(col)): _*)
