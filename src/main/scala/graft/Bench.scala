@@ -84,9 +84,11 @@ object Bench {
     // recall evaluation
     "probe_holdout_quality", "sim_recall_pq",
     // round-11 additions: the hot-band cap's measured pair recall on
-    // the planted-skew corpus, and the placed-vs-rebuilt staleness
-    // pair of the incrementally-maintained ANN index
-    "dedup_recall_minhash_capped", "sim_recall_incremental")
+    // the planted-skew corpus, the placed-vs-rebuilt staleness pair
+    // of the incrementally-maintained ANN index, and the bitmap-NDV
+    // exact distinct over the integral ID columns
+    "dedup_recall_minhash_capped", "sim_recall_incremental",
+    "agg_bitmap_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

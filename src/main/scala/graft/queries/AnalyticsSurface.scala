@@ -667,6 +667,17 @@ object AnalyticsSurface {
     "profile_events" -> ((s, dir) =>
       graft.ops.Profile.profile(Tables.load(s, dir, "events"),
         Seq("event_id", "user_id", "value"), Seq("event_type"))),
+    // the bitmap-NDV aggregate as a first-class gated key: exact
+    // distinct counts of the two integral ID columns with range-
+    // bounded bitmap partials instead of a value exchange
+    // (functions/BitmapNdv.scala — profile_events' long pole at 100M
+    // events was exactly this shape)
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.load(s, dir, "events").agg(
+        call_function("bitmap_ndv", col("event_id")).as("n_ids"),
+        call_function("bitmap_ndv", col("user_id")).as("n_users"))
+    }),
     "cdc_upsert_latest" -> ((s, dir) =>
       Tables.eventSeries(s, dir)
         .groupBy("user_id")
@@ -1065,6 +1076,10 @@ object AnalyticsSurface {
     "profile_events" -> graft.ops.Profile.profileOracleSql(
       "SELECT event_id, user_id, value, event_type FROM events",
       Seq("event_id", "user_id", "value"), Seq("event_type")),
+    "agg_bitmap_distinct" ->
+      """SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events""".stripMargin,
     "cdc_upsert_latest" ->
       (EV + """SELECT user_id, m.t AS last_ts, m.e AS last_event_id,
         |  m.v AS last_value
