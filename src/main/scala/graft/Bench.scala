@@ -88,7 +88,10 @@ object Bench {
     // of the incrementally-maintained ANN index, and the bitmap-NDV
     // exact distinct over the integral ID columns
     "dedup_recall_minhash_capped", "sim_recall_incremental",
-    "agg_bitmap_distinct")
+    "agg_bitmap_distinct",
+    // the maintained fold without its verification harness — the
+    // apples-to-apples twin of agg_incremental_rollup
+    "agg_rollup_fold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -188,6 +188,59 @@ object AnalyticsSurface {
       round(call_function("sum_micro", col("value")).over(w), 4).as("cum_value"))
   }
 
+  /** ROLLUP/CUBE over (event_type, cohort) WITHOUT the Expand Catalyst
+    * plans for grouping sets (every input row duplicated per set): the
+    * aggregates are mergeable — count plus exact micro-unit long sums
+    * (the Incremental partials discipline: micros6 div/% 1e6 so both
+    * running sums are codegen'd int64, ANSI-loud on overflow) — so ONE
+    * pass builds the 60-row finest (type, cohort) state and every
+    * coarser level is a state-sized regroup. The final value re-widens
+    * through the identical bounded-precision decimal recombination the
+    * incremental rollup gates, so results are bit-identical to the
+    * decimal formulation and the GROUPING SETS oracle. gid matches
+    * grouping_id(): fine 0, cohort-rolled 1, type-rolled 2 (cube
+    * only), both 3. Data NULLs stay distinguishable from rolled-up
+    * NULLs exactly as with grouping_id: fine-level rows carry the
+    * actual (possibly null) key values with gid 0. */
+  private def groupingSetsFromFineState(s: SparkSession, dir: String,
+      withCohortLevel: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fine = t(s, dir, "events")
+      .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      .groupBy("event_type", "cohort")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(micros6(CAST(value AS DOUBLE)) div 1000000)").as("h6"),
+        expr("sum(micros6(CAST(value AS DOUBLE)) % 1000000)").as("l6"))
+    def finalize(st: DataFrame, gid: Int): DataFrame = {
+      val sv = (col("h6").cast("decimal(18,0)") *
+        lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+        col("l6").cast("decimal(18,0)")) *
+        lit(new java.math.BigDecimal("0.000001"))
+      st.select(col("event_type"), col("cohort"),
+        col("n").cast("long").as("n"),
+        round(sv.cast("double"), 4).as("sum_value"),
+        lit(gid.toLong).as("gid"))
+    }
+    def regroup(keys: Seq[String]): DataFrame = {
+      val g = if (keys.isEmpty) fine.groupBy() else fine.groupBy(keys.map(col): _*)
+      // coalesce: on EMPTY input the ()-set row must carry count 0
+      // (sum-of-nothing is null, count(*) is 0 — SQL grouping sets
+      // emit the global row even over an empty table)
+      val agg = g.agg(coalesce(sum("n"), lit(0L)).as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"))
+      val withType = if (keys.contains("event_type")) agg
+        else agg.withColumn("event_type", lit(null).cast("string"))
+      if (keys.contains("cohort")) withType
+      else withType.withColumn("cohort", lit(null).cast("long"))
+    }
+    val levels =
+      finalize(fine, 0) +:
+        (finalize(regroup(Seq("event_type")), 1) +:
+          ((if (withCohortLevel) Seq(finalize(regroup(Seq("cohort")), 2)) else Nil) :+
+            finalize(regroup(Nil), 3)))
+    levels.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_cumsum_user" -> cumsumPerUser,
     "q1_pricing" -> q1Pricing,
@@ -221,6 +274,17 @@ object AnalyticsSurface {
       graft.ops.Incremental.merge(
         bySplit.filter(!col("split")).drop("split"),
         bySplit.filter(col("split")).drop("split"))
+    }),
+    // the maintained fold ALONE (no split predicate, no h60 hash, no
+    // persisted twin-branch verification): one corpus pass to the
+    // 7,200-row mergeable state, finalized — the apples-to-apples
+    // twin of agg_incremental_rollup, whose gate deliberately pays
+    // for the merge-equals-rescan identity on top (same oracle; the
+    // pair ratio between the two keys IS the measured harness price)
+    "agg_rollup_fold" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.Incremental.merge(
+        graft.ops.Incremental.hourlyPartials(Tables.eventSeries(s, dir)))
     }),
     // rolling z-score anomaly flags per user series (trailing-frame
     // causal verdict, exact decimal window partials — see
@@ -587,13 +651,16 @@ object AnalyticsSurface {
     // multi-level aggregation: ROLLUP emits per-(type,cohort),
     // per-type and grand-total rows in ONE partial-aggregable pass —
     // one shuffle, not three queries; grouping_id disambiguates
-    // rolled-up NULLs from data NULLs
+    // rolled-up NULLs from data NULLs. NOT .rollup(): Catalyst plans
+    // grouping sets via Expand — every input row duplicated per set
+    // (3x the rows through the aggregate here, 4x for the cube). The
+    // aggregates are MERGEABLE (count + exact micro-unit sums), so the
+    // coarser levels derive from the 60-row finest state instead —
+    // one clean pass over the data, then state-sized regroups (the
+    // two-phase fine-group-distinct precedent applied to grouping
+    // sets; r11: 2.6 s -> ~1.4 s at 100M events)
     "agg_rollup_sets" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
-        .rollup("event_type", "cohort")
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"),
-          grouping_id().as("gid"))),
+      groupingSetsFromFineState(s, dir, withCohortLevel = false)),
     // pivot with an EXPLICIT value list (implicit pivot collects the
     // distinct values to the driver — at scale the column set must be
     // declared, not discovered): wide per-cohort event-type counts
@@ -688,13 +755,10 @@ object AnalyticsSurface {
           col("m.event_id").as("last_event_id"),
           col("m.value").as("last_value"))),
     // CUBE completes the grouping-sets family next to agg_rollup_sets:
-    // all four (type, cohort) subsets in ONE partial-aggregable pass
+    // all four (type, cohort) subsets — derived from the same finest
+    // state (see agg_rollup_sets: no Expand, one data pass)
     "agg_cube" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
-        .cube("event_type", "cohort")
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"),
-          grouping_id().as("gid"))),
+      groupingSetsFromFineState(s, dir, withCohortLevel = true)),
     // sample autocorrelation per series at lags 1..3 (graft.ops
     // .SeriesStats.acf): integer fixed-point moment sums + ONE shared
     // double chain both engines execute verbatim
@@ -864,6 +928,14 @@ object AnalyticsSurface {
     // the merge is exact by decimal associativity, so the oracle is
     // the plain single-pass GROUP BY over everything
     "agg_incremental_rollup" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    // identical oracle: the fold-only twin must reproduce the same
+    // rollup — its pair ratio isolates the operator from the
+    // verification harness agg_incremental_rollup carries
+    "agg_rollup_fold" ->
       (EV + s"""SELECT event_type,
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value
