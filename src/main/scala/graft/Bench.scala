@@ -90,8 +90,9 @@ object Bench {
     "dedup_recall_minhash_capped", "sim_recall_incremental",
     "agg_bitmap_distinct",
     // the maintained fold without its verification harness — the
-    // apples-to-apples twin of agg_incremental_rollup
-    "agg_rollup_fold")
+    // apples-to-apples twin of agg_incremental_rollup — and the
+    // grouped-array sessionize twin (window-sort class differential)
+    "agg_rollup_fold", "win_sessionize_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

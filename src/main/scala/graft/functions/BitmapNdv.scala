@@ -47,25 +47,63 @@ final class NdvBitmap extends Serializable {
 
   import NdvBitmap._
 
-  private val containers = new java.util.HashMap[Long, Array[Long]]()
+  // open-addressed long->container table (power-of-two capacity,
+  // linear probing, grow at 1/2 load). NOT java.util.HashMap: a
+  // boxed java.lang.Long key allocates PER ROW once the last-hit memo
+  // stops covering (random-order keys, e.g. a user_id column — r11:
+  // the boxing regressed the sketch-merge exact referent it was meant
+  // to speed up). vals(i) == null marks an empty slot; keys(i) is
+  // meaningful only where vals(i) != null, so key 0 needs no sentinel.
+  private var keys = new Array[Long](64)
+  private var vals = new Array[Array[Long]](64)
+  private var used = 0
   private var lastKey: Long = Long.MinValue
   private var lastC: Array[Long] = null
+
+  private def slotOf(key: Long): Int = {
+    val h = key * -7046029254386353131L // Fibonacci-style scramble
+    var i = ((h ^ (h >>> 32)).toInt) & (keys.length - 1)
+    while (vals(i) != null && keys(i) != key) i = (i + 1) & (keys.length - 1)
+    i
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    keys = new Array[Long](ok.length << 1)
+    vals = new Array[Array[Long]](ov.length << 1)
+    var j = 0
+    while (j < ok.length) {
+      if (ov(j) != null) {
+        val i = slotOf(ok(j))
+        keys(i) = ok(j); vals(i) = ov(j)
+      }
+      j += 1
+    }
+  }
+
+  /** Container for `key`, created if absent (loud past the cap). */
+  private def containerFor(key: Long): Array[Long] = {
+    var i = slotOf(key)
+    if (vals(i) == null) {
+      if (used >= MaxContainers)
+        throw new IllegalStateException(
+          s"bitmap_ndv: more than $MaxContainers distinct 65536-value " +
+            "spans — the column's value range is too wide or sparse for " +
+            "a bitmap profile; use count(DISTINCT col) for this column")
+      if ((used + 1) * 2 > keys.length) { grow(); i = slotOf(key) }
+      keys(i) = key
+      vals(i) = new Array[Long](1024)
+      used += 1
+    }
+    vals(i)
+  }
 
   def add(v: Long): Unit = {
     val key = v >>> 16
     val low = (v & 0xFFFFL).toInt
     var c = if (key == lastKey) lastC else null
     if (c == null) {
-      c = containers.get(key)
-      if (c == null) {
-        if (containers.size >= MaxContainers)
-          throw new IllegalStateException(
-            s"bitmap_ndv: more than $MaxContainers distinct 65536-value " +
-              "spans — the column's value range is too wide or sparse for " +
-              "a bitmap profile; use count(DISTINCT col) for this column")
-        c = new Array[Long](1024)
-        containers.put(key, c)
-      }
+      c = containerFor(key)
       lastKey = key
       lastC = c
     }
@@ -73,20 +111,15 @@ final class NdvBitmap extends Serializable {
   }
 
   def merge(other: NdvBitmap): Unit = {
-    val it = other.containers.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val mine = containers.get(e.getKey)
-      if (mine == null) {
-        if (containers.size >= MaxContainers)
-          throw new IllegalStateException(
-            s"bitmap_ndv: more than $MaxContainers distinct 65536-value spans")
-        containers.put(e.getKey, e.getValue.clone())
-      } else {
-        val b = e.getValue
+    var j = 0
+    while (j < other.vals.length) {
+      val b = other.vals(j)
+      if (b != null) {
+        val mine = containerFor(other.keys(j))
         var i = 0
         while (i < 1024) { mine(i) |= b(i); i += 1 }
       }
+      j += 1
     }
     lastKey = Long.MinValue
     lastC = null
@@ -94,11 +127,14 @@ final class NdvBitmap extends Serializable {
 
   def cardinality: Long = {
     var n = 0L
-    val it = containers.values().iterator()
-    while (it.hasNext) {
-      val bm = it.next()
-      var i = 0
-      while (i < 1024) { n += java.lang.Long.bitCount(bm(i)); i += 1 }
+    var j = 0
+    while (j < vals.length) {
+      val bm = vals(j)
+      if (bm != null) {
+        var i = 0
+        while (i < 1024) { n += java.lang.Long.bitCount(bm(i)); i += 1 }
+      }
+      j += 1
     }
     n
   }
@@ -110,29 +146,30 @@ final class NdvBitmap extends Serializable {
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(containers.size)
-    val it = containers.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.writeLong(e.getKey)
-      val bm = e.getValue
-      var nz = 0
-      var i = 0
-      while (i < 1024) { if (bm(i) != 0L) nz += 1; i += 1 }
-      out.writeShort(nz)
-      i = 0
-      while (i < 1024) {
-        if (bm(i) != 0L) { out.writeShort(i); out.writeLong(bm(i)) }
-        i += 1
+    out.writeInt(used)
+    var j = 0
+    while (j < vals.length) {
+      val bm = vals(j)
+      if (bm != null) {
+        out.writeLong(keys(j))
+        var nz = 0
+        var i = 0
+        while (i < 1024) { if (bm(i) != 0L) nz += 1; i += 1 }
+        out.writeShort(nz)
+        i = 0
+        while (i < 1024) {
+          if (bm(i) != 0L) { out.writeShort(i); out.writeLong(bm(i)) }
+          i += 1
+        }
       }
+      j += 1
     }
     out.flush()
     bos.toByteArray
   }
 
   private[functions] def putWord(key: Long, idx: Int, word: Long): Unit = {
-    var c = containers.get(key)
-    if (c == null) { c = new Array[Long](1024); containers.put(key, c) }
+    val c = containerFor(key)
     c(idx) |= word
   }
 }

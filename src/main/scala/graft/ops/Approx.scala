@@ -155,7 +155,13 @@ object Approx {
     // NEXT TO the hll aggregate made Catalyst plan an Expand — every
     // input row duplicated per aggregate arm — measured ~2x the whole
     // query at 100M events; the fine-group relation here is
-    // key-cardinality × value-cardinality, nothing data-sized
+    // key-cardinality × value-cardinality, nothing data-sized.
+    // Measured and REJECTED (r11): bitmap_ndv grouped by the string
+    // key — the off-codegen ObjectHashAggregate row path (string
+    // hash + boxed eval per row) loses to the codegen'd fine-group
+    // aggregate (4.4 vs 3.5 s whole-query at 100M events); the bitmap
+    // wins for GLOBAL/ungrouped distincts (profile_events,
+    // agg_bitmap_distinct), not under a grouped string key.
     val exact = withDay.groupBy(col(key), col(value)).agg(count(lit(1)))
       .groupBy(key).agg(count(lit(1)).as("exact_n"))
     merged.join(direct, Seq(key)).join(exact, Seq(key))

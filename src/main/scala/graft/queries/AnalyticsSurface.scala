@@ -142,6 +142,32 @@ object AnalyticsSurface {
       .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** [[sessionize]] as a GROUPED-ARRAY aggregate instead of two
+    * analytic functions: collect each user's timestamps, sort the
+    * (bounded, per-user) array once, and fold it with a higher-order
+    * `aggregate` lambda counting >30 min gaps — one hash aggregate,
+    * no partition-wide window sort (the win_top3_agg differential
+    * pattern applied to the window-sort class). Per-user state is the
+    * user's own event count — bounded by the key population's
+    * activity, the same bound the streaming sessionizer carries; the
+    * window form remains the default for unbounded-per-key corpora.
+    * Same output as [[sessionize]]; the gate reuses its oracle
+    * verbatim. Ties: equal timestamps yield gap 0 in either
+    * formulation, so sort stability cannot change the count. */
+  private def sessionizeAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventSeries(s, dir)
+    val gapUs = 30L * 60 * 1000000 // 30 min in micros
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(col("timestamp"))).as("ts"))
+      .select(col("user_id"),
+        expr(s"""aggregate(ts,
+          named_struct('prev', CAST(-1 AS BIGINT), 'brk', CAST(0 AS BIGINT)),
+          (acc, t) -> named_struct('prev', t,
+            'brk', acc.brk + IF(acc.prev < 0 OR t - acc.prev > ${gapUs}L, 1, 0)),
+          acc -> acc.brk)""").as("n_sessions"),
+        size(col("ts")).cast("long").as("n_events"))
+  }
+
   /** Per-event-type hourly rollup with distinct users —
     * count-distinct over a composite time+category key. */
   private def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
@@ -249,6 +275,7 @@ object AnalyticsSurface {
     "win_top3_per_user" -> top3PerUser,
     "win_top3_agg" -> top3PerUserAgg,
     "win_sessionize" -> sessionize,
+    "win_sessionize_agg" -> sessionizeAgg,
     "agg_hourly_rollup" -> hourlyRollup,
     // incremental view maintenance (graft.ops.Incremental): the corpus
     // splits 80/20 by hash into "standing state" and "new batch"; each
@@ -914,6 +941,15 @@ object AnalyticsSurface {
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, timestamp ASC) AS rn
         |  FROM ev) WHERE rn <= 3""".stripMargin),
     "win_sessionize" ->
+      (EV + """SELECT user_id, CAST(sum(is_break) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM (SELECT user_id, timestamp,
+        |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
+        |        FROM ev)) GROUP BY user_id""".stripMargin),
+    // identical oracle: the grouped-array twin must reproduce the
+    // window formulation's output exactly
+    "win_sessionize_agg" ->
       (EV + """SELECT user_id, CAST(sum(is_break) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
