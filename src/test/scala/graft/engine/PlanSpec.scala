@@ -184,4 +184,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
     assert(!p.contains("ObjectHashAggregate"), p.take(3000))
   }
+
+  test("grouping sets derive levels from fine state: no Expand, corpus scanned once") {
+    // r11 rework: .rollup()/.cube() plan an Expand (every input row
+    // duplicated per grouping set); the fine-state form must not —
+    // and AQE exchange reuse must serve every level from ONE corpus
+    // pass (asserted from EXECUTED metrics: plan-text scan counts
+    // double-count reused subtree printouts)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scanRows(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => scanRows(a.executedPlan)
+      case s: FileSourceScanExec =>
+        s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      case q: QueryStageExec => scanRows(q.plan)
+      case _: ReusedExchangeExec => 0L
+      case other => other.children.map(scanRows).sum
+    }
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    for (key <- Seq("agg_rollup_sets", "agg_cube")) {
+      val df = graft.SparkEntry.queries(key)(spark, sfDir)
+      df.collect() // executes THIS queryExecution, so its metrics fill
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("Expand"), s"$key plans an Expand")
+      val rows = scanRows(plan)
+      assert(rows == total, s"$key scanned $rows rows, table has $total " +
+        "— the level union re-read the corpus instead of reusing the exchange")
+    }
+  }
 }
