@@ -36,7 +36,7 @@ object PlanAudit {
       "text_similar_rare", // rare-feature posting-list equality join
       "pack_length_buckets", // broadcast quantile boundaries, scan-speed assign
       "events_json_extract", // codegen'd JSON path over the scan
-      "agg_rollup_sets",   // one-shuffle expand + partial aggregate
+      "agg_rollup_sets",   // fine-state levels, no Expand (r11 rework)
       // round-8 additions
       "agg_corr",          // fixed-point long moments, no decimal buffers
       "win_anomaly",       // 1e-4 fixed-point window sums, one keyed sort
