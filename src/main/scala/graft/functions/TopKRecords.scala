@@ -99,6 +99,11 @@ case class TopKRecords(valueE: Expression, tsE: Expression, k: Int)
     // GetArrayItem with failOnError=false yields NULL on the empty
     // buffer rather than ANSI-throwing (the not-full disjunct already
     // admits the row; null `beats` is never the deciding branch).
+    // ±0.0: these compares are PRIMITIVE (-0.0 == 0.0 -> ts decides)
+    // while SortArray orders by Double.compare (-0.0 < 0.0); the kept
+    // VALUE multiset is identical either way — only which zero
+    // representation survives a zero-crowded cut can differ
+    // (TopKRecordsSpec pins it).
     val worst = GetArrayItem(buf, Subtract(Size(buf, false), Literal(1)),
       failOnError = false)
     val worstNv = GetStructField(worst, 0, Some("nv"))

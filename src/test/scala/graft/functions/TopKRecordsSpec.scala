@@ -38,4 +38,26 @@ class TopKRecordsSpec extends AnyFunSuite {
       (1L, 6.0, 30L), (1L, 6.0, 30L), (1L, 6.0, 20L), (1L, 9.0, 40L)), 3)
     assert(got == Seq((9.0, 40L), (6.0, 20L), (6.0, 30L)))
   }
+
+  test("plus and minus zero at the cut boundary keep the accept test consistent") {
+    // r11: the accept test compares against the buffer tail with
+    // PRIMITIVE double compares (-0.0 == 0.0 -> tie falls to ts),
+    // while SortArray orders by Double.compare (-0.0 < 0.0). The two
+    // must agree on the OUTPUT VALUE multiset: with mixed-sign zeros
+    // crowding the cut, the kept values (as primitive doubles) match
+    // what a full sort would keep, whichever zero representation
+    // survives. Exercised in arrival orders that hit both the
+    // buffer-not-full admit and the tail-tie reject paths.
+    for (rows <- Seq(
+      Seq((1L, 5.0, 1L), (1L, 0.0, 2L), (1L, -0.0, 3L), (1L, -1.0, 4L)),
+      Seq((1L, -0.0, 3L), (1L, -1.0, 4L), (1L, 0.0, 2L), (1L, 5.0, 1L)),
+      Seq((1L, -1.0, 4L), (1L, 5.0, 1L), (1L, -0.0, 2L), (1L, 0.0, 3L)))) {
+      val got = top(rows.map { case (g, v, t) =>
+        (g, java.lang.Double.valueOf(v), java.lang.Long.valueOf(t)) }, 2)
+      // top-2 by value: 5.0 then a zero (either sign bit — compare
+      // with ==, which is sign-of-zero-blind like the accept test)
+      assert(got.size == 2 && got(0) == ((5.0, 1L)) && got(1)._1 == 0.0,
+        s"$rows -> $got")
+    }
+  }
 }
