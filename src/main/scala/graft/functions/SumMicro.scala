@@ -268,17 +268,32 @@ case class SumMicro(child: Expression)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val upd = carried(hi, lo, cnt, HiLimb(child), LoLimb(child), Literal(1L))
-    // null / NaN / Infinity child → row skipped, buffer kept (exactly
-    // the rows whose decimal cast yields NULL). The skip predicate is
-    // pure double compares so the limb statics stay the only calls in
-    // the generated loop — r11: the struct-returning predecessor
-    // (GenericInternalRow + two boxed longs per row per aggregate) was
-    // measured as ~3x of the whole q1 aggregation at 180M rows.
-    val skip = Or(IsNull(child), Or(IsNaN(child),
+    // Zero-default single-conditional form: a skipped row (null / NaN
+    // / Infinity child — exactly the rows whose decimal cast yields
+    // NULL) contributes IDENTITY limbs instead of branching per slot.
+    // The statics already return 0 for NaN/Infinity; Coalesce covers
+    // the null child — so hi/lo update unconditionally (adding 0 is a
+    // no-op through the carry: rawLo keeps |lo| < LIMB, adj = 0) and
+    // only the count keeps a conditional. r11: the struct-returning
+    // predecessor (GenericInternalRow + two boxed longs per row per
+    // aggregate) measured ~3x of the whole q1 aggregation at 180M
+    // rows; the three If-per-slot skips this form removes were most
+    // of the residual vs the alloc-free floor. The per-row hi add is
+    // ONE overflow-checked add: |hi2| ≤ 10¹² (per-row limb bound) and
+    // |adj| ≤ 1, so hi2 + adj is a plain add — unlike merge, where
+    // both sides are accumulator-scale and keep the two-ANSI form.
+    val hi2 = Coalesce(Seq(HiLimb(child), Literal(0L)))
+    val lo2 = Coalesce(Seq(LoLimb(child), Literal(0L)))
+    val rawLo = Add(lo, lo2) // bounded: |lo| + |lo2| < 2·10¹⁸
+    val adj = CaseWhen(Seq(
+      (GreaterThanOrEqual(rawLo, Literal(LIMB)), Literal(1L)),
+      (LessThanOrEqual(rawLo, Literal(-LIMB)), Literal(-1L))), Literal(0L))
+    val newLo = Subtract(rawLo, Multiply(adj, Literal(LIMB)))
+    val newHi = addX(hi, Add(hi2, adj))
+    val live = Not(Or(IsNull(child), Or(IsNaN(child),
       Or(EqualTo(child, Literal(Double.PositiveInfinity)),
-        EqualTo(child, Literal(Double.NegativeInfinity)))))
-    Seq(If(skip, hi, upd(0)), If(skip, lo, upd(1)), If(skip, cnt, upd(2)))
+        EqualTo(child, Literal(Double.NegativeInfinity))))))
+    Seq(newHi, newLo, Add(cnt, If(live, Literal(1L), Literal(0L))))
   }
 
   override lazy val mergeExpressions: Seq[Expression] =
