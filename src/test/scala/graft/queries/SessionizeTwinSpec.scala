@@ -1,0 +1,71 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz of the sessionize twins: the window (lag +
+  * grouped sum) and grouped-array (collect_list -> sort_array ->
+  * higher-order fold) formulations must produce identical rows on
+  * ADVERSARIAL shapes the sf fixtures don't guarantee — duplicate
+  * timestamps inside one user (ties must break no session), gaps at
+  * EXACTLY the 30 min boundary (strictly-greater rule), single-event
+  * users, and one user whose events all land on one timestamp. */
+class SessionizeTwinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("window and grouped-array sessionize agree on adversarial shapes") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000000
+    val rnd = new scala.util.Random(19)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // fuzz users: bursts with random gaps straddling the boundary
+    for (u <- 1L to 40L) {
+      var t = 1700000000000000L + rnd.nextInt(1000000)
+      val n = 1 + rnd.nextInt(12)
+      for (_ <- 0 until n) {
+        rows += ((u, t))
+        // gaps hover around the boundary: exactly gap, gap±1, tiny, huge
+        t += (rnd.nextInt(5) match {
+          case 0 => gap
+          case 1 => gap + 1
+          case 2 => gap - 1
+          case 3 => 1 + rnd.nextInt(1000)
+          case _ => gap * (2 + rnd.nextInt(3))
+        })
+      }
+    }
+    // pinned shapes: duplicate timestamps, all-same-timestamp user
+    rows ++= Seq((100L, 42L), (100L, 42L), (100L, 42L + gap), (100L, 42L + gap + 1))
+    rows ++= (1 to 5).map(_ => (101L, 777L))
+    rows += ((102L, 1L)) // single-event user
+
+    // write a minimal events fixture in the LongType-nanos encoding
+    // Tables supports (ts nanos = micros * 1000)
+    val dir = Files.createTempDirectory("graft-sess-twin").toFile
+    dir.deleteOnExit()
+    rows.toSeq.zipWithIndex.map { case ((u, tUs), i) =>
+      (i.toLong, tUs * 1000L, u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+
+    val w = AnalyticsSurface.queries("win_sessionize")(spark, dir.getAbsolutePath)
+      .orderBy("user_id").collect().toSeq
+    val a = AnalyticsSurface.queries("win_sessionize_agg")(spark, dir.getAbsolutePath)
+      .orderBy("user_id").collect().toSeq
+    assert(w == a, s"window vs agg diverged:\n${w.zip(a).filter(p => p._1 != p._2).take(5)}")
+    // sanity on the pinned shapes: chain (42, 42 [dup: gap 0], +gap
+    // [NO break — the rule is strictly greater], +gap+1) is ONE session
+    val u100 = w.find(_.getLong(0) == 100L).get
+    assert(u100.getLong(1) == 1L && u100.getLong(2) == 4L, u100.toString)
+    val u101 = w.find(_.getLong(0) == 101L).get
+    assert(u101.getLong(1) == 1L && u101.getLong(2) == 5L, u101.toString)
+  }
+}
