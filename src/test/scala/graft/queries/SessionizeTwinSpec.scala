@@ -68,4 +68,31 @@ class SessionizeTwinSpec extends AnyFunSuite {
     val u101 = w.find(_.getLong(0) == 101L).get
     assert(u101.getLong(1) == 1L && u101.getLong(2) == 5L, u101.toString)
   }
+
+  test("window and bounded-aggregate top3 agree on tie-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // few distinct values + repeated timestamps -> ties crowd the
+    // rank-3 cut, exercising the accept test's tie path (equal value
+    // at the buffer tail falls to ts; identical (value, ts) records
+    // are interchangeable, so sort both outputs for comparison)
+    val rows = (1L to 30L).flatMap { u =>
+      (0 until (2 + rnd.nextInt(10))).map { _ =>
+        (u, rnd.nextInt(4).toDouble, (1000L + rnd.nextInt(5)) * 1000000L)
+      }
+    }
+    val dir = Files.createTempDirectory("graft-top3-twin").toFile
+    dir.deleteOnExit()
+    rows.zipWithIndex.map { case ((u, v, tUs), i) =>
+      (i.toLong, tUs * 1000L, u, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+
+    def rowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("user_id", "rn", "timestamp", "value").collect().toSeq
+    val w = rowsOf("win_top3_per_user")
+    val a = rowsOf("win_top3_agg")
+    assert(w == a, s"diverged:\n${w.zip(a).filter(p => p._1 != p._2).take(5)}")
+  }
 }
