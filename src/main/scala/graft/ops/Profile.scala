@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Distinct counts are EXACT — the cross-engine gate needs integers,
   * and Spark's HLL++ and DuckDB's approx_distinct are different
-  * sketches. Spark plans the multi-column distinct via one Expand:
-  * O(k·rows) map-side work but still a single scan and one exchange
-  * of partial aggregates. At 100 TB the same shape holds with
-  * approx_count_distinct swapped in per column (documented trade —
-  * the agg_approx_distinct gate locks that estimator separately).
+  * sketches. No branch ever mixes a distinct aggregate with the row
+  * counts (that shape plans an Expand — every input row duplicated
+  * per aggregate arm): integral columns count via range-bounded
+  * bitmap partials, everything else via the two-phase fine-group
+  * shape. At 100 TB the same plan holds with approx_count_distinct
+  * swapped in per column (documented trade — the agg_approx_distinct
+  * gate locks that estimator separately).
   *
   * The unpivot is a literal k-element array over the one-row
   * aggregate — no second scan, no driver loop.
@@ -60,16 +62,34 @@ object Profile {
           max(col(c)).cast("double").as("max_v"))
         else Seq(lit(null).cast("double").as("min_v"),
           lit(null).cast("double").as("max_v"))
-      val ndv =
-        if (integral(df.schema(c).dataType))
-          call_function("bitmap_ndv", col(c))
-        else countDistinct(col(c))
-      val aggs = Seq(
-        (count(lit(1)) - count(col(c))).as("n_null"),
-        ndv.as("n_distinct")) ++ mm
-      df.select(col(c)).agg(count(lit(1)).as("n_rows"), aggs: _*)
-        .select((lit(c).as("col_name") +: Seq("n_rows", "n_null",
-          "n_distinct", "min_v", "max_v").map(col)): _*)
+      if (integral(df.schema(c).dataType)) {
+        // bitmap partials: no distinct aggregate in the branch, so no
+        // Expand — one plain aggregate over the pruned column scan
+        val aggs = Seq(
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          call_function("bitmap_ndv", col(c)).as("n_distinct")) ++ mm
+        df.select(col(c)).agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select((lit(c).as("col_name") +: Seq("n_rows", "n_null",
+            "n_distinct", "min_v", "max_v").map(col)): _*)
+      } else {
+        // TWO-PHASE fine-group distinct (the agg_hourly_rollup /
+        // sketchMergeVerified shape): countDistinct BESIDE the row
+        // counts makes Catalyst plan an Expand — every input row
+        // duplicated per aggregate arm (2x the rows through the
+        // aggregation; measured as profile_events' residual at 100M
+        // events). Pre-grouping on the value instead scans each row
+        // once into a state the size of the column's cardinality:
+        // n_rows = sum of group counts, n_null = the null group's
+        // count, n_distinct = non-null group count, min/max = extrema
+        // of the group keys themselves.
+        val fine = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        val aggs = Seq(
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col(c).isNotNull, lit(1))).as("n_distinct")) ++ mm
+        fine.agg(coalesce(sum("cnt"), lit(0L)).as("n_rows"), aggs: _*)
+          .select((lit(c).as("col_name") +: Seq("n_rows", "n_null",
+            "n_distinct", "min_v", "max_v").map(col)): _*)
+      }
     }
     branches.reduce(_ unionByName _)
   }

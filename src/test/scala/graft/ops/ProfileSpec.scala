@@ -39,4 +39,23 @@ class ProfileSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq
     assert(names == Seq("k", "s"))
   }
+
+  test("no Expand in any branch: distinct never rides beside the counts") {
+    // countDistinct mixed with count(*) plans an Expand (every input
+    // row duplicated per aggregate arm — 2x the rows through the
+    // aggregation); the two-phase fine-group + bitmap shapes must keep
+    // the plan Expand-free
+    val plan = Profile.profile(t, Seq("k", "v"), Seq("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand leaked into the profile plan:\n$plan")
+  }
+
+  test("empty input: zero rows, zero nulls, zero distincts per column") {
+    val empty = t.filter("k = 99")
+    val got = Profile.profile(empty, Seq("k", "v"), Seq("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("k" -> ((0L, 0L, 0L)), "v" -> ((0L, 0L, 0L)),
+      "s" -> ((0L, 0L, 0L))))
+  }
 }
