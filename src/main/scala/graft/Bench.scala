@@ -92,7 +92,10 @@ object Bench {
     // the maintained fold without its verification harness — the
     // apples-to-apples twin of agg_incremental_rollup — and the
     // grouped-array sessionize twin (window-sort class differential)
-    "agg_rollup_fold", "win_sessionize_agg")
+    "agg_rollup_fold", "win_sessionize_agg",
+    // round-11 close: crawl-container ingest (WARC framing walk +
+    // gzip members + HTTP parse, mm-class parse-vs-closed-form pair)
+    "warc_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,15 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.sources.FileSources
+import graft.sources.{FileSources, Warc}
 
 /** Interchange-format surface: JSONL and CSV write→read round trips
   * over the real tables, gated against the source parquet — proving
   * the sink/source pair preserves every column bit-exactly (types
   * pinned by explicit read schemas, quoting/escaping exercised by the
-  * JSON-string `props` column).
+  * JSON-string `props` column) — plus WARC crawl ingest
+  * ([[graft.sources.Warc]]): the fixture builder shards `documents`
+  * into deterministic crawl files (request+response records, gzip
+  * members on odd files, a planted malformed tail on every 13th), and
+  * the gates replay the generative arithmetic closed-form, mm_png
+  * style — the parser's framing walk, gunzip, HTTP parse and byte
+  * accounting must all reproduce the documents table exactly.
   */
 object SourcesSurface {
+
+  private def warcRecords(s: SparkSession, dir: String): DataFrame =
+    Warc.records(Warc.filesFromDocuments(Tables.load(s, dir, "documents")))
 
   /** Scratch dir for the round-trip artifacts: per-sf-dir so runs at
     * different scale factors never collide, overwritten per run so the
@@ -59,6 +68,36 @@ object SourcesSurface {
           x => floor(x.cast("double") * 1000000).cast("long").cast("string"))))
           .as("emb_fp"))
     }),
+    // per-response-record extraction: url/status/mime/byte-accounting
+    // and the exact UTF-8 body — the walk + gunzip + HTTP parse must
+    // reproduce every document byte-for-byte
+    "warc_extract" -> ((s, dir) =>
+      warcRecords(s, dir).filter(col("rec_type") === "response")
+        .select(substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+          col("url"), col("http_status"), col("content_mime"),
+          col("body_bytes"), col("body"))),
+    // per-file record census incl. the planted malformed tails — locks
+    // the record-type dispatch and the walk-stops-don't-fail contract
+    "warc_stats" -> ((s, dir) =>
+      warcRecords(s, dir).groupBy("file_id").agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("rec_type") === "response", 1L).otherwise(0L))
+          .as("n_response"),
+        sum(when(col("rec_type") === "request", 1L).otherwise(0L))
+          .as("n_request"),
+        sum(when(col("rec_type") === "malformed", 1L).otherwise(0L))
+          .as("n_malformed"),
+        sum(when(col("rec_type") === "response", col("body_bytes"))
+          .otherwise(0L)).as("response_bytes"))),
+    // the crawl→text head of the corpus pipeline: successful HTML
+    // responses through the gated tag-stripper — both engines strip
+    // the same reconstructed page
+    "pipeline_warc_text" -> ((s, dir) =>
+      warcRecords(s, dir)
+        .filter(col("rec_type") === "response" &&
+          col("http_status") === 200 && col("content_mime") === "text/html")
+        .select(substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+          graft.ops.Html.stripHtml(col("body")).as("text"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -73,5 +112,38 @@ object SourcesSurface {
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)),
         |    ',')) AS emb_fp
         |FROM embeddings""".stripMargin,
+    "warc_extract" ->
+      """WITH m AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 11 = 3 THEN text
+        |       ELSE '<html><head><title>Doc</title></head><body><p>' || text
+        |            || '</p></body></html>' END AS body,
+        |  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+        |  CASE WHEN doc_id % 11 = 3 THEN 'text/plain' ELSE 'text/html' END AS mime
+        |FROM documents)
+        |SELECT doc_id,
+        |  'https://crawl.invalid/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(status AS BIGINT) AS http_status, mime AS content_mime,
+        |  CAST(strlen(body) AS BIGINT) AS body_bytes, body
+        |FROM m""".stripMargin,
+    "warc_stats" ->
+      """WITH g AS (SELECT doc_id % 32 AS file_id, count(*) AS n_docs,
+        |  sum(strlen(CASE WHEN doc_id % 11 = 3 THEN text
+        |    ELSE '<html><head><title>Doc</title></head><body><p>' || text
+        |         || '</p></body></html>' END)) AS rb
+        |FROM documents GROUP BY 1)
+        |SELECT file_id,
+        |  CAST(n_docs * 2 + CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+        |  CAST(n_docs AS BIGINT) AS n_response,
+        |  CAST(n_docs AS BIGINT) AS n_request,
+        |  CAST(CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
+        |  CAST(rb AS BIGINT) AS response_bytes
+        |FROM g""".stripMargin,
+    "pipeline_warc_text" ->
+      ("""WITH m AS (SELECT doc_id,
+        |  '<html><head><title>Doc</title></head><body><p>' || text
+        |  || '</p></body></html>' AS body
+        |FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 17 <> 0)
+        |SELECT doc_id, """.stripMargin +
+        graft.ops.Html.stripHtmlSql("body") + " AS text FROM m"),
   )
 }

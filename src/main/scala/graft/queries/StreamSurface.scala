@@ -59,6 +59,36 @@ object StreamSurface {
     stageDir.toString
   }
 
+  /** Stage the deterministic WARC fixture (built from `documents`) as
+    * a parquet directory a file stream can tail — the arrival shape of
+    * a live crawl: whole files land, records explode statelessly. */
+  private def stagedWarc(s: SparkSession, dir: String): String = synchronized {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_stream_warc_$safe").toString
+    graft.sources.Warc.filesFromDocuments(Tables.load(s, dir, "documents"))
+      .write.mode("overwrite").parquet(staged)
+    staged
+  }
+
+  /** Streaming crawl ingest: WARC files arrive as a stream and the
+    * record walk ([[graft.sources.Warc.records]]) runs as a pure
+    * stateless flatMap — zero streaming state, append mode, so the
+    * batch warc_extract oracle applies verbatim (stream ≡ batch on
+    * the same fixture). */
+  private def streamWarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val staged = stagedWarc(s, dir)
+    val schema = new StructType()
+      .add("file_id", LongType).add("payload", BinaryType)
+    val recs = graft.sources.Warc.records(
+      s.readStream.schema(schema).parquet(staged))
+    runToTable(s, recs.filter(col("rec_type") === "response")
+      .select(substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+        col("url"), col("http_status"), col("content_mime"),
+        col("body_bytes"), col("body")), "append")
+  }
+
   /** Run a finite stream into a uniquely-named memory sink; return the
     * sink table. */
   private def runToTable(s: SparkSession,
@@ -499,6 +529,7 @@ object StreamSurface {
     "stream_histogram" -> streamHistogram,
     "stream_heatmap" -> streamHeatmap,
     "stream_cdc_upsert" -> streamCdcUpsert,
+    "stream_warc_ingest" -> streamWarcIngest,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       graft.streaming.StreamingIngest.sessionCounts(
@@ -724,6 +755,8 @@ object StreamSurface {
     // stream/batch parity: grouped struct-max state is associative,
     // so the batch CDC oracle applies verbatim
     "stream_cdc_upsert" -> AnalyticsSurface.oracleSql("cdc_upsert_latest"),
+    // stateless record explode: stream ≡ batch, oracle verbatim
+    "stream_warc_ingest" -> SourcesSurface.oracleSql("warc_extract"),
     // the batch M4 envelope on the unranged stream series
     "stream_sample_m4" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, value FROM events)

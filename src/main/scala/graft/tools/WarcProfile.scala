@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only WARC parse throughput at volume (the Multimodal MB/s
+  * table's sibling): replicates the sf documents into a large
+  * deterministic crawl fixture (doc_id offsets keep the generative
+  * arithmetic intact), builds the WARC files once, then times the
+  * record walk + extraction alone — compressed and uncompressed bytes
+  * reported separately since odd files are gzip-member files.
+  * Run: sbt "runMain graft.tools.WarcProfile <sfDir> <replicas>"
+  */
+object WarcProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("warc-profile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    val big = (0 until reps).map(k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("text"), col("source")))
+      .reduce(_ unionByName _)
+    val staged = sys.props("java.io.tmpdir") + "/graft_warc_profile"
+    graft.sources.Warc.filesFromDocuments(big)
+      .write.mode("overwrite").parquet(staged)
+    val files = spark.read.parquet(staged)
+    val inBytes = files.agg(sum(length(col("payload")))).collect()(0).getLong(0)
+    println(f"[warcprofile] files=${files.count()} compressed+plain input ${inBytes / 1e6}%.1f MB")
+
+    def time(name: String)(thunk: => Long): Unit = {
+      thunk // warm
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val out = thunk
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      val mb = reps.map { case (s, b) => (b / 1e6) / s }
+      println(f"[warcprofile] $name%-22s ${reps.map(r => f"${r._1}%.2f s").mkString(" ")}  ${mb.map(m => f"$m%.0f").mkString("/")} MB/s (decoded-body basis)")
+    }
+
+    val recs = graft.sources.Warc.records(files)
+    time("walk_extract")(
+      recs.filter(col("rec_type") === "response")
+        .agg(sum("body_bytes")).collect()(0).getLong(0))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC framing walk, gzip member streams, HTTP parsing, malformed
+  * tolerance — the parser side; the builder/oracle arithmetic is
+  * locked cross-engine by the warc_* gate keys. */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  test("round trip: every doc comes back as one request + one response") {
+    val d = docs((1L, "alpha beta", "s1"), (2L, "gamma", "s2"),
+      (35L, "delta", "s3"))
+    val recs = Warc.records(Warc.filesFromDocuments(d)).collect()
+    assert(recs.count(_.getString(1) == "response") == 3)
+    assert(recs.count(_.getString(1) == "request") == 3)
+    val resp = recs.filter(_.getString(1) == "response")
+      .map(r => r.getString(2) -> r.getString(6)).toMap
+    // doc 1 and 2: html-wrapped; doc 35 (35 % 11 == 2) also html
+    assert(resp("https://crawl.invalid/s1/1") == Warc.htmlOf("alpha beta"))
+    assert(resp("https://crawl.invalid/s2/2") == Warc.htmlOf("gamma"))
+  }
+
+  test("text/plain branch (doc_id % 11 == 3) ships the raw text") {
+    val d = docs((3L, "plain body here", "s0"))
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    assert(r.getString(4) == "text/plain")
+    assert(r.getString(6) == "plain body here")
+    assert(r.getLong(5) == "plain body here".getBytes(UTF_8).length.toLong)
+  }
+
+  test("404 branch (doc_id % 17 == 0) keeps the body, changes the status") {
+    val d = docs((17L, "gone", "s0"))
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    assert(r.getLong(3) == 404L)
+    assert(r.getString(6) == Warc.htmlOf("gone"))
+  }
+
+  test("gzip member files parse identically to plain files") {
+    // doc 2 lands in file 2 (plain), doc 33 in file 1 (gzip members)
+    val d = docs((2L, "same text", "sA"), (33L, "same text", "sB"))
+    val recs = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response")
+      .select("file_id", "body").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recs(2L) == Warc.htmlOf("same text"))
+    assert(recs(1L) == Warc.htmlOf("same text"))
+  }
+
+  test("multi-byte UTF-8 bodies round-trip with exact byte accounting") {
+    val txt = "caf\u00e9 \u4e16\u754c"
+    val d = docs((1L, txt, "s"))
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    assert(r.getString(6) == Warc.htmlOf(txt))
+    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+  }
+
+  test("planted garbage tail -> one malformed row, parsed records kept") {
+    // file 0 (13 | 0) carries the garbage tail; doc 0 still parses
+    val d = docs((0L, "kept", "s"))
+    val recs = Warc.records(Warc.filesFromDocuments(d)).collect()
+    assert(recs.count(_.getString(1) == "malformed") == 1)
+    assert(recs.count(_.getString(1) == "response") == 1)
+  }
+
+  test("truncated body ends the walk with a malformed row, no throw") {
+    val good = "WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Target-URI: u\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
+    val bad = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9999\r\n\r\nshort"
+    val recs = Warc.parseFile(7L, (good + bad).getBytes(UTF_8))
+    assert(recs.map(_.rec_type) == Seq("request", "malformed"))
+  }
+
+  test("header names are case-insensitive; mime parameter is stripped") {
+    val body = "HTTP/1.1 200 OK\r\ncontent-TYPE: text/html; charset=utf-8\r\n\r\nhi"
+    val rec = "WARC/1.0\r\nwarc-type: response\r\nWARC-TARGET-URI: u\r\n" +
+      s"CONTENT-length: ${body.getBytes(UTF_8).length}\r\n\r\n$body\r\n\r\n"
+    val recs = Warc.parseFile(1L, rec.getBytes(UTF_8))
+    assert(recs.size == 1)
+    assert(recs.head.rec_type == "response")
+    assert(recs.head.content_mime == "text/html")
+    assert(recs.head.body == "hi")
+  }
+
+  test("corrupt gzip payload -> single malformed row") {
+    val recs = Warc.parseFile(3L,
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3, 4, 5))
+    assert(recs.map(_.rec_type) == Seq("malformed"))
+  }
+}
