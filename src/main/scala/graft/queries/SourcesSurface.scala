@@ -113,37 +113,57 @@ object SourcesSurface {
         |    ',')) AS emb_fp
         |FROM embeddings""".stripMargin,
     "warc_extract" ->
-      """WITH m AS (SELECT doc_id, source,
-        |  CASE WHEN doc_id % 11 = 3 THEN text
-        |       ELSE '<html><head><title>Doc</title></head><body><p>' || text
-        |            || '</p></body></html>' END AS body,
-        |  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
-        |  CASE WHEN doc_id % 11 = 3 THEN 'text/plain' ELSE 'text/html' END AS mime
-        |FROM documents)
-        |SELECT doc_id,
+      (warcBodyCte +
+      """SELECT doc_id,
         |  'https://crawl.invalid/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
         |  CAST(status AS BIGINT) AS http_status, mime AS content_mime,
-        |  CAST(strlen(body) AS BIGINT) AS body_bytes, body
-        |FROM m""".stripMargin,
+        |  body_bytes, body
+        |FROM b""".stripMargin),
     "warc_stats" ->
-      """WITH g AS (SELECT doc_id % 32 AS file_id, count(*) AS n_docs,
-        |  sum(strlen(CASE WHEN doc_id % 11 = 3 THEN text
-        |    ELSE '<html><head><title>Doc</title></head><body><p>' || text
-        |         || '</p></body></html>' END)) AS rb
-        |FROM documents GROUP BY 1)
+      (warcBodyCte +
+      """, g AS (SELECT doc_id % 32 AS file_id, count(*) AS n_docs,
+        |  sum(body_bytes) AS rb
+        |FROM b GROUP BY 1)
         |SELECT file_id,
         |  CAST(n_docs * 2 + CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
         |  CAST(n_docs AS BIGINT) AS n_response,
         |  CAST(n_docs AS BIGINT) AS n_request,
         |  CAST(CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
         |  CAST(rb AS BIGINT) AS response_bytes
-        |FROM g""".stripMargin,
+        |FROM g""".stripMargin),
     "pipeline_warc_text" ->
-      ("""WITH m AS (SELECT doc_id,
-        |  '<html><head><title>Doc</title></head><body><p>' || text
-        |  || '</p></body></html>' AS body
-        |FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 17 <> 0)
-        |SELECT doc_id, """.stripMargin +
-        graft.ops.Html.stripHtmlSql("body") + " AS text FROM m"),
+      (warcBodyCte + "SELECT doc_id, " +
+        graft.ops.Html.stripHtmlSql("body") +
+        " AS text FROM b WHERE status = 200 AND mime = 'text/html'"),
   )
+
+  /** Closed-form replay of [[graft.sources.Warc]]'s fixture
+    * arithmetic — the decoded response body, status, mime, and exact
+    * raw byte count per doc. The latin-1 branch (doc_id % 19 = 5 over
+    * pure-ASCII text: strlen = length) appends one non-ASCII char and
+    * encodes single-byte, so its byte count is the CHARACTER count;
+    * chunked transfer (doc_id % 23 = 7) is invisible here — the gate
+    * passing IS the proof the parser de-chunked to the identity. */
+  private def warcBodyCte: String =
+    ("""WITH m AS (SELECT doc_id, source,
+      |  doc_id % 19 = 5 AND strlen(text) = length(text) AS is_latin,
+      |  doc_id % 11 = 3 AS is_plain,
+      |  CASE WHEN doc_id % 19 = 5 AND strlen(text) = length(text)
+      |       THEN text || '""".stripMargin + "\u00e9" + """' ELSE text END AS t2
+      |FROM documents),
+      |b AS (SELECT doc_id, source,
+      |  CASE WHEN is_plain THEN t2
+      |       ELSE '<html><head><title>Doc</title></head><body><p>' || t2
+      |            || '</p></body></html>' END AS body,
+      |  CAST(CASE WHEN is_latin
+      |    THEN length(CASE WHEN is_plain THEN t2
+      |      ELSE '<html><head><title>Doc</title></head><body><p>' || t2
+      |           || '</p></body></html>' END)
+      |    ELSE strlen(CASE WHEN is_plain THEN t2
+      |      ELSE '<html><head><title>Doc</title></head><body><p>' || t2
+      |           || '</p></body></html>' END) END AS BIGINT) AS body_bytes,
+      |  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+      |  CASE WHEN is_plain THEN 'text/plain' ELSE 'text/html' END AS mime
+      |FROM m)
+      |""".stripMargin)
 }

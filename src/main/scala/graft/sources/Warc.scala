@@ -21,16 +21,22 @@ import org.apache.spark.sql.functions._
   * Supported: WARC/1.0 framing (version line, CRLF headers,
   * Content-Length-delimited block, CRLF CRLF separator), response and
   * request record types, `application/http` payload parsing (status
-  * line, headers, entity body), and the Common Crawl compression
-  * layout — each record its own gzip member, members concatenated
-  * (one GZIPInputStream pass reads the whole file: Java's
-  * implementation walks concatenated members natively).
+  * line, headers, entity body de-chunked under `Transfer-Encoding:
+  * chunked` and decoded in the declared charset — utf-8, iso-8859-1/
+  * latin-1, windows-1252; anything else falls back to utf-8, the
+  * tolerant default every production extractor uses), and the Common
+  * Crawl compression layout — each record its own gzip member,
+  * members concatenated (one GZIPInputStream pass reads the whole
+  * file: Java's implementation walks concatenated members natively).
   *
-  * Malformed tolerance is per FILE TAIL, not per job: a record that
-  * fails to frame (bad version line, missing/invalid Content-Length,
-  * truncated body) ends that file's walk with one `malformed` row —
-  * after a framing error there is no trustworthy resync point inside
-  * the member stream — while every record already parsed stays. A
+  * Malformed tolerance is two-level, matching where trust is lost: a
+  * WARC FRAMING failure (bad version line, missing/invalid
+  * Content-Length, truncated block) ends that file's walk with one
+  * `malformed` row — after a framing error there is no trustworthy
+  * resync point inside the member stream — while every record already
+  * parsed stays; an HTTP PAYLOAD failure inside an intact frame (bad
+  * status line, broken chunked framing) is RECORD-level — one
+  * `malformed` row, walk continues from the known record boundary. A
   * malformed file can never fail the task.
   *
   * Scale shape: one input row per crawl file, records exploded
@@ -44,8 +50,9 @@ object Warc {
 
   /** One parsed record. `rec_type` is `response`/`request`/
     * `malformed`; non-response rows carry -1/null for the HTTP
-    * fields (the multimodal -1 convention). `body` is the entity
-    * body decoded as UTF-8; `body_bytes` its exact byte length. */
+    * fields (the multimodal -1 convention). `body` is the entity body
+    * de-chunked and decoded in its declared charset; `body_bytes` its
+    * exact DECODED byte length (post-de-chunk, pre-charset). */
   final case class WarcRecord(
       file_id: Long,
       rec_type: String,
@@ -68,7 +75,9 @@ object Warc {
     * record — the malformed-tail case, planted OUTSIDE the document
     * set so the closed-form oracle stays exact. The generative
     * arithmetic (status 404 on doc_id % 17 = 0, text/plain on
-    * doc_id % 11 = 3, the HTML wrapper) is replayed by the gate
+    * doc_id % 11 = 3, iso-8859-1 with one planted non-ASCII byte on
+    * doc_id % 19 = 5 over pure-ASCII text, chunked transfer encoding
+    * on doc_id % 23 = 7, the HTML wrapper) is replayed by the gate
     * oracles, mm_png-style.
     *
     * Output: (file_id, payload binary). */
@@ -108,17 +117,61 @@ object Warc {
   private[sources] def htmlOf(text: String): String =
     s"<html><head><title>Doc</title></head><body><p>$text</p></body></html>"
 
+  /** The latin-1 fixture branch only fires on pure-ASCII source text
+    * (bytes == chars — the oracle mirrors with strlen = length) so the
+    * planted non-ASCII byte is always the APPENDED one. */
+  private[sources] def isLatin1Branch(docId: Long, text: String): Boolean =
+    docId % 19 == 5 && text.getBytes(UTF_8).length == text.length
+
+  /** The decoded entity body the parser must reproduce for `docId` —
+    * the single source of truth the specs assert against (the gate
+    * oracles restate it closed-form in SQL by design). */
+  private[sources] def expectedBody(docId: Long, text: String): String = {
+    val t = if (isLatin1Branch(docId, text)) text + "\u00e9" else text
+    if (docId % 11 == 3) t else htmlOf(t)
+  }
+
+  private[sources] def expectedBodyBytes(docId: Long, text: String): Long = {
+    val b = expectedBody(docId, text)
+    if (isLatin1Branch(docId, text)) b.length.toLong
+    else b.getBytes(UTF_8).length.toLong
+  }
+
   private[sources] def responseRecord(docId: Long, text: String,
       source: String): Array[Byte] = {
-    val body =
-      (if (docId % 11 == 3) text else htmlOf(text)).getBytes(UTF_8)
+    val latin1 = isLatin1Branch(docId, text)
+    val chunked = docId % 23 == 7
+    val bodyStr = expectedBody(docId, text)
+    val charset =
+      if (latin1) java.nio.charset.StandardCharsets.ISO_8859_1 else UTF_8
+    val raw = bodyStr.getBytes(charset)
+    val body = if (chunked) chunkEncode(raw, 100) else raw
     val status = if (docId % 17 == 0) "404 Not Found" else "200 OK"
     val mime = if (docId % 11 == 3) "text/plain" else "text/html"
+    val csName = if (latin1) "iso-8859-1" else "utf-8"
     val http = (s"HTTP/1.1 $status\r\n" +
-      s"Content-Type: $mime; charset=utf-8\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      s"Content-Type: $mime; charset=$csName\r\n" +
+      (if (chunked) "Transfer-Encoding: chunked\r\n"
+       else s"Content-Length: ${raw.length}\r\n") +
+      "\r\n").getBytes(UTF_8) ++ body
     record("response", docId, source, "application/http; msgtype=response",
       http)
+  }
+
+  /** HTTP/1.1 chunked transfer encoding: hex-size line, chunk, CRLF,
+    * repeated; zero-size terminator with an empty trailer. */
+  private[sources] def chunkEncode(raw: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length + 64)
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(chunkSize, raw.length - off)
+      out.write(f"$n%x\r\n".getBytes(UTF_8))
+      out.write(raw, off, n)
+      out.write("\r\n".getBytes(UTF_8))
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
   }
 
   private[sources] def requestRecord(docId: Long, source: String): Array[Byte] = {
@@ -220,12 +273,12 @@ object Warc {
     val uri = headers.getOrElse("warc-target-uri", null)
     val rec = tpe match {
       case "response" =>
+        // the WARC frame is intact here, so an HTTP-payload failure is
+        // RECORD-level, not tail-level: emit one malformed row and
+        // keep walking from the known record boundary
         parseHttp(b, afterHeaders, blockEnd) match {
-          case Some((status, mime, bodyOff)) =>
-            WarcRecord(fileId, "response", uri, status, mime,
-              (blockEnd - bodyOff).toLong,
-              new String(b, bodyOff, blockEnd - bodyOff, UTF_8))
-          case None => return None
+          case Some(r) => r.copy(file_id = fileId, url = uri)
+          case None => malformed(fileId)
         }
       case "request" =>
         WarcRecord(fileId, "request", uri, -1L, null, -1L, null)
@@ -234,10 +287,22 @@ object Warc {
     Some((rec, next))
   }
 
-  /** HTTP message inside [off, end): status code, base mime (before
-    * any `;` parameter), and the entity-body offset. */
+  /** Charsets the decoder honors from the Content-Type parameter —
+    * the three that cover essentially all real crawls; anything else
+    * (or none) decodes as UTF-8, the tolerant default every
+    * production extractor uses. */
+  private val Charsets = Map(
+    "utf-8" -> UTF_8, "utf8" -> UTF_8,
+    "iso-8859-1" -> java.nio.charset.StandardCharsets.ISO_8859_1,
+    "latin-1" -> java.nio.charset.StandardCharsets.ISO_8859_1,
+    "windows-1252" -> java.nio.charset.Charset.forName("windows-1252"))
+
+  /** HTTP response inside [off, end): status, base mime, entity body
+    * de-chunked when Transfer-Encoding: chunked and decoded in the
+    * declared charset. None on a malformed message (the CALLER treats
+    * that as record-level). */
   private def parseHttp(b: Array[Byte], off: Int,
-      end: Int): Option[(Long, String, Int)] = {
+      end: Int): Option[WarcRecord] = {
     val (statusLine, afterStatus) = readLine(b, off).getOrElse(return None)
     if (afterStatus > end) return None
     val parts = statusLine.split(" ", 3)
@@ -245,9 +310,42 @@ object Warc {
     val status = parts(1).toLongOption.getOrElse(return None)
     val (headers, bodyOff) = readHeaders(b, afterStatus).getOrElse(return None)
     if (bodyOff > end) return None
-    val mime = headers.get("content-type")
-      .map(v => v.split(";")(0).trim).orNull
-    Some((status, mime, bodyOff))
+    val ct = headers.getOrElse("content-type", "")
+    val mime = if (ct.isEmpty) null else ct.split(";")(0).trim
+    val charset = ct.split(";").drop(1)
+      .map(_.trim.toLowerCase).find(_.startsWith("charset="))
+      .map(_.substring("charset=".length).stripPrefix("\"").stripSuffix("\""))
+      .flatMap(Charsets.get).getOrElse(UTF_8)
+    val chunked = headers.get("transfer-encoding")
+      .exists(_.trim.equalsIgnoreCase("chunked"))
+    val raw =
+      if (chunked) deChunk(b, bodyOff, end).getOrElse(return None)
+      else java.util.Arrays.copyOfRange(b, bodyOff, end)
+    Some(WarcRecord(-1L, "response", null, status, mime,
+      raw.length.toLong, new String(raw, charset)))
+  }
+
+  /** Decode an HTTP/1.1 chunked body in [off, end): hex-size lines
+    * (chunk extensions after `;` ignored), terminator chunk, trailer
+    * section tolerated. None on any framing violation. */
+  private def deChunk(b: Array[Byte], off: Int, end: Int): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(end - off)
+    var pos = off
+    while (true) {
+      val (sizeLine, afterSize) = readLine(b, pos).getOrElse(return None)
+      if (afterSize > end) return None
+      val size =
+        try java.lang.Long.parseLong(sizeLine.split(";")(0).trim, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue) return None
+      if (size == 0) return Some(out.toByteArray)
+      if (afterSize + size + 2 > end) return None
+      out.write(b, afterSize, size.toInt)
+      if (b((afterSize + size).toInt) != '\r' ||
+          b((afterSize + size + 1).toInt) != '\n') return None
+      pos = (afterSize + size + 2).toInt
+    }
+    None // unreachable
   }
 
   /** CRLF-terminated line as ISO-8859-1 (header bytes are ASCII by

@@ -43,9 +43,10 @@ object WarcProps extends Properties("Warc") {
       if (garbage) Warc.writeMember(out, "junk\r\n".getBytes(UTF_8), gz)
       out.toByteArray
     }
-    def expectedBodies: List[String] = docs.map { case (id, text) =>
-      if (id % 11 == 3) text else Warc.htmlOf(text)
-    }
+    def expectedBodies: List[String] =
+      docs.map { case (id, text) => Warc.expectedBody(id, text) }
+    def expectedBytes: List[Long] =
+      docs.map { case (id, text) => Warc.expectedBodyBytes(id, text) }
   }
 
   private val genFixture: Gen[Fixture] = for {
@@ -61,8 +62,7 @@ object WarcProps extends Properties("Warc") {
     val mal = recs.filter(_.rec_type == "malformed")
     Prop.all(
       Prop(resp.map(_.body) == f.expectedBodies) :| "bodies exact",
-      Prop(resp.map(_.body_bytes) ==
-        f.expectedBodies.map(_.getBytes(UTF_8).length.toLong)) :| "bytes exact",
+      Prop(resp.map(_.body_bytes) == f.expectedBytes) :| "bytes exact",
       Prop(req.size == f.docs.size) :| "one request per doc",
       Prop(mal.size == (if (f.garbage) 1 else 0)) :| "garbage -> 1 malformed",
       Prop(resp.forall(r => r.url != null && r.url.endsWith(

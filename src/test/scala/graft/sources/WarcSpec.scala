@@ -100,6 +100,44 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.head.body == "hi")
   }
 
+  test("latin-1 branch: declared charset decodes the planted byte; bytes = chars") {
+    val d = docs((5L, "ascii only", "s")) // 5 % 19 == 5, pure ASCII
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    val exp = Warc.htmlOf("ascii only\u00e9")
+    assert(r.getString(6) == exp)
+    // iso-8859-1 encodes every char single-byte: bytes == chars, NOT
+    // the utf-8 byte count (which would be chars + 1)
+    assert(r.getLong(5) == exp.length.toLong)
+  }
+
+  test("latin-1 branch suppressed on non-ASCII text: utf-8 fallback") {
+    val txt = "caf\u00e9"
+    val d = docs((24L, txt, "s")) // 24 % 19 == 5 but text isn't ASCII
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    assert(r.getString(6) == Warc.htmlOf(txt))
+    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+  }
+
+  test("chunked transfer-encoding de-chunks to the identity") {
+    val txt = "x" * 350 // 7 % 23 == 7 -> chunked; body spans 5 chunks
+    val d = docs((7L, txt, "s"))
+    val r = Warc.records(Warc.filesFromDocuments(d))
+      .filter(col("rec_type") === "response").collect()(0)
+    assert(r.getString(6) == Warc.htmlOf(txt))
+    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+  }
+
+  test("broken chunked framing is record-level: the walk continues") {
+    val block = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      s"Content-Length: ${block.getBytes(UTF_8).length}\r\n\r\n$block\r\n\r\n")
+      .getBytes(UTF_8)
+    val recs = Warc.parseFile(9L, bad ++ Warc.requestRecord(1L, "s"))
+    assert(recs.map(_.rec_type) == Seq("malformed", "request"))
+  }
+
   test("corrupt gzip payload -> single malformed row") {
     val recs = Warc.parseFile(3L,
       Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3, 4, 5))
