@@ -20,6 +20,10 @@ import graft.sources.{FileSources, Warc}
   */
 object SourcesSurface {
 
+  /** robots-noindex detector, byte-identical in both engines (the
+    * stripHtml precedent: one regex, two engines, same body). */
+  private val NoindexRe = "<meta[^>]*name=\"robots\"[^>]*noindex"
+
   private def warcRecords(s: SparkSession, dir: String): DataFrame =
     Warc.records(Warc.filesFromDocuments(Tables.load(s, dir, "documents")))
 
@@ -95,9 +99,24 @@ object SourcesSurface {
     "pipeline_warc_text" -> ((s, dir) =>
       warcRecords(s, dir)
         .filter(col("rec_type") === "response" &&
-          col("http_status") === 200 && col("content_mime") === "text/html")
+          col("http_status") === 200 && col("content_mime") === "text/html" &&
+          !col("body").rlike(NoindexRe))
         .select(substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
           graft.ops.Html.stripHtml(col("body")).as("text"))),
+    // outlink extraction from the parsed pages: the same regexp +
+    // canonical-url chain as text_html_links, fed by crawl bodies —
+    // extracted provenance joins the url-grain dedup/mixing keys
+    "warc_links" -> ((s, dir) =>
+      warcRecords(s, dir)
+        .filter(col("rec_type") === "response" &&
+          col("content_mime") === "text/html")
+        .select(substring_index(col("url"), "/", -1).cast("long").as("doc_id"),
+          col("body"))
+        .select(col("doc_id"), explode(expr(
+          """regexp_extract_all(body, '<a[^>]*href="([^"]*)"', 1)""")).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.UrlCanon.canonical(col("url")).as("url_canon"),
+          graft.ops.UrlCanon.host(col("url")).as("host"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,7 +153,16 @@ object SourcesSurface {
     "pipeline_warc_text" ->
       (warcBodyCte + "SELECT doc_id, " +
         graft.ops.Html.stripHtmlSql("body") +
-        " AS text FROM b WHERE status = 200 AND mime = 'text/html'"),
+        " AS text FROM b WHERE status = 200 AND mime = 'text/html'" +
+        s" AND NOT regexp_matches(body, '$NoindexRe')"),
+    "warc_links" ->
+      (warcBodyCte +
+        """, lk AS (SELECT doc_id, unnest(regexp_extract_all(body,
+          |    '<a[^>]*href="([^"]*)"', 1)) AS url
+          |  FROM b WHERE mime = 'text/html'),
+          |""".stripMargin +
+        graft.ops.UrlCanon.canonChainSql("lk") +
+        "\nSELECT doc_id, url, url_canon, host FROM canon"),
   )
 
   /** Closed-form replay of [[graft.sources.Warc]]'s fixture
@@ -151,19 +179,20 @@ object SourcesSurface {
       |  CASE WHEN doc_id % 19 = 5 AND strlen(text) = length(text)
       |       THEN text || '""".stripMargin + "\u00e9" + """' ELSE text END AS t2
       |FROM documents),
-      |b AS (SELECT doc_id, source,
+      |h AS (SELECT doc_id, source, is_latin, is_plain,
       |  CASE WHEN is_plain THEN t2
-      |       ELSE '<html><head><title>Doc</title></head><body><p>' || t2
-      |            || '</p></body></html>' END AS body,
-      |  CAST(CASE WHEN is_latin
-      |    THEN length(CASE WHEN is_plain THEN t2
-      |      ELSE '<html><head><title>Doc</title></head><body><p>' || t2
-      |           || '</p></body></html>' END)
-      |    ELSE strlen(CASE WHEN is_plain THEN t2
-      |      ELSE '<html><head><title>Doc</title></head><body><p>' || t2
-      |           || '</p></body></html>' END) END AS BIGINT) AS body_bytes,
+      |       ELSE '<html><head><title>Doc</title>'
+      |         || CASE WHEN doc_id % 29 = 11
+      |              THEN '<meta name="robots" content="noindex">' ELSE '' END
+      |         || '</head><body><p>' || t2 || '</p><a href="https://crawl.invalid/'
+      |         || source || '/' || CAST(doc_id + 17 AS VARCHAR)
+      |         || '">next</a></body></html>' END AS body
+      |FROM m),
+      |b AS (SELECT doc_id, source, body,
+      |  CAST(CASE WHEN is_latin THEN length(body)
+      |            ELSE strlen(body) END AS BIGINT) AS body_bytes,
       |  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
       |  CASE WHEN is_plain THEN 'text/plain' ELSE 'text/html' END AS mime
-      |FROM m)
+      |FROM h)
       |""".stripMargin)
 }

@@ -114,8 +114,18 @@ object Warc {
   private[sources] def urlOf(docId: Long, source: String): String =
     s"https://crawl.invalid/$source/$docId"
 
-  private[sources] def htmlOf(text: String): String =
-    s"<html><head><title>Doc</title></head><body><p>$text</p></body></html>"
+  /** The fixture page: title, a robots-noindex meta on doc_id % 29 =
+    * 11 (the crawl-politeness flag the indexable-text gate must
+    * honor), the document text, and one OUTLINK to a sibling doc of
+    * the same source — extracted provenance for the link-graph gate. */
+  private[sources] def htmlOf(docId: Long, text: String,
+      source: String): String = {
+    val meta =
+      if (docId % 29 == 11) "<meta name=\"robots\" content=\"noindex\">"
+      else ""
+    s"<html><head><title>Doc</title>$meta</head><body><p>$text</p>" +
+      s"<a href=\"${urlOf(docId + 17, source)}\">next</a></body></html>"
+  }
 
   /** The latin-1 fixture branch only fires on pure-ASCII source text
     * (bytes == chars — the oracle mirrors with strlen = length) so the
@@ -126,13 +136,15 @@ object Warc {
   /** The decoded entity body the parser must reproduce for `docId` —
     * the single source of truth the specs assert against (the gate
     * oracles restate it closed-form in SQL by design). */
-  private[sources] def expectedBody(docId: Long, text: String): String = {
+  private[sources] def expectedBody(docId: Long, text: String,
+      source: String): String = {
     val t = if (isLatin1Branch(docId, text)) text + "\u00e9" else text
-    if (docId % 11 == 3) t else htmlOf(t)
+    if (docId % 11 == 3) t else htmlOf(docId, t, source)
   }
 
-  private[sources] def expectedBodyBytes(docId: Long, text: String): Long = {
-    val b = expectedBody(docId, text)
+  private[sources] def expectedBodyBytes(docId: Long, text: String,
+      source: String): Long = {
+    val b = expectedBody(docId, text, source)
     if (isLatin1Branch(docId, text)) b.length.toLong
     else b.getBytes(UTF_8).length.toLong
   }
@@ -141,7 +153,7 @@ object Warc {
       source: String): Array[Byte] = {
     val latin1 = isLatin1Branch(docId, text)
     val chunked = docId % 23 == 7
-    val bodyStr = expectedBody(docId, text)
+    val bodyStr = expectedBody(docId, text, source)
     val charset =
       if (latin1) java.nio.charset.StandardCharsets.ISO_8859_1 else UTF_8
     val raw = bodyStr.getBytes(charset)

@@ -44,9 +44,9 @@ object WarcProps extends Properties("Warc") {
       out.toByteArray
     }
     def expectedBodies: List[String] =
-      docs.map { case (id, text) => Warc.expectedBody(id, text) }
+      docs.map { case (id, text) => Warc.expectedBody(id, text, "s") }
     def expectedBytes: List[Long] =
-      docs.map { case (id, text) => Warc.expectedBodyBytes(id, text) }
+      docs.map { case (id, text) => Warc.expectedBodyBytes(id, text, "s") }
   }
 
   private val genFixture: Gen[Fixture] = for {

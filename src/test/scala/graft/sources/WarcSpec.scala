@@ -31,8 +31,10 @@ class WarcSpec extends AnyFunSuite {
     val resp = recs.filter(_.getString(1) == "response")
       .map(r => r.getString(2) -> r.getString(6)).toMap
     // doc 1 and 2: html-wrapped; doc 35 (35 % 11 == 2) also html
-    assert(resp("https://crawl.invalid/s1/1") == Warc.htmlOf("alpha beta"))
-    assert(resp("https://crawl.invalid/s2/2") == Warc.htmlOf("gamma"))
+    assert(resp("https://crawl.invalid/s1/1") ==
+      Warc.expectedBody(1L, "alpha beta", "s1"))
+    assert(resp("https://crawl.invalid/s2/2") ==
+      Warc.expectedBody(2L, "gamma", "s2"))
   }
 
   test("text/plain branch (doc_id % 11 == 3) ships the raw text") {
@@ -49,7 +51,7 @@ class WarcSpec extends AnyFunSuite {
     val r = Warc.records(Warc.filesFromDocuments(d))
       .filter(col("rec_type") === "response").collect()(0)
     assert(r.getLong(3) == 404L)
-    assert(r.getString(6) == Warc.htmlOf("gone"))
+    assert(r.getString(6) == Warc.expectedBody(17L, "gone", "s0"))
   }
 
   test("gzip member files parse identically to plain files") {
@@ -59,8 +61,8 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("rec_type") === "response")
       .select("file_id", "body").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(recs(2L) == Warc.htmlOf("same text"))
-    assert(recs(1L) == Warc.htmlOf("same text"))
+    assert(recs(2L) == Warc.expectedBody(2L, "same text", "sA"))
+    assert(recs(1L) == Warc.expectedBody(33L, "same text", "sB"))
   }
 
   test("multi-byte UTF-8 bodies round-trip with exact byte accounting") {
@@ -68,8 +70,8 @@ class WarcSpec extends AnyFunSuite {
     val d = docs((1L, txt, "s"))
     val r = Warc.records(Warc.filesFromDocuments(d))
       .filter(col("rec_type") === "response").collect()(0)
-    assert(r.getString(6) == Warc.htmlOf(txt))
-    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+    assert(r.getString(6) == Warc.expectedBody(1L, txt, "s"))
+    assert(r.getLong(5) == Warc.expectedBodyBytes(1L, txt, "s"))
   }
 
   test("planted garbage tail -> one malformed row, parsed records kept") {
@@ -104,11 +106,13 @@ class WarcSpec extends AnyFunSuite {
     val d = docs((5L, "ascii only", "s")) // 5 % 19 == 5, pure ASCII
     val r = Warc.records(Warc.filesFromDocuments(d))
       .filter(col("rec_type") === "response").collect()(0)
-    val exp = Warc.htmlOf("ascii only\u00e9")
+    val exp = Warc.expectedBody(5L, "ascii only", "s")
+    assert(exp.contains("ascii only\u00e9"))
     assert(r.getString(6) == exp)
     // iso-8859-1 encodes every char single-byte: bytes == chars, NOT
     // the utf-8 byte count (which would be chars + 1)
     assert(r.getLong(5) == exp.length.toLong)
+    assert(Warc.expectedBodyBytes(5L, "ascii only", "s") == exp.length.toLong)
   }
 
   test("latin-1 branch suppressed on non-ASCII text: utf-8 fallback") {
@@ -116,8 +120,8 @@ class WarcSpec extends AnyFunSuite {
     val d = docs((24L, txt, "s")) // 24 % 19 == 5 but text isn't ASCII
     val r = Warc.records(Warc.filesFromDocuments(d))
       .filter(col("rec_type") === "response").collect()(0)
-    assert(r.getString(6) == Warc.htmlOf(txt))
-    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+    assert(r.getString(6) == Warc.expectedBody(24L, txt, "s"))
+    assert(r.getLong(5) == Warc.expectedBodyBytes(24L, txt, "s"))
   }
 
   test("chunked transfer-encoding de-chunks to the identity") {
@@ -125,8 +129,8 @@ class WarcSpec extends AnyFunSuite {
     val d = docs((7L, txt, "s"))
     val r = Warc.records(Warc.filesFromDocuments(d))
       .filter(col("rec_type") === "response").collect()(0)
-    assert(r.getString(6) == Warc.htmlOf(txt))
-    assert(r.getLong(5) == Warc.htmlOf(txt).getBytes(UTF_8).length.toLong)
+    assert(r.getString(6) == Warc.expectedBody(7L, txt, "s"))
+    assert(r.getLong(5) == Warc.expectedBodyBytes(7L, txt, "s"))
   }
 
   test("broken chunked framing is record-level: the walk continues") {
