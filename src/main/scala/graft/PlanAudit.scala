@@ -58,7 +58,11 @@ object PlanAudit {
       "mm_jpeg_pixels",    // row-local full baseline decode, zero exchange
       // round-10 additions
       "probe_holdout_quality", // train-slice filter + full-corpus scoring projection
-      "sim_recall_pq")     // composed brute vs PQ recall, equality joins only
+      "sim_recall_pq",     // composed brute vs PQ recall, equality joins only
+      // round-11 close
+      "profile_events",    // bitmap + two-phase fine-group branches, no Expand
+      "warc_extract",      // row-local record explode, zero exchange before agg
+      "warc_links")        // regexp href explode + canonical chain, scan-speed
     interesting.foreach { name =>
       println(s"\n######## $name ########")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
