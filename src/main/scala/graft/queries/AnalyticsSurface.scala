@@ -151,6 +151,10 @@ object AnalyticsSurface {
     * user's own event count — bounded by the key population's
     * activity, the same bound the streaming sessionizer carries; the
     * window form remains the default for unbounded-per-key corpora.
+    * That bound is MEASURED, not hypothetical: at 100M events
+    * (67k/user) this twin wins the same-window pair, at 300M events
+    * (200k/user) its collect_list state exceeds a 128 GiB heap while
+    * the window form completes (BASELINE.md 300M-event rows).
     * Same output as [[sessionize]]; the gate reuses its oracle
     * verbatim. Ties: equal timestamps yield gap 0 in either
     * formulation, so sort stability cannot change the count. */

@@ -91,6 +91,8 @@ object SourcesSurface {
           .as("n_request"),
         sum(when(col("rec_type") === "malformed", 1L).otherwise(0L))
           .as("n_malformed"),
+        sum(when(col("rec_type") === "revisit", 1L).otherwise(0L))
+          .as("n_revisit"),
         sum(when(col("rec_type") === "response", col("body_bytes"))
           .otherwise(0L)).as("response_bytes"))),
     // the crawl→text head of the corpus pipeline: successful HTML
@@ -141,13 +143,15 @@ object SourcesSurface {
     "warc_stats" ->
       (warcBodyCte +
       """, g AS (SELECT doc_id % 32 AS file_id, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id % 31 = 13 THEN 1 ELSE 0 END) AS n_rev,
         |  sum(body_bytes) AS rb
         |FROM b GROUP BY 1)
         |SELECT file_id,
-        |  CAST(n_docs * 2 + CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+        |  CAST(n_docs * 2 + n_rev + CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
         |  CAST(n_docs AS BIGINT) AS n_response,
         |  CAST(n_docs AS BIGINT) AS n_request,
         |  CAST(CASE WHEN file_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_malformed,
+        |  CAST(n_rev AS BIGINT) AS n_revisit,
         |  CAST(rb AS BIGINT) AS response_bytes
         |FROM g""".stripMargin),
     "pipeline_warc_text" ->

@@ -96,6 +96,10 @@ object Warc {
         it.toArray.sortBy(_._1).foreach { case (docId, text, source) =>
           writeMember(out, requestRecord(docId, source), gz)
           writeMember(out, responseRecord(docId, text, source), gz)
+          // crawl-time dedup: every 31st doc re-appears as a REVISIT
+          // record (unchanged payload referenced, not re-stored)
+          if (docId % 31 == 13)
+            writeMember(out, revisitRecord(docId, source), gz)
         }
         if (fileId % 13 == 0)
           writeMember(out, "NOT-A-WARC-RECORD\r\n".getBytes(UTF_8), gz)
@@ -185,6 +189,20 @@ object Warc {
     out.write("0\r\n\r\n".getBytes(UTF_8))
     out.toByteArray
   }
+
+  /** WARC revisit record: a re-crawl whose payload matched an earlier
+    * capture (identified by WARC-Refers-To) — stored headers-only.
+    * The crawl-time half of dedup; the corpus-side half is the
+    * url/content dedup family in ops/Dedup. */
+  private[sources] def revisitRecord(docId: Long, source: String): Array[Byte] =
+    (s"WARC/1.0\r\n" +
+      "WARC-Type: revisit\r\n" +
+      f"WARC-Record-ID: <urn:uuid:r$docId%031d>\r\n" +
+      f"WARC-Refers-To: <urn:uuid:$docId%032d>\r\n" +
+      "WARC-Date: 2024-01-02T00:00:00Z\r\n" +
+      s"WARC-Target-URI: ${urlOf(docId, source)}\r\n" +
+      "Content-Length: 0\r\n\r\n" +
+      "\r\n\r\n").getBytes(UTF_8)
 
   private[sources] def requestRecord(docId: Long, source: String): Array[Byte] = {
     val http = (s"GET /$source/$docId HTTP/1.1\r\n" +
@@ -294,7 +312,13 @@ object Warc {
         }
       case "request" =>
         WarcRecord(fileId, "request", uri, -1L, null, -1L, null)
-      case _ => return None
+      case "revisit" =>
+        WarcRecord(fileId, "revisit", uri, -1L, null, -1L, null)
+      case "" => return None // a WARC record without a type is a framing lie
+      case other =>
+        // warcinfo/metadata/conversion/...: intact frame, known walk
+        // boundary — tolerate as a typed row instead of killing the tail
+        WarcRecord(fileId, "other:" + other, uri, -1L, null, -1L, null)
     }
     Some((rec, next))
   }

@@ -142,6 +142,23 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.rec_type) == Seq("malformed", "request"))
   }
 
+  test("revisit records (doc_id % 31 == 13): headers-only, typed, counted") {
+    val d = docs((13L, "seen before", "s"))
+    val recs = Warc.records(Warc.filesFromDocuments(d)).collect()
+    assert(recs.count(_.getString(1) == "revisit") == 1)
+    assert(recs.count(_.getString(1) == "response") == 1)
+    val rv = recs.filter(_.getString(1) == "revisit")(0)
+    assert(rv.getString(2) == "https://crawl.invalid/s/13")
+    assert(rv.isNullAt(6)) // no body stored
+  }
+
+  test("unknown record types are typed rows, not a tail stop") {
+    val rec = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    val recs = Warc.parseFile(1L,
+      (rec.getBytes(UTF_8) ++ Warc.requestRecord(1L, "s")))
+    assert(recs.map(_.rec_type) == Seq("other:warcinfo", "request"))
+  }
+
   test("corrupt gzip payload -> single malformed row") {
     val recs = Warc.parseFile(3L,
       Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3, 4, 5))
