@@ -112,20 +112,25 @@ object JsonLongCodec {
     var neg = false
     if (b(i) == '-') { neg = true; i += 1 }
     if (i >= b.length || b(i) < '0' || b(i) > '9') return null
+    // Accumulate NEGATIVELY: |Long.MinValue| > Long.MaxValue, so a
+    // positive accumulator cannot represent -9223372036854775808 —
+    // the one in-range int64 get_json_object+CAST returns that a
+    // positive-magnitude loop would null out.
     var v = 0L
     while (i < b.length && b(i) >= '0' && b(i) <= '9') {
       val d = b(i) - '0'
-      if (v > (Long.MaxValue - d) / 10) return null // would overflow
-      v = v * 10 + d
+      if (v < (Long.MinValue + d) / 10) return null // would overflow
+      v = v * 10 - d
       i += 1
     }
+    if (!neg && v == Long.MinValue) return null // +9223372036854775808
     // a fraction/exponent marks a non-integer token: NULL by contract
     if (i < b.length && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) return null
     // the token must END the value position: ws then , or } (or EOF in
     // malformed input — get_json_object also nulls there)
     val j = skipWs(b, i)
     if (j < b.length && b(j) != ',' && b(j) != '}') return null
-    java.lang.Long.valueOf(if (neg) -v else v)
+    java.lang.Long.valueOf(if (neg) v else -v)
   }
 
   /** Skip one JSON value generically; returns index after it, -1 on

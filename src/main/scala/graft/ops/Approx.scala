@@ -162,8 +162,12 @@ object Approx {
     // aggregate (4.4 vs 3.5 s whole-query at 100M events); the bitmap
     // wins for GLOBAL/ungrouped distincts (profile_events,
     // agg_bitmap_distinct), not under a grouped string key.
+    // Count only NON-NULL fine groups: count(DISTINCT v) and
+    // hll_sketch_agg both skip NULLs, so a NULL value group must not
+    // inflate exact_n (same pattern as Profile.profile's two-phase).
     val exact = withDay.groupBy(col(key), col(value)).agg(count(lit(1)))
-      .groupBy(key).agg(count(lit(1)).as("exact_n"))
+      .groupBy(key)
+      .agg(count(when(col(value).isNotNull, lit(1))).as("exact_n"))
     merged.join(direct, Seq(key)).join(exact, Seq(key))
       .select(col(key), col("exact_n"), col("n_partials"),
         (abs(col("n_merged") - col("exact_n")) * 100 <= col("exact_n") * 15)

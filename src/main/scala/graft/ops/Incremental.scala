@@ -70,9 +70,9 @@ object Incremental {
             org.apache.spark.sql.catalyst.expressions.Literal(1000000L)))).as("h6"),
         sum(m % 1000000L).as("l6"))
       .withColumn("sv",
-        (col("h6").cast("decimal(18,0)") *
+        (col("h6").cast("decimal(20,0)") *
           lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
-          col("l6").cast("decimal(18,0)")) *
+          col("l6").cast("decimal(20,0)")) *
           lit(new java.math.BigDecimal("0.000001")))
       .drop("h6", "l6")
   }

@@ -104,6 +104,36 @@ object Similarity {
     * blunt one. `None` (the default) always trains fresh. */
   def clearCodebookMemo(): Unit = codebookMemo.clear()
 
+  /** Persisted relations that ESCAPE inside a returned plan: the
+    * search family persists its normed base, and the result plan
+    * still references it, so it cannot be unpersisted before the
+    * caller materializes the result. Every such persist registers
+    * here; a long-lived process (server, notebook) calls
+    * [[releaseEscapedCaches]] after materializing — the Bench harness
+    * performs the same sweep via `spark.catalog.clearCache()`.
+    * Training-only persists (unpersisted in `finally` before return)
+    * are NOT tracked. */
+  private val escapedPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    escapedPersists.add(df)
+    df
+  }
+
+  /** Unpersist every escaped search-family cache registered since the
+    * last call; returns how many were released. Safe to call any time
+    * AFTER the corresponding search results are materialized —
+    * unpersisting earlier only costs recomputation, never
+    * correctness. */
+  def releaseEscapedCaches(): Int = {
+    var n = 0
+    var df = escapedPersists.poll()
+    while (df != null) { df.unpersist(false); n += 1; df = escapedPersists.poll() }
+    n
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queryPred` selects the query rows (e.g. vec_id < 5).
     * Output: (query_id, neighbor_id, sim, rank).
@@ -539,7 +569,7 @@ object Similarity {
     // training and search each derived it independently and every
     // Lloyd round paid the norm scan again
     val base = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
@@ -603,7 +633,7 @@ object Similarity {
       } finally corpusBase.unpersist(false) // the search reads the union
     val base = withNorm(corpus.select("vec_id", "embedding")
       .unionByName(arrivals.select("vec_id", "embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     ivfSearch(base, cents, queryPred, k, nProbe)
   }
 
@@ -636,7 +666,7 @@ object Similarity {
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
@@ -843,7 +873,7 @@ object Similarity {
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val (cents, books) = memoized(cacheKey,
         s"pq|$nCentroids|$nSub|$kSub|$kmeansIters|$trainPred") {
       trainIvfPqCodebooksOn(base, nCentroids, nSub, kSub, kmeansIters, trainPred)
@@ -1026,7 +1056,7 @@ object Similarity {
     // caller releases the cache after materializing, clearCache
     // contract as on Decontam.overlap)
     val base = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }
@@ -1035,7 +1065,7 @@ object Similarity {
     // each reference would re-run the corpus x codebook assignment
     // pass (same caller-owned release contract as `base`)
     val assigned = assignCellsByJoin(base, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val side = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val dupOf = side.as("x").join(side.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
@@ -1064,7 +1094,7 @@ object Similarity {
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = withNorm(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(persistTracked)
     val cents = memoized(cacheKey, s"coarse|$nCentroids|$kmeansIters|$trainPred") {
       trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
     }

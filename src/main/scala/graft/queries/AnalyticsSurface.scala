@@ -165,9 +165,9 @@ object AnalyticsSurface {
       .agg(sort_array(collect_list(col("timestamp"))).as("ts"))
       .select(col("user_id"),
         expr(s"""aggregate(ts,
-          named_struct('prev', CAST(-1 AS BIGINT), 'brk', CAST(0 AS BIGINT)),
-          (acc, t) -> named_struct('prev', t,
-            'brk', acc.brk + IF(acc.prev < 0 OR t - acc.prev > ${gapUs}L, 1, 0)),
+          named_struct('fst', true, 'prev', CAST(0 AS BIGINT), 'brk', CAST(0 AS BIGINT)),
+          (acc, t) -> named_struct('fst', false, 'prev', t,
+            'brk', acc.brk + IF(acc.fst OR t - acc.prev > ${gapUs}L, 1, 0)),
           acc -> acc.brk)""").as("n_sessions"),
         size(col("ts")).cast("long").as("n_events"))
   }
@@ -250,9 +250,9 @@ object AnalyticsSurface {
         expr("sum(micros6(CAST(value AS DOUBLE)) div 1000000)").as("h6"),
         expr("sum(micros6(CAST(value AS DOUBLE)) % 1000000)").as("l6"))
     def finalize(st: DataFrame, gid: Int): DataFrame = {
-      val sv = (col("h6").cast("decimal(18,0)") *
+      val sv = (col("h6").cast("decimal(20,0)") *
         lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
-        col("l6").cast("decimal(18,0)")) *
+        col("l6").cast("decimal(20,0)")) *
         lit(new java.math.BigDecimal("0.000001"))
       st.select(col("event_type"), col("cohort"),
         col("n").cast("long").as("n"),

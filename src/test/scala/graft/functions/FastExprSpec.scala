@@ -96,6 +96,11 @@ class FastExprSpec extends AnyFunSuite {
     // overflow → NULL, max long ok
     assert(f(s"""{"k": ${Long.MaxValue}}""", "k") == Some(Long.MaxValue))
     assert(f("""{"k": 9223372036854775808}""", "k") == None)
+    // FULL int64 domain: Long.MinValue is in-range (its magnitude
+    // exceeds Long.MaxValue — the negative-accumulation path), one
+    // past it overflows → NULL
+    assert(f(s"""{"k": ${Long.MinValue}}""", "k") == Some(Long.MinValue))
+    assert(f("""{"k": -9223372036854775809}""", "k") == None)
     // trailing garbage after the number → malformed → NULL
     assert(f("""{"k": 12x}""", "k") == None)
     // first occurrence wins on duplicates

@@ -162,14 +162,20 @@ class ApproxSpec extends AnyFunSuite {
     val dayUs = 86400000000L
     // key "a": 300 distinct users spread over 5 days (with cross-day
     // repeats the union must NOT double count); key "b": 40 users, 2 days
+    // key "c": NULL user_id rows mixed in — count(DISTINCT) and
+    // hll_sketch_agg both skip NULLs, so exact_n must NOT count the
+    // NULL fine group (ADVICE r11: a NULL group inflated exact_n by 1)
     val rows =
-      (0 until 600).map(i => (("a"), (i % 5).toLong * dayUs + i, (i % 300).toLong)) ++
-      (0 until 80).map(i => (("b"), (i % 2).toLong * dayUs + i, (i % 40).toLong))
+      (0 until 600).map(i => (("a"), (i % 5).toLong * dayUs + i, Option((i % 300).toLong))) ++
+      (0 until 80).map(i => (("b"), (i % 2).toLong * dayUs + i, Option((i % 40).toLong))) ++
+      (0 until 60).map(i => (("c"), (i % 2).toLong * dayUs + i,
+        if (i % 3 == 0) None else Option((i % 20).toLong)))
     val ev = rows.toDF("event_type", "timestamp", "user_id")
     val got = Approx.sketchMergeVerified(ev).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got("a") == ((300L, 5L, 1L, 1L)))
     assert(got("b") == ((40L, 2L, 1L, 1L)))
+    assert(got("c") == ((20L, 2L, 1L, 1L)), s"NULL fine group inflated exact_n: ${got("c")}")
   }
 }

@@ -389,6 +389,13 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.ivfTopK(corpus, col("vec_id") === 0,
       k = 5, nCentroids = 4, nProbe = 2).collect().map(key).toSet
     assert(a == b)
+    // escaped-cache hygiene: the searches above persisted bases that
+    // the returned plans still reference; the release hook must
+    // unpersist every one of them (long-lived-server contract,
+    // ADVICE r11 — ivfTopKStale's union base used to leak)
+    // (no drained-to-zero assert: the queue is process-global and
+    // other suites may register concurrently)
+    assert(Similarity.releaseEscapedCaches() >= 3)
   }
 
   test("placeIntoBook: stateless placement equals the relational incremental assignment") {

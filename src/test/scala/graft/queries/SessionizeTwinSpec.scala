@@ -46,6 +46,11 @@ class SessionizeTwinSpec extends AnyFunSuite {
     rows ++= Seq((100L, 42L), (100L, 42L), (100L, 42L + gap), (100L, 42L + gap + 1))
     rows ++= (1 to 5).map(_ => (101L, 777L))
     rows += ((102L, 1L)) // single-event user
+    // pre-1970 (NEGATIVE) timestamps: the fold's first-event sentinel
+    // must be an explicit flag, not a sign test — a -1 sentinel counts
+    // a break on every negative-ts event (ADVICE r11)
+    rows ++= Seq((103L, -5L * gap), (103L, -5L * gap + 10L),
+      (103L, -4L * gap + 11L), (103L, -42L))
 
     // write a minimal events fixture in the LongType-nanos encoding
     // Tables supports (ts nanos = micros * 1000)
