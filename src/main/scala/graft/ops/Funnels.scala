@@ -28,33 +28,91 @@ object Funnels {
     * Output: one row per step — (step 1-based, event_type, n_users),
     * n_users non-increasing by construction.
     *
-    * Shape: per step ONE filtered min-aggregation on user_id joined to
-    * the previous frontier — all equality joins on the user key;
-    * frontiers only shrink, so later steps get cheaper, and at scale
-    * AQE broadcasts the shrunken frontier into the event scan. */
+    * Shape (r12 rework — the old per-step scan+join chain paid m full
+    * scans and m−1 row shuffles and its paired ratio ROSE with scale):
+    * m−1 event passes, ZERO event-row shuffles.
+    *
+    *  1. ONE pass computes per-user stats — f0 = min step-0 ts plus
+    *     max ts per later step — as a map-side-combined aggregate
+    *     (only user-count-sized partials reach the exchange).
+    *  2. Each INTERMEDIATE step k (1 ≤ k ≤ m−2) refines its exact
+    *     frontier with one filtered pass joined against the
+    *     user-sized previous frontier — AQE broadcasts it while it
+    *     fits, and at mega-user scale falls back to a shuffle join,
+    *     which is the old chain's cost, never worse.
+    *  3. The LAST step needs NO pass at all: a types(m−1) event
+    *     strictly after f(m−2) exists iff the user's max types(m−1)
+    *     ts — already in the stats — exceeds f(m−2).
+    *
+    * The stats relation feeds three consumers (step-1 count, frontier
+    * seed, last-step maxima); it is persisted so divergent column
+    * pruning can't split it back into per-consumer scans, and
+    * registered in [[graft.core.EscapedCaches]] (it escapes inside
+    * the returned plan — caller releases after materializing; Bench
+    * clears caches per rep). */
   def funnel(events: DataFrame, types: Seq[String]): DataFrame = {
     require(types.nonEmpty && types.size == types.distinct.size,
       s"steps must be non-empty and distinct, got $types")
-    // ONE lazy plan, no driver-side count loop: the per-step frontiers
-    // chain as subplans and the final result unions one count per
-    // step — shared prefixes dedup via ReusedExchange, and nothing
-    // executes until the caller acts
-    val frontiers = types.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (tp, _)) =>
-        val step = events.filter(col("event_type") === tp)
-          .select(col("user_id"), col("timestamp").as("ts"))
-        Some(prev match {
-          case None => step.groupBy("user_id").agg(min("ts").as("t"))
-          case Some(f) => step.join(f.withColumnRenamed("t", "prev_t"), "user_id")
-            .filter(col("ts") > col("prev_t"))
-            .groupBy("user_id").agg(min("ts").as("t"))
-        })
-    }.flatten
-    frontiers.zip(types).zipWithIndex.map { case ((f, tp), i) =>
-      f.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("step"), lit(tp).as("event_type"),
-          col("n_users"))
-    }.reduce(_.unionByName(_))
+    val m = types.size
+    def stepRow(i: Int, n: org.apache.spark.sql.Column) =
+      struct(lit((i + 1).toLong).as("step"), lit(types(i)).as("event_type"),
+        n.as("n_users"))
+    val aggs =
+      min(when(col("event_type") === types(0), col("timestamp"))).as("f0") +:
+        (1 until m).map(k =>
+          max(when(col("event_type") === types(k), col("timestamp"))).as(s"mx$k"))
+    val statsRaw = events.filter(col("event_type").isin(types: _*))
+      .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+    if (m == 1)
+      return statsRaw.agg(count("f0").as("n"))
+        .select(explode(array(stepRow(0, col("n")))).as("r")).select("r.*")
+    if (m == 2)
+      // both counts from the single stats pass — one scan total
+      return statsRaw.agg(count("f0").as("n1"),
+          count(when(col("mx1") > col("f0"), 1L)).as("n2"))
+        .select(explode(array(stepRow(0, col("n1")), stepRow(1, col("n2")))).as("r"))
+        .select("r.*")
+    // Materialize the cache EAGERLY (count() = one tiny job): the
+    // returned union has three consumers of this relation, and letting
+    // the FIRST materialization happen lazily means concurrent query
+    // stages each compute the not-yet-populated partitions — measured
+    // ~2x the whole query at 100M events. Batch-only operator, so the
+    // eager action is safe.
+    val stats = graft.core.EscapedCaches.persistTracked(statsRaw)
+    stats.count()
+    // intermediate frontiers f1..f(m-2): (user_id, t); each but the
+    // last is consumed twice (its count + the next recount's build
+    // side), so those persist too — all user-sized
+    val seed = stats.filter(col("f0").isNotNull)
+      .select(col("user_id"), col("f0").as("t"))
+    val frontiers = (1 to m - 2).scanLeft(seed) { case (prev, k) =>
+      val f = events.filter(col("event_type") === types(k))
+        .select(col("user_id"), col("timestamp").as("ts"))
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      if (k < m - 2) {
+        val p = graft.core.EscapedCaches.persistTracked(f)
+        p.count() // same eager-materialization rule as stats
+        p
+      } else f
+    }
+    val n1 = stats.agg(count("f0").as("n"))
+      .select(explode(array(stepRow(0, col("n")))).as("r")).select("r.*")
+    val mids = (1 until m - 2).map { k =>
+      frontiers(k).agg(count(lit(1)).as("n"))
+        .select(explode(array(stepRow(k, col("n")))).as("r")).select("r.*")
+    }
+    // steps m-1 and m from ONE consumption of the last frontier: its
+    // row count, and how many of its rows the stats maxima outlive
+    val lastTwo = frontiers(m - 2)
+      .join(stats.select(col("user_id"), col(s"mx${m - 1}")), "user_id")
+      .agg(count(lit(1)).as("na"),
+        count(when(col(s"mx${m - 1}") > col("t"), 1L)).as("nb"))
+      .select(explode(array(stepRow(m - 2, col("na")),
+        stepRow(m - 1, col("nb")))).as("r"))
+      .select("r.*")
+    (n1 +: mids :+ lastTwo).reduce(_.unionByName(_))
   }
 
   /** [[funnel]] with a conversion WINDOW (ClickHouse windowFunnel's

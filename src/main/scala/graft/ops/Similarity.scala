@@ -104,35 +104,15 @@ object Similarity {
     * blunt one. `None` (the default) always trains fresh. */
   def clearCodebookMemo(): Unit = codebookMemo.clear()
 
-  /** Persisted relations that ESCAPE inside a returned plan: the
-    * search family persists its normed base, and the result plan
-    * still references it, so it cannot be unpersisted before the
-    * caller materializes the result. Every such persist registers
-    * here; a long-lived process (server, notebook) calls
-    * [[releaseEscapedCaches]] after materializing — the Bench harness
-    * performs the same sweep via `spark.catalog.clearCache()`.
-    * Training-only persists (unpersisted in `finally` before return)
-    * are NOT tracked. */
-  private val escapedPersists =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** The search family persists its normed base, and the result plan
+    * still references it — registered in [[graft.core.EscapedCaches]]
+    * for caller-driven cleanup. Training-only persists (unpersisted
+    * in `finally` before return) are NOT tracked. */
+  private def persistTracked(df: DataFrame): DataFrame =
+    graft.core.EscapedCaches.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    escapedPersists.add(df)
-    df
-  }
-
-  /** Unpersist every escaped search-family cache registered since the
-    * last call; returns how many were released. Safe to call any time
-    * AFTER the corresponding search results are materialized —
-    * unpersisting earlier only costs recomputation, never
-    * correctness. */
-  def releaseEscapedCaches(): Int = {
-    var n = 0
-    var df = escapedPersists.poll()
-    while (df != null) { df.unpersist(false); n += 1; df = escapedPersists.poll() }
-    n
-  }
+  /** See [[graft.core.EscapedCaches.release]]. */
+  def releaseEscapedCaches(): Int = graft.core.EscapedCaches.release()
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queryPred` selects the query rows (e.g. vec_id < 5).

@@ -35,7 +35,14 @@ object EventAggProfile {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // GRAFT_EVPROFILE_ONLY=prefix1,prefix2 filters timed entries
+    val only = sys.env.get("GRAFT_EVPROFILE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def time(name: String)(df: => DataFrame): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
+      if (sys.env.contains("GRAFT_EVPROFILE_EXPLAIN")) {
+        println(s"==== $name ===="); df.explain("formatted")
+      }
       df.write.mode("overwrite").format("noop").save()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -77,6 +84,129 @@ object EventAggProfile {
         .groupBy("step").agg(sum("c").as("n_users"))
     }
     time("f_fold_twin")(foldFunnel)
+
+    // r12 candidates: ONE user-key shuffle of the funnel-typed rows,
+    // all per-user work after that single exchange.
+    val codedBase = ev.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("timestamp").as("ts"),
+        when(col("event_type") === steps(0), 0)
+          .when(col("event_type") === steps(1), 1)
+          .otherwise(2).as("sp"))
+
+    // (a) window chain: three unordered-frame conditional minima over
+    // partitionBy(user) — f1 reads f0's column, f2 reads f1's.
+    def windowChain: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val f = codedBase
+        .withColumn("f0", min(when(col("sp") === 0, col("ts"))).over(w))
+        .withColumn("f1",
+          min(when(col("sp") === 1 && col("ts") > col("f0"), col("ts"))).over(w))
+        .withColumn("f2",
+          min(when(col("sp") === 2 && col("ts") > col("f1"), col("ts"))).over(w))
+      val per = f.groupBy("user_id")
+        .agg(max("f0").as("f0"), max("f1").as("f1"), max("f2").as("f2"))
+      per.agg(count("f0").as("n1"), count("f1").as("n2"), count("f2").as("n3"))
+        .select(expr("stack(3, CAST(1 AS BIGINT), n1, CAST(2 AS BIGINT), n2, CAST(3 AS BIGINT), n3) AS (step, n_users)"))
+    }
+    time("f_window_chain")(windowChain)
+
+    // (b) sorted single-pass automaton: repartition(user) +
+    // sortWithinPartitions(user, ts), one O(1)-state pass emitting a
+    // per-partition reached histogram (users are partition-local).
+    def automaton: DataFrame = {
+      import spark.implicits._
+      val hist = codedBase.as[(Long, Long, Int)]
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts")
+        .mapPartitions { it =>
+          val h = new Array[Long](4)
+          var cur = 0L; var have = false; var r = 0; var f = 0L
+          for ((u, ts, sp) <- it) {
+            if (!have || u != cur) { if (have) h(r) += 1; cur = u; have = true; r = 0; f = 0L }
+            if (sp == r && r < 3 && (r == 0 || ts > f)) { r += 1; f = ts }
+          }
+          if (have) h(r) += 1
+          (0 to 3).iterator.map(i => (i.toLong, h(i)))
+        }.toDF("reached", "c")
+      val stepRel = spark.range(1, steps.size + 1).select(col("id").as("step"))
+      stepRel.join(hist, hist("reached") >= stepRel("step"))
+        .groupBy("step").agg(sum("c").as("n_users"))
+    }
+    time("f_automaton")(automaton)
+
+    // (c) two-phase interval trick (3 steps only): reached>=3 iff a
+    // view exists strictly inside (minSignup, maxPurchase) — one
+    // groupBy(user) for (f0, maxV, maxP), one co-partitioned recount
+    // of view rows against the open interval; the user-key exchange
+    // canonicalizes identically in both branches, so it's shuffled
+    // once and reused.
+    def twoPhase: DataFrame = {
+      val stats = codedBase.groupBy("user_id").agg(
+        min(when(col("sp") === 0, col("ts"))).as("f0"),
+        max(when(col("sp") === 1, col("ts"))).as("mv"),
+        max(when(col("sp") === 2, col("ts"))).as("mp"))
+      val s3 = codedBase.filter(col("sp") === 1).join(stats, "user_id")
+        .groupBy("user_id")
+        .agg(max(when(col("ts") > col("f0") && col("ts") < col("mp"), 1L)).as("h3"))
+      stats.join(s3, Seq("user_id"), "left")
+        .agg(count("f0").as("n1"),
+          count(when(col("mv") > col("f0"), 1L)).as("n2"),
+          count(when(col("h3") === 1L, 1L)).as("n3"))
+        .select(expr("stack(3, CAST(1 AS BIGINT), n1, CAST(2 AS BIGINT), n2, CAST(3 AS BIGINT), n3) AS (step, n_users)"))
+    }
+    time("f_twophase")(twoPhase)
+
+    // (c') two-phase with the per-user stats BROADCAST into the view
+    // recount: the stats relation is user-count-sized, so the probe
+    // side never shuffles — both passes are map-side-combined
+    // aggregates over straight parquet scans.
+    def twoPhaseBc: DataFrame = {
+      val stats = codedBase.groupBy("user_id").agg(
+        min(when(col("sp") === 0, col("ts"))).as("f0"),
+        max(when(col("sp") === 1, col("ts"))).as("mv"),
+        max(when(col("sp") === 2, col("ts"))).as("mp"))
+      val s3 = codedBase.filter(col("sp") === 1)
+        .join(broadcast(stats.filter(col("f0").isNotNull && col("mp").isNotNull)
+          .select("user_id", "f0", "mp")), "user_id")
+        .filter(col("ts") > col("f0") && col("ts") < col("mp"))
+        .select("user_id").distinct()
+      val n3d = s3.agg(count(lit(1)).as("n3"))
+      stats.agg(count("f0").as("n1"),
+          count(when(col("mv") > col("f0"), 1L)).as("n2"))
+        .crossJoin(n3d)
+        .select(expr("stack(3, CAST(1 AS BIGINT), n1, CAST(2 AS BIGINT), n2, CAST(3 AS BIGINT), n3) AS (step, n_users)"))
+    }
+    time("f_twophase_bc")(twoPhaseBc)
+    time("f_stats_only")(codedBase.groupBy("user_id").agg(
+      min(when(col("sp") === 0, col("ts"))).as("f0"),
+      max(when(col("sp") === 1, col("ts"))).as("mv"),
+      max(when(col("sp") === 2, col("ts"))).as("mp")))
+
+    // (d) general m-1-scan frontier chain: pass 1 = per-user stats
+    // (f0 + per-step maxima, map-side combined, tiny shuffle);
+    // passes 2..m-1 = one recount per INTERMEDIATE step joining the
+    // user-sized previous frontier (AQE broadcasts it); the LAST step
+    // needs no event pass: exists p > f_{m-2} iff maxP > f_{m-2}.
+    def chainBc: DataFrame = {
+      val stats = ev.filter(col("event_type").isin(steps: _*))
+        .groupBy("user_id").agg(
+          min(when(col("event_type") === steps(0), col("timestamp"))).as("f0"),
+          max(when(col("event_type") === steps(1), col("timestamp"))).as("m1"),
+          max(when(col("event_type") === steps(2), col("timestamp"))).as("m2"))
+      val f1 = ev.filter(col("event_type") === steps(1))
+        .select(col("user_id"), col("timestamp").as("ts"))
+        .join(stats.filter(col("f0").isNotNull).select("user_id", "f0"), "user_id")
+        .filter(col("ts") > col("f0"))
+        .groupBy("user_id").agg(min("ts").as("f1"))
+      val n1 = stats.agg(count("f0").as("n"))
+      val n2 = f1.agg(count(lit(1)).as("n"))
+      val n3 = f1.join(stats.select("user_id", "m2"), "user_id")
+        .agg(count(when(col("m2") > col("f1"), 1L)).as("n"))
+      n1.select(lit(1L).as("step"), col("n").as("n_users"))
+        .unionByName(n2.select(lit(2L).as("step"), col("n").as("n_users")))
+        .unionByName(n3.select(lit(3L).as("step"), col("n").as("n_users")))
+    }
+    time("f_chain_bc")(chainBc)
 
     // ---- hourly decomposition ----
     def hourly(fineKey: Seq[org.apache.spark.sql.Column]): DataFrame =

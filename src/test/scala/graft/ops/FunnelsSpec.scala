@@ -55,6 +55,49 @@ class FunnelsSpec extends AnyFunSuite {
     assert(counts(1000000L) == plain)
   }
 
+  test("funnel edge arities: single step and two steps") {
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"),
+      (2L, 10L, "view"), (2L, 20L, "signup"),   // view before signup: no chain
+      (3L, 10L, "signup"), (3L, 10L, "view")    // same ts: no chain
+    ).toDF("user_id", "timestamp", "event_type")
+    val one = Funnels.funnel(ev, Seq("signup"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(one.toSeq == Seq((1L, "signup", 3L)))
+    val two = Funnels.funnel(ev, Seq("signup", "view"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(two == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("4-step funnel matches a row-level replay on seeded random events") {
+    // exercises the generic path: intermediate frontier recounts (the
+    // mids branch) plus the stats-maxima last step
+    val types = Seq("signup", "view", "click", "purchase")
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 60L).flatMap { u =>
+      (0 until rnd.nextInt(14)).map { _ =>
+        (u, rnd.nextInt(50).toLong, types(rnd.nextInt(4)))
+      }
+    }
+    // replay: f(k) = min ts of types(k) strictly after f(k-1)
+    val reached = rows.groupBy(_._1).view.mapValues { evs =>
+      var r = 0
+      var f = Long.MinValue
+      for (k <- types.indices if r == k) {
+        val cand = evs.collect {
+          case (_, ts, tp) if tp == types(k) && (k == 0 || ts > f) => ts
+        }
+        if (cand.nonEmpty) { r = k + 1; f = cand.min }
+      }
+      r
+    }.toMap
+    val expected = (1 to 4).map(k =>
+      (k.toLong, types(k - 1), reached.values.count(_ >= k).toLong)).toSet
+    val got = Funnels.funnel(rows.toDF("user_id", "timestamp", "event_type"), types)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("retention counts distinct users per (first-activity cohort, offset)") {
     val ev = Seq(
       (1L, 5L), (1L, 15L), (1L, 35L),   // cohort 0 -> offsets 0, 1, 3
