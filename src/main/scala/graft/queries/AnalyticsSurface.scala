@@ -172,6 +172,56 @@ object AnalyticsSurface {
         size(col("ts")).cast("long").as("n_events"))
   }
 
+  /** [[sessionize]] with BOUNDED per-group state — the scale path the
+    * grouped-array twin lacks (its collect_list of a whole user's
+    * timestamps exceeds a 128 GiB heap at 200k events/key; measured,
+    * BASELINE.md 300M-event rows). Two-level segmented fold:
+    *
+    *  1. sessionize within (user, 1-hour bucket): one hash aggregate
+    *     whose per-group array is bounded by the bucket's event count
+    *     (event-rate × bucket width, NOT the user's history), emitting
+    *     (n, first_ts, last_ts, internal session count) per bucket;
+    *  2. stitch per user over the BUCKET rows (bounded by the corpus
+    *     time-span in hours): sessions = Σ internal − one per adjacent
+    *     bucket pair whose boundary gap ≤ 30 min. The fold compares
+    *     real first/last timestamps, so correctness holds for ANY
+    *     bucket width — the width only tunes the state bound.
+    *
+    * No partition-wide window sort, no whole-user array; one full
+    * shuffle on (user, bucket) then a bucket-row shuffle on user.
+    * Same output as [[sessionize]]; the gate reuses its oracle
+    * verbatim. */
+  private def sessionizeSeg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventSeries(s, dir)
+    val gapUs = 30L * 60 * 1000000
+    val bucketUs = 3600000000L // 1 h
+    val pb = ev
+      .select(col("user_id"), expr(s"timestamp div ${bucketUs}L").as("bkt"),
+        col("timestamp").as("ts"))
+      .groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(col("ts"))).as("ts_arr"))
+      .select(col("user_id"),
+        size(col("ts_arr")).cast("long").as("n"),
+        element_at(col("ts_arr"), 1).as("first_ts"),
+        element_at(col("ts_arr"), -1).as("last_ts"),
+        expr(s"""aggregate(ts_arr,
+          named_struct('fst', true, 'prev', CAST(0 AS BIGINT), 'brk', CAST(0 AS BIGINT)),
+          (acc, t) -> named_struct('fst', false, 'prev', t,
+            'brk', acc.brk + IF(acc.fst OR t - acc.prev > ${gapUs}L, 1, 0)),
+          acc -> acc.brk)""").as("brk"))
+    pb.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("first_ts"), col("last_ts"), col("brk"), col("n")))).as("bs"))
+      .select(col("user_id"),
+        expr(s"""aggregate(bs,
+          named_struct('fst', true, 'pl', CAST(0 AS BIGINT), 'sess', CAST(0 AS BIGINT)),
+          (acc, b) -> named_struct('fst', false, 'pl', b.last_ts,
+            'sess', acc.sess + b.brk -
+              IF(NOT acc.fst AND b.first_ts - acc.pl <= ${gapUs}L, 1, 0)),
+          acc -> acc.sess)""").as("n_sessions"),
+        expr("aggregate(bs, CAST(0 AS BIGINT), (a, b) -> a + b.n)").as("n_events"))
+  }
+
   /** Per-event-type hourly rollup with distinct users —
     * count-distinct over a composite time+category key. */
   private def hourlyRollup(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +338,7 @@ object AnalyticsSurface {
     "win_top3_agg" -> top3PerUserAgg,
     "win_sessionize" -> sessionize,
     "win_sessionize_agg" -> sessionizeAgg,
+    "win_sessionize_seg" -> sessionizeSeg,
     "agg_hourly_rollup" -> hourlyRollup,
     // incremental view maintenance (graft.ops.Incremental): the corpus
     // splits 80/20 by hash into "standing state" and "new batch"; each
@@ -962,6 +1013,15 @@ object AnalyticsSurface {
     // identical oracle: the grouped-array twin must reproduce the
     // window formulation's output exactly
     "win_sessionize_agg" ->
+      (EV + """SELECT user_id, CAST(sum(is_break) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM (SELECT user_id, timestamp,
+        |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
+        |        FROM ev)) GROUP BY user_id""".stripMargin),
+    // identical oracle again: the segmented two-level fold is the
+    // bounded-state scale path and must reproduce the same output
+    "win_sessionize_seg" ->
       (EV + """SELECT user_id, CAST(sum(is_break) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break

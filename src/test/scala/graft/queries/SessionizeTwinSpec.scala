@@ -66,6 +66,12 @@ class SessionizeTwinSpec extends AnyFunSuite {
     val a = AnalyticsSurface.queries("win_sessionize_agg")(spark, dir.getAbsolutePath)
       .orderBy("user_id").collect().toSeq
     assert(w == a, s"window vs agg diverged:\n${w.zip(a).filter(p => p._1 != p._2).take(5)}")
+    // the segmented two-level fold must agree too — its gaps straddle
+    // bucket boundaries by construction here (fuzz gaps hover around
+    // 30 min on a 1 h bucket, so merges and breaks both cross edges)
+    val g = AnalyticsSurface.queries("win_sessionize_seg")(spark, dir.getAbsolutePath)
+      .orderBy("user_id").collect().toSeq
+    assert(w == g, s"window vs segmented diverged:\n${w.zip(g).filter(p => p._1 != p._2).take(5)}")
     // sanity on the pinned shapes: chain (42, 42 [dup: gap 0], +gap
     // [NO break — the rule is strictly greater], +gap+1) is ONE session
     val u100 = w.find(_.getLong(0) == 100L).get
