@@ -1046,6 +1046,12 @@ object Similarity {
     // pass (same caller-owned release contract as `base`)
     val assigned = assignCellsByJoin(base, cents)
       .transform(persistTracked)
+    // materialize EAGERLY: the self-join's two sides are INDEPENDENT
+    // scan stages — a lazy first touch lets both compute the
+    // unpopulated assignment partitions concurrently (the
+    // Funnels.funnel rule; memoized training above only materialized
+    // `base`, not this)
+    assigned.count()
     val side = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val dupOf = side.as("x").join(side.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))

@@ -208,6 +208,48 @@ object EventAggProfile {
     }
     time("f_chain_bc")(chainBc)
 
+    // ---- rollup_fold constant (r12 weak #3): string fine key vs
+    // hash-coded fine key with a state-sized string recovery join ----
+    time("r_fold_current")(graft.ops.Incremental.merge(
+      graft.ops.Incremental.hourlyPartials(ev)))
+    def foldHashKey: DataFrame = {
+      val fine = ev.select(xxhash64(col("event_type")).as("tc"),
+          (col("timestamp") - col("timestamp") % hourUs).as("hour_ts"),
+          col("value"))
+        .groupBy("tc", "hour_ts")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(micros6(CAST(value AS DOUBLE)) div 1000000)").as("h6"),
+          expr("sum(micros6(CAST(value AS DOUBLE)) % 1000000)").as("l6"))
+      val names = ev.select(col("event_type")).distinct()
+        .select(xxhash64(col("event_type")).as("tc"), col("event_type"))
+      fine.join(broadcast(names), "tc").drop("tc")
+        .select(col("event_type"), col("hour_ts"), col("n").cast("long").as("n"),
+          round(((col("h6").cast("decimal(20,0)") * lit(1000000L).cast("decimal(7,0)") +
+            col("l6").cast("decimal(20,0)")) *
+            lit(new java.math.BigDecimal("0.000001"))).cast("double"), 4).as("sum_value"))
+    }
+    time("r_fold_hashkey")(foldHashKey)
+    // how much is the micros6/limb arithmetic vs the key?
+    // micros6 projected ONCE below the aggregate vs inline in both
+    // limb sums (does codegen CSE the duplicate conversion?)
+    def foldProjected: DataFrame = {
+      val fine = ev.select(col("event_type"),
+          (col("timestamp") - col("timestamp") % hourUs).as("hour_ts"),
+          expr("micros6(CAST(value AS DOUBLE))").as("m6"))
+        .groupBy("event_type", "hour_ts")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(m6 div 1000000)").as("h6"),
+          expr("sum(m6 % 1000000)").as("l6"))
+      fine.select(col("event_type"), col("hour_ts"), col("n").cast("long").as("n"),
+        round(((col("h6").cast("decimal(20,0)") * lit(1000000L).cast("decimal(7,0)") +
+          col("l6").cast("decimal(20,0)")) *
+          lit(new java.math.BigDecimal("0.000001"))).cast("double"), 4).as("sum_value"))
+    }
+    time("r_fold_projected")(foldProjected)
+    time("r_fold_countonly")(ev.groupBy(col("event_type"),
+      (col("timestamp") - col("timestamp") % hourUs).as("hour_ts"))
+      .agg(count(lit(1)).as("n")))
+
     // ---- hourly decomposition ----
     def hourly(fineKey: Seq[org.apache.spark.sql.Column]): DataFrame =
       ev.groupBy(fineKey: _*)

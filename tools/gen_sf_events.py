@@ -46,23 +46,38 @@ def main(out_dir: str, mult: int, src: str) -> None:
     # window/as-of proofs this fixture exists for)
     gaps = rng.exponential(1.0, n)
     base = np.floor(np.cumsum(gaps) / gaps.sum() * (SPAN_US - n)).astype(np.int64)
+    del gaps
     ts = T0_US + np.maximum.accumulate(base) + np.arange(n, dtype=np.int64)
+    del base
     assert (np.diff(ts) > 0).all(), "ts must be strictly increasing"
-    tbl = pa.table({
-        "event_id": pa.array(np.arange(n, dtype=np.int64)),
-        "ts": pa.array(ts, type=pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, 1500, n, dtype=np.int64)),
-        "event_type": pa.array(np.array(TYPES)[rng.integers(0, 5, n)]),
-        "value": pa.array(np.round(rng.uniform(0, 560.21, n), 2)),
-        "props": pa.array(
-            np.char.add(np.char.add('{"k": ',
-                rng.integers(0, 100, n).astype(str)), "}")),
-    })
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, "events.parquet")
     if os.path.islink(dst):
         os.unlink(dst)  # replace gen_sf.py's symlink with the scaled table
-    pq.write_table(tbl, dst)
+    # CHUNKED writer (needed at 1B+ rows: the all-at-once numpy string
+    # column alone would be tens of GB); same rng consumption ORDER as
+    # the monolithic writer per chunk, deterministic for fixed (n,
+    # chunk) — the fixture contract is per-(args) determinism, not
+    # cross-chunk-size equality
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])
+    chunk = 50_000_000
+    with pq.ParquetWriter(dst, schema) as w:
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            m = hi - lo
+            w.write_table(pa.table({
+                "event_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "ts": pa.array(ts[lo:hi], type=pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, 1500, m, dtype=np.int64)),
+                "event_type": pa.array(np.array(TYPES)[rng.integers(0, 5, m)]),
+                "value": pa.array(np.round(rng.uniform(0, 560.21, m), 2)),
+                "props": pa.array(
+                    np.char.add(np.char.add('{"k": ',
+                        rng.integers(0, 100, m).astype(str)), "}")),
+            }, schema=schema))
     print(f"wrote {dst}: {n} rows ({mult}x of {src_n})")
 
 
