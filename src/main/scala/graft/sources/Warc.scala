@@ -44,7 +44,11 @@ import org.apache.spark.sql.functions._
   * parallelizes per file exactly like the production readers. Memory
   * is bounded by one decompressed file per task (crawl files are
   * ~1 GiB by convention — the same per-task bound every WARC reader
-  * carries).
+  * carries). If the (file_id, payload) staging table is PARQUET, cap
+  * `spark.sql.parquet.columnarReaderBatchSize` (e.g. 8): the default
+  * 4096-row vectorized batch multiplied by multi-MB binary cells
+  * reserves gigabytes of direct buffer per task (measured OOM at
+  * 32 tasks x 4 MB payloads; WarcProfile carries the config).
   */
 object Warc {
 
@@ -80,13 +84,15 @@ object Warc {
     * on doc_id % 23 = 7, the HTML wrapper) is replayed by the gate
     * oracles, mm_png-style.
     *
-    * Output: (file_id, payload binary). */
-  def filesFromDocuments(docs: DataFrame): DataFrame = {
+    * Output: (file_id, payload binary). `nFiles` defaults to the
+    * gate fixture's [[NFiles]]; the throughput profile passes larger
+    * counts to exercise per-file parallelism at crawl scale. */
+  def filesFromDocuments(docs: DataFrame, nFiles: Long = NFiles): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
-      .groupByKey(_._1 % NFiles)
+      .groupByKey(_._1 % nFiles)
       .mapGroups { (fileId, it) =>
         val out = new ByteArrayOutputStream()
         val gz = fileId % 2 == 1
@@ -223,6 +229,19 @@ object Warc {
       block ++ "\r\n\r\n".getBytes(UTF_8)
 
   // ---- parser ----
+
+  /** Read REAL crawl files (.warc / .warc.gz, any names) from a path
+    * or glob via Spark's binaryFile source and parse every record —
+    * the production entry point: one row per file, read parallelism =
+    * file count, no staging table. `file_id` is the xxhash64 of the
+    * file path (stable, join-able back to provenance via the same
+    * hash); the per-task memory bound is one decompressed file, as on
+    * [[records]]. */
+  def recordsFromPath(spark: org.apache.spark.sql.SparkSession,
+      glob: String): DataFrame =
+    records(spark.read.format("binaryFile").load(glob)
+      .select(xxhash64(col("path")).as("file_id"),
+        col("content").as("payload")))
 
   /** Parse every record of every crawl file: one flatMap, no shuffle.
     * Input must have (file_id long, payload binary). */

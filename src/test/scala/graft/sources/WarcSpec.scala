@@ -37,6 +37,24 @@ class WarcSpec extends AnyFunSuite {
       Warc.expectedBody(2L, "gamma", "s2"))
   }
 
+  test("recordsFromPath reads real .warc/.warc.gz files off disk identically") {
+    import spark.implicits._
+    val d = docs((1L, "alpha beta", "s1"), (2L, "gamma", "s2"),
+      (33L, "delta", "s3"))
+    val files = Warc.filesFromDocuments(d).as[(Long, Array[Byte])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-path")
+    files.foreach { case (id, payload) =>
+      val ext = if (id % 2 == 1) "warc.gz" else "warc"
+      java.nio.file.Files.write(dir.resolve(f"crawl-$id%05d.$ext"), payload)
+    }
+    val fromPath = Warc.recordsFromPath(spark, dir.toString)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(6))).toSet
+    val fromTable = Warc.records(Warc.filesFromDocuments(d))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(6))).toSet
+    assert(fromPath == fromTable)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("text/plain branch (doc_id % 11 == 3) ships the raw text") {
     val d = docs((3L, "plain body here", "s0"))
     val r = Warc.records(Warc.filesFromDocuments(d))
