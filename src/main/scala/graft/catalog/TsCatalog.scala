@@ -93,8 +93,9 @@ final class TsCatalog(spark: SparkSession, val root: String,
 
   def listSeries(db: String): Seq[String] =
     if (!dbExists(db)) Nil
-    else fs.listStatus(new Path(root, db)).filter(_.isDirectory)
+    else try fs.listStatus(new Path(root, db)).filter(_.isDirectory)
       .map(_.getPath.getName).toSeq.sorted
+    catch { case _: java.io.FileNotFoundException => Nil } // raced dropDb
 
   def dropSeries(db: String, name: String): Boolean = {
     val p = seriesPath(db, name)
@@ -104,7 +105,12 @@ final class TsCatalog(spark: SparkSession, val root: String,
   def seriesMeta(db: String, name: String): Option[SeriesMeta] = {
     val p = new Path(seriesPath(db, name), "_series.json")
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    // exists→open is a TOCTOU window against a concurrent dropSeries
+    // (CatalogSoakSpec caught it): a series deleted in between reads
+    // as absent, exactly like losing the exists() race
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     // minimal JSON of our own writing: {"retentionNs":N|null,"dupPolicy":"s"}
     val ret = "\"retentionNs\"\\s*:\\s*(null|-?\\d+)".r.findFirstMatchIn(text)
@@ -280,7 +286,12 @@ final class TsCatalog(spark: SparkSession, val root: String,
     }
     val dp = dataPath(db, name)
     if (!fs.exists(dp)) return 0
-    val dropped = fs.listStatus(dp).toSeq
+    // same TOCTOU hardening as seriesMeta: a series dropped between
+    // the exists check and the listing reaps nothing
+    val listed =
+      try fs.listStatus(dp).toSeq
+      catch { case _: java.io.FileNotFoundException => return 0 }
+    val dropped = listed
       .filter(_.getPath.getName.startsWith("bucket="))
       .filter { st =>
         val b = st.getPath.getName.stripPrefix("bucket=").toLong
@@ -321,7 +332,9 @@ final class TsCatalog(spark: SparkSession, val root: String,
   def compact(db: String, name: String, maxFilesPerBucket: Int = 8): Int = {
     val dp = dataPath(db, name)
     if (!fs.exists(dp)) return 0
-    val toCompact = fs.listStatus(dp).toSeq
+    val toCompact =
+      (try fs.listStatus(dp).toSeq
+       catch { case _: java.io.FileNotFoundException => return 0 })
       .filter(_.getPath.getName.startsWith("bucket="))
       .filter(st => fs.listStatus(st.getPath)
         .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)

@@ -32,7 +32,15 @@ object EscapedCaches {
   def release(): Int = {
     var n = 0
     var df = queue.poll()
-    while (df != null) { df.unpersist(false); n += 1; df = queue.poll() }
+    while (df != null) {
+      // a queue entry can outlive its SparkSession (tests, short-lived
+      // drivers): unpersist on a stopped context throws, but the cache
+      // died with the session — count it released and keep draining
+      try df.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      n += 1
+      df = queue.poll()
+    }
     n
   }
 }
