@@ -119,31 +119,51 @@ object Funnels {
     * gap argument): step k must land strictly after step k−1 AND
     * within `windowUs` of the user's step-1 time — a signup only
     * "converts" if the later steps happen inside the attribution
-    * window. Same frontier chain with one extra bound carried from
-    * the step-1 frontier; identical plan shape. */
+    * window.
+    *
+    * Shape (r12, the [[funnel]] rework applied): the old chain paid m
+    * full scans AND m−1 event-row shuffles; this pays the same m
+    * scans (the upper window bound depends on t0, so unlike the plain
+    * funnel even the LAST step needs its recount — per-user maxima
+    * can't answer "exists in (f, t0+W]") but ZERO event-row shuffles:
+    * every recount joins the user-sized previous frontier, which AQE
+    * broadcasts while it fits. Frontier relations with two consumers
+    * (their count + the next recount) persist eagerly through
+    * [[graft.core.EscapedCaches]]. */
   def funnelWithin(events: DataFrame, types: Seq[String],
       windowUs: Long): DataFrame = {
     require(types.size >= 2 && types.size == types.distinct.size,
       s"need >= 2 distinct steps, got $types")
     require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
-    val frontiers = types.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (tp, i)) =>
-        val step = events.filter(col("event_type") === tp)
-          .select(col("user_id"), col("timestamp").as("ts"))
-        Some(prev match {
-          case None => step.groupBy("user_id")
-            .agg(min("ts").as("t")).withColumn("t0", col("t"))
-          case Some(f) => step
-            .join(f.select(col("user_id"), col("t").as("prev_t"), col("t0")), "user_id")
-            .filter(col("ts") > col("prev_t") &&
-              col("ts") <= col("t0") + windowUs)
-            .groupBy("user_id", "t0").agg(min("ts").as("t"))
-        })
-    }.flatten
-    frontiers.zip(types).zipWithIndex.map { case ((f, tp), i) =>
-      f.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("step"), lit(tp).as("event_type"),
-          col("n_users"))
+    val m = types.size
+    def stepRow(i: Int, n: org.apache.spark.sql.Column) =
+      struct(lit((i + 1).toLong).as("step"), lit(types(i)).as("event_type"),
+        n.as("n_users"))
+    val seed = events.filter(col("event_type") === types(0))
+      .groupBy("user_id").agg(min("timestamp").as("t"))
+      .withColumn("t0", col("t"))
+    val frontiers = (1 until m).scanLeft(seed) { case (prev, k) =>
+      events.filter(col("event_type") === types(k))
+        .select(col("user_id"), col("timestamp").as("ts"))
+        .join(prev.select(col("user_id"), col("t").as("prev_t"), col("t0")),
+          "user_id")
+        .filter(col("ts") > col("prev_t") &&
+          col("ts") <= col("t0") + windowUs)
+        .groupBy("user_id", "t0").agg(min("ts").as("t"))
+    }
+    // every frontier but the LAST feeds two consumers (its own count
+    // + the next recount's build side): persist + materialize eagerly
+    // so the independent branches can't double-compute it
+    val cached = frontiers.zipWithIndex.map { case (f, i) =>
+      if (i < m - 1) {
+        val p = graft.core.EscapedCaches.persistTracked(f)
+        p.count()
+        p
+      } else f
+    }
+    cached.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n"))
+        .select(explode(array(stepRow(i, col("n")))).as("r")).select("r.*")
     }.reduce(_.unionByName(_))
   }
 
