@@ -95,7 +95,11 @@ object Bench {
     "agg_rollup_fold", "win_sessionize_agg",
     // round-11 close: crawl-container ingest (WARC framing walk +
     // gzip members + HTTP parse, mm-class parse-vs-closed-form pair)
-    "warc_extract")
+    "warc_extract",
+    // round-12 additions: the bounded-state segmented sessionize (the
+    // scale path past the grouped-array twin's OOM boundary) and the
+    // windowed funnel, now on the zero-row-shuffle recount shape
+    "win_sessionize_seg", "agg_funnel_gap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
