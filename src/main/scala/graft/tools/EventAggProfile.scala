@@ -287,6 +287,40 @@ object EventAggProfile {
     }
     time("h_full_current")(hourlyFull(code = false))
     time("h_full_primitive")(hourlyFull(code = true))
+    // r12: ONE grouped pass with bitmap-NDV for the distinct-user
+    // count under ALL-PRIMITIVE keys (r11 only measured bitmap under
+    // the string key, where the ObjectHashAggregate string path lost)
+    def hourlyBitmapPrim: DataFrame = {
+      graft.functions.GraftFunctions.register(spark)
+      val fine = ev.groupBy(hourTs, typeCode)
+        .agg(count(lit(1)).as("n"),
+          expr("bitmap_ndv(user_id)").as("n_users"),
+          round(call_function("sum_micro", col("value").cast("double")), 4)
+            .as("sum_value"))
+      fine.select(col("hour_ts"),
+          element_at(array(lit("signup"), lit("purchase"), lit("view"),
+            lit("click"), lit("error")), col("tc") + 1).as("event_type"),
+          col("n"), col("n_users"), col("sum_value"))
+        .filter(col("n") >= 2)
+    }
+    time("h_full_bitmap_prim")(hourlyBitmapPrim)
+    // shippable form: no hardcoded type list — xxhash64 key + a
+    // distinct-map recovery join (state-sized, broadcast)
+    def hourlyBitmapHash: DataFrame = {
+      graft.functions.GraftFunctions.register(spark)
+      val fine = ev.groupBy(hourTs, xxhash64(col("event_type")).as("tc"))
+        .agg(count(lit(1)).as("n"),
+          expr("bitmap_ndv(user_id)").as("n_users"),
+          round(call_function("sum_micro", col("value").cast("double")), 4)
+            .as("sum_value"))
+      val names = ev.select(col("event_type")).distinct()
+        .select(xxhash64(col("event_type")).as("tc"), col("event_type"))
+      fine.join(broadcast(names), "tc")
+        .select(col("hour_ts"), col("event_type"), col("n"), col("n_users"),
+          col("sum_value"))
+        .filter(col("n") >= 2)
+    }
+    time("h_full_bitmap_hash")(hourlyBitmapHash)
 
     // ---- string-key tax at SMALL group counts (5 groups) ----
     time("g_string_5grp")(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
