@@ -98,6 +98,41 @@ class FunnelsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("4-step windowed funnel matches a row-level replay on seeded random events") {
+    val types = Seq("signup", "view", "click", "purchase")
+    val w = 25L
+    val rnd = new scala.util.Random(37)
+    val rows = (1L to 50L).flatMap { u =>
+      (0 until rnd.nextInt(16)).map { _ =>
+        (u, rnd.nextInt(60).toLong, types(rnd.nextInt(4)))
+      }
+    }
+    // replay: f(0) = min types(0); f(k) = min ts of types(k) with
+    // f(k-1) < ts <= f(0) + w
+    val reached = rows.groupBy(_._1).view.mapValues { evs =>
+      var r = 0
+      var f = Long.MinValue
+      var t0 = Long.MinValue
+      for (k <- types.indices if r == k) {
+        val cand = evs.collect {
+          case (_, ts, tp) if tp == types(k) &&
+            (k == 0 || (ts > f && ts <= t0 + w)) => ts
+        }
+        if (cand.nonEmpty) {
+          r = k + 1; f = cand.min
+          if (k == 0) t0 = f
+        }
+      }
+      r
+    }.toMap
+    val expected = (1 to 4).map(k =>
+      (k.toLong, types(k - 1), reached.values.count(_ >= k).toLong)).toSet
+    val got = Funnels.funnelWithin(
+        rows.toDF("user_id", "timestamp", "event_type"), types, w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("retention counts distinct users per (first-activity cohort, offset)") {
     val ev = Seq(
       (1L, 5L), (1L, 15L), (1L, 35L),   // cohort 0 -> offsets 0, 1, 3
