@@ -99,7 +99,7 @@ object Bench {
     // round-12 additions: the bounded-state segmented sessionize (the
     // scale path past the grouped-array twin's OOM boundary) and the
     // windowed funnel, now on the zero-row-shuffle recount shape
-    "win_sessionize_seg", "agg_funnel_gap")
+    "win_sessionize_seg", "agg_funnel_gap", "session_window_seg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,6 +21,58 @@ import graft.ops.Multimodal
   */
 object StreamSurface {
 
+  /** Bounded-state gap-session DETAIL (see the queries-map entry):
+    * phase 1 sessionizes within (user, 1 h bucket) partitions — the
+    * window buffers ONE bucket, not a user's history — emitting
+    * per-bucket session stubs (start, end, n); phase 2 sorts each
+    * user's stubs (≤ span/gap + buckets of them — a session needs
+    * > gap of trailing silence, so their count is TIME-bounded) and
+    * folds, merging a stub into the open session when its start is
+    * within `gapUs` of the running end (session_window coalesces an
+    * event landing EXACTLY at prev + gap — the `> gap` break rule).
+    * Output: (user_id, session_start, n). */
+  private def sessionWindowSeg(ev: DataFrame, gapUs: Long = 1800000000L,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "bkt").orderBy("timestamp")
+    val stubs = ev
+      .select(col("user_id"), col("timestamp"),
+        expr(s"timestamp div ${bucketUs}L").as("bkt"))
+      .withColumn("prev", lag("timestamp", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("timestamp") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "bkt", "sid")
+      .agg(min("timestamp").as("start"), max("timestamp").as("end"),
+        count(lit(1)).as("n"))
+    stubs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        col("start"), col("end"), col("n")))).as("ss"))
+      .select(col("user_id"), explode(expr(s"""
+        aggregate(ss,
+          named_struct(
+            'out', CAST(array() AS ARRAY<STRUCT<start: BIGINT, n: BIGINT>>),
+            'cs', CAST(0 AS BIGINT), 'ce', CAST(0 AS BIGINT),
+            'cn', CAST(0 AS BIGINT), 'fst', true),
+          (acc, s) -> IF(acc.fst,
+            named_struct('out', acc.out, 'cs', s.start, 'ce', s.end,
+              'cn', s.n, 'fst', false),
+            IF(s.start - acc.ce <= ${gapUs}L,
+              named_struct('out', acc.out, 'cs', acc.cs, 'ce', s.end,
+                'cn', acc.cn + s.n, 'fst', false),
+              named_struct(
+                'out', concat(acc.out,
+                  array(named_struct('start', acc.cs, 'n', acc.cn))),
+                'cs', s.start, 'ce', s.end, 'cn', s.n, 'fst', false))),
+          acc -> IF(acc.fst, acc.out,
+            concat(acc.out, array(named_struct('start', acc.cs, 'n', acc.cn)))))
+        """)).as("s"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.n").as("n"))
+  }
+
   private val HOUR_US = 3600000000L
 
   import org.apache.spark.sql.types._
@@ -535,6 +587,19 @@ object StreamSurface {
       graft.streaming.StreamingIngest.sessionCounts(
         ev.select(Tables.tsMicros(ev).as("timestamp"), col("user_id")))
     }),
+    // the SEGMENTED session-DETAIL twin of session_window_agg (the
+    // win_sessionize_seg machinery, emitting per-session rows instead
+    // of per-user counts): sessionize within (user, 1 h bucket) via a
+    // bucket-bounded window, then stitch per user over session STUBS —
+    // per-user stitch state is bounded by span/gap + bucket count
+    // (a session must be followed by > gap of silence, so ≤ span/gap
+    // sessions exist per user), never by events-per-key. Same output
+    // and oracle as session_window_agg.
+    "session_window_seg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      sessionWindowSeg(
+        ev.select(Tables.tsMicros(ev).as("timestamp"), col("user_id")))
+    }),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()),
@@ -831,6 +896,20 @@ object StreamSurface {
     // prev + gap into the session (adjacent windows coalesce — verified
     // in StreamingSpec's boundary case)
     "session_window_agg" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id FROM events),
+         |b AS (SELECT user_id, timestamp,
+         |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break
+         |  FROM (SELECT user_id, timestamp,
+         |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
+         |        FROM ev)),
+         |s AS (SELECT user_id, timestamp,
+         |    sum(is_break) OVER (PARTITION BY user_id ORDER BY timestamp ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM b)
+         |SELECT user_id, min(timestamp) AS session_start, count(*) AS n
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // identical oracle: the segmented session-detail form must
+    // reproduce session_window's gap-coalesced sessions exactly
+    "session_window_seg" ->
       s"""WITH ev AS (SELECT epoch_us(ts) AS timestamp, user_id FROM events),
          |b AS (SELECT user_id, timestamp,
          |    CASE WHEN prev_ts IS NULL OR timestamp - prev_ts > 1800000000 THEN 1 ELSE 0 END AS is_break

@@ -80,6 +80,46 @@ class SessionizeTwinSpec extends AnyFunSuite {
     assert(u101.getLong(1) == 1L && u101.getLong(2) == 5L, u101.toString)
   }
 
+  test("segmented session DETAIL matches the built-in session_window on boundary-straddling fuzz") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000000
+    val rnd = new scala.util.Random(29)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (u <- 1L to 30L) {
+      var t = 1700000000000000L + rnd.nextInt(1000000)
+      for (_ <- 0 until 1 + rnd.nextInt(15)) {
+        rows += ((u, t))
+        t += (rnd.nextInt(5) match {
+          case 0 => gap      // EXACTLY at the gap: session_window coalesces
+          case 1 => gap + 1  // one past: break
+          case 2 => gap - 1
+          case 3 => 1 + rnd.nextInt(100000)
+          case _ => gap * (2 + rnd.nextInt(4))
+        })
+      }
+    }
+    rows ++= Seq((100L, 42L), (100L, 42L), (100L, 42L + gap), (100L, 42L + 2 * gap + 1))
+    rows ++= Seq((101L, -5L * gap), (101L, -5L * gap + 10), (101L, -3L * gap)) // pre-1970
+    val dir = Files.createTempDirectory("graft-swseg-twin").toFile
+    dir.deleteOnExit()
+    rows.toSeq.zipWithIndex.map { case ((u, tUs), i) =>
+      (i.toLong, tUs * 1000L, u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    def rowsOf(key: String) =
+      StreamSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("user_id", "session_start").collect().toSeq
+    val a = rowsOf("session_window_agg")
+    val g = rowsOf("session_window_seg")
+    assert(a == g, s"built-in vs segmented diverged:\n${a.zip(g).filter(p => p._1 != p._2).take(5)}")
+    // pinned: user 100's chain (42, 42 dup, +gap EXACT -> coalesce,
+    // then +gap+1 past the window-extended end... session_window ends
+    // at last_ts + gap, so 42+2gap+1 > (42+gap)+gap -> second session
+    val u100 = g.filter(_.getLong(0) == 100L)
+    assert(u100.length == 2 && u100.head.getLong(2) == 3L && u100.last.getLong(2) == 1L,
+      u100.mkString(","))
+  }
+
   test("window and bounded-aggregate top3 agree on tie-heavy data") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
