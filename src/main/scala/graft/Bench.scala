@@ -99,7 +99,10 @@ object Bench {
     // round-12 additions: the bounded-state segmented sessionize (the
     // scale path past the grouped-array twin's OOM boundary) and the
     // windowed funnel, now on the zero-row-shuffle recount shape
-    "win_sessionize_seg", "agg_funnel_gap", "session_window_seg")
+    "win_sessionize_seg", "agg_funnel_gap", "session_window_seg",
+    // round-13 addition: the dictionary-declared hourly rollup (the
+    // one-pass bitmap-NDV plan a SeriesMeta.dictionary unlocks)
+    "agg_hourly_rollup_dict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,6 +154,11 @@ object Bench {
     val keepMemo = sys.env.get("SPARK_GRAFT_BENCH_KEEP_MEMO").contains("1")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
+      // drain the escaped-cache registry BEFORE the block sweep (r12
+      // advice): clearCache() alone unpins blocks but leaves the
+      // registry holding DataFrame/plan references forever in a
+      // long-lived process — release() drops both
+      graft.core.EscapedCaches.release()
       spark.sharedState.cacheManager.clearCache()
       // per-rep memo hygiene (r10 advice): without this, every IVF-family
       // rep after the first — and sim_recall_pq entirely, since it shares

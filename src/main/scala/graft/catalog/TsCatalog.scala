@@ -14,10 +14,28 @@ import org.apache.spark.sql.types._
   * already exists (reference DP_IGNORE/DP_INSERT, src/timeseries.h:43).
   * Retention is enforced by [[TsCatalog.enforceRetention]] (parsed but
   * never enforced in the reference — no reaper exists there).
+  *
+  * `dictionary` (r13, beyond the reference's surface): an optional
+  * DECLARED category dictionary — the closed set of values a series'
+  * category/tag column may take, ordered; its index is the category's
+  * integer code. Production catalogs carry exactly this (enum/dict
+  * encodings); declaring it unlocks the all-primitive-key aggregation
+  * plans that a string category key forces out of HashAggregate's
+  * generated fast hash map (measured: the agg_hourly_rollup floor
+  * decomposition, BASELINE.md r12). Consumers:
+  * [[graft.queries.AnalyticsSurface.hourlyRollupWithDict]].
   */
 final case class SeriesMeta(
     retentionNs: Option[Long],
-    dupPolicy: String = "insert")
+    dupPolicy: String = "insert",
+    dictionary: Option[Seq[String]] = None) {
+  // dictionary entries round-trip through the catalog's minimal JSON
+  // writer — no escaping layer, so the values must not need one
+  dictionary.foreach(d => require(
+    d.nonEmpty && d.distinct.size == d.size &&
+      d.forall(v => v.nonEmpty && !v.exists(c => c == '"' || c == '\\')),
+    s"dictionary must be non-empty, distinct, quote/backslash-free: $d"))
+}
 
 /** Filesystem-backed database/series catalog.
   *
@@ -117,15 +135,23 @@ final class TsCatalog(spark: SparkSession, val root: String,
       .map(_.group(1)).filter(_ != "null").map(_.toLong)
     val pol = "\"dupPolicy\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse("insert")
-    Some(SeriesMeta(ret, pol))
+    // entries are quote-free by SeriesMeta's contract, so a flat
+    // quoted-string split parses the array exactly
+    val dict = "\"dictionary\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(text).map(_.group(1))
+      .map("\"([^\"]*)\"".r.findAllMatchIn(_).map(_.group(1)).toSeq)
+      .filter(_.nonEmpty)
+    Some(SeriesMeta(ret, pol, dict))
   }
 
   private def writeMeta(db: String, name: String, meta: SeriesMeta): Unit = {
     val p = new Path(seriesPath(db, name), "_series.json")
     val out = fs.create(p, true)
     val retJson = meta.retentionNs.map(_.toString).getOrElse("null")
+    val dictJson = meta.dictionary
+      .map(_.mkString("[\"", "\",\"", "\"]")).getOrElse("null")
     try out.write(
-      s"""{"retentionNs":$retJson,"dupPolicy":"${meta.dupPolicy}","bucketNs":$bucketNs}"""
+      s"""{"retentionNs":$retJson,"dupPolicy":"${meta.dupPolicy}","dictionary":$dictJson,"bucketNs":$bucketNs}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

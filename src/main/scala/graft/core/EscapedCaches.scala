@@ -8,30 +8,76 @@ import org.apache.spark.storage.StorageLevel
   * a funnel's per-user stats) that the returned DataFrame still
   * references, so it cannot be unpersisted before the caller
   * materializes the result. Every such persist registers here; a
-  * long-lived process (server, notebook) calls [[release]] after
-  * materializing results. The Bench harness performs an equivalent
-  * sweep via `spark.sharedState.cacheManager.clearCache()` per rep;
-  * single-shot drivers (Verify) exit before it matters. Releasing
-  * EARLY only costs recomputation, never correctness. */
+  * long-lived process (server, notebook) releases after materializing
+  * results. Releasing EARLY only costs recomputation, never
+  * correctness.
+  *
+  * Scoping (r12 verdict: the process-global queue meant one
+  * concurrent query's release could evict another in-flight query's
+  * escaped cache — recompute-only, but a p99 cliff under
+  * concurrency): a caller that runs queries concurrently wraps each
+  * query's CONSTRUCTION in [[scoped]], which collects that query's
+  * escaped persists into a private [[Scope]] released independently
+  * of every other query's. Registration follows the CONSTRUCTING
+  * thread (operators persist while the plan is being built), so the
+  * scope must enclose the `SparkEntry.queries(...)(spark, dir)` call,
+  * not just the materializing action. Outside any scope,
+  * registrations land in the process-global scope drained by
+  * [[release]] — the single-query drivers' (Bench per-rep, Verify
+  * exit) behavior, unchanged. */
 object EscapedCaches {
 
-  private val queue =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** One query's escaped persists; [[release]] drains ONLY these. */
+  final class Scope private[EscapedCaches] () {
+    private[EscapedCaches] val queue =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` at `level` and register it for caller-driven
-    * cleanup; returns `df` for chaining. */
+    /** Unpersist every cache registered in this scope; returns how
+      * many were released. Safe to call more than once. */
+    def release(): Int = drain(queue)
+
+    /** The still-registered frames (test/diagnostic visibility: a
+      * concurrency soak asserts a sibling scope's relations stay
+      * cached after this scope releases). */
+    def registered: Seq[DataFrame] = {
+      val it = queue.iterator()
+      val b = Seq.newBuilder[DataFrame]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
+  private val global = new Scope()
+  private val current = new scala.util.DynamicVariable[Scope](global)
+
+  /** Persist `df` at `level` and register it — in the innermost
+    * enclosing [[scoped]] block's scope, else the process-global
+    * one — for caller-driven cleanup; returns `df` for chaining. */
   def persistTracked(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
-    queue.add(df)
+    current.value.queue.add(df)
     df
   }
 
-  /** Unpersist every escaped cache registered since the last call;
-    * returns how many were released. */
-  def release(): Int = {
+  /** Run `body` (a query's construction, possibly including its
+    * materialization) with a fresh scope collecting its escaped
+    * persists; returns (body's result, the scope). The caller
+    * releases the scope after materializing the result — other
+    * queries' scopes are untouched. */
+  def scoped[A](body: => A): (A, Scope) = {
+    val s = new Scope()
+    (current.withValue(s)(body), s)
+  }
+
+  /** Unpersist every escaped cache registered OUTSIDE any [[scoped]]
+    * block since the last call; returns how many were released. */
+  def release(): Int = drain(global.queue)
+
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Int = {
     var n = 0
-    var df = queue.poll()
+    var df = q.poll()
     while (df != null) {
       // a queue entry can outlive its SparkSession (tests, short-lived
       // drivers): unpersist on a stopped context throws, but the cache
@@ -39,7 +85,7 @@ object EscapedCaches {
       try df.unpersist(false)
       catch { case scala.util.control.NonFatal(_) => () }
       n += 1
-      df = queue.poll()
+      df = q.poll()
     }
     n
   }

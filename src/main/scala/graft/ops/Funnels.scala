@@ -33,8 +33,9 @@ object Funnels {
     * m−1 event passes, ZERO event-row shuffles.
     *
     *  1. ONE pass computes per-user stats — f0 = min step-0 ts plus
-    *     max ts per later step — as a map-side-combined aggregate
-    *     (only user-count-sized partials reach the exchange).
+    *     the LAST step's max ts (the only maximum any later stage
+    *     reads) — as a map-side-combined aggregate (only
+    *     user-count-sized partials reach the exchange).
     *  2. Each INTERMEDIATE step k (1 ≤ k ≤ m−2) refines its exact
     *     frontier with one filtered pass joined against the
     *     user-sized previous frontier — AQE broadcasts it while it
@@ -57,10 +58,18 @@ object Funnels {
     def stepRow(i: Int, n: org.apache.spark.sql.Column) =
       struct(lit((i + 1).toLong).as("step"), lit(types(i)).as("event_type"),
         n.as("n_users"))
+    // only TWO aggregates regardless of m: f0 (step-1 frontier seed)
+    // and mx(m-1) (the last step's per-user maximum). Intermediate
+    // steps recount from events against the previous frontier, so
+    // their maxima were never read — computing them cost m−2
+    // conditional-max branches per row and (m−2) cached longs per
+    // user (r12 advice)
     val aggs =
       min(when(col("event_type") === types(0), col("timestamp"))).as("f0") +:
-        (1 until m).map(k =>
-          max(when(col("event_type") === types(k), col("timestamp"))).as(s"mx$k"))
+        (if (m >= 2)
+          Seq(max(when(col("event_type") === types(m - 1), col("timestamp")))
+            .as(s"mx${m - 1}"))
+         else Nil)
     val statsRaw = events.filter(col("event_type").isin(types: _*))
       .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
     if (m == 1)
@@ -77,7 +86,9 @@ object Funnels {
     // the FIRST materialization happen lazily means concurrent query
     // stages each compute the not-yet-populated partitions — measured
     // ~2x the whole query at 100M events. Batch-only operator, so the
-    // eager action is safe.
+    // eager action is safe. statsRaw already carries ONLY the two
+    // consumed columns (see the aggs note above), so the cached
+    // footprint is two longs per user.
     val stats = graft.core.EscapedCaches.persistTracked(statsRaw)
     stats.count()
     // intermediate frontiers f1..f(m-2): (user_id, t); each but the

@@ -130,16 +130,49 @@ object AnalyticsSurface {
     * consecutive events (lag + running sum of breaks — two analytic
     * functions over one user_id shuffle). The foundation for
     * session-window analytics the reference cannot express. */
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventSeries(s, dir)
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeWindow(Tables.eventSeries(s, dir))
+
+  private val DefaultGapUs = 30L * 60 * 1000000 // 30 min in micros
+
+  /** The WINDOW form of sessionize over (user_id, timestamp) rows —
+    * one user_id shuffle, a partition-wide sort, two analytic
+    * functions. Preferred at small scale: no grouped arrays, no
+    * second pass; the sort is the cost that loses to the segmented
+    * form past ~1e8 rows (see [[sessionizeAuto]]). */
+  def sessionizeWindow(ev: DataFrame, gapUs: Long = DefaultGapUs): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("timestamp")
-    val gapUs = 30L * 60 * 1000000 // 30 min in micros
     ev.withColumn("prev_ts", lag("timestamp", 1).over(byUser))
       .withColumn("is_break",
         when(col("prev_ts").isNull || col("timestamp") - col("prev_ts") > gapUs, 1)
           .otherwise(0))
       .groupBy("user_id")
       .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** SCALE-ADAPTIVE sessionize (r12 verdict #6): picks the
+    * [[sessionizeSegmented]] form when Catalyst's size estimate for
+    * `ev` exceeds `thresholdRows`, else [[sessionizeWindow]]. The
+    * measured boundary (BASELINE.md 300M-event rows): at 1e8 rows the
+    * two forms tie, at 3e8 the segmented form wins 2.34x vs 3.71x
+    * paired AND carries bounded per-group state where the window
+    * form's partition sort keeps growing — so the default threshold
+    * is 1e8 rows, overridable via the
+    * `spark.graft.sessionize.segThresholdRows` session conf. The
+    * estimate is plan-time only (rowCount stat when available, else
+    * sizeInBytes over a 40 B/row events-projection heuristic) — no
+    * job runs to decide. docs/SCALING.md "Sessionize form selection"
+    * records the rule. */
+  def sessionizeAuto(ev: DataFrame, gapUs: Long = DefaultGapUs,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    val thresholdRows = ev.sparkSession.conf
+      .getOption("spark.graft.sessionize.segThresholdRows")
+      .flatMap(_.toLongOption).getOrElse(100000000L)
+    val stats = ev.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 40L)
+    if (estRows > thresholdRows) sessionizeSegmented(ev, gapUs, bucketUs)
+    else sessionizeWindow(ev, gapUs)
   }
 
   /** [[sessionize]] as a GROUPED-ARRAY aggregate instead of two
@@ -191,10 +224,14 @@ object AnalyticsSurface {
     * shuffle on (user, bucket) then a bucket-row shuffle on user.
     * Same output as [[sessionize]]; the gate reuses its oracle
     * verbatim. */
-  private def sessionizeSeg(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventSeries(s, dir)
-    val gapUs = 30L * 60 * 1000000
-    val bucketUs = 3600000000L // 1 h
+  private def sessionizeSeg(s: SparkSession, dir: String): DataFrame =
+    sessionizeSegmented(Tables.eventSeries(s, dir))
+
+  /** The segmented form as a reusable operator over (user_id,
+    * timestamp) rows; see the shape doc above. `bucketUs` only tunes
+    * the per-group state bound, never the result. */
+  def sessionizeSegmented(ev: DataFrame, gapUs: Long = DefaultGapUs,
+      bucketUs: Long = 3600000000L): DataFrame = {
     val pb = ev
       .select(col("user_id"), expr(s"timestamp div ${bucketUs}L").as("bkt"),
         col("timestamp").as("ts"))
@@ -247,6 +284,51 @@ object AnalyticsSurface {
       .agg(sum("n_u").cast("long").as("n"),
         count(lit(1)).as("n_users"),
         round(call_function("sum_micro", col("s_u")), 4).as("sum_value"))
+      .filter(col("n") >= 2)
+  }
+
+  /** [[hourlyRollup]] with a DECLARED category dictionary
+    * ([[graft.catalog.SeriesMeta.dictionary]] — the closed value set
+    * a production catalog records for an enum column): the r12 floor
+    * decomposition (BASELINE.md, EventAggProfile h_full_bitmap_*)
+    * measured that the true floor of this rollup is ONE grouped pass
+    * with an exact bitmap-NDV distinct-user aggregate under
+    * ALL-PRIMITIVE keys, and that the only obstacle was recovering
+    * the category STRING without a per-row string group key — which a
+    * declared dictionary solves for free: group by the dictionary
+    * CODE (a when-chain over the declared values — codegen'd integer
+    * compares), decode by array index at state scale.
+    *
+    * One corpus pass, one exchange of (hours × |dict|) groups, no
+    * two-phase user expansion: the distinct-user count rides in the
+    * bitmap aggregation buffer instead of a 100M-row fine relation.
+    * Exactness is preserved — bitmap_ndv is an exact distinct and
+    * sum_micro's fixed-point micros are associative, so one-phase
+    * equals the two-phase sum bit-for-bit (same oracle).
+    *
+    * Out-of-dictionary categories (a contract violation upstream)
+    * surface as a NULL-category rollup row — visible and join-safe,
+    * the quarantine-bucket convention — rather than silently joining
+    * a declared value. */
+  def hourlyRollupWithDict(ev: DataFrame, dict: Seq[String]): DataFrame = {
+    require(dict.nonEmpty && dict.distinct.size == dict.size,
+      s"dictionary must be non-empty and distinct: $dict")
+    val hourUs = 3600000000L
+    val tc = dict.zipWithIndex.tail
+      .foldLeft(when(col("event_type") === dict.head, 0)) {
+        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
+      }.otherwise(lit(dict.size))
+    val fine = ev.groupBy(
+        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("hour_ts"),
+        tc.as("tc"))
+      .agg(count(lit(1)).as("n"),
+        expr("bitmap_ndv(user_id)").as("n_users"),
+        round(call_function("sum_micro", col("value").cast("double")), 4)
+          .as("sum_value"))
+    val decode = array((dict.map(lit) :+ lit(null.asInstanceOf[String])): _*)
+    fine.select(col("hour_ts"),
+        element_at(decode, col("tc") + 1).as("event_type"),
+        col("n"), col("n_users"), col("sum_value"))
       .filter(col("n") >= 2)
   }
 
@@ -340,6 +422,15 @@ object AnalyticsSurface {
     "win_sessionize_agg" -> sessionizeAgg,
     "win_sessionize_seg" -> sessionizeSeg,
     "agg_hourly_rollup" -> hourlyRollup,
+    // the DICTIONARY-declared twin (same oracle): the catalog records
+    // the category column's closed value set (SeriesMeta.dictionary —
+    // here the events fixture's declared enum), unlocking the
+    // one-pass bitmap-NDV all-primitive-key plan the r12 floor
+    // decomposition measured as this rollup's true floor. The generic
+    // form stays the default for undeclared corpora.
+    "agg_hourly_rollup_dict" -> ((s, dir) =>
+      hourlyRollupWithDict(Tables.eventSeries(s, dir),
+        Seq("signup", "purchase", "view", "click", "error"))),
     // incremental view maintenance (graft.ops.Incremental): the corpus
     // splits 80/20 by hash into "standing state" and "new batch"; each
     // side reduces to mergeable partials and the merge reproduces the
@@ -355,26 +446,22 @@ object AnalyticsSurface {
       // string render + md5 per row — measured 5.8 s of the 9.2 s
       // whole-query time at 300M events (bench_pair_incr_3000x_r12)
       val isNew = pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20
-      // ONE corpus scan: partials grouped by the split flag, then the
-      // tiny per-split state relations merge — the fold itself never
-      // re-reads the corpus, which is the operator's point. The
-      // grouped-state relation is PERSISTED before branching (the
-      // dedup_minhash shared-shingle precedent): the two filtered
-      // references are separate plan branches whose exchanges do NOT
-      // canonicalize to a reuse (measured scans=2 at 100M events —
-      // the whole corpus aggregated twice); caching the 7200-row
-      // state is what "standing state" means anyway
-      val bySplit = graft.core.EscapedCaches.persistTracked(
-        graft.ops.Incremental.hourlyPartialsBy(
-          Tables.eventSeries(s, dir), isNew))
-      // materialize EAGERLY (the Funnels.funnel rule): letting the
-      // merge's two branches first-touch the cache concurrently made
-      // each compute the unpopulated partitions — the 300M-row fine
-      // aggregate ran ~3x (measured 11.8 s vs 4.4 s at 300M)
-      bySplit.count()
+      // ONE corpus scan, ONE LINEAR plan (r13 rework): partials
+      // grouped by (split, key) — the two batches' mergeable states
+      // are the split=false/true row groups of this single relation —
+      // then Incremental.merge folds them with the state-sized
+      // regroup on the key alone. The r12 shape filtered the state
+      // into two branch DataFrames and merged those, which forced a
+      // persist + eager count (the filtered branches' exchanges don't
+      // canonicalize to a reuse); merging the unfiltered state is the
+      // same decimal fold over the same partials (union of a
+      // relation's split=false/true rows IS the relation) with no
+      // branches to double-compute — the premium left over the
+      // agg_rollup_fold twin is now just the per-row split hash + the
+      // doubled state rows (EventAggProfile r_incr_* decomposition).
       graft.ops.Incremental.merge(
-        bySplit.filter(!col("split")).drop("split"),
-        bySplit.filter(col("split")).drop("split"))
+        graft.ops.Incremental.hourlyPartialsBy(
+          Tables.eventSeries(s, dir), isNew).drop("split"))
     }),
     // the maintained fold ALONE (no split predicate, no h60 hash, no
     // persisted twin-branch verification): one corpus pass to the
@@ -1040,6 +1127,14 @@ object AnalyticsSurface {
         |          lag(timestamp) OVER (PARTITION BY user_id ORDER BY timestamp) AS prev_ts
         |        FROM ev)) GROUP BY user_id""".stripMargin),
     "agg_hourly_rollup" ->
+      (EV + s"""SELECT (timestamp - timestamp % 3600000000) AS hour_ts, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    // IDENTICAL oracle: the dictionary only changes the PLAN (integer
+    // codes + bitmap-NDV instead of a string fine key + two-phase
+    // distinct); the rollup itself is the same exact aggregation
+    "agg_hourly_rollup_dict" ->
       (EV + s"""SELECT (timestamp - timestamp % 3600000000) AS hour_ts, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  ${sumSql("value")} AS sum_value

@@ -160,7 +160,19 @@ object SimilaritySurface {
     * both the Spark plan and the oracle SQL derive from these
     * constants, so an override keeps the two sides paired. Gate runs
     * leave the env unset and pin MAXQ = 4. */
-  private val MAXQ = sys.env.get("SPARK_GRAFT_SIM_MAXQ").map(_.toInt).getOrElse(4)
+  private val MAXQ = sys.env.get("SPARK_GRAFT_SIM_MAXQ") match {
+    // validated at object init (r12 advice): a bare .toInt here threw
+    // NumberFormatException wrapped in ExceptionInInitializerError,
+    // opaquely failing every sim_* query on a malformed env value —
+    // fall back to the gate default with a visible warning instead
+    case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+      System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_SIM_MAXQ='$v' " +
+          "(need a positive int); using default 4")
+      4
+    }
+    case None => 4
+  }
   /** SemDeDup cell count. Deliberately much larger than the IVF search
     * book: the intra-cell pair stage is quadratic PER CELL and the
     * cell id is the join key, so k bounds both the candidate volume

@@ -236,7 +236,15 @@ object Warc {
     * file count, no staging table. `file_id` is the xxhash64 of the
     * file path (stable, join-able back to provenance via the same
     * hash); the per-task memory bound is one decompressed file, as on
-    * [[records]]. */
+    * [[records]].
+    *
+    * Per-file size bound: the binaryFile source materializes each
+    * file as ONE byte array, capped at ~2 GiB
+    * (spark.sql.sources.binaryFile.maxLength / the JVM array limit) —
+    * a crawl file above that fails the read with Spark's own length
+    * error. Common Crawl's ~1 GiB-per-WARC convention keeps real
+    * fleets safely inside the bound; re-shard anything bigger before
+    * ingest. */
   def recordsFromPath(spark: org.apache.spark.sql.SparkSession,
       glob: String): DataFrame =
     records(spark.read.format("binaryFile").load(glob)

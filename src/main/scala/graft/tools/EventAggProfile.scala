@@ -250,6 +250,41 @@ object EventAggProfile {
       (col("timestamp") - col("timestamp") % hourUs).as("hour_ts"))
       .agg(count(lit(1)).as("n")))
 
+    // ---- incremental-rollup premium over the fold (r13, verdict #1):
+    // the gate pays fold + split hash per row + split-widened state +
+    // a state-sized merge regroup; which part carries the 1.9x? ----
+    val isNew = pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20
+    // (a) the shipped r13 branch-free shape (= the gate)
+    time("r_incr_current")(graft.ops.Incremental.merge(
+      graft.ops.Incremental.hourlyPartialsBy(ev, isNew).drop("split")))
+    // (b) hash computed per row but kept OUT of the group key (rides
+    // as a max() aggregate instead): isolates the pure per-row
+    // xxhash64+pmod cost over the fold
+    time("r_incr_hash_nokey")(graft.ops.Incremental.merge(
+      graft.ops.Incremental.hourlyPartials(
+        ev.withColumn("value", col("value") +
+          (pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) * 0.0)))))
+    // (c) split in the key, merge regroup OMITTED (finalize the
+    // doubled state directly): isolates the merge stage's cost
+    time("r_incr_nomerge")(graft.ops.Incremental.finalizeRollup(
+      graft.ops.Incremental.hourlyPartialsBy(ev, isNew).drop("split")))
+    // (d) REJECTED alternative — the r12 filtered-branch shape with
+    // its forced persist + eager count (the branches' exchanges don't
+    // canonicalize to a reuse, so without the persist the corpus
+    // aggregates twice)
+    def incrBranches: DataFrame = {
+      val bySplit = graft.ops.Incremental.hourlyPartialsBy(ev, isNew)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bySplit.count()
+      val out = graft.ops.Incremental.merge(
+        bySplit.filter(!col("split")).drop("split"),
+        bySplit.filter(col("split")).drop("split"))
+      out
+    }
+    time("r_incr_branches_r12")(incrBranches)
+    // each rep of (d) persisted a fresh state relation; drop them all
+    spark.sharedState.cacheManager.clearCache()
+
     // ---- hourly decomposition ----
     def hourly(fineKey: Seq[org.apache.spark.sql.Column]): DataFrame =
       ev.groupBy(fineKey: _*)

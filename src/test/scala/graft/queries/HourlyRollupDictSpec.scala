@@ -1,0 +1,74 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dictionary-declared hourly rollup (one-pass bitmap-NDV over
+  * integer category codes — the r12 floor decomposition's shape) must
+  * reproduce the generic two-phase form EXACTLY, including the micro-
+  * fixed-point sums, on fuzz data with ties, hour-boundary timestamps
+  * and value shapes the sf fixtures don't pin; out-of-dictionary
+  * categories surface as the documented NULL-category quarantine row. */
+class HourlyRollupDictSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dict = Seq("signup", "purchase", "view", "click", "error")
+
+  test("dictionary form equals the generic two-phase rollup on fuzz data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val hourUs = 3600000000L
+    val rows = (0 until 4000).map { i =>
+      val u = 1L + rnd.nextInt(40)
+      // timestamps crowd hour boundaries (exactly on, +-1us) and dup
+      val t = (rnd.nextInt(6).toLong * hourUs) + (rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 1L
+        case 2 => hourUs - 1
+        case _ => rnd.nextInt(1000000).toLong
+      })
+      // values exercise the micro fixed-point path: negatives, 6-dp
+      val v = math.round((rnd.nextDouble() * 200 - 50) * 1e6) / 1e6
+      (i.toLong, t * 1000L, u, dict(rnd.nextInt(dict.size)), v, "{}")
+    }
+    val dir = Files.createTempDirectory("graft-hrd").toFile
+    dir.deleteOnExit()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+
+    def rowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("hour_ts", "event_type").collect().toSeq
+    val g = rowsOf("agg_hourly_rollup")
+    val d = rowsOf("agg_hourly_rollup_dict")
+    assert(g == d, s"generic vs dictionary diverged:\n${g.zip(d).filter(p => p._1 != p._2).take(5)}")
+  }
+
+  test("out-of-dictionary categories quarantine as a NULL-category row") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Seq(
+      (1L, 0L, "signup", 1.5),
+      (2L, 1L, "signup", 2.5),
+      (3L, 2L, "rogue", 10.0),
+      (4L, 3L, "rogue", 20.0)
+    ).toDF("user_id", "timestamp", "event_type", "value")
+    val out = AnalyticsSurface
+      .hourlyRollupWithDict(ev, Seq("signup", "purchase"))
+      .collect().toSeq
+    val quarantine = out.filter(_.isNullAt(1))
+    assert(quarantine.size == 1 && quarantine.head.getLong(2) == 2L,
+      s"expected one NULL-category row covering both rogue events: $out")
+    val declared = out.filter(!_.isNullAt(1))
+    assert(declared.size == 1 && declared.head.getString(1) == "signup" &&
+      declared.head.getLong(3) == 2L, s"declared rows wrong: $out")
+  }
+}

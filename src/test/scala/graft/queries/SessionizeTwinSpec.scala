@@ -120,6 +120,29 @@ class SessionizeTwinSpec extends AnyFunSuite {
       u100.mkString(","))
   }
 
+  test("sessionizeAuto picks the window form small and the segmented form past the threshold") {
+    import spark.implicits._
+    val ev = (1L to 20L).flatMap(u => (0 until 5).map(i =>
+      (u, 1700000000000000L + i * 1000000L)))
+      .toDF("user_id", "timestamp")
+    def hasWindowNode(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty
+    // default threshold (1e8 rows): this 100-row relation -> window form
+    val small = AnalyticsSurface.sessionizeAuto(ev)
+    assert(hasWindowNode(small), "expected the window form below the threshold")
+    // force the threshold under the estimate -> segmented form
+    spark.conf.set("spark.graft.sessionize.segThresholdRows", "0")
+    try {
+      val seg = AnalyticsSurface.sessionizeAuto(ev)
+      assert(!hasWindowNode(seg), "expected the segmented form past the threshold")
+      // both forms answer identically, so the cutover is invisible
+      assert(small.orderBy("user_id").collect().toSeq ==
+        seg.orderBy("user_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.sessionize.segThresholdRows")
+  }
+
   test("window and bounded-aggregate top3 agree on tie-heavy data") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

@@ -33,6 +33,16 @@ SPAN_US = 2588354089277  # sf0.1 measured span (first..last event)
 T0_US = 1704067211172425  # sf0.1 first event timestamp
 TYPES = ["signup", "purchase", "view", "click", "error"]
 
+# Generator VERSION, stamped into a sidecar next to the parquet (r12
+# advice): the chunked writer changed rng consumption order for
+# n > 50M vs the old monolithic writer, so large fixtures produced by
+# the two versions differ at the same args. Pinned baseline rows must
+# therefore record which generator produced the fixture they ran on —
+# bump this on ANY change to the data-producing arithmetic.
+#   v1 = monolithic writer (r11 and earlier)
+#   v2 = chunked writer, 50M-row chunks (r12+)
+GEN_VERSION = 2
+
 
 def main(out_dir: str, mult: int, src: str) -> None:
     src_n = pq.read_metadata(os.path.join(src, "events.parquet")).num_rows
@@ -78,7 +88,9 @@ def main(out_dir: str, mult: int, src: str) -> None:
                     np.char.add(np.char.add('{"k": ',
                         rng.integers(0, 100, m).astype(str)), "}")),
             }, schema=schema))
-    print(f"wrote {dst}: {n} rows ({mult}x of {src_n})")
+    with open(dst + ".genver", "w") as f:
+        f.write(f"gen_sf_events v{GEN_VERSION} mult={mult} rows={n}\n")
+    print(f"wrote {dst}: {n} rows ({mult}x of {src_n}) [gen v{GEN_VERSION}]")
 
 
 if __name__ == "__main__":
