@@ -172,6 +172,26 @@ final class NdvBitmap extends Serializable {
     val c = containerFor(key)
     c(idx) |= word
   }
+
+  /** OR a SERIALIZED bitmap (the [[serialize]] wire form) into this
+    * one without materializing a second NdvBitmap — the partial-merge
+    * path of [[BitmapMergeNdv]], where inputs are pre-built partials
+    * (one per upstream task), never per-row values. */
+  def mergeBytes(bytes: Array[Byte]): Unit = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readLong()
+      var nz = in.readShort().toInt
+      while (nz > 0) {
+        val idx = in.readShort().toInt
+        putWord(key, idx, in.readLong())
+        nz -= 1
+      }
+      i += 1
+    }
+  }
 }
 
 object NdvBitmap {
@@ -246,5 +266,58 @@ case class BitmapNdv(
     copy(inputAggBufferOffset = newOffset)
 
   override protected def withNewChildInternal(newChild: Expression): BitmapNdv =
+    copy(child = newChild)
+}
+
+/** `bitmap_merge_ndv(bin)` -> BIGINT: cardinality of the union of
+  * SERIALIZED [[NdvBitmap]] partials (the [[NdvBitmap.serialize]] wire
+  * form) — the re-aggregation half of a two-stage bitmap plan where an
+  * upstream pass already built per-task bitmaps (e.g. the
+  * dictionary-rollup kernel, graft.ops.DictRollup). Input row count is
+  * the PARTIAL count (tasks x open groups), never the data row count,
+  * so the per-row deserialize cost is state-scale. */
+case class BitmapMergeNdv(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[NdvBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_merge_ndv"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap_merge_ndv requires a binary serialized bitmap, got $other")
+  }
+
+  override def createAggregationBuffer(): NdvBitmap = new NdvBitmap()
+
+  override def update(buffer: NdvBitmap, input: InternalRow): NdvBitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.mergeBytes(v.asInstanceOf[Array[Byte]])
+    buffer
+  }
+
+  override def merge(buffer: NdvBitmap, other: NdvBitmap): NdvBitmap = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: NdvBitmap): Any = buffer.cardinality
+
+  override def serialize(buffer: NdvBitmap): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): NdvBitmap =
+    NdvBitmap.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeNdv =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMergeNdv =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapMergeNdv =
     copy(child = newChild)
 }

@@ -94,6 +94,8 @@ object GraftFunctions {
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
     ("bitmap_ndv", classOf[BitmapNdv], exprs => BitmapNdv(exprs.head)),
+    ("bitmap_merge_ndv", classOf[BitmapMergeNdv],
+      exprs => BitmapMergeNdv(exprs.head)),
     ("hi_limb", classOf[HiLimb], exprs => HiLimb(exprs.head)),
     ("lo_limb", classOf[LoLimb], exprs => LoLimb(exprs.head)),
     ("h60_long", classOf[H60Long], exprs => H60Long(exprs.head)),

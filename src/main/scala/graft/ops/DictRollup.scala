@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dictionary-declared hourly rollup — the scale path a
+  * [[graft.catalog.SeriesMeta.dictionary]] unlocks.
+  *
+  * The generic agg_hourly_rollup must treat the category as an opaque
+  * string and count distinct users through a (hour, type, user) fine
+  * aggregate — a 1B-row codegen'd hash phase that measured ~13 ns/row
+  * at 1B events (BASELINE.md r12). The r12 floor analysis proposed a
+  * one-pass bitmap-NDV aggregate instead, but the r13 measurement
+  * falsified it at scale: a TypedImperativeAggregate runs under
+  * ObjectHashAggregateExec with NO whole-stage codegen, and its
+  * per-row interpreted update (~20 ns/row) erases the saved fine
+  * phase past ~100M rows (EventAggProfile h_full_bitmap_* at
+  * sf3000x). Neither built-in shape gets near DuckDB's ~5.5 ns/row.
+  *
+  * So this operator drops to a mapPartitions KERNEL — the documented
+  * last resort, taken here because both Catalyst formulations are
+  * measured at 3-4x the kernel's cost and the declared dictionary is
+  * exactly what makes the kernel's state bounded and its key integer:
+  *
+  *  1. a codegen'd PROJECTION packs (hour, category) into ONE long —
+  *     `(hour_start div hourUs) * (|dict|+1) + code` with the code a
+  *     when-chain over the DECLARED values (out-of-dictionary rows
+  *     take the reserved quarantine code |dict|) — and converts the
+  *     value to exact micros (micros6, loud past |x| < 9.2e12);
+  *  2. one imperative pass per partition folds rows into an
+  *     open-addressed (packed key -> slot) map: n++, hi/lo micro-limb
+  *     adds (the Incremental discipline — both sums stay in int64),
+  *     and a per-slot [[graft.functions.NdvBitmap]] of user ids. A
+  *     last-key memo makes the common case branch-free: time-series
+  *     rows arrive time-clustered, so consecutive rows share an hour.
+  *     Slots are bounded by hours-spanned x (|dict|+1) per task — the
+  *     declaration, not the data, sizes the state;
+  *  3. per-task partial rows (key, n, h6, l6, bitmap) — thousands,
+  *     not data-scale — re-aggregate by key with integer sums and
+  *     [[graft.functions.BitmapMergeNdv]], then decode the key and
+  *     re-widen the limbs through the exact decimal recombination
+  *     every gated sum uses.
+  *
+  * Exactness: limb sums and bitmap OR are associative integer ops, so
+  * any partitioning merges to the identical total; the final
+  * decimal->double round matches the generic form and the oracle
+  * bit-for-bit (HourlyRollupDictSpec fuzz-locks the differential).
+  *
+  * 100 TB: one scan, one state-scale exchange (tasks x open slots),
+  * no data-scale shuffle at all — vs the generic form's fine-relation
+  * exchange. Skewed hours spread across input splits, not reducers.
+  */
+object DictRollup {
+
+  private val HourUs = 3600000000L
+
+  private def micros6(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Micros6(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** Per-slot kernel state (one open (hour, code) group). */
+  private final class Slot {
+    var n = 0L
+    var h6 = 0L
+    var l6 = 0L
+    val bm = new graft.functions.NdvBitmap
+  }
+
+  /** Input needs (timestamp micros long, event_type string, user_id
+    * integral, value double); output (hour_ts, event_type, n,
+    * n_users, sum_value) with rollup rows of n >= 2, out-of-dict
+    * categories surfacing as one NULL-category quarantine row per
+    * hour. */
+  def hourlyRollup(ev: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame = {
+    require(dict.nonEmpty && dict.distinct.size == dict.size,
+      s"dictionary must be non-empty and distinct: $dict")
+    val spark = ev.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val m = dict.size + 1 // + the reserved quarantine code
+    val code = dict.zipWithIndex.tail
+      .foldLeft(when(col("event_type") === dict.head, 0)) {
+        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
+      }.otherwise(lit(dict.size))
+    // hour_start = floor-to-hour (pmod keeps it exact for pre-1970
+    // timestamps, where `div` alone would truncate toward zero);
+    // hour_start is an exact multiple of hourUs, so `div` here is
+    // exact division and the pack/unpack round-trips any sign
+    val hourStart = col("timestamp") - pmod(col("timestamp"), lit(hourUs))
+    val packed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hourStart),
+        org.apache.spark.sql.catalyst.expressions.Literal(hourUs))) * m +
+      code.cast("long")
+    // a time-series point without a time is malformed: dropped loudly
+    // here (getLong on a null field would read garbage silently); the
+    // sf fixtures and the catalog's ingest schema are non-null anyway
+    val proj = ev.filter(col("timestamp").isNotNull)
+      .select(packed.as("k"),
+        col("user_id").cast("long").as("user_id"),
+        micros6(col("value").cast("double")).as("m6"))
+
+    val partialSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("h6", LongType, nullable = false),
+      StructField("l6", LongType, nullable = false),
+      StructField("bm", BinaryType, nullable = false)))
+    // the kernel reads the projected UnsafeRows directly (no
+    // per-row object decode); rows are reused by the scan, but only
+    // field VALUES are read, never the row reference kept
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[Slot](64)
+      var lastK = Long.MinValue
+      var lastSlot: Slot = null
+      var empty = true
+      while (it.hasNext) {
+        val row = it.next()
+        val k = row.getLong(0)
+        var s = if (!empty && k == lastK) lastSlot else null
+        if (s == null) {
+          s = slots.getOrNull(k)
+          if (s == null) { s = new Slot; slots.update(k, s) }
+          lastK = k; lastSlot = s; empty = false
+        }
+        s.n += 1
+        if (!row.isNullAt(2)) {
+          val m6 = row.getLong(2)
+          s.h6 += m6 / 1000000L
+          s.l6 += m6 % 1000000L
+        }
+        if (!row.isNullAt(1)) s.bm.add(row.getLong(1))
+      }
+      slots.iterator.map { case (k, s) =>
+        Row(k, s.n, s.h6, s.l6, s.bm.serialize())
+      }
+    }
+    val merged = spark.createDataFrame(partials, partialSchema)
+      .groupBy("k")
+      .agg(sum("n").cast("long").as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"),
+        expr("bitmap_merge_ndv(bm)").as("n_users"))
+    val sv = (col("h6").cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+      col("l6").cast("decimal(20,0)")) *
+      lit(new java.math.BigDecimal("0.000001"))
+    val decode = array((dict.map(lit) :+ lit(null.asInstanceOf[String])): _*)
+    merged.select(
+        expr(s"((k - pmod(k, ${m}L)) div ${m}L) * ${hourUs}L").as("hour_ts"),
+        element_at(decode, pmod(col("k"), lit(m.toLong)).cast("int") + 1)
+          .as("event_type"),
+        col("n"), col("n_users"),
+        round(sv.cast("double"), 4).as("sum_value"))
+      .filter(col("n") >= 2)
+  }
+}

@@ -289,48 +289,16 @@ object AnalyticsSurface {
 
   /** [[hourlyRollup]] with a DECLARED category dictionary
     * ([[graft.catalog.SeriesMeta.dictionary]] — the closed value set
-    * a production catalog records for an enum column): the r12 floor
-    * decomposition (BASELINE.md, EventAggProfile h_full_bitmap_*)
-    * measured that the true floor of this rollup is ONE grouped pass
-    * with an exact bitmap-NDV distinct-user aggregate under
-    * ALL-PRIMITIVE keys, and that the only obstacle was recovering
-    * the category STRING without a per-row string group key — which a
-    * declared dictionary solves for free: group by the dictionary
-    * CODE (a when-chain over the declared values — codegen'd integer
-    * compares), decode by array index at state scale.
-    *
-    * One corpus pass, one exchange of (hours × |dict|) groups, no
-    * two-phase user expansion: the distinct-user count rides in the
-    * bitmap aggregation buffer instead of a 100M-row fine relation.
-    * Exactness is preserved — bitmap_ndv is an exact distinct and
-    * sum_micro's fixed-point micros are associative, so one-phase
-    * equals the two-phase sum bit-for-bit (same oracle).
-    *
-    * Out-of-dictionary categories (a contract violation upstream)
-    * surface as a NULL-category rollup row — visible and join-safe,
-    * the quarantine-bucket convention — rather than silently joining
-    * a declared value. */
-  def hourlyRollupWithDict(ev: DataFrame, dict: Seq[String]): DataFrame = {
-    require(dict.nonEmpty && dict.distinct.size == dict.size,
-      s"dictionary must be non-empty and distinct: $dict")
-    val hourUs = 3600000000L
-    val tc = dict.zipWithIndex.tail
-      .foldLeft(when(col("event_type") === dict.head, 0)) {
-        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
-      }.otherwise(lit(dict.size))
-    val fine = ev.groupBy(
-        (col("timestamp") - pmod(col("timestamp"), lit(hourUs))).as("hour_ts"),
-        tc.as("tc"))
-      .agg(count(lit(1)).as("n"),
-        expr("bitmap_ndv(user_id)").as("n_users"),
-        round(call_function("sum_micro", col("value").cast("double")), 4)
-          .as("sum_value"))
-    val decode = array((dict.map(lit) :+ lit(null.asInstanceOf[String])): _*)
-    fine.select(col("hour_ts"),
-        element_at(decode, col("tc") + 1).as("event_type"),
-        col("n"), col("n_users"), col("sum_value"))
-      .filter(col("n") >= 2)
-  }
+    * a production catalog records for an enum column): delegates to
+    * the [[graft.ops.DictRollup]] kernel — packed integer (hour,
+    * code) key, one imperative pass, per-slot user bitmaps, a
+    * state-scale merge. See that object's scaladoc for why BOTH
+    * Catalyst formulations (two-phase fine aggregate, one-pass
+    * bitmap-NDV ObjectHashAggregate) measured 3-4x slower at scale.
+    * Out-of-dictionary categories surface as a NULL-category
+    * quarantine row; same oracle as the generic form. */
+  def hourlyRollupWithDict(ev: DataFrame, dict: Seq[String]): DataFrame =
+    graft.ops.DictRollup.hourlyRollup(ev, dict)
 
   /** Exact running balance per user: sum_micro as a RUNNING-frame
     * window aggregate (unbounded preceding → current row evaluates

@@ -272,9 +272,17 @@ object EventAggProfile {
     // its forced persist + eager count (the branches' exchanges don't
     // canonicalize to a reuse, so without the persist the corpus
     // aggregates twice)
+    var prevBranchCache: Option[DataFrame] = None
     def incrBranches: DataFrame = {
+      // evict the PREVIOUS rep's identical-plan cache entry first:
+      // persist() on an equal plan reuses the live entry, which made
+      // every rep after the warm-up cache-warm (0.5 s of a 2.2 s
+      // query at 100M) — each rep must pay the persist+count it ships
+      prevBranchCache.foreach(df =>
+        try df.unpersist(true) catch { case scala.util.control.NonFatal(_) => () })
       val bySplit = graft.ops.Incremental.hourlyPartialsBy(ev, isNew)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prevBranchCache = Some(bySplit)
       bySplit.count()
       val out = graft.ops.Incremental.merge(
         bySplit.filter(!col("split")).drop("split"),
@@ -339,6 +347,16 @@ object EventAggProfile {
         .filter(col("n") >= 2)
     }
     time("h_full_bitmap_prim")(hourlyBitmapPrim)
+    // same plan with the ObjectHashAggregate sort-based fallback OFF:
+    // the default threshold (128 groups per partition) silently turns
+    // the one-pass bitmap into a 300M-row SORT once the (hour, type)
+    // group count passes it — the r13 suspicion for why the "floor"
+    // shape stopped winning past 100M
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    time("h_full_bitmap_prim_nofb")(hourlyBitmapPrim)
+    spark.conf.unset(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     // shippable form: no hardcoded type list — xxhash64 key + a
     // distinct-map recovery join (state-sized, broadcast)
     def hourlyBitmapHash: DataFrame = {
@@ -356,6 +374,24 @@ object EventAggProfile {
         .filter(col("n") >= 2)
     }
     time("h_full_bitmap_hash")(hourlyBitmapHash)
+
+    // ---- dict-kernel decomposition (r13): scan + packed projection
+    // floor vs the full kernel — how much does the imperative pass
+    // add over just materializing its input rows? ----
+    val dictTypes = Seq("signup", "purchase", "view", "click", "error")
+    time("d_kernel_full")(graft.ops.DictRollup.hourlyRollup(ev, dictTypes))
+    val dcode = dictTypes.zipWithIndex.tail
+      .foldLeft(when(col("event_type") === dictTypes.head, 0)) {
+        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
+      }.otherwise(lit(dictTypes.size))
+    val dHourStart = col("timestamp") - pmod(col("timestamp"), lit(hourUs))
+    time("d_proj_only")(ev.filter(col("timestamp").isNotNull)
+      .select((expr(s"((timestamp - pmod(timestamp, ${hourUs}L)) div ${hourUs}L)") * 6
+          + dcode.cast("long")).as("k"),
+        col("user_id"),
+        expr("micros6(CAST(value AS DOUBLE))").as("m6")))
+    time("d_scan_count")(ev.select(col("timestamp"), col("event_type"),
+      col("user_id"), col("value")).groupBy().count())
 
     // ---- string-key tax at SMALL group counts (5 groups) ----
     time("g_string_5grp")(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
