@@ -142,30 +142,51 @@ object Approx {
     * Output: (key, exact_n, n_partials, merged_ok, direct_ok). */
   def sketchMergeVerified(ev: DataFrame, key: String = "event_type",
       value: String = "user_id", dayUs: Long = 86400000000L): DataFrame = {
-    val withDay = ev.withColumn("day", expr(s"timestamp div $dayUs"))
-    val partials = withDay.groupBy(col(key), col("day"))
+    // ONE corpus pass (r13 rework): the r12 shape paid THREE — a
+    // codegen'd exact fine aggregate plus TWO whole-corpus
+    // interpreted HLL passes (hll_sketch_agg is a
+    // TypedImperativeAggregate: ObjectHashAggregate, no whole-stage
+    // codegen, ~20 ns/row — 27 s of the 8.1x paired ratio at 1B,
+    // bench_pair_events_10000x_r13). HLL updates are
+    // DUPLICATE-INSENSITIVE (register maxima of value hashes — the
+    // same library call on the same value set yields the identical
+    // sketch), so every sketch here is built from the fine
+    // (key, day, value) DISTINCT relation the exact referent already
+    // needs: the corpus is folded ONCE by a codegen'd hash aggregate,
+    // and the per-row HLL cost moves to the state-scale fine rows
+    // (days x value-cardinality x keys). The union/merge path — what
+    // this operator verifies — still runs on real sketches.
+    // In a PRODUCTION daily pipeline (no exact referent), the
+    // per-day sketch would fold raw rows instead: when value
+    // cardinality approaches row count the fine relation degenerates
+    // to corpus size, and paying the exact referent at all is the
+    // choice the verification harness makes, not the sketch.
+    val fineRaw = ev.select(col(key), expr(s"timestamp div $dayUs").as("day"),
+        col(value))
+      .distinct() // a bufferless hash aggregate — no counts needed
+    // three independent downstream consumers with DIVERGENT column
+    // pruning (partials reads (key, day, value), direct and exact
+    // drop the day), so the three references do NOT canonicalize to
+    // one reused exchange (measured: 3 parquet scans, 0
+    // ReusedExchange) — the funnel/minhash persist discipline
+    // applies: cache the state-scale fine relation and materialize it
+    // EAGERLY so the independent branches can't double-compute the
+    // unpopulated partitions (docs/PLANS.md concurrency rule).
+    val fine = graft.core.EscapedCaches.persistTracked(fineRaw)
+    fine.count()
+    val partials = fine.groupBy(col(key), col("day"))
       .agg(hll_sketch_agg(col(value)).as("sk"))
     val merged = partials.groupBy(key)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"),
         count(lit(1)).as("n_partials"))
-    val direct = withDay.groupBy(key)
+    val direct = fine.groupBy(key)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("n_direct"))
-    // exact referent via the two-phase distinct (pre-group on the
-    // (key, value) pair, then count the fine groups): a count_distinct
-    // NEXT TO the hll aggregate made Catalyst plan an Expand — every
-    // input row duplicated per aggregate arm — measured ~2x the whole
-    // query at 100M events; the fine-group relation here is
-    // key-cardinality × value-cardinality, nothing data-sized.
-    // Measured and REJECTED (r11): bitmap_ndv grouped by the string
-    // key — the off-codegen ObjectHashAggregate row path (string
-    // hash + boxed eval per row) loses to the codegen'd fine-group
-    // aggregate (4.4 vs 3.5 s whole-query at 100M events); the bitmap
-    // wins for GLOBAL/ungrouped distincts (profile_events,
-    // agg_bitmap_distinct), not under a grouped string key.
-    // Count only NON-NULL fine groups: count(DISTINCT v) and
+    // Count only NON-NULL distinct values: count(DISTINCT v) and
     // hll_sketch_agg both skip NULLs, so a NULL value group must not
     // inflate exact_n (same pattern as Profile.profile's two-phase).
-    val exact = withDay.groupBy(col(key), col(value)).agg(count(lit(1)))
+    // The distinct-over-fine is state-scale (fine already deduped
+    // (key, day, value); this collapses days).
+    val exact = fine.groupBy(col(key), col(value)).agg(count(lit(1)))
       .groupBy(key)
       .agg(count(when(col(value).isNotNull, lit(1))).as("exact_n"))
     merged.join(direct, Seq(key)).join(exact, Seq(key))
