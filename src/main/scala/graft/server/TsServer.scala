@@ -100,7 +100,19 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
               // like the reference's per-statement error string, not
               // drop the connection silently
               val before = out.count
-              try respond(out, exec.executeSql(query, session))
+              // per-STATEMENT escaped-cache scope: any operator that
+              // persists an escaping intermediate during this
+              // statement registers in a scope released right after
+              // the response is written — one client's cleanup can
+              // never evict another in-flight statement's caches
+              // (graft.core.EscapedCaches scoping; the tsql surface
+              // has no such operator today, so this is
+              // correct-by-construction wiring for the ones that do)
+              try {
+                val (_, scope) = graft.core.EscapedCaches.scoped(
+                  respond(out, exec.executeSql(query, session)))
+                scope.release()
+              }
               catch {
                 case scala.util.control.NonFatal(e) =>
                   if (out.count == before) {
