@@ -28,8 +28,11 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     val hourUs = 3600000000L
     val rows = (0 until 4000).map { i =>
       val u = 1L + rnd.nextInt(40)
-      // timestamps crowd hour boundaries (exactly on, +-1us) and dup
-      val t = (rnd.nextInt(6).toLong * hourUs) + (rnd.nextInt(4) match {
+      // timestamps crowd hour boundaries (exactly on, +-1us) and dup;
+      // hours include PRE-1970 (negative) ones — the kernel's packed
+      // key claims sign-safe floor/pack/unpack (pmod-based), which a
+      // trunc-division slip would break exactly here
+      val t = ((rnd.nextInt(6) - 3).toLong * hourUs) + (rnd.nextInt(4) match {
         case 0 => 0L
         case 1 => 1L
         case 2 => hourUs - 1
