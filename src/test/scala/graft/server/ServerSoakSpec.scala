@@ -246,4 +246,62 @@ class ServerSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally fresh.close()
   }
+
+  test("concurrent server statements never evict a funnel-family client's scoped caches") {
+    // the r12 verdict's cross-release soak, at the server: TsServer
+    // releases a per-STATEMENT escaped-cache scope after every
+    // response — under the old process-global registry those releases
+    // would have drained a concurrently-running analytics client's
+    // escaped caches (recompute-only, but a p99 cliff). Here a
+    // funnel-family computation holds its scoped caches while two
+    // wire clients hammer statements through the server; the funnel's
+    // caches must stay resident and its result stable.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val types = Seq("signup", "view", "purchase")
+    val ev = {
+      import spark.implicits._
+      (1L to 50L).flatMap(u => (0 until 6).map(j =>
+        (u, u * 1000L + j * 7L, types(j % 3))))
+        .toDF("user_id", "timestamp", "event_type")
+    }
+    val (funnelDf, scope) = graft.core.EscapedCaches.scoped(
+      graft.ops.Funnels.funnel(ev, types))
+    assert(scope.registered.nonEmpty)
+    val expect = funnelDf.collect().toSeq
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          val c = new Client
+          try {
+            c.send(s"CREATEDB xrel_$i")
+            c.readResponse()
+            c.send("CREATE s")
+            c.readResponse()
+            for (k <- 1 to 10) {
+              c.send(s"INSERT INTO s VALUES ($k, $k.5)")
+              assert(c.readResponse() ==
+                WireResponse.Str(0, "1 point(s) inserted, 0 error(s)"))
+              c.send("SELECT value FROM s")
+              assert(c.readRecords().size == k)
+            }
+          } finally c.close()
+        } catch { case t: Throwable => failures.add(t) }
+      }, s"xrel-client-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive) && failures.isEmpty,
+      s"wire clients failed: ${Option(failures.peek()).getOrElse("")}")
+    // 20 statements (each releasing ITS scope) later: the funnel's
+    // escaped caches are untouched and the plan answers from them
+    assert(scope.registered.nonEmpty &&
+      scope.registered.forall(_.storageLevel != StorageLevel.NONE),
+      "server statement scopes evicted a concurrent client's caches")
+    assert(funnelDf.collect().toSeq == expect)
+    scope.release()
+    assert(scope.registered.isEmpty)
+  }
 }
