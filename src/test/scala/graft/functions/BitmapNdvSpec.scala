@@ -83,6 +83,33 @@ class BitmapNdvSpec extends AnyFunSuite {
       t.getMessage != null && t.getMessage.contains("bitmap_ndv")), s"$e")
   }
 
+  test("bitmap_merge_ndv over serialized partials equals bitmap_ndv over the union") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    // build per-group serialized bitmaps by hand (the DictRollup
+    // kernel's partial shape), overlapping value sets across groups
+    val partials = (0 until 24).map { i =>
+      val bm = new NdvBitmap
+      val vals = (0 until 500).map(_ => rnd.nextLong() % 80000L)
+      vals.foreach(bm.add)
+      (s"k${i % 3}", bm.serialize(), vals)
+    }
+    val expected = partials.groupBy(_._1)
+      .map { case (k, ps) => k -> ps.flatMap(_._3).distinct.size.toLong }
+    val got = partials.map(p => (p._1, p._2)).toDF("k", "bm")
+      .repartition(5)
+      .groupBy("k").agg(call_function("bitmap_merge_ndv", col("bm")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"$got vs $expected")
+    // null partials are skipped, empty group counts zero
+    val z = Seq(("a", null: Array[Byte]),
+        ("a", (new NdvBitmap).serialize()))
+      .toDF("k", "bm")
+      .groupBy("k").agg(call_function("bitmap_merge_ndv", col("bm")))
+      .collect()(0).getLong(1)
+    assert(z == 0L)
+  }
+
   test("non-integral input is rejected at analysis") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
