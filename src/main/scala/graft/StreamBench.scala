@@ -161,6 +161,9 @@ object StreamBench {
       }, "documents"))
 
     def runOne(b: Bench): (String, String) = {
+      // drain the escaped-cache registry before the block sweep (the
+      // graft.Bench rule): clearCache alone leaves registry references
+      graft.core.EscapedCaches.release()
       spark.sharedState.cacheManager.clearCache()
       System.gc(); Thread.sleep(150); System.gc()
       val df = b.build(spark, evDir, docDir)
