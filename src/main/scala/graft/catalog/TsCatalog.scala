@@ -30,11 +30,15 @@ final case class SeriesMeta(
     dupPolicy: String = "insert",
     dictionary: Option[Seq[String]] = None) {
   // dictionary entries round-trip through the catalog's minimal JSON
-  // writer — no escaping layer, so the values must not need one
+  // writer — no escaping layer, so the values must not need one.
+  // Brackets are banned too: the reader's array capture is bracket-
+  // bounded, so a ']' inside a value would write fine and silently
+  // parse back as dictionary=None (round-trip data loss, no error)
   dictionary.foreach(d => require(
     d.nonEmpty && d.distinct.size == d.size &&
-      d.forall(v => v.nonEmpty && !v.exists(c => c == '"' || c == '\\')),
-    s"dictionary must be non-empty, distinct, quote/backslash-free: $d"))
+      d.forall(v => v.nonEmpty &&
+        !v.exists(c => c == '"' || c == '\\' || c == '[' || c == ']')),
+    s"dictionary must be non-empty, distinct, quote/backslash/bracket-free: $d"))
 }
 
 /** Filesystem-backed database/series catalog.

@@ -64,10 +64,26 @@ object EscapedCaches {
     * materialization) with a fresh scope collecting its escaped
     * persists; returns (body's result, the scope). The caller
     * releases the scope after materializing the result — other
-    * queries' scopes are untouched. */
+    * queries' scopes are untouched.
+    *
+    * A THROWING body releases its own scope before rethrowing: the
+    * caller never sees the scope reference on that path, so anything
+    * it registered would otherwise be orphaned forever (a long-lived
+    * server would leak cache blocks on every failing statement).
+    *
+    * Thread-pool hazard: scope selection rides a [[DynamicVariable]]
+    * (an InheritableThreadLocal) — a worker thread CREATED while this
+    * scope is active inherits it permanently, so plans constructed
+    * later on that pooled thread register into an already-released
+    * foreign scope and are never drained. Do not construct plans on
+    * long-lived shared pools from inside a scoped block; threads the
+    * block spawns and joins before returning are fine. */
   def scoped[A](body: => A): (A, Scope) = {
     val s = new Scope()
-    (current.withValue(s)(body), s)
+    val a =
+      try current.withValue(s)(body)
+      catch { case t: Throwable => s.release(); throw t }
+    (a, s)
   }
 
   /** Unpersist every escaped cache registered OUTSIDE any [[scoped]]

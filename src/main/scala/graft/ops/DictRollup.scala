@@ -94,10 +94,19 @@ object DictRollup {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(hourStart),
         org.apache.spark.sql.catalyst.expressions.Literal(hourUs))) * m +
       code.cast("long")
-    // a time-series point without a time is malformed: dropped loudly
-    // here (getLong on a null field would read garbage silently); the
-    // sf fixtures and the catalog's ingest schema are non-null anyway
-    val proj = ev.filter(col("timestamp").isNotNull)
+    // Null semantics, PINNED (r14 — they diverge from the generic twin
+    // and the fuzz differential never generates nulls, so they must be
+    // explicit): (a) a time-series point without a time is malformed —
+    // the kernel FAILS LOUDLY on it (the catalog's ingest schema and
+    // the sf fixtures are non-null; a silent drop would hide corrupt
+    // feeds, and getLong on a null field would read garbage);
+    // (b) a NULL event_type is out-of-dictionary BY DEFINITION (the
+    // declared dictionary is a closed value set), so it takes the
+    // quarantine code and MERGES with other out-of-dict rows into the
+    // hour's NULL-category row — where the generic form would keep
+    // NULL and each rogue string as separate groups. Both pinned by
+    // HourlyRollupDictSpec.
+    val proj = ev
       .select(packed.as("k"),
         col("user_id").cast("long").as("user_id"),
         micros6(col("value").cast("double")).as("m6"))
@@ -118,6 +127,11 @@ object DictRollup {
       var empty = true
       while (it.hasNext) {
         val row = it.next()
+        // k is null iff timestamp is null (the code when-chain always
+        // yields a value) — the pinned loud-failure path
+        if (row.isNullAt(0)) throw new IllegalArgumentException(
+          "dictionary rollup: null timestamp in input (a time-series " +
+            "point without a time is malformed; filter upstream if intended)")
         val k = row.getLong(0)
         var s = if (!empty && k == lastK) lastSlot else null
         if (s == null) {

@@ -169,8 +169,12 @@ object AnalyticsSurface {
       .getOption("spark.graft.sessionize.segThresholdRows")
       .flatMap(_.toLongOption).getOrElse(100000000L)
     val stats = ev.queryExecution.optimizedPlan.stats
-    val estRows = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 40L)
+    // sizeInBytes is a BigInt because join-stat products overflow
+    // Long; clamp BEFORE toLong or the estimate wraps negative at
+    // exactly the scale where the segmented form is mandatory
+    val estRows = stats.rowCount
+      .map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 40L)
     if (estRows > thresholdRows) sessionizeSegmented(ev, gapUs, bucketUs)
     else sessionizeWindow(ev, gapUs)
   }

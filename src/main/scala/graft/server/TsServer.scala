@@ -107,7 +107,10 @@ final class TsServer(exec: StatementExecutor, port: Int = 0) {
               // never evict another in-flight statement's caches
               // (graft.core.EscapedCaches scoping; the tsql surface
               // has no such operator today, so this is
-              // correct-by-construction wiring for the ones that do)
+              // correct-by-construction wiring for the ones that do).
+              // A THROWING statement is covered too: scoped() releases
+              // its own scope on the exception path before rethrowing,
+              // so failing statements cannot orphan cache blocks
               try {
                 val (_, scope) = graft.core.EscapedCaches.scoped(
                   respond(out, exec.executeSql(query, session)))

@@ -39,5 +39,14 @@ class DictionaryMetaSpec extends AnyFunSuite {
       SeriesMeta(None, "insert", Some(Seq("a\\b"))))
     intercept[IllegalArgumentException](
       SeriesMeta(None, "insert", Some(Seq(""))))
+    // brackets would WRITE fine but the reader's bracket-bounded array
+    // capture stops at the first ']' — silent round-trip loss unless
+    // rejected at construction (ADVICE r13)
+    intercept[IllegalArgumentException](
+      SeriesMeta(None, "insert", Some(Seq("[error]"))))
+    intercept[IllegalArgumentException](
+      SeriesMeta(None, "insert", Some(Seq("a]b"))))
+    intercept[IllegalArgumentException](
+      SeriesMeta(None, "insert", Some(Seq("a[b"))))
   }
 }

@@ -85,4 +85,26 @@ class EscapedCachesSpec extends AnyFunSuite {
     assert(scope.release() == 1)
     assert(scopedDf.storageLevel == StorageLevel.NONE)
   }
+
+  test("a throwing scoped body releases its own scope (no orphaned caches)") {
+    import spark.implicits._
+    EscapedCaches.release()
+    var inner: DataFrame = null
+    val e = intercept[RuntimeException] {
+      EscapedCaches.scoped {
+        inner = EscapedCaches.persistTracked(
+          (1 to 7).toDF("z").groupBy("z").count())
+        inner.count() // materialize so the cache is live before the throw
+        throw new RuntimeException("statement failed mid-execution")
+      }
+    }
+    assert(e.getMessage.contains("statement failed"))
+    // the scope reference was lost on the throwing path — scoped must
+    // have drained it itself, or a failing server statement leaks a
+    // cache block forever (ADVICE r13 medium)
+    assert(inner.storageLevel == StorageLevel.NONE,
+      "exception path orphaned the scope's escaped cache")
+    // and nothing leaked into the global scope either
+    assert(EscapedCaches.release() == 0)
+  }
 }

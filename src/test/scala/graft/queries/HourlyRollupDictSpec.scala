@@ -74,4 +74,47 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     assert(declared.size == 1 && declared.head.getString(1) == "signup" &&
       declared.head.getLong(3) == 2L, s"declared rows wrong: $out")
   }
+
+  // the r14 pinned null semantics (ADVICE r13: the fuzz never
+  // generated nulls, so the divergences from the generic twin were
+  // undocumented and untested)
+
+  test("null timestamp fails loudly instead of silently dropping the row") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val ev = Seq(
+      (1L, Some(0L), "signup", 1.5),
+      (2L, Some(1L), "signup", 2.5),
+      (3L, None: Option[Long], "signup", 9.0)
+    ).toDF("user_id", "timestamp", "event_type", "value")
+    val e = intercept[org.apache.spark.SparkException] {
+      AnalyticsSurface.hourlyRollupWithDict(ev, Seq("signup")).collect()
+    }
+    assert(e.getMessage.contains("null timestamp") ||
+      Option(e.getCause).exists(_.getMessage.contains("null timestamp")),
+      s"expected the kernel's loud null-timestamp failure, got: ${e.getMessage}")
+  }
+
+  test("NULL event_type is out-of-dictionary: it merges into the quarantine row") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 2 rogue strings + 2 NULL types in the same hour: the generic
+    // form would keep (NULL, 'rogue') as SEPARATE groups; the
+    // dictionary form's closed value set makes both out-of-dict, so
+    // they merge into ONE NULL-category quarantine row — the
+    // documented divergence
+    val ev = Seq(
+      (1L, Some("rogue"), 10.0), (2L, Some("rogue"), 20.0),
+      (3L, None: Option[String], 1.0), (4L, None: Option[String], 2.0),
+      (5L, Some("signup"), 5.0), (6L, Some("signup"), 6.0)
+    ).map { case (u, t, v) => (u, u, t, v) }
+      .toDF("user_id", "timestamp", "event_type", "value")
+    val out = AnalyticsSurface
+      .hourlyRollupWithDict(ev, Seq("signup", "purchase"))
+      .collect().toSeq
+    val quarantine = out.filter(_.isNullAt(1))
+    assert(quarantine.size == 1 && quarantine.head.getLong(2) == 4L,
+      s"expected one NULL-category row merging rogue + NULL types: $out")
+    assert(math.abs(quarantine.head.getDouble(4) - 33.0) < 1e-9)
+  }
 }
