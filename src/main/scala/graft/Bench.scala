@@ -102,7 +102,11 @@ object Bench {
     "win_sessionize_seg", "agg_funnel_gap", "session_window_seg",
     // round-13 addition: the dictionary-declared hourly rollup (the
     // one-pass bitmap-NDV plan a SeriesMeta.dictionary unlocks)
-    "agg_hourly_rollup_dict")
+    "agg_hourly_rollup_dict",
+    // round-14 additions: the dict-kernel fold/incremental twins
+    // (packed-key slot state, zero data-scale exchange) and the
+    // production-shaped sketch-only rollup
+    "agg_rollup_fold_dict", "agg_incremental_rollup_dict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,6 +68,166 @@ object DictRollup {
     val bm = new graft.functions.NdvBitmap
   }
 
+  /** Per-slot state for the SUM-ONLY kernels (fold/incremental — no
+    * distinct-user bitmap, so the state is three longs). */
+  private final class SumSlot {
+    var n = 0L
+    var h6 = 0L
+    var l6 = 0L
+  }
+
+  private def requireDict(dict: Seq[String]): Unit =
+    require(dict.nonEmpty && dict.distinct.size == dict.size,
+      s"dictionary must be non-empty and distinct: $dict")
+
+  /** Integer category code over the DECLARED values; out-of-dictionary
+    * (including NULL — the dictionary is a closed value set, see the
+    * pinned null semantics on [[hourlyRollup]]) takes the reserved
+    * quarantine code |dict|. */
+  private def codeExpr(dict: Seq[String]) =
+    dict.zipWithIndex.tail
+      .foldLeft(when(col("event_type") === dict.head, 0)) {
+        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
+      }.otherwise(lit(dict.size))
+
+  /** `(hour_start div hourUs) * (|dict|+1) + code` as one long.
+    * `floorHour` selects the pre-1970 rounding of the GENERIC twin
+    * being mirrored: the hourly rollup floors (pmod), the
+    * fold/incremental family truncates toward zero (`t - t % h`, the
+    * Incremental.hourTs shape) — both hour starts are exact multiples
+    * of hourUs, so the IntegralDivide pack and the pmod-based decode
+    * round-trip any sign either way. */
+  private def packedExpr(dict: Seq[String], hourUs: Long,
+      floorHour: Boolean = true) = {
+    val hourStart =
+      if (floorHour) col("timestamp") - pmod(col("timestamp"), lit(hourUs))
+      else col("timestamp") - col("timestamp") % hourUs
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hourStart),
+        org.apache.spark.sql.catalyst.expressions.Literal(hourUs))) *
+      (dict.size + 1) + codeExpr(dict).cast("long")
+  }
+
+  /** The imperative per-partition fold for the sum-only kernels:
+    * projected rows (k long, m6 long-or-null) → per-task partial rows
+    * (k, n, h6, l6). Same open-addressed LongMap + last-key memo as
+    * the hourly kernel; same loud null-timestamp failure. */
+  private def sumPartials(proj: DataFrame): DataFrame = {
+    val partialSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("h6", LongType, nullable = false),
+      StructField("l6", LongType, nullable = false)))
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+      var lastK = Long.MinValue
+      var lastSlot: SumSlot = null
+      var empty = true
+      while (it.hasNext) {
+        val row = it.next()
+        if (row.isNullAt(0)) throw new IllegalArgumentException(
+          "dictionary rollup: null timestamp in input (a time-series " +
+            "point without a time is malformed; filter upstream if intended)")
+        val k = row.getLong(0)
+        var s = if (!empty && k == lastK) lastSlot else null
+        if (s == null) {
+          s = slots.getOrNull(k)
+          if (s == null) { s = new SumSlot; slots.update(k, s) }
+          lastK = k; lastSlot = s; empty = false
+        }
+        s.n += 1
+        if (!row.isNullAt(1)) {
+          val m6 = row.getLong(1)
+          s.h6 += m6 / 1000000L
+          s.l6 += m6 % 1000000L
+        }
+      }
+      slots.iterator.map { case (k, s) => Row(k, s.n, s.h6, s.l6) }
+    }
+    proj.sparkSession.createDataFrame(partials, partialSchema)
+  }
+
+  /** Decode a merged (k, n, h6, l6) state into the rollup the generic
+    * fold emits: (event_type, hour_ts, n, sum_value) with the exact
+    * decimal recombination every gated sum uses. */
+  private def finalizeSum(merged: DataFrame, dict: Seq[String],
+      hourUs: Long): DataFrame = {
+    val m = dict.size + 1
+    val sv = (col("h6").cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+      col("l6").cast("decimal(20,0)")) *
+      lit(new java.math.BigDecimal("0.000001"))
+    val decode = array((dict.map(lit) :+ lit(null.asInstanceOf[String])): _*)
+    merged.select(
+      element_at(decode, pmod(col("k"), lit(m.toLong)).cast("int") + 1)
+        .as("event_type"),
+      expr(s"((k - pmod(k, ${m}L)) div ${m}L) * ${hourUs}L").as("hour_ts"),
+      col("n"),
+      round(sv.cast("double"), 4).as("sum_value"))
+  }
+
+  /** Dictionary-declared twin of [[graft.ops.Incremental]]'s
+    * fold-to-state rollup (gate: agg_rollup_fold — same oracle): one
+    * kernel pass folds (event_type, hour) sums into packed-integer-key
+    * slots of THREE longs (n + hi/lo micro-limbs; no bitmap — the fold
+    * has no distinct aggregate, so the state is even leaner than the
+    * hourly kernel's), then tasks x slots partial rows — thousands,
+    * not data-scale — merge by key with codegen'd integer sums and
+    * decode through the exact decimal recombination. Same pinned null
+    * semantics as [[hourlyRollup]]. Out-of-dictionary categories
+    * surface as the NULL-category row per hour (the gate corpus is
+    * fully declared, so the gate output equals the generic twin's).
+    *
+    * 100 TB: one scan, zero data-scale exchange — the generic fold
+    * shuffles its (type, hour) partials through HashAggregate's
+    * string-keyed path; this exchanges only the bounded slot state. */
+  def foldRollup(ev: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame = {
+    requireDict(dict)
+    val proj = ev.select(packedExpr(dict, hourUs, floorHour = false).as("k"),
+      micros6(col("value").cast("double")).as("m6"))
+    val merged = sumPartials(proj).groupBy("k")
+      .agg(sum("n").cast("long").as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"))
+    finalizeSum(merged, dict, hourUs)
+  }
+
+  /** Dictionary-declared twin of agg_incremental_rollup (same oracle):
+    * the corpus splits by `isNew` into standing state vs new batch,
+    * and the kernel carries the split in the packed key's LOW BIT —
+    * `k2 = k*2 + split` (sign-safe: pmod decodes the bit for negative
+    * pre-1970 keys too) — so ONE kernel pass builds BOTH batches'
+    * mergeable states. The first state-scale aggregation regroups the
+    * task partials to the per-(split, key) states; the second drops
+    * the split bit — a REAL two-partial merge per key, the same
+    * merge-equals-rescan identity the generic gate verifies (decimal
+    * associativity: limb sums are associative integer adds, so the
+    * merged total is bit-identical to the unsplit fold's;
+    * HourlyRollupDictSpec locks incremental == fold). The premium
+    * over [[foldRollup]] is the per-row split hash + the doubled
+    * state rows — the generic pair's decomposition, kernelized. */
+  def incrementalRollup(ev: DataFrame, dict: Seq[String],
+      isNew: org.apache.spark.sql.Column,
+      hourUs: Long = HourUs): DataFrame = {
+    requireDict(dict)
+    val k2 = packedExpr(dict, hourUs, floorHour = false) * 2 +
+      when(isNew, 1L).otherwise(0L)
+    val proj = ev.select(k2.as("k"),
+      micros6(col("value").cast("double")).as("m6"))
+    // per-(split, key) mergeable states: the split=0/1 row groups of
+    // this one relation ARE the standing-state and new-batch partials
+    val splitState = sumPartials(proj).groupBy("k")
+      .agg(sum("n").cast("long").as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"))
+    // the merge: drop the split bit, fold the two partials per key
+    val merged = splitState
+      .groupBy(expr("(k - pmod(k, 2)) div 2").as("k"))
+      .agg(sum("n").cast("long").as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"))
+    finalizeSum(merged, dict, hourUs)
+  }
+
   /** Input needs (timestamp micros long, event_type string, user_id
     * integral, value double); output (hour_ts, event_type, n,
     * n_users, sum_value) with rollup rows of n >= 2, out-of-dict
@@ -75,25 +235,11 @@ object DictRollup {
     * hour. */
   def hourlyRollup(ev: DataFrame, dict: Seq[String],
       hourUs: Long = HourUs): DataFrame = {
-    require(dict.nonEmpty && dict.distinct.size == dict.size,
-      s"dictionary must be non-empty and distinct: $dict")
+    requireDict(dict)
     val spark = ev.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val m = dict.size + 1 // + the reserved quarantine code
-    val code = dict.zipWithIndex.tail
-      .foldLeft(when(col("event_type") === dict.head, 0)) {
-        case (acc, (v, i)) => acc.when(col("event_type") === v, i)
-      }.otherwise(lit(dict.size))
-    // hour_start = floor-to-hour (pmod keeps it exact for pre-1970
-    // timestamps, where `div` alone would truncate toward zero);
-    // hour_start is an exact multiple of hourUs, so `div` here is
-    // exact division and the pack/unpack round-trips any sign
-    val hourStart = col("timestamp") - pmod(col("timestamp"), lit(hourUs))
-    val packed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hourStart),
-        org.apache.spark.sql.catalyst.expressions.Literal(hourUs))) * m +
-      code.cast("long")
+    val packed = packedExpr(dict, hourUs)
     // Null semantics, PINNED (r14 — they diverge from the generic twin
     // and the fuzz differential never generates nulls, so they must be
     // explicit): (a) a time-series point without a time is malformed —

@@ -446,6 +446,26 @@ object AnalyticsSurface {
       graft.ops.Incremental.merge(
         graft.ops.Incremental.hourlyPartials(Tables.eventSeries(s, dir)))
     }),
+    // the DICTIONARY-declared kernel twins (same oracles as the
+    // generic fold/incremental): the (event_type, hour) state is
+    // exactly the packed-integer-key shape the hourly dict kernel
+    // already runs with zero data-scale exchange — here with a
+    // 3-long slot (no bitmap; the fold has no distinct aggregate).
+    // The generic forms stay the defaults for undeclared corpora.
+    "agg_rollup_fold_dict" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.DictRollup.foldRollup(Tables.eventSeries(s, dir),
+        Seq("signup", "purchase", "view", "click", "error"))
+    }),
+    // the incremental twin carries the 80/20 split flag (the SAME
+    // xxhash64 predicate as the generic gate) in the packed key's low
+    // bit, so its gate pays the identical real two-partial merge
+    "agg_incremental_rollup_dict" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.ops.DictRollup.incrementalRollup(Tables.eventSeries(s, dir),
+        Seq("signup", "purchase", "view", "click", "error"),
+        pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20)
+    }),
     // rolling z-score anomaly flags per user series (trailing-frame
     // causal verdict, exact decimal window partials — see
     // graft.ops.Anomaly)
@@ -1122,6 +1142,19 @@ object AnalyticsSurface {
     // rollup — its pair ratio isolates the operator from the
     // verification harness agg_incremental_rollup carries
     "agg_rollup_fold" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    // IDENTICAL oracles for the dict kernel twins: the dictionary only
+    // changes the PLAN (packed integer keys, slot-state exchange); the
+    // rollup and the split-then-merge identity are the same exact sums
+    "agg_rollup_fold_dict" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    "agg_incremental_rollup_dict" ->
       (EV + s"""SELECT event_type,
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value

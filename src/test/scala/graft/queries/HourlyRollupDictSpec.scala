@@ -53,6 +53,20 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     val g = rowsOf("agg_hourly_rollup")
     val d = rowsOf("agg_hourly_rollup_dict")
     assert(g == d, s"generic vs dictionary diverged:\n${g.zip(d).filter(p => p._1 != p._2).take(5)}")
+
+    // the r14 fold/incremental kernel twins on the SAME fuzz corpus
+    // (pre-1970 hours exercise the trunc-hour pack the generic
+    // Incremental.hourTs shape pins — a floor/trunc slip breaks here)
+    val gf = rowsOf("agg_rollup_fold")
+    val df = rowsOf("agg_rollup_fold_dict")
+    assert(gf == df, s"generic vs dictionary FOLD diverged:\n${gf.zip(df).filter(p => p._1 != p._2).take(5)}")
+    val gi = rowsOf("agg_incremental_rollup")
+    val di = rowsOf("agg_incremental_rollup_dict")
+    assert(gi == di, s"generic vs dictionary INCREMENTAL diverged:\n${gi.zip(di).filter(p => p._1 != p._2).take(5)}")
+    // split-invariance (the merge-equals-rescan identity, kernelized):
+    // folding the split states back together must reproduce the
+    // unsplit fold bit-identically — limb sums are associative
+    assert(df == di, s"dict incremental != dict fold (split variance):\n${df.zip(di).filter(p => p._1 != p._2).take(5)}")
   }
 
   test("out-of-dictionary categories quarantine as a NULL-category row") {
