@@ -106,7 +106,8 @@ object Bench {
     // round-14 additions: the dict-kernel fold/incremental twins
     // (packed-key slot state, zero data-scale exchange) and the
     // production-shaped sketch-only rollup
-    "agg_rollup_fold_dict", "agg_incremental_rollup_dict")
+    "agg_rollup_fold_dict", "agg_incremental_rollup_dict",
+    "agg_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -197,6 +197,54 @@ object Approx {
           .cast("long").as("direct_ok"))
   }
 
+  /** PRODUCTION-shaped sketch-only rollup (r13 verdict #2) — the
+    * like-for-like referent [[sketchMergeVerified]] deliberately is
+    * not: per-key distinct-user ESTIMATE from day-partial HLL sketches
+    * merged per key, with NO exact referent anywhere in the plan. The
+    * paired DuckDB oracle runs ITS OWN sketch
+    * (`approx_count_distinct`), so the bench pair measures "sketch
+    * pipeline vs sketch pipeline" — the verified key keeps gating
+    * correctness with its structurally-asymmetric exact referent.
+    *
+    * Plan: the corpus folds ONCE through a codegen'd hash DISTINCT on
+    * (key, day, value) — legal for any duplicate-insensitive sketch
+    * (HLL registers are maxima of value hashes; duplicates change
+    * nothing), and measured 8.14x → 3.37x on the verified key at 1B
+    * (BASELINE.md r13) vs folding raw rows through the interpreted
+    * TypedImperativeAggregate. The per-(key, day) sketches and the
+    * per-key union then run at state scale (days x cardinality).
+    *
+    * Gate hashing across engines: raw estimates cannot hash-match
+    * (sketch internals differ), so the estimate surfaces as a RATIO
+    * BAND — `floor(ln(est)/ln(1.25) + 0.5)`, i.e. est rounded to the
+    * nearest power of 1.25 (±11.8% half-step against a ≲4% combined
+    * cross-engine estimate gap at scale). At the gate scales the band
+    * is exact-on-exact: both engines' sketches are in their exact
+    * (sparse) range at 150 distinct users, so est is identical before
+    * banding; the ln(1.25) divisor is embedded as the same IEEE
+    * double literal in both plans. Output: (key, n_days, est_band);
+    * n_days (exact distinct days per key) proves the merge spanned
+    * partials. */
+  def sketchRollup(ev: DataFrame, key: String = "event_type",
+      value: String = "user_id", dayUs: Long = 86400000000L): DataFrame = {
+    val fine = ev
+      .select(col(key), expr(s"timestamp div $dayUs").as("day"), col(value))
+      .distinct()
+    val partials = fine.groupBy(col(key), col("day"))
+      .agg(hll_sketch_agg(col(value)).as("sk"))
+    partials.groupBy(key)
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col(key), col("n_days"),
+        floor(log(greatest(col("est"), lit(1L)).cast("double")) /
+          lit(BandLn125) + lit(0.5)).cast("long").as("est_band"))
+  }
+
+  /** ln(1.25), pinned as ONE double literal shared by the Spark plan
+    * and the oracle SQL text — a libm-vs-fdlibm 1-ulp divisor gap must
+    * not move a band edge. */
+  val BandLn125: Double = 0.22314355131420976
+
   /** EXACT heavy hitters (items in more than 1/invSupport of all rows)
     * via the two-phase sketch-then-verify pattern: a single narrow
     * `freqItems` pass (lossy counting — guaranteed SUPERSET of every

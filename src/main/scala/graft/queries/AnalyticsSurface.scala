@@ -780,6 +780,12 @@ object AnalyticsSurface {
     // story, gated through the same 3σ verdict harness
     "agg_sketch_merge" -> ((s, dir) =>
       graft.ops.Approx.sketchMergeVerified(Tables.eventSeries(s, dir))),
+    // the PRODUCTION-shaped sketch-only twin (r13 verdict #2): no
+    // exact referent on either side — the oracle runs DuckDB's own
+    // approx_count_distinct, so this pair measures sketch pipeline vs
+    // sketch pipeline while agg_sketch_merge keeps gating correctness
+    "agg_sketch_rollup" -> ((s, dir) =>
+      graft.ops.Approx.sketchRollup(Tables.eventSeries(s, dir))),
     // ordered conversion funnel (Funnels.funnel): per-step earliest-
     // strictly-after frontiers, all equality joins on the user key,
     // ONE lazy plan (shared prefixes dedup via ReusedExchange)
@@ -1455,6 +1461,17 @@ object AnalyticsSurface {
       """SELECT event_type, count(DISTINCT user_id) AS exact_n,
         |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_partials,
         |  CAST(1 AS BIGINT) AS merged_ok, CAST(1 AS BIGINT) AS direct_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    // like-for-like: DuckDB pays its OWN HLL (approx_count_distinct),
+    // and the estimate gates through the shared ratio band — the
+    // ln(1.25) divisor is the identical IEEE double literal on both
+    // sides (Approx.BandLn125); at gate scale both sketches are in
+    // their exact range, so est is 150 on both before banding
+    "agg_sketch_rollup" ->
+      s"""SELECT event_type,
+        |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+        |  CAST(floor(ln(CAST(greatest(approx_count_distinct(user_id), 1) AS DOUBLE))
+        |    / ${graft.ops.Approx.BandLn125} + 0.5) AS BIGINT) AS est_band
         |FROM events GROUP BY 1""".stripMargin,
     "agg_approx_percentiles" ->
       """SELECT event_type, count(*) AS n,

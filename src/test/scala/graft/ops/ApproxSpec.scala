@@ -178,4 +178,25 @@ class ApproxSpec extends AnyFunSuite {
     assert(got("b") == ((40L, 2L, 1L, 1L)))
     assert(got("c") == ((20L, 2L, 1L, 1L)), s"NULL fine group inflated exact_n: ${got("c")}")
   }
+
+  test("sketch-only rollup: band equals the exact count's band in the sketch's exact range") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // same corpus shape as the verified test — at these cardinalities
+    // (300/40/20) the DataSketches HLL is in its exact (sparse) range,
+    // so est_band must equal the band of the EXACT distinct count; an
+    // all-null key bands through the greatest(est, 1) floor to 0
+    val rows =
+      (0 until 600).map(i => (("a"), (i % 5).toLong * dayUs + i, Option((i % 300).toLong))) ++
+      (0 until 80).map(i => (("b"), (i % 2).toLong * dayUs + i, Option((i % 40).toLong))) ++
+      (0 until 30).map(i => (("z"), (i % 2).toLong * dayUs + i, None: Option[Long]))
+    val ev = rows.toDF("event_type", "timestamp", "user_id")
+    val got = Approx.sketchRollup(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def band(n: Long) =
+      math.floor(math.log(math.max(n, 1L).toDouble) / Approx.BandLn125 + 0.5).toLong
+    assert(got("a") == ((5L, band(300))))
+    assert(got("b") == ((2L, band(40))))
+    assert(got("z") == ((2L, band(0))), s"all-null key must band to 0: ${got("z")}")
+  }
 }
