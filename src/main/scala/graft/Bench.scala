@@ -109,6 +109,66 @@ object Bench {
     "agg_rollup_fold_dict", "agg_incremental_rollup_dict",
     "agg_sketch_rollup")
 
+  /** One JVM telemetry snapshot as a JSON object string — the
+    * fleet-drift instrumentation (r13 verdict #4): same-code fleets
+    * degraded monotonically Spark-side (1.097 → 1.315 over four
+    * back-to-back fleets, partial idle recovery) and "box floor
+    * drift" names the symptom, not the mechanism. Candidates are all
+    * JVM-lifetime state: JIT code-cache occupancy (eviction →
+    * re-interpretation), heap growth after full GC (leaked driver
+    * state), cumulative GC time, metaspace (generated classes from
+    * ~90 codegen'd plans/fleet). Snapshots at fleet start/end make
+    * the curve visible across a fleet sequence. */
+  private def jvmTelemetry(): String = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.{ManagementFactory => mf}
+    val gc = mf.getGarbageCollectorMXBeans.asScala
+    val pools = mf.getMemoryPoolMXBeans.asScala
+    def poolUsed(frag: String): Long = pools
+      .filter(_.getName.toLowerCase.contains(frag)).map(_.getUsage.getUsed).sum
+    def poolMax(frag: String): Long = pools
+      .filter(_.getName.toLowerCase.contains(frag))
+      .map(p => math.max(p.getUsage.getMax, 0L)).sum
+    val heap = mf.getMemoryMXBean.getHeapMemoryUsage
+    val classes = mf.getClassLoadingMXBean
+    val comp = Option(mf.getCompilationMXBean)
+    s"""{"uptime_ms":${mf.getRuntimeMXBean.getUptime},""" +
+      s""""gc_count":${gc.map(_.getCollectionCount).sum},""" +
+      s""""gc_time_ms":${gc.map(_.getCollectionTime).sum},""" +
+      s""""heap_used_mb":${heap.getUsed / 1048576},""" +
+      s""""heap_committed_mb":${heap.getCommitted / 1048576},""" +
+      s""""codecache_used_mb":${poolUsed("codeheap") + poolUsed("code cache") >> 20},""" +
+      s""""codecache_max_mb":${poolMax("codeheap") + poolMax("code cache") >> 20},""" +
+      s""""metaspace_used_mb":${poolUsed("metaspace") >> 20},""" +
+      s""""classes_loaded":${classes.getTotalLoadedClassCount},""" +
+      s""""classes_unloaded":${classes.getUnloadedClassCount},""" +
+      s""""jit_time_ms":${comp.filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)},""" +
+      s""""load1":${mf.getOperatingSystemMXBean.getSystemLoadAverage},""" +
+      s""""os":${osTelemetry()}}"""
+  }
+
+  /** OS-side counters (/proc/meminfo) — the state that CAN persist
+    * across fleets, since `run / fork := true` gives every fleet a
+    * fresh benched JVM: page-cache pressure, dirty writeback backlog,
+    * and actually-available memory are the box-floor candidates the
+    * cross-fleet drift adjudication needs. -1 on non-Linux. */
+  private def osTelemetry(): String = {
+    val keys = Map("MemAvailable" -> "avail_mb", "Cached" -> "cached_mb",
+      "Dirty" -> "dirty_mb", "MemFree" -> "free_mb",
+      "SwapFree" -> "swap_free_mb", "Buffers" -> "buffers_mb")
+    val got = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().flatMap { l =>
+        val p = l.split("[:\\s]+")
+        keys.get(p(0)).map(name => name -> p(1).toLong / 1024)
+      }.toMap
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    keys.values.toSeq.sorted
+      .map(n => s""""$n":${got.getOrElse(n, -1L)}""").mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -133,6 +193,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jvmStart = jvmTelemetry()
 
     // warm-up: session + parquet reader + the codegen paths every query
     // shares (scan, sort, hash aggregate) — so the FIRST timed query
@@ -250,7 +311,7 @@ object Bench {
     val raw = runs.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"best":${objOf(best)},"spread":${objOf(spread)},"raw":$raw,"errors":$errors,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"best":${objOf(best)},"spread":${objOf(spread)},"raw":$raw,"errors":$errors,"jvm_start":$jvmStart,"jvm_end":${jvmTelemetry()},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -49,10 +49,24 @@ object Repl {
     spark.stop()
   }
 
-  private[cli] def run(exec: BufferedExecutor, sql: String): Unit = {
+  /** Run `body` (one statement's construction + materialization) in
+    * its own escaped-cache scope and release it right after — the
+    * per-statement cache discipline TsServer applies (r13 verdict #7):
+    * a long-lived REPL session must not accumulate caches across
+    * statements, and today's tsql surface registering none makes this
+    * correct-by-construction wiring for the operators that do. A
+    * throwing body releases via scoped's exception path. */
+  private[graft] def scopedStatement[A](body: => A): A = {
+    val (a, scope) = graft.core.EscapedCaches.scoped(body)
+    scope.release()
+    a
+  }
+
+  private[graft] def run(exec: BufferedExecutor, sql: String): Unit = {
     val t0 = System.nanoTime()
-    val res = exec.executeSql(sql)
-    render(res)
+    // the scope encloses BOTH construction and materialization
+    // (render streams the rows)
+    scopedStatement { render(exec.executeSql(sql)) }
     println(f"(${(System.nanoTime() - t0) / 1e6}%.1f ms)")
   }
 

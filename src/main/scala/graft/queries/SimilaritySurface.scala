@@ -26,7 +26,8 @@ object SimilaritySurface {
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), expr(QPRED), K)),
     "sim_topk_lsh" -> ((s, dir) =>
-      Similarity.lshBucketTopK(emb(s, dir), expr(QPRED), K, NPLANES, DIM)),
+      Similarity.lshBucketTopK(emb(s, dir), expr(QPRED), K, NPLANES, DIM,
+        NTABLES)),
     // the IVF family passes the sf dir as the codebook-memo key: one
     // training per corpus serves all seven index consumers (the
     // train-once/serve-many production shape; values are identical to
@@ -41,7 +42,7 @@ object SimilaritySurface {
       Similarity.mrlTopK(emb(s, dir), expr(QPRED), K, COARSE_DIMS, RERANK)),
     "sim_topk_ivf_pq" -> ((s, dir) =>
       Similarity.ivfPqTopK(emb(s, dir), expr(QPRED), K, NCENTROIDS, NPROBE,
-        KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK, cacheKey = Some(s"$dir#embeddings"))),
+        KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, PQ_RERANK, cacheKey = Some(s"$dir#embeddings"))),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingDupPairs(emb(s, dir), DUP_THRESHOLD)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -97,7 +98,7 @@ object SimilaritySurface {
       val e = emb(s, dir)
       Similarity.recallAtK(e, expr(QPRED), K, MAXQ,
         qp => Similarity.ivfPqTopK(e, qp, K, NCENTROIDS, NPROBE,
-          KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, RERANK,
+          KMEANS_ITERS, expr(TRAIN_SQL), NSUB, KSUB, PQ_RERANK,
           cacheKey = Some(s"$dir#embeddings")))
     }),
     // ...and the q8 / sign-LSH variants: EVERY index the engine ships
@@ -124,7 +125,7 @@ object SimilaritySurface {
     "sim_recall_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.recallAtK(e, expr(QPRED), K, MAXQ,
-        qp => Similarity.lshBucketTopK(e, qp, K, NPLANES, DIM))
+        qp => Similarity.lshBucketTopK(e, qp, K, NPLANES, DIM, NTABLES))
     }),
     // staleness of the incrementally-maintained index as a measured
     // pair: search recall with arrivals PLACED into the stale
@@ -199,8 +200,24 @@ object SimilaritySurface {
     s"$QPRED AND vec_id IN (SELECT vec_id FROM embeddings WHERE $QPRED " +
       s"ORDER BY vec_id LIMIT $MAXQ)"
   private val COARSE_DIMS = 16
-  private val NSUB = 4
-  private val KSUB = 4
+  /** r14 measured PQ book (r13 verdict #3): the 4x4 book's pinned
+    * recall was 1.2% mean recall@10 at 60k — near-noise, now refused
+    * at construction (Similarity.guardBook). 8 subspaces x 8
+    * sub-centroids with rerank 600 is the re-pinned gate
+    * configuration: 32.0% mean recall@10, measured past
+    * 8x8/rerank-100's 12.6% and 8x8/rerank-300's 23.4%
+    * (recall_maxq50_r14.json). 16 subspaces measured better still
+    * (41.6% at rerank 300) but its 16 chained k-means CTE replays
+    * blow the DuckDB oracle's execution budget — an operator default
+    * the oracle can't affordably replay loses its cross-engine
+    * verification, so 16x8 stays a pinned non-gate option
+    * (Similarity.pinnedRecall). */
+  private val NSUB = 8
+  private val KSUB = 8
+  private val PQ_RERANK = 600
+  /** r14 measured LSH book: 8 independent 6-bit tables (the pinned
+    * single-table book recalled 7.6% — vetoed at construction). */
+  private val NTABLES = 8
 
   // ---- DuckDB oracles ----
 
@@ -214,8 +231,15 @@ object SimilaritySurface {
 
   /** Literal SQL for the deterministic LSH bucket id (planes inlined
     * from the same h60-derived constants the Spark plan uses). */
-  private val bucketSql: String = {
-    val planes = Similarity.planes(NPLANES, DIM)
+  /** Sign-LSH bucket of table `t` — table t uses plane rows
+    * [t*NPLANES, (t+1)*NPLANES) of the shared deterministic sequence,
+    * mirroring Similarity.lshBucketTopK's slicing; bit p of a table's
+    * bucket comes from the table's p-th plane (the Spark side's
+    * bucketId numbers bits within the slice). Table 0 IS the legacy
+    * single-table bucket (dedup_embedding_lsh's oracle). */
+  private def bucketSqlTable(t: Int): String = {
+    val planes = Similarity.planes(NPLANES * NTABLES, DIM)
+      .slice(t * NPLANES, (t + 1) * NPLANES)
     planes.zipWithIndex.map { case (plane, p) =>
       val planeLit = plane.mkString("[", ", ", "]")
       val dot =
@@ -224,6 +248,8 @@ object SimilaritySurface {
       s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
   }
+
+  private val bucketSql: String = bucketSqlTable(0)
 
   private val baseCte =
     s"""base AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)"""
@@ -317,15 +343,30 @@ object SimilaritySurface {
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin
 
-  private def lshTopkSql(qp: String): String =
+  /** Mirrors the MULTI-TABLE Similarity.lshBucketTopK: per-table
+    * buckets b0..b{T-1}, candidates = DISTINCT pairs colliding in ANY
+    * table, then the exact cosine + rank on the candidate set (the
+    * same result set as the Spark side's equi-join-per-table union). */
+  private def lshTopkSql(qp: String): String = {
+    val bucketCols = (0 until NTABLES)
+      .map(t => s"${bucketSqlTable(t)} AS b$t").mkString(",\n")
+    val anyTable = (0 until NTABLES)
+      .map(t => s"b.b$t = q.qb$t").mkString(" OR ")
+    val qCols = (0 until NTABLES).map(t => s"b$t AS qb$t").mkString(", ")
     s"""WITH $baseCte,
-       |bb AS (SELECT vec_id, embedding, nrm, $bucketSql AS bucket FROM base),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb FROM bb WHERE $qp),
-       |pairs AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-       |    round(${dotSql("q.qe", "b.embedding")} / (q.qn * b.nrm), 4) AS sim
-       |  FROM bb b, q WHERE b.bucket = q.qb AND b.vec_id != q.query_id),
+       |bb AS (SELECT vec_id, embedding, nrm,
+       |$bucketCols
+       |  FROM base),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, $qCols FROM bb WHERE $qp),
+       |cand AS (SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+       |  FROM bb b, q WHERE ($anyTable) AND b.vec_id != q.query_id),
+       |pairs AS (SELECT c.query_id, c.neighbor_id,
+       |    round(${dotSql("q2.qe", "b2.embedding")} / (q2.qn * b2.nrm), 4) AS sim
+       |  FROM cand c JOIN q q2 ON q2.query_id = c.query_id
+       |  JOIN bb b2 ON b2.vec_id = c.neighbor_id),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
        |SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= $K""".stripMargin
+  }
 
   /** Shared IVF cell CTEs: corpus assignment + the probe set under the
     * given query predicate. References `base` and cents$KMEANS_ITERS. */
@@ -432,7 +473,7 @@ object SimilaritySurface {
        |pairs AS (SELECT t.query_id, t.neighbor_id,
        |    round(${dotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 4) AS sim
        |  FROM topr t JOIN base q ON q.vec_id = t.query_id
-       |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $RERANK),
+       |  JOIN base b ON b.vec_id = t.neighbor_id WHERE t.crank <= $PQ_RERANK),
        |rr3 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM pairs)
        |SELECT query_id, neighbor_id, sim, rank FROM rr3 WHERE rank <= $K""".stripMargin
 

@@ -393,6 +393,138 @@ object EventAggProfile {
     time("d_scan_count")(ev.select(col("timestamp"), col("event_type"),
       col("user_id"), col("value")).groupBy().count())
 
+    // ---- r14 (verdict #5): FALSIFICATION TEST of the row-decode
+    // floor. The dict kernel's 1B residual was pinned as ~90% input
+    // projection (11.5-12.6 s of 12.5-15.3 s), and the claim "no
+    // single-node aggregation strategy can cross it" rests on that
+    // projection being a floor. But toRdd's rows are materialized
+    // through ColumnarToRow + a codegen'd projection — a per-row
+    // UnsafeRow write/read boundary the kernel itself never needed.
+    // This variant folds the SAME slots (packed key, micro-limbs,
+    // user bitmap) straight off the vectorized reader's ColumnarBatch
+    // vectors: no UnsafeRow, no projection operator — pack, micros6
+    // (the identical MicroSumOps.toMicros call the codegen'd
+    // expression makes), and the when-chain (UTF8String equality)
+    // run inside the kernel loop. If this beats d_proj_only, the
+    // floor was the ROW BOUNDARY, not the scan; if it matches
+    // d_kernel_full, the floor is confirmed and weak #3 retires.
+    def columnarKernel: DataFrame = {
+      import org.apache.spark.sql.types._
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      val scans = raw.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      require(scans.size == 1 && scans.head.supportsColumnar,
+        s"expected one columnar parquet scan, got $scans")
+      val scan = scans.head
+      val names = scan.output.map(_.name)
+      val (iTs, iTy, iUid, iVal) = (names.indexOf("ts"),
+        names.indexOf("event_type"), names.indexOf("user_id"),
+        names.indexOf("value"))
+      // ts arrives as TIMESTAMP_NTZ (micros in the vector) on this
+      // fixture generation; the nanos-as-long generation would need
+      // a /1000 — assert instead of silently mis-bucketing
+      require(scan.output(iTs).dataType == TimestampNTZType,
+        s"probe expects TIMESTAMP_NTZ ts, got ${scan.output(iTs).dataType}")
+      val dictU = dictTypes.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+      val m = dictTypes.size + 1
+      val partialSchema = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("h6", LongType, nullable = false),
+        StructField("l6", LongType, nullable = false),
+        StructField("bm", BinaryType, nullable = false)))
+      final class Slot {
+        var n = 0L; var h6 = 0L; var l6 = 0L
+        val bm = new graft.functions.NdvBitmap
+      }
+      val partials = scan.executeColumnar().mapPartitions { it =>
+        val slots = new scala.collection.mutable.LongMap[Slot](64)
+        var lastK = Long.MinValue
+        var lastSlot: Slot = null
+        var empty = true
+        while (it.hasNext) {
+          val batch = it.next()
+          val (vTs, vTy, vUid, vVal) = (batch.column(iTs), batch.column(iTy),
+            batch.column(iUid), batch.column(iVal))
+          var i = 0
+          val nRows = batch.numRows()
+          while (i < nRows) {
+            if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+              "columnar probe: null timestamp")
+            val ts = vTs.getLong(i)
+            var code = dictU.length // quarantine
+            if (!vTy.isNullAt(i)) {
+              val s = vTy.getUTF8String(i)
+              var c = 0
+              while (c < dictU.length && code == dictU.length) {
+                if (dictU(c).equals(s)) code = c
+                c += 1
+              }
+            }
+            val k = Math.floorDiv(ts, hourUs) * m + code
+            var slot = if (!empty && k == lastK) lastSlot else null
+            if (slot == null) {
+              slot = slots.getOrNull(k)
+              if (slot == null) { slot = new Slot; slots.update(k, slot) }
+              lastK = k; lastSlot = slot; empty = false
+            }
+            slot.n += 1
+            if (!vVal.isNullAt(i)) {
+              val x = vVal.getDouble(i)
+              if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+                val m6 = graft.functions.MicroSumOps.toMicros(x)
+                slot.h6 += m6 / 1000000L
+                slot.l6 += m6 % 1000000L
+              }
+            }
+            if (!vUid.isNullAt(i)) slot.bm.add(vUid.getLong(i))
+            i += 1
+          }
+        }
+        slots.iterator.map { case (k, s) =>
+          org.apache.spark.sql.Row(k, s.n, s.h6, s.l6, s.bm.serialize())
+        }
+      }
+      val merged = spark.createDataFrame(partials, partialSchema)
+        .groupBy("k")
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"),
+          expr("bitmap_merge_ndv(bm)").as("n_users"))
+      val sv = (col("h6").cast("decimal(20,0)") *
+        lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+        col("l6").cast("decimal(20,0)")) *
+        lit(new java.math.BigDecimal("0.000001"))
+      val decode = array((dictTypes.map(lit) :+ lit(null.asInstanceOf[String])): _*)
+      merged.select(
+          expr(s"((k - pmod(k, ${m}L)) div ${m}L) * ${hourUs}L").as("hour_ts"),
+          element_at(decode, pmod(col("k"), lit(m.toLong)).cast("int") + 1)
+            .as("event_type"),
+          col("n"), col("n_users"),
+          round(sv.cast("double"), 4).as("sum_value"))
+        .filter(col("n") >= 2)
+    }
+    time("d_kernel_columnar")(columnarKernel)
+    // the columnar scan alone (batch iteration, no per-row reads):
+    // the true I/O+decompress floor under the kernel
+    def columnarScanOnly: DataFrame = {
+      import org.apache.spark.sql.types._
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      val scan = raw.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+      val counts = scan.executeColumnar().mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) n += it.next().numRows()
+        Iterator.single(org.apache.spark.sql.Row(n))
+      }
+      spark.createDataFrame(counts,
+        StructType(Seq(StructField("n", LongType, nullable = false))))
+        .agg(sum("n").as("rows"))
+    }
+    time("d_columnar_scan_only")(columnarScanOnly)
+
     // ---- string-key tax at SMALL group counts (5 groups) ----
     time("g_string_5grp")(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
     time("g_code_5grp")(ev.groupBy(typeCode).agg(count(lit(1)).as("n")))

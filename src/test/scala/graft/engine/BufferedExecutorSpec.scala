@@ -123,4 +123,32 @@ class BufferedExecutorSpec extends AnyFunSuite {
       assert(catalog.readSeries("bdb", "s").count() == 1)
     }
   }
+
+  test("REPL statements run in a per-statement escaped-cache scope") {
+    withExec(flushRows = 1024) { (exec, _, _) =>
+      import spark.implicits._
+      graft.core.EscapedCaches.release() // drain anything a prior test left
+      exec.executeSql("INSERT INTO s VALUES (7, 1.5)")
+      val out = new java.io.ByteArrayOutputStream()
+      // the real statement path goes through Repl.run -> scopedStatement
+      Console.withOut(new java.io.PrintStream(out)) {
+        graft.cli.Repl.run(exec, "SELECT value FROM s")
+      }
+      assert(out.toString.contains("(stream) 1"), s"unexpected render: $out")
+      // a statement whose execution registers an escaped persist (none
+      // of today's tsql operators do — emulated through the same
+      // scopedStatement wrapper run() uses) must have it drained by
+      // return, and nothing may land in the global scope
+      var tracked: org.apache.spark.sql.DataFrame = null
+      graft.cli.Repl.scopedStatement {
+        tracked = graft.core.EscapedCaches.persistTracked(
+          (1 to 3).toDF("x").groupBy("x").count())
+        tracked.count()
+      }
+      assert(tracked.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "REPL statement scope failed to drain its escaped persist")
+      assert(graft.core.EscapedCaches.release() == 0,
+        "a REPL statement leaked a cache into the global scope")
+    }
+  }
 }

@@ -436,4 +436,36 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(boundedLsh == fullOnSample)
   }
+
+  test("bad-book guard: pinned low-recall books refuse construction; override logs and proceeds") {
+    // the two r13-vetoed books (recall_maxq50_r13.json: 7.6% / 1.2%
+    // mean recall@10) — until r14 the veto lived only in a COVERAGE.md
+    // sentence; now construction itself refuses them
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.lshBucketTopK(emb, col("vec_id") === 0, 5,
+        nPlanes = 6, dim = 16, nTables = 1)
+    }
+    assert(e1.getMessage.contains("recall") &&
+      e1.getMessage.contains("lsh:tables=1,planes=6"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, col("vec_id") === 0, 3, nCentroids = 4,
+        nProbe = 2, kmeansIters = 2, nSub = 4, kSub = 4, rerank = 50)
+    }
+    assert(e2.getMessage.contains("recall") &&
+      e2.getMessage.contains("ivfpq:nsub=4,ksub=4,rerank=50"))
+    // explicit acknowledgment constructs anyway (recall research on
+    // the bad books — how the artifact re-measures them)
+    spark.conf.set("spark.graft.sim.allowLowRecallBooks", "true")
+    try {
+      val df = Similarity.lshBucketTopK(emb, col("vec_id") === 0, 5,
+        nPlanes = 6, dim = 16, nTables = 1)
+      assert(df.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
+    } finally spark.conf.unset("spark.graft.sim.allowLowRecallBooks")
+    // a raised threshold vetoes books the default admits
+    spark.conf.set("spark.graft.sim.minRecall", "0.99")
+    try intercept[IllegalArgumentException] {
+      Similarity.lshBucketTopK(emb, col("vec_id") === 0, 5,
+        nPlanes = 6, dim = 16, nTables = 8)
+    } finally spark.conf.unset("spark.graft.sim.minRecall")
+  }
 }
