@@ -297,7 +297,17 @@ object DictRollup {
         Row(k, s.n, s.h6, s.l6, s.bm.serialize())
       }
     }
-    val merged = spark.createDataFrame(partials, partialSchema)
+    finalizeHourly(spark.createDataFrame(partials, partialSchema), dict, hourUs)
+  }
+
+  /** State-scale merge + decode shared by the row and columnar hourly
+    * kernels: integer sums + [[graft.functions.BitmapMergeNdv]] per
+    * packed key, exact decimal recombination, quarantine decode,
+    * rollup filter n >= 2. */
+  private def finalizeHourly(partialsDf: DataFrame, dict: Seq[String],
+      hourUs: Long): DataFrame = {
+    val m = dict.size + 1
+    val merged = partialsDf
       .groupBy("k")
       .agg(sum("n").cast("long").as("n"),
         sum("h6").as("h6"), sum("l6").as("l6"),
@@ -315,4 +325,251 @@ object DictRollup {
         round(sv.cast("double"), 4).as("sum_value"))
       .filter(col("n") >= 2)
   }
+
+  // ------------------------------------------------------------------
+  // Columnar kernels (r14, the verdict-#5 falsification OUTCOME): the
+  // r13 "input projection floor" (11.5-12.6 s/1B, claimed uncrossable
+  // single-node) was measured THROUGH queryExecution.toRdd — i.e.
+  // through ColumnarToRow plus a codegen'd projection that writes and
+  // re-reads an UnsafeRow per input row. Folding the same slots
+  // directly off the vectorized parquet reader's ColumnarBatch vectors
+  // measures 5.8-6.0 s/1B for the FULL hourly rollup (EventAggProfile
+  // d_kernel_columnar vs d_proj_only 11.6-11.8 s; the raw batch scan
+  // is 2.8-2.9 s) — the floor was the row boundary, not the scan. The
+  // pack, the micros6 conversion (the identical MicroSumOps.toMicros
+  // call the codegen'd expression makes) and the dictionary when-chain
+  // (UTF8String equality) run inside the kernel loop instead.
+  //
+  // Scope: the input must collapse to ONE vectorized parquet scan of
+  // the catalog's events schema — these are the scan-adjacent fast
+  // paths a declared dictionary unlocks, not general-plan operators
+  // (the row kernels above stay the composable forms). 100 TB: same
+  // exchange story as the row kernels (tasks x slots partials, zero
+  // data-scale shuffle), minus the per-row decode boundary.
+  // ------------------------------------------------------------------
+
+  /** The columnar scan of `raw` restricted to `cols`, with output
+    * indices and the ts encoding (both driver fixture generations:
+    * TIMESTAMP(NANOS) read as epoch-nanos Long via nanosAsLong, or
+    * TIMESTAMP(MICROS) read as NTZ — micros either way after decode,
+    * matching Tables.tsMicros' trunc `ts div 1000`). */
+  private def columnarScanOf(raw: DataFrame, cols: Seq[String]):
+      (org.apache.spark.sql.execution.FileSourceScanExec, Seq[Int], Boolean) = {
+    val pruned = raw.select(cols.map(col): _*)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    require(scans.size == 1,
+      s"columnar dict kernel needs a bare parquet relation (one scan, got ${scans.size})")
+    val scan = scans.head
+    require(scan.supportsColumnar,
+      "columnar dict kernel: scan does not support columnar output")
+    val names = scan.output.map(_.name)
+    val idx = cols.map { c =>
+      val i = names.indexOf(c)
+      require(i >= 0, s"columnar dict kernel: column $c missing from scan output $names")
+      i
+    }
+    val tsNanosLong = scan.output(names.indexOf("ts")).dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case org.apache.spark.sql.types.TimestampNTZType => false
+      case other => throw new IllegalArgumentException(
+        s"columnar dict kernel: unsupported ts type $other")
+    }
+    (scan, idx, tsNanosLong)
+  }
+
+  /** Columnar twin of [[hourlyRollup]] over the RAW events relation
+    * (catalog schema: ts, event_type, user_id, value). Same output,
+    * same pinned null semantics, same oracle — fuzz-locked against
+    * the generic AND row-kernel forms in HourlyRollupDictSpec. */
+  def hourlyRollupColumnar(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame = {
+    requireDict(dict)
+    val spark = raw.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (scan, Seq(iTs, iTy, iUid, iVal), tsNanos) =
+      columnarScanOf(raw, Seq("ts", "event_type", "user_id", "value"))
+    val dictU = dict.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    val m = dict.size + 1
+    val partialSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("h6", LongType, nullable = false),
+      StructField("l6", LongType, nullable = false),
+      StructField("bm", BinaryType, nullable = false)))
+    val partials = scan.executeColumnar().mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[Slot](64)
+      var lastK = Long.MinValue
+      var lastSlot: Slot = null
+      var empty = true
+      while (it.hasNext) {
+        val batch = it.next()
+        val (vTs, vTy, vUid, vVal) =
+          (batch.column(iTs), batch.column(iTy), batch.column(iUid),
+            batch.column(iVal))
+        var i = 0
+        val nRows = batch.numRows()
+        while (i < nRows) {
+          if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+            "dictionary rollup: null timestamp in input (a time-series " +
+              "point without a time is malformed; filter upstream if intended)")
+          val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
+          var code = dictU.length // quarantine (incl. NULL event_type)
+          if (!vTy.isNullAt(i)) {
+            val s = vTy.getUTF8String(i)
+            var c = 0
+            while (c < dictU.length && code == dictU.length) {
+              if (dictU(c).equals(s)) code = c
+              c += 1
+            }
+          }
+          // the hourly form FLOORS the hour (pre-1970-safe pmod shape)
+          val k = Math.floorDiv(ts, hourUs) * m + code
+          var slot = if (!empty && k == lastK) lastSlot else null
+          if (slot == null) {
+            slot = slots.getOrNull(k)
+            if (slot == null) { slot = new Slot; slots.update(k, slot) }
+            lastK = k; lastSlot = slot; empty = false
+          }
+          slot.n += 1
+          if (!vVal.isNullAt(i)) {
+            val x = vVal.getDouble(i)
+            if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+              val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.h6 += m6 / 1000000L
+              slot.l6 += m6 % 1000000L
+            }
+          }
+          if (!vUid.isNullAt(i)) slot.bm.add(vUid.getLong(i))
+          i += 1
+        }
+      }
+      slots.iterator.map { case (k, s) =>
+        Row(k, s.n, s.h6, s.l6, s.bm.serialize())
+      }
+    }
+    finalizeHourly(spark.createDataFrame(partials, partialSchema), dict, hourUs)
+  }
+
+  /** Columnar twin of [[foldRollup]] / [[incrementalRollup]] over the
+    * RAW events relation: `split = None` is the fold; `split = Some`
+    * carries the 80/20 hash split in the packed key's low bit —
+    * computed IN the kernel from event_id with the exact xxhash64
+    * chain the generic gate uses (seed 42 over the long, then the
+    * "incr" salt; any deterministic split merges to the identical
+    * total — decimal associativity — so the split function is a
+    * harness choice, not a semantics one). Trunc-hour pack like the
+    * generic Incremental.hourTs. */
+  private def sumRollupColumnar(raw: DataFrame, dict: Seq[String],
+      hourUs: Long, withSplit: Boolean): DataFrame = {
+    requireDict(dict)
+    val spark = raw.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cols = if (withSplit) Seq("ts", "event_id", "event_type", "value")
+      else Seq("ts", "event_type", "value")
+    val (scan, idx, tsNanos) = columnarScanOf(raw, cols)
+    val (iTs, iTy, iVal) = (idx(0), idx(if (withSplit) 2 else 1),
+      idx(if (withSplit) 3 else 2))
+    val iId = if (withSplit) idx(1) else -1
+    val dictU = dict.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    val m = dict.size + 1
+    val saltU = org.apache.spark.unsafe.types.UTF8String.fromString("incr")
+    val partialSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("h6", LongType, nullable = false),
+      StructField("l6", LongType, nullable = false)))
+    val partials = scan.executeColumnar().mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+      var lastK = Long.MinValue
+      var lastSlot: SumSlot = null
+      var empty = true
+      while (it.hasNext) {
+        val batch = it.next()
+        val (vTs, vTy, vVal) =
+          (batch.column(iTs), batch.column(iTy), batch.column(iVal))
+        val vId = if (withSplit) batch.column(iId) else null
+        var i = 0
+        val nRows = batch.numRows()
+        while (i < nRows) {
+          if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+            "dictionary rollup: null timestamp in input (a time-series " +
+              "point without a time is malformed; filter upstream if intended)")
+          val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
+          var code = dictU.length
+          if (!vTy.isNullAt(i)) {
+            val s = vTy.getUTF8String(i)
+            var c = 0
+            while (c < dictU.length && code == dictU.length) {
+              if (dictU(c).equals(s)) code = c
+              c += 1
+            }
+          }
+          // trunc-hour: (ts - ts % h) / h — the Incremental.hourTs shape
+          var k = (ts - ts % hourUs) / hourUs * m + code
+          if (withSplit) {
+            // xxhash64(event_id, 'incr'): seed 42, fold the long, then
+            // the salt bytes — the generic gate's exact split chain
+            var h = 42L
+            if (!vId.isNullAt(i))
+              h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(vId.getLong(i), h)
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(saltU.getBaseObject, saltU.getBaseOffset,
+                saltU.numBytes, h)
+            k = k * 2 + (if (Math.floorMod(h, 100L) < 20L) 1L else 0L)
+          }
+          var slot = if (!empty && k == lastK) lastSlot else null
+          if (slot == null) {
+            slot = slots.getOrNull(k)
+            if (slot == null) { slot = new SumSlot; slots.update(k, slot) }
+            lastK = k; lastSlot = slot; empty = false
+          }
+          slot.n += 1
+          if (!vVal.isNullAt(i)) {
+            val x = vVal.getDouble(i)
+            if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+              val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.h6 += m6 / 1000000L
+              slot.l6 += m6 % 1000000L
+            }
+          }
+          i += 1
+        }
+      }
+      slots.iterator.map { case (k, s) => Row(k, s.n, s.h6, s.l6) }
+    }
+    val partialsDf = spark.createDataFrame(partials, partialSchema)
+    if (!withSplit) {
+      val merged = partialsDf.groupBy("k")
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"))
+      finalizeSum(merged, dict, hourUs)
+    } else {
+      // per-(split, key) states first, then the REAL two-partial merge
+      // dropping the split bit — the generic gate's identity, kernelized
+      val splitState = partialsDf.groupBy("k")
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"))
+      val merged = splitState
+        .groupBy(expr("(k - pmod(k, 2)) div 2").as("k"))
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"))
+      finalizeSum(merged, dict, hourUs)
+    }
+  }
+
+  /** Columnar twin of [[foldRollup]] (same oracle as agg_rollup_fold). */
+  def foldRollupColumnar(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame =
+    sumRollupColumnar(raw, dict, hourUs, withSplit = false)
+
+  /** Columnar twin of [[incrementalRollup]] (same oracle as
+    * agg_incremental_rollup; split carried in the packed key's low
+    * bit, computed in-kernel). */
+  def incrementalRollupColumnar(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame =
+    sumRollupColumnar(raw, dict, hourUs, withSplit = true)
 }

@@ -67,6 +67,32 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     // folding the split states back together must reproduce the
     // unsplit fold bit-identically — limb sums are associative
     assert(df == di, s"dict incremental != dict fold (split variance):\n${df.zip(di).filter(p => p._1 != p._2).take(5)}")
+
+    // the COLUMNAR kernels (r14): same fuzz corpus, read back through
+    // the vectorized scan (this fixture generation is LongType nanos —
+    // the /1000 trunc decode path); each must equal its row twin
+    assert(rowsOf("agg_hourly_rollup_dict_col") == d,
+      "columnar hourly kernel diverged from the row kernel")
+    assert(rowsOf("agg_rollup_fold_dict_col") == df,
+      "columnar fold kernel diverged from the row kernel")
+    assert(rowsOf("agg_incremental_rollup_dict_col") == di,
+      "columnar incremental kernel diverged from the row kernel")
+  }
+
+  test("columnar kernel fails loudly on a null timestamp read from parquet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hrdc").toFile
+    dir.deleteOnExit()
+    Seq((1L, Some(0L), 5L, "signup", 1.5, "{}"),
+        (2L, None: Option[Long], 6L, "signup", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val e = intercept[org.apache.spark.SparkException] {
+      AnalyticsSurface.queries("agg_hourly_rollup_dict_col")(
+        spark, dir.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("null timestamp") ||
+      Option(e.getCause).exists(_.getMessage.contains("null timestamp")))
   }
 
   test("out-of-dictionary categories quarantine as a NULL-category row") {
