@@ -126,6 +126,12 @@ def main() -> int:
         "totals": {"spark": round(tot_s, 3),
                    "duck_completed": round(tot_d, 3),
                    "duck_had_timeouts": any_timeout},
+        # r14 fleet-drift instrumentation: the benched JVM's and the
+        # OS's state at fleet start/end (graft.Bench jvmTelemetry) —
+        # each fleet forks a FRESH JVM, so cross-fleet drift must show
+        # in the OS fields (page cache, dirty, available) if anywhere
+        "jvm_start": spark.get("jvm_start"),
+        "jvm_end": spark.get("jvm_end"),
     }
     Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
     # compact ratio table for the terminal
