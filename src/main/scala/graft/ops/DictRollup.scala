@@ -356,11 +356,36 @@ object DictRollup {
   private def columnarScanOf(raw: DataFrame, cols: Seq[String]):
       (org.apache.spark.sql.execution.FileSourceScanExec, Seq[Int], Boolean) = {
     val pruned = raw.select(cols.map(col): _*)
-    val scans = pruned.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-    require(scans.size == 1,
-      s"columnar dict kernel needs a bare parquet relation (one scan, got ${scans.size})")
-    val scan = scans.head
+    // the kernel reads the SCAN's batches directly, so every plan node
+    // above it would be silently skipped — require that nothing but
+    // pass-through wrappers (column-pruning projects of bare
+    // attributes, codegen adapters, the columnar-to-row boundary)
+    // sits between the root and the scan, and that the scan itself
+    // carries no filters. A filter or computed projection anywhere
+    // means the caller composed a plan — the row kernels are the
+    // composable forms.
+    def bareScanOf(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.FileSourceScanExec = p match {
+      case pr: org.apache.spark.sql.execution.ProjectExec =>
+        require(pr.projectList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+          "columnar dict kernel needs a bare parquet relation " +
+            s"(computed projection: ${pr.projectList})")
+        bareScanOf(pr.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        bareScanOf(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => bareScanOf(i.child)
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => bareScanOf(c.child)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        require(s.dataFilters.isEmpty && s.partitionFilters.isEmpty,
+          "columnar dict kernel needs a bare parquet relation " +
+            s"(scan carries filters: ${s.dataFilters ++ s.partitionFilters})")
+        s
+      case other => throw new IllegalArgumentException(
+        "columnar dict kernel needs a bare parquet relation " +
+          s"(unexpected plan node ${other.nodeName})")
+    }
+    val scan = bareScanOf(pruned.queryExecution.executedPlan)
     require(scan.supportsColumnar,
       "columnar dict kernel: scan does not support columnar output")
     val names = scan.output.map(_.name)
@@ -565,6 +590,31 @@ object DictRollup {
   def foldRollupColumnar(raw: DataFrame, dict: Seq[String],
       hourUs: Long = HourUs): DataFrame =
     sumRollupColumnar(raw, dict, hourUs, withSplit = false)
+
+  /** SCALE/SHAPE-ADAPTIVE hourly rollup over the RAW events relation
+    * (the sessionizeAuto discipline applied to this family,
+    * docs/SCALING.md "Dictionary-rollup form selection"): the columnar
+    * kernel when the input collapses to one vectorized parquet scan of
+    * the events schema (wins at every measured scale; inverts the 1B
+    * pair), else the row kernel over the standard micros projection —
+    * the composable form for composed inputs (joins, filters, derived
+    * columns). Selection is plan-shape only — no job runs to decide.
+    * Gate keys pin each form explicitly; this is the serving-path
+    * convenience. */
+  def hourlyRollupAuto(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame = {
+    val columnar =
+      try Some(hourlyRollupColumnar(raw, dict, hourUs))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("columnar dict kernel") => None
+      }
+    columnar.getOrElse {
+      hourlyRollup(raw.select(
+        graft.core.Tables.tsMicrosOf(raw.schema("ts").dataType).as("timestamp"),
+        col("event_type"), col("user_id"), col("value")), dict, hourUs)
+    }
+  }
 
   /** Columnar twin of [[incrementalRollup]] (same oracle as
     * agg_incremental_rollup; split carried in the packed key's low

@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The dictionary-declared hourly rollup (one-pass bitmap-NDV over
@@ -77,6 +78,37 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       "columnar fold kernel diverged from the row kernel")
     assert(rowsOf("agg_incremental_rollup_dict_col") == di,
       "columnar incremental kernel diverged from the row kernel")
+  }
+
+  test("hourlyRollupAuto picks the columnar kernel on a bare scan, the row kernel on a composed input") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-hrda").toFile
+    dir.deleteOnExit()
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong * 600000000L * 1000L, 1L + i % 9,
+        dict(i % dict.size), i * 0.25, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    // bare scan -> columnar branch; composed input (a filter forces a
+    // non-bare plan... a filter still collapses into the scan, so use
+    // a derived column) -> row-kernel branch; both equal the generic
+    val auto = graft.ops.DictRollup.hourlyRollupAuto(raw, dict)
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    // value-preserving computed projection (ts + 0): the columnar
+    // guard must REJECT it (a kernel reading the bare scan would skip
+    // the Project silently) and the auto must fall back to the row
+    // kernel — same values either way
+    val composed = graft.ops.DictRollup.hourlyRollupAuto(
+      raw.select((col("ts") + lit(0L)).as("ts"), col("event_id"),
+        col("user_id"), col("event_type"), col("value"), col("props")),
+      dict).orderBy("hour_ts", "event_type").collect().toSeq
+    val colK = AnalyticsSurface.queries("agg_hourly_rollup_dict_col")(
+      spark, dir.getAbsolutePath).orderBy("hour_ts", "event_type").collect().toSeq
+    assert(auto == colK, "auto on a bare scan diverged from the columnar kernel")
+    assert(composed == colK, "auto on a composed input diverged in VALUES")
   }
 
   test("columnar kernel fails loudly on a null timestamp read from parquet") {
