@@ -622,4 +622,104 @@ object DictRollup {
   def incrementalRollupColumnar(raw: DataFrame, dict: Seq[String],
       hourUs: Long = HourUs): DataFrame =
     sumRollupColumnar(raw, dict, hourUs, withSplit = true)
+
+  /** Columnar twin of [[graft.ops.Approx.sketchRollup]] under a
+    * declared dictionary (same oracle — DuckDB's own
+    * approx_count_distinct through the shared ratio band): per-slot
+    * DataSketches HLL sketches fold DIRECTLY off the batch vectors,
+    * one slot per (day, code) — the declaration bounds the state at
+    * days x (|dict|+1) sketches per task regardless of value
+    * cardinality. This RETIRES the row twin's documented caveat: its
+    * data-scale phase is a whole-corpus DISTINCT on (key, day, value),
+    * which degenerates to corpus size when cardinality approaches row
+    * count — the kernel's state never depends on cardinality at all
+    * (HLL updates are duplicate-insensitive; folding raw rows is the
+    * same sketch). Per-task partial rows carry (k, sketch bytes) at
+    * state scale; the per-key union/estimate runs through the SAME
+    * hll_union_agg/hll_sketch_estimate the row twin gates (the kernel
+    * builds lgK=12 sketches with the library call those functions
+    * wrap). Null semantics: null timestamp fails loudly (kernel
+    * family), null value skipped (as hll_sketch_agg does), NULL/
+    * out-of-dict categories quarantine as the NULL-key row (where the
+    * row twin keeps rogue strings as their own groups — the standard
+    * dict-twin divergence, irrelevant on a declared corpus).
+    * Output: (key, n_days, est_band) — [[graft.ops.Approx.sketchRollup]]'s
+    * schema. */
+  def sketchRollupColumnar(raw: DataFrame, dict: Seq[String],
+      dayUs: Long = 86400000000L): DataFrame = {
+    requireDict(dict)
+    val spark = raw.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val (scan, idx, tsNanos) =
+      columnarScanOf(raw, Seq("ts", "event_type", "user_id"))
+    val (iTs, iTy, iUid) = (idx(0), idx(1), idx(2))
+    val dictU = dict.map(
+      org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+    val m = dict.size + 1
+    val partialSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("sk", BinaryType, nullable = false)))
+    val partials = scan.executeColumnar().mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[
+        org.apache.datasketches.hll.HllSketch](64)
+      var lastK = Long.MinValue
+      var lastSlot: org.apache.datasketches.hll.HllSketch = null
+      var empty = true
+      while (it.hasNext) {
+        val batch = it.next()
+        val (vTs, vTy, vUid) =
+          (batch.column(iTs), batch.column(iTy), batch.column(iUid))
+        var i = 0
+        val nRows = batch.numRows()
+        while (i < nRows) {
+          if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+            "dictionary rollup: null timestamp in input (a time-series " +
+              "point without a time is malformed; filter upstream if intended)")
+          val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
+          var code = dictU.length
+          if (!vTy.isNullAt(i)) {
+            val s = vTy.getUTF8String(i)
+            var c = 0
+            while (c < dictU.length && code == dictU.length) {
+              if (dictU(c).equals(s)) code = c
+              c += 1
+            }
+          }
+          // trunc-day mirrors the row twin's `timestamp div dayUs`
+          val k = ts / dayUs * m + code
+          var slot = if (!empty && k == lastK) lastSlot else null
+          if (slot == null) {
+            slot = slots.getOrNull(k)
+            if (slot == null) {
+              // lgK 12 — the default Spark's hll_sketch_agg builds, so
+              // the state-scale hll_union_agg merge below unions
+              // sketches of the exact shape the row twin's carry
+              slot = new org.apache.datasketches.hll.HllSketch(12)
+              slots.update(k, slot)
+            }
+            lastK = k; lastSlot = slot; empty = false
+          }
+          if (!vUid.isNullAt(i)) slot.update(vUid.getLong(i))
+          i += 1
+        }
+      }
+      slots.iterator.map { case (k, s) => Row(k, s.toCompactByteArray) }
+    }
+    val partialsDf = spark.createDataFrame(partials, partialSchema)
+    // per-(key, day) union first (tasks x slots rows), then the
+    // per-key union + estimate + banding — all state-scale; the day
+    // level also yields the exact distinct-day count per key
+    val perDay = partialsDf.groupBy("k")
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+    val decode = array((dict.map(lit) :+ lit(null.asInstanceOf[String])): _*)
+    perDay
+      .select(element_at(decode, pmod(col("k"), lit(m.toLong)).cast("int") + 1)
+          .as("event_type"), col("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(col("event_type"), col("n_days"),
+        floor(log(greatest(col("est"), lit(1L)).cast("double")) /
+          lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
+  }
 }

@@ -800,6 +800,13 @@ object AnalyticsSurface {
     // sketch pipeline while agg_sketch_merge keeps gating correctness
     "agg_sketch_rollup" -> ((s, dir) =>
       graft.ops.Approx.sketchRollup(Tables.eventSeries(s, dir))),
+    // the COLUMNAR dict twin: per-slot HLL sketches fold straight off
+    // the batch vectors — state bounded by days x (|dict|+1) per task
+    // regardless of value cardinality (retires the row twin's
+    // degenerate-cardinality caveat); same oracle
+    "agg_sketch_rollup_col" -> ((s, dir) =>
+      graft.ops.DictRollup.sketchRollupColumnar(Tables.load(s, dir, "events"),
+        Seq("signup", "purchase", "view", "click", "error"))),
     // ordered conversion funnel (Funnels.funnel): per-step earliest-
     // strictly-after frontiers, all equality joins on the user key,
     // ONE lazy plan (shared prefixes dedup via ReusedExchange)
@@ -1497,6 +1504,12 @@ object AnalyticsSurface {
     // sides (Approx.BandLn125); at gate scale both sketches are in
     // their exact range, so est is 150 on both before banding
     "agg_sketch_rollup" ->
+      s"""SELECT event_type,
+        |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+        |  CAST(floor(ln(CAST(greatest(approx_count_distinct(user_id), 1) AS DOUBLE))
+        |    / ${graft.ops.Approx.BandLn125} + 0.5) AS BIGINT) AS est_band
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_sketch_rollup_col" ->
       s"""SELECT event_type,
         |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
         |  CAST(floor(ln(CAST(greatest(approx_count_distinct(user_id), 1) AS DOUBLE))

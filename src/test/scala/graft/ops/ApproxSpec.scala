@@ -199,4 +199,34 @@ class ApproxSpec extends AnyFunSuite {
     assert(got("b") == ((2L, band(40))))
     assert(got("z") == ((2L, band(0))), s"all-null key must band to 0: ${got("z")}")
   }
+
+  test("columnar sketch kernel equals the row twin, including in the HLL's estimating range") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val dict = Seq("a", "b", "z")
+    // key "a" runs PAST the sketch's exact range (40k distinct users
+    // over 5 days with cross-day repeats): the kernel's lgK-12
+    // DataSketches updates must merge with hll_union_agg to the SAME
+    // estimate the row twin's hll_sketch_agg path produces — this
+    // locks register-level compatibility, not just band agreement;
+    // "b" and "z" cover the exact range and the all-null key
+    val rows =
+      (0 until 120000).map(i => ("a", (i % 5).toLong * dayUs + i, Option((i % 40000).toLong))) ++
+      (0 until 80).map(i => ("b", (i % 2).toLong * dayUs + i, Option((i % 40).toLong))) ++
+      (0 until 30).map(i => ("z", (i % 2).toLong * dayUs + i, None: Option[Long]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skc").toFile
+    dir.deleteOnExit()
+    rows.zipWithIndex.map { case ((t, ts, u), i) =>
+      (i.toLong, ts * 1000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    val colK = graft.ops.DictRollup.sketchRollupColumnar(raw, dict)
+      .orderBy("event_type").collect().toSeq
+    val rowK = Approx.sketchRollup(
+        graft.core.Tables.eventSeries(spark, dir.getAbsolutePath))
+      .orderBy("event_type").collect().toSeq
+    assert(colK == rowK,
+      s"columnar sketch kernel diverged from the row twin:\ncol: $colK\nrow: $rowK")
+  }
 }
