@@ -111,6 +111,36 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     assert(composed == colK, "auto on a composed input diverged in VALUES")
   }
 
+  test("NaN/Infinity values: all four fold forms agree (counted in n, skipped in the sum)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-hrdn").toFile
+    dir.deleteOnExit()
+    // micros6(NaN/Inf) is NULL (like the decimal cast), so sum skips
+    // the row while count(*) keeps it — the kernels replicate that
+    // with an explicit isNaN/isInfinite skip; a slip double-counts or
+    // drops n
+    val rows = Seq(
+      (1L, 1000L, 1L, "signup", 1.5), (2L, 2000L, 2L, "signup", Double.NaN),
+      (3L, 3000L, 3L, "signup", Double.PositiveInfinity),
+      (4L, 4000L, 4L, "signup", 2.5), (5L, 5000L, 5L, "view", Double.NegativeInfinity),
+      (6L, 6000L, 6L, "view", -0.75))
+    rows.map { case (i, ts, u, t, v) => (i, ts * 1000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    def rowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("hour_ts", "event_type").collect().toSeq
+    val g = rowsOf("agg_rollup_fold")
+    assert(g == rowsOf("agg_rollup_fold_dict"), "row kernel NaN/Inf divergence")
+    assert(g == rowsOf("agg_rollup_fold_dict_col"), "columnar kernel NaN/Inf divergence")
+    assert(g == rowsOf("agg_incremental_rollup_dict_col"), "incremental columnar NaN/Inf divergence")
+    // and the counts really include the NaN/Inf rows
+    val signup = g.find(_.getString(0) == "signup").get
+    assert(signup.getLong(2) == 4L && math.abs(signup.getDouble(3) - 4.0) < 1e-9,
+      s"signup must count 4 rows, sum only the finite 1.5+2.5: $signup")
+  }
+
   test("columnar kernel fails loudly on a null timestamp read from parquet") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-hrdc").toFile
