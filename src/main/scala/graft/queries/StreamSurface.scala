@@ -516,6 +516,25 @@ object StreamSurface {
         .agg(count(lit(1)).as("n")),
       "complete")
 
+  /** The maintained hourly rollup as a continuous query (r14 — the
+    * round's centerpiece batch family gets its streaming twin): the
+    * SAME mergeable (count, hi/lo micro-limb) partial state as the
+    * batch fold — Spark's partial-aggregation merge IS the streaming
+    * state merge, decimal/limb associativity makes any micro-batch
+    * arrival order land on the identical state table, and
+    * Incremental.finalizeRollup renders the sink exactly as the batch
+    * gate renders its combined state. Oracle: agg_rollup_fold's,
+    * verbatim. State bounded by the (type, hour) key population. */
+  private def streamHourlyRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_type"), Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("value"))
+    graft.ops.Incremental.finalizeRollup(
+      runToTable(s, graft.ops.Incremental.hourlyPartials(stream), "complete"))
+  }
+
   /** CDC keep-latest as a continuous query: the same grouped
     * struct-max as the batch gate — ONE struct of state per key,
     * order-independent merge (max is associative/commutative), so the
@@ -581,6 +600,7 @@ object StreamSurface {
     "stream_histogram" -> streamHistogram,
     "stream_heatmap" -> streamHeatmap,
     "stream_cdc_upsert" -> streamCdcUpsert,
+    "stream_hourly_rollup" -> streamHourlyRollup,
     "stream_warc_ingest" -> streamWarcIngest,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -820,6 +840,9 @@ object StreamSurface {
     // stream/batch parity: grouped struct-max state is associative,
     // so the batch CDC oracle applies verbatim
     "stream_cdc_upsert" -> AnalyticsSurface.oracleSql("cdc_upsert_latest"),
+    // stream/batch parity: the mergeable fold state is associative,
+    // so the batch rollup oracle applies verbatim
+    "stream_hourly_rollup" -> AnalyticsSurface.oracleSql("agg_rollup_fold"),
     // stateless record explode: stream ≡ batch, oracle verbatim
     "stream_warc_ingest" -> SourcesSurface.oracleSql("warc_extract"),
     // the batch M4 envelope on the unranged stream series
