@@ -623,6 +623,92 @@ object DictRollup {
       hourUs: Long = HourUs): DataFrame =
     sumRollupColumnar(raw, dict, hourUs, withSplit = true)
 
+  /** Plan-stats row estimate shared by the scale-adaptive selectors —
+    * the sessionizeAuto estimator: rowCount stat when available, else
+    * sizeInBytes over the 40 B/row events-projection heuristic, both
+    * clamped before toLong (BigInt join-stat products wrap negative
+    * past Long.MaxValue). Plan-time only; no job runs to decide. */
+  private def estRowsOf(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 40L)
+  }
+
+  /** Measured fold-family crossover between the generic HashAggregate
+    * and the row kernel (docs/SCALING.md "Dictionary-rollup form
+    * selection": generic 3.41 s vs row kernel 3.95 s at 3e8 rows, row
+    * kernel −21-25% at 1B — the boundary sits between those points, so
+    * the default takes the kernel PAST 3e8). Overridable per session
+    * via `spark.graft.rollup.dictThresholdRows`. */
+  private def dictThresholdRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.rollup.dictThresholdRows")
+      .flatMap(_.toLongOption).getOrElse(300000000L)
+
+  /** The standard micros projection the row forms take over the RAW
+    * events relation ([[hourlyRollupAuto]]'s fallback projection plus
+    * event_id, which the incremental split hash needs). */
+  private def microsProjection(raw: DataFrame): DataFrame =
+    raw.select(
+      graft.core.Tables.tsMicrosOf(raw.schema("ts").dataType).as("timestamp"),
+      col("event_id"), col("event_type"), col("user_id"), col("value"))
+
+  private def columnarOrElse(columnar: => DataFrame)(
+      fallback: => DataFrame): DataFrame = {
+    val viaKernel =
+      try Some(columnar)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("columnar dict kernel") => None
+      }
+    viaKernel.getOrElse(fallback)
+  }
+
+  /** SCALE/SHAPE-ADAPTIVE fold rollup over the RAW events relation —
+    * the [[hourlyRollupAuto]] discipline applied to the fold family
+    * (docs/SCALING.md "Dictionary-rollup form selection"): the
+    * columnar kernel when the input collapses to one vectorized
+    * parquet scan of the events schema; on composed inputs the ROW
+    * kernel past [[dictThresholdRows]] (default 3e8 — the measured
+    * crossover), the generic codegen'd HashAggregate fold below it
+    * (best at small scale: no row-by-row kernel boundary). A
+    * non-default `hourUs` always takes the row kernel — the generic
+    * [[graft.ops.Incremental.hourlyPartials]] pins the 1-hour bucket.
+    * Selection is plan-shape + plan-stats only — no job runs to
+    * decide. Gate keys pin each form explicitly; this is the
+    * serving-path convenience. */
+  def foldRollupAuto(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame =
+    columnarOrElse(foldRollupColumnar(raw, dict, hourUs)) {
+      val proj = microsProjection(raw)
+      if (hourUs != HourUs || estRowsOf(proj) > dictThresholdRows(raw))
+        foldRollup(proj, dict, hourUs)
+      else {
+        graft.functions.GraftFunctions.register(raw.sparkSession)
+        graft.ops.Incremental.merge(graft.ops.Incremental.hourlyPartials(proj))
+      }
+    }
+
+  /** [[foldRollupAuto]] for the incremental (split-merge) family,
+    * under the STANDARD 80/20 split — xxhash64(event_id, 'incr') mod
+    * 100 < 20, the predicate every incremental gate pins and the
+    * columnar kernel computes in-kernel. A custom split predicate
+    * means composing [[incrementalRollup]] / the generic
+    * [[graft.ops.Incremental.hourlyPartialsBy]] explicitly (the
+    * columnar kernel cannot honor an arbitrary column). */
+  def incrementalRollupAuto(raw: DataFrame, dict: Seq[String],
+      hourUs: Long = HourUs): DataFrame =
+    columnarOrElse(incrementalRollupColumnar(raw, dict, hourUs)) {
+      val proj = microsProjection(raw)
+      val isNew = pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20
+      if (hourUs != HourUs || estRowsOf(proj) > dictThresholdRows(raw))
+        incrementalRollup(proj, dict, isNew, hourUs)
+      else {
+        graft.functions.GraftFunctions.register(raw.sparkSession)
+        graft.ops.Incremental.merge(
+          graft.ops.Incremental.hourlyPartialsBy(proj, isNew).drop("split"))
+      }
+    }
+
   /** Columnar twin of [[graft.ops.Approx.sketchRollup]] under a
     * declared dictionary (same oracle — DuckDB's own
     * approx_count_distinct through the shared ratio band): per-slot
@@ -722,4 +808,23 @@ object DictRollup {
         floor(log(greatest(col("est"), lit(1L)).cast("double")) /
           lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
   }
+
+  /** SHAPE-ADAPTIVE sketch rollup over the RAW events relation: the
+    * columnar kernel when the input collapses to one vectorized
+    * parquet scan of the events schema (it wins at every measured
+    * scale — 2.26x/1.72x/1.25x vs the row twin's 5.19x/3.64x/2.48x,
+    * BASELINE.md r14 — and its state never depends on value
+    * cardinality), else the composable row form
+    * [[graft.ops.Approx.sketchRollup]] (distinct-first, with its
+    * documented degenerate-cardinality caveat). No scale threshold:
+    * unlike the fold family there is no measured scale where the row
+    * form beats the kernel on a bare scan. NULL/out-of-dict semantics
+    * follow whichever form runs (the standard dict-twin divergence —
+    * identical on declared corpora). */
+  def sketchRollupAuto(raw: DataFrame, dict: Seq[String],
+      dayUs: Long = 86400000000L): DataFrame =
+    columnarOrElse(sketchRollupColumnar(raw, dict, dayUs)) {
+      graft.functions.GraftFunctions.register(raw.sparkSession)
+      graft.ops.Approx.sketchRollup(microsProjection(raw), dayUs = dayUs)
+    }
 }

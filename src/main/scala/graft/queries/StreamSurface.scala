@@ -535,6 +535,36 @@ object StreamSurface {
       runToTable(s, graft.ops.Incremental.hourlyPartials(stream), "complete"))
   }
 
+  /** The sketch rollup as a continuous query: HLL register updates
+    * are duplicate-insensitive, so the streaming fold SKIPS the batch
+    * form's corpus-scale DISTINCT outright — raw rows fold into
+    * per-(type, day) sketches (hll_sketch_agg is a mergeable
+    * ImperativeAggregate, so Spark's partial-aggregation merge IS the
+    * streaming state merge and any micro-batch arrival order lands on
+    * the identical register state), then the per-key union + estimate
+    * + the shared ratio band render from the state table exactly as
+    * [[graft.ops.Approx.sketchRollup]]'s tail does. State bounded by
+    * (type, day) keys x lgK-12 sketch bytes — value cardinality never
+    * grows it (the columnar kernel's property, inherited live).
+    * Oracle: agg_sketch_rollup's, verbatim. */
+  private def streamSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    val dayUs = 86400000000L
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_type"), Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"))
+    val perDay = runToTable(s,
+      stream.groupBy(col("event_type"), expr(s"timestamp div $dayUs").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")),
+      "complete")
+    perDay.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col("event_type"), col("n_days"),
+        floor(log(greatest(col("est"), lit(1L)).cast("double")) /
+          lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
+  }
+
   /** CDC keep-latest as a continuous query: the same grouped
     * struct-max as the batch gate — ONE struct of state per key,
     * order-independent merge (max is associative/commutative), so the
@@ -601,6 +631,7 @@ object StreamSurface {
     "stream_heatmap" -> streamHeatmap,
     "stream_cdc_upsert" -> streamCdcUpsert,
     "stream_hourly_rollup" -> streamHourlyRollup,
+    "stream_sketch_rollup" -> streamSketchRollup,
     "stream_warc_ingest" -> streamWarcIngest,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -843,6 +874,10 @@ object StreamSurface {
     // stream/batch parity: the mergeable fold state is associative,
     // so the batch rollup oracle applies verbatim
     "stream_hourly_rollup" -> AnalyticsSurface.oracleSql("agg_rollup_fold"),
+    // stream/batch parity: HLL register updates are duplicate-
+    // insensitive AND associative, so the batch sketch oracle applies
+    // verbatim (the stream even skips the batch form's DISTINCT)
+    "stream_sketch_rollup" -> AnalyticsSurface.oracleSql("agg_sketch_rollup"),
     // stateless record explode: stream ≡ batch, oracle verbatim
     "stream_warc_ingest" -> SourcesSurface.oracleSql("warc_extract"),
     // the batch M4 envelope on the unranged stream series

@@ -97,18 +97,78 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     // a derived column) -> row-kernel branch; both equal the generic
     val auto = graft.ops.DictRollup.hourlyRollupAuto(raw, dict)
       .orderBy("hour_ts", "event_type").collect().toSeq
-    // value-preserving computed projection (ts + 0): the columnar
-    // guard must REJECT it (a kernel reading the bare scan would skip
-    // the Project silently) and the auto must fall back to the row
-    // kernel — same values either way
+    // row-preserving FILTER: it lands in the scan's dataFilters, which
+    // the columnar guard rejects, so the auto must fall back to the
+    // row kernel — same values either way. (A ts + 0 projection would
+    // NOT exercise the fallback: the optimizer folds it back to a
+    // bare scan, which the kernel then legitimately accepts.)
     val composed = graft.ops.DictRollup.hourlyRollupAuto(
-      raw.select((col("ts") + lit(0L)).as("ts"), col("event_id"),
-        col("user_id"), col("event_type"), col("value"), col("props")),
+      raw.filter(col("event_id") >= 0L),
       dict).orderBy("hour_ts", "event_type").collect().toSeq
     val colK = AnalyticsSurface.queries("agg_hourly_rollup_dict_col")(
       spark, dir.getAbsolutePath).orderBy("hour_ts", "event_type").collect().toSeq
     assert(auto == colK, "auto on a bare scan diverged from the columnar kernel")
     assert(composed == colK, "auto on a composed input diverged in VALUES")
+  }
+
+  test("fold/incremental/sketch auto selectors: kernel on a bare scan, threshold-ruled fallback on composed inputs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-hrdauto").toFile
+    dir.deleteOnExit()
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong * 600000000L * 1000L, 1L + i % 9,
+        dict(i % dict.size), i * 0.25, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    // a row-preserving FILTER lands in the scan's dataFilters, which
+    // the columnar guard rejects (a ts+0 projection would NOT do: the
+    // optimizer folds it back to a bare scan, which the kernel then
+    // legitimately accepts) — so the auto must take the fallback
+    // branch, with the same VALUES either way
+    def composedOf(r: org.apache.spark.sql.DataFrame) =
+      r.filter(col("event_id") >= 0L)
+    // a kernel form's partials enter the plan as a LogicalRDD leaf;
+    // the generic HashAggregate fold reads the parquet relation direct
+    def viaKernel(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    def sorted(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.orderBy(cols.head, cols.tail: _*).collect().toSeq
+
+    val foldRef = sorted(AnalyticsSurface.queries("agg_rollup_fold")(
+      spark, dir.getAbsolutePath), "hour_ts", "event_type")
+    val foldBare = graft.ops.DictRollup.foldRollupAuto(raw, dict)
+    assert(viaKernel(foldBare), "fold auto must take the columnar kernel on a bare scan")
+    assert(sorted(foldBare, "hour_ts", "event_type") == foldRef)
+    val foldComposed = graft.ops.DictRollup.foldRollupAuto(composedOf(raw), dict)
+    assert(!viaKernel(foldComposed),
+      "fold auto must take the GENERIC form on a composed input under the 3e8 threshold")
+    assert(sorted(foldComposed, "hour_ts", "event_type") == foldRef)
+    spark.conf.set("spark.graft.rollup.dictThresholdRows", "1")
+    try {
+      val foldRowKernel = graft.ops.DictRollup.foldRollupAuto(composedOf(raw), dict)
+      assert(viaKernel(foldRowKernel),
+        "fold auto must take the ROW kernel on a composed input past the threshold")
+      assert(sorted(foldRowKernel, "hour_ts", "event_type") == foldRef)
+    } finally spark.conf.unset("spark.graft.rollup.dictThresholdRows")
+
+    val incrRef = sorted(AnalyticsSurface.queries("agg_incremental_rollup")(
+      spark, dir.getAbsolutePath), "hour_ts", "event_type")
+    assert(sorted(graft.ops.DictRollup.incrementalRollupAuto(raw, dict),
+      "hour_ts", "event_type") == incrRef)
+    assert(sorted(graft.ops.DictRollup.incrementalRollupAuto(composedOf(raw), dict),
+      "hour_ts", "event_type") == incrRef)
+
+    val sketchRef = sorted(AnalyticsSurface.queries("agg_sketch_rollup")(
+      spark, dir.getAbsolutePath), "event_type")
+    val sketchBare = graft.ops.DictRollup.sketchRollupAuto(raw, dict)
+    assert(viaKernel(sketchBare), "sketch auto must take the columnar kernel on a bare scan")
+    assert(sorted(sketchBare, "event_type") == sketchRef)
+    assert(sorted(graft.ops.DictRollup.sketchRollupAuto(composedOf(raw), dict),
+      "event_type") == sketchRef)
   }
 
   test("NaN/Infinity values: all four fold forms agree (counted in n, skipped in the sum)") {
