@@ -109,6 +109,61 @@ object DictRollup {
       (dict.size + 1) + codeExpr(dict).cast("long")
   }
 
+  /** Per-batch category decode for the columnar kernels. The
+    * vectorized parquet reader usually hands the event_type column
+    * over still DICTIONARY-encoded (parquet's own string dictionary) —
+    * in that case each distinct parquet dictionary id maps to its
+    * category code ONCE (lazily, decoded through the row's own
+    * getUTF8String — only the public WritableColumnVector surface, no
+    * reflection into the Dictionary itself) and every other row of
+    * the batch is an int-array lookup instead of an up-to-|dict|
+    * UTF8String byte-compare chain with a per-row UTF8String wrapper
+    * allocation. Plain-encoded vectors fall back to the when-chain
+    * equality walk. MUST be reset per batch: the parquet dictionary
+    * is a column-chunk property and can change or disappear (encoding
+    * fallback) at any batch boundary — by the time a batch surfaces,
+    * Spark's reader has already normalized mixed-encoding batches to
+    * hasDictionary=false, so ids are valid for every non-null row
+    * whenever it reports true. Callers guarantee !v.isNullAt(i). */
+  private final class CategoryCodec(dictU: Array[
+      org.apache.spark.unsafe.types.UTF8String]) {
+    private var ids: org.apache.spark.sql.execution.vectorized.WritableColumnVector = null
+    private var idCodes: Array[Int] = new Array[Int](0)
+
+    private def codeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+      var c = 0
+      while (c < dictU.length) {
+        if (dictU(c).equals(s)) return c
+        c += 1
+      }
+      dictU.length // quarantine (out-of-dictionary)
+    }
+
+    def reset(v: org.apache.spark.sql.vectorized.ColumnVector): Unit = {
+      ids = v match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary => w.getDictionaryIds
+        case _ => null
+      }
+      java.util.Arrays.fill(idCodes, -1)
+    }
+
+    def code(v: org.apache.spark.sql.vectorized.ColumnVector, i: Int): Int = {
+      if (ids == null) return codeOf(v.getUTF8String(i))
+      val id = ids.getDictId(i)
+      if (id < 0 || id >= idCodes.length) {
+        if (id < 0) return codeOf(v.getUTF8String(i)) // defensive: treat as plain
+        val grown = new Array[Int](math.max(id + 1, 16))
+        java.util.Arrays.fill(grown, -1)
+        System.arraycopy(idCodes, 0, grown, 0, idCodes.length)
+        idCodes = grown
+      }
+      var c = idCodes(id)
+      if (c < 0) { c = codeOf(v.getUTF8String(i)); idCodes(id) = c }
+      c
+    }
+  }
+
   /** The imperative per-partition fold for the sum-only kernels:
     * projected rows (k long, m6 long-or-null) → per-task partial rows
     * (k, n, h6, l6). Same open-addressed LongMap + last-key memo as
@@ -425,6 +480,7 @@ object DictRollup {
       StructField("bm", BinaryType, nullable = false)))
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[Slot](64)
+      val codec = new CategoryCodec(dictU)
       var lastK = Long.MinValue
       var lastSlot: Slot = null
       var empty = true
@@ -433,6 +489,7 @@ object DictRollup {
         val (vTs, vTy, vUid, vVal) =
           (batch.column(iTs), batch.column(iTy), batch.column(iUid),
             batch.column(iVal))
+        codec.reset(vTy)
         var i = 0
         val nRows = batch.numRows()
         while (i < nRows) {
@@ -440,15 +497,8 @@ object DictRollup {
             "dictionary rollup: null timestamp in input (a time-series " +
               "point without a time is malformed; filter upstream if intended)")
           val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
-          var code = dictU.length // quarantine (incl. NULL event_type)
-          if (!vTy.isNullAt(i)) {
-            val s = vTy.getUTF8String(i)
-            var c = 0
-            while (c < dictU.length && code == dictU.length) {
-              if (dictU(c).equals(s)) code = c
-              c += 1
-            }
-          }
+          // quarantine code (incl. NULL event_type) = dictU.length
+          val code = if (vTy.isNullAt(i)) dictU.length else codec.code(vTy, i)
           // the hourly form FLOORS the hour (pre-1970-safe pmod shape)
           val k = Math.floorDiv(ts, hourUs) * m + code
           var slot = if (!empty && k == lastK) lastSlot else null
@@ -508,6 +558,7 @@ object DictRollup {
       StructField("l6", LongType, nullable = false)))
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+      val codec = new CategoryCodec(dictU)
       var lastK = Long.MinValue
       var lastSlot: SumSlot = null
       var empty = true
@@ -516,6 +567,7 @@ object DictRollup {
         val (vTs, vTy, vVal) =
           (batch.column(iTs), batch.column(iTy), batch.column(iVal))
         val vId = if (withSplit) batch.column(iId) else null
+        codec.reset(vTy)
         var i = 0
         val nRows = batch.numRows()
         while (i < nRows) {
@@ -523,15 +575,7 @@ object DictRollup {
             "dictionary rollup: null timestamp in input (a time-series " +
               "point without a time is malformed; filter upstream if intended)")
           val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
-          var code = dictU.length
-          if (!vTy.isNullAt(i)) {
-            val s = vTy.getUTF8String(i)
-            var c = 0
-            while (c < dictU.length && code == dictU.length) {
-              if (dictU(c).equals(s)) code = c
-              c += 1
-            }
-          }
+          val code = if (vTy.isNullAt(i)) dictU.length else codec.code(vTy, i)
           // trunc-hour: (ts - ts % h) / h — the Incremental.hourTs shape
           var k = (ts - ts % hourUs) / hourUs * m + code
           if (withSplit) {
@@ -748,6 +792,7 @@ object DictRollup {
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[
         org.apache.datasketches.hll.HllSketch](64)
+      val codec = new CategoryCodec(dictU)
       var lastK = Long.MinValue
       var lastSlot: org.apache.datasketches.hll.HllSketch = null
       var empty = true
@@ -755,6 +800,7 @@ object DictRollup {
         val batch = it.next()
         val (vTs, vTy, vUid) =
           (batch.column(iTs), batch.column(iTy), batch.column(iUid))
+        codec.reset(vTy)
         var i = 0
         val nRows = batch.numRows()
         while (i < nRows) {
@@ -762,15 +808,7 @@ object DictRollup {
             "dictionary rollup: null timestamp in input (a time-series " +
               "point without a time is malformed; filter upstream if intended)")
           val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
-          var code = dictU.length
-          if (!vTy.isNullAt(i)) {
-            val s = vTy.getUTF8String(i)
-            var c = 0
-            while (c < dictU.length && code == dictU.length) {
-              if (dictU(c).equals(s)) code = c
-              c += 1
-            }
-          }
+          val code = if (vTy.isNullAt(i)) dictU.length else codec.code(vTy, i)
           // trunc-day mirrors the row twin's `timestamp div dayUs`
           val k = ts / dayUs * m + code
           var slot = if (!empty && k == lastK) lastSlot else null

@@ -171,6 +171,41 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       "event_type") == sketchRef)
   }
 
+  test("columnar category codec survives parquet dictionary fallback (mixed-encoding column chunk)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-hrdfb").toFile
+    dir.deleteOnExit()
+    // ~135k distinct ~20-byte event types blow parquet's 1 MB
+    // dictionary-page bound mid-chunk, so the writer falls back to
+    // plain encoding partway through the column chunk; Spark's
+    // vectorized reader then surfaces batches WITHOUT dictionary ids
+    // (it normalizes mixed-encoding batches) and the codec must take
+    // the equality-walk path. Rogue types quarantine identically in
+    // the row and columnar kernels, so the differential holds even on
+    // this undeclared corpus.
+    val n = 150000
+    val rows = (0 until n).map { i =>
+      val ty = if (i % 10 == 0) dict((i / 10) % dict.size)
+        else f"rogue_type_padding_$i%012d"
+      (i.toLong, (i % 50).toLong * 3600000000L * 1000L, 1L + i % 9,
+        ty, i * 0.5, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    def rowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("hour_ts", "event_type").collect().toSeq
+    val rowK = rowsOf("agg_rollup_fold_dict")
+    val colK = rowsOf("agg_rollup_fold_dict_col")
+    assert(rowK == colK,
+      s"columnar fold diverged from the row kernel on the dictionary-fallback corpus")
+    // sanity: the quarantine row absorbed all 135k rogue events
+    val quarantine = colK.filter(_.isNullAt(0))
+    assert(quarantine.map(_.getLong(2)).sum == (n - n / 10).toLong)
+  }
+
   test("NaN/Infinity values: all four fold forms agree (counted in n, skipped in the sum)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
