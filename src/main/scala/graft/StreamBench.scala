@@ -152,6 +152,18 @@ object StreamBench {
       Bench("stream_sample_by", "complete", (s, d, _) =>
         graft.engine.SeriesOps.sampleBy(
           evStream(s, d).select("timestamp", "value"), 3600000000L), "events"),
+      // the r14 rollup twins: state = (type, hour) fold partials /
+      // (type, day) HLL registers — bounded by the key population (and
+      // lgK), never by value cardinality; the batch oracles apply
+      // verbatim (associative merge / duplicate-insensitive updates)
+      Bench("stream_hourly_rollup", "complete", (s, d, _) =>
+        graft.ops.Incremental.hourlyPartials(
+          evStream(s, d).select("event_type", "timestamp", "value")), "events"),
+      Bench("stream_sketch_rollup", "complete", (s, d, _) =>
+        evStream(s, d)
+          .groupBy(col("event_type"),
+            expr("timestamp div 86400000000").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk")), "events"),
       Bench("stream_dedup_incremental", "complete", (s, _, dd) => {
         val isIn = graft.ops.Sampling.uniformHashPredicate(col("doc_id"), 20, "ingest")
         val existing = s.read.schema(documentsSchema)
