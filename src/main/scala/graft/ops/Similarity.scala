@@ -123,9 +123,16 @@ object Similarity {
     // r13 artifact (recall_maxq50_r13.json): the two vetoed books
     "lsh:tables=1,planes=6" -> 0.076,
     "ivfpq:nsub=4,ksub=4,rerank=50" -> 0.012,
-    // r14 artifact (recall_maxq50_r14.json): the raised defaults...
+    // r14 artifacts (recall_maxq50_r14.json, _r14b.json): the raised
+    // defaults...
     "lsh:tables=8,planes=6" -> 0.478,
+    "ivfpq:nsub=8,ksub=8,rerank=1200" -> 0.394,
     "ivfpq:nsub=8,ksub=8,rerank=600" -> 0.320,
+    // the late-r14 rerank-recall curve (rerank is a per-query
+    // constant — its cost fraction shrinks with corpus scale — and is
+    // ceilinged by the 56.4% nprobe-2 cell coverage)
+    "ivfpq:nsub=8,ksub=8,rerank=900" -> 0.370,
+    "ivfpq:nsub=8,ksub=8,rerank=2000" -> 0.454,
     // ...and the intermediate books measured on the way there —
     // honest provenance for anyone re-tuning the trade. 16 subspaces
     // measured BETTER (41.6% at rerank 300) but is not shipped as the
@@ -934,7 +941,7 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0"),
-      nSub: Int = 8, kSub: Int = 8, rerank: Int = 600,
+      nSub: Int = 8, kSub: Int = 8, rerank: Int = 1200,
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     guardBook(embeddings.sparkSession, s"ivfpq:nsub=$nSub,ksub=$kSub,rerank=$rerank")

@@ -203,18 +203,38 @@ object SimilaritySurface {
   /** r14 measured PQ book (r13 verdict #3): the 4x4 book's pinned
     * recall was 1.2% mean recall@10 at 60k — near-noise, now refused
     * at construction (Similarity.guardBook). 8 subspaces x 8
-    * sub-centroids with rerank 600 is the re-pinned gate
-    * configuration: 32.0% mean recall@10, measured past
-    * 8x8/rerank-100's 12.6% and 8x8/rerank-300's 23.4%
-    * (recall_maxq50_r14.json). 16 subspaces measured better still
-    * (41.6% at rerank 300) but its 16 chained k-means CTE replays
-    * blow the DuckDB oracle's execution budget — an operator default
-    * the oracle can't affordably replay loses its cross-engine
-    * verification, so 16x8 stays a pinned non-gate option
-    * (Similarity.pinnedRecall). */
+    * sub-centroids is the gate book; the rerank default moved 600 →
+    * 1200 late in r14 on the measured curve (see [[PQ_RERANK]]):
+    * 39.4% mean recall@10 (recall_maxq50_r14b.json), past rerank-100's
+    * 12.6%, -300's 23.4%, -600's 32.0%. 16 subspaces measured better
+    * still (41.6% at rerank 300) but its 16 chained k-means CTE
+    * replays blow the DuckDB oracle's execution budget — an operator
+    * default the oracle can't affordably replay loses its
+    * cross-engine verification, so 16x8 stays a pinned non-gate
+    * option (Similarity.pinnedRecall). */
   private val NSUB = 8
   private val KSUB = 8
-  private val PQ_RERANK = 600
+  /** Gate default 1200 (late r14, raised from 600): the measured
+    * rerank-recall curve on the 60k reference corpus is 600→32.0%,
+    * 900→37.0%, 1200→39.4%, 2000→45.4% mean recall@10, against the
+    * 56.4% ceiling the nprobe-2 cell coverage imposes (rerank can
+    * never exceed [[sim_recall_ivf]]'s number — closing the rest
+    * means a bigger book, and 16 subspaces is vetoed by the oracle
+    * budget). Rerank is a per-query CONSTANT: its cost fraction
+    * shrinks as the corpus grows, so raising it is free at scale —
+    * 1200 takes the last cheap +7.4 pts. Overridable (like [[MAXQ]])
+    * via SPARK_GRAFT_SIM_PQ_RERANK for rerank-sensitivity
+    * measurement — BOTH the Spark plan and the oracle SQL derive from
+    * this constant, so an override keeps the two sides paired. */
+  private val PQ_RERANK = sys.env.get("SPARK_GRAFT_SIM_PQ_RERANK") match {
+    case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+      System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_SIM_PQ_RERANK='$v' " +
+          "(need a positive int); using default 1200")
+      1200
+    }
+    case None => 1200
+  }
   /** r14 measured LSH book: 8 independent 6-bit tables (the pinned
     * single-table book recalled 7.6% — vetoed at construction). */
   private val NTABLES = 8
