@@ -55,6 +55,14 @@ object DictRollup {
 
   private val HourUs = 3600000000L
 
+  /** The 4-byte split salt "incr" as its little-endian int word:
+    * XXH64.hashInt(word, seed) == XXH64.hashUnsafeBytes(bytes, seed)
+    * for any 4-byte input (the xxhash 4-byte-tail path IS hashInt;
+    * HourlyRollupDictSpec locks the equivalence over random seeds),
+    * so the kernels skip the bounds-checked byte walk per row.
+    * Package-visible for the spec. */
+  private[graft] val SaltIncrLE: Int = 0x72636e69 // 'i','n','c','r' LE
+
   private def micros6(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.Micros6(
@@ -550,7 +558,6 @@ object DictRollup {
     val dictU = dict.map(
       org.apache.spark.unsafe.types.UTF8String.fromString).toArray
     val m = dict.size + 1
-    val saltU = org.apache.spark.unsafe.types.UTF8String.fromString("incr")
     val partialSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
@@ -580,14 +587,18 @@ object DictRollup {
           var k = (ts - ts % hourUs) / hourUs * m + code
           if (withSplit) {
             // xxhash64(event_id, 'incr'): seed 42, fold the long, then
-            // the salt bytes — the generic gate's exact split chain
+            // the salt bytes — the generic gate's exact split chain.
+            // The 4-byte salt goes through hashInt of its LE word
+            // (0x72636e69 = "incr"): XXH64's 4-byte-tail path IS
+            // hashInt, spec-locked exhaustively over random seeds in
+            // HourlyRollupDictSpec — same value, no per-row
+            // bounds-checked byte walk
             var h = 42L
             if (!vId.isNullAt(i))
               h = org.apache.spark.sql.catalyst.expressions.XXH64
                 .hashLong(vId.getLong(i), h)
             h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUnsafeBytes(saltU.getBaseObject, saltU.getBaseOffset,
-                saltU.numBytes, h)
+              .hashInt(SaltIncrLE, h)
             k = k * 2 + (if (Math.floorMod(h, 100L) < 20L) 1L else 0L)
           }
           var slot = if (!empty && k == lastK) lastSlot else null

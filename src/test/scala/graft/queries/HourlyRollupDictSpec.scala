@@ -171,6 +171,23 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       "event_type") == sketchRef)
   }
 
+  test("the kernels' hashInt salt specialization equals the generic xxhash64 salt-bytes chain") {
+    // the incremental kernels hash the 4-byte "incr" salt via
+    // XXH64.hashInt of its LE word instead of the bounds-checked byte
+    // walk; xxhash's 4-byte-tail path IS hashInt, but lock it against
+    // drift over random seeds (a divergence would silently flip split
+    // bits and break the merge-equals-rescan identity)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val salt = org.apache.spark.unsafe.types.UTF8String.fromString("incr")
+    val rnd = new scala.util.Random(7)
+    (0 until 100000).foreach { _ =>
+      val seed = rnd.nextLong()
+      assert(XXH64.hashUnsafeBytes(salt.getBaseObject, salt.getBaseOffset,
+          salt.numBytes, seed) ===
+        XXH64.hashInt(graft.ops.DictRollup.SaltIncrLE, seed))
+    }
+  }
+
   test("columnar category codec survives parquet dictionary fallback (mixed-encoding column chunk)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
