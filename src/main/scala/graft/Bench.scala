@@ -111,7 +111,10 @@ object Bench {
     // the columnar dict kernels — the r14 falsification outcome: the
     // r13 "projection floor" was the row-decode boundary
     "agg_hourly_rollup_dict_col", "agg_rollup_fold_dict_col",
-    "agg_incremental_rollup_dict_col", "agg_sketch_rollup_col")
+    "agg_incremental_rollup_dict_col", "agg_sketch_rollup_col",
+    // late-r14: corpus-trained BPE merge table (data-scale word count,
+    // vocab-bounded driver fold, oracle replays the greedy loop)
+    "text_bpe_train")
 
   /** One JVM telemetry snapshot as a JSON object string — the
     * fleet-drift instrumentation (r13 verdict #4): same-code fleets

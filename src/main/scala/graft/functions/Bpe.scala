@@ -80,6 +80,37 @@ object BpeModel {
     out.result()
   }
 
+  /** [[learn]] with the selected pair's frequency-weighted count
+    * recorded per merge — the CORPUS-TRAINED variant the text_bpe_train
+    * gate uses (the hardcoded [[TRAIN]] model stays the tokenizer's
+    * fixture; this trains on real word frequencies). Same greedy rule:
+    * max weighted adjacent-pair count (overlapping pairs each count,
+    * the sliding(2) convention), ties to the lexicographically
+    * smallest (a, b); merges applied with the left-to-right
+    * non-overlapping [[mergeAll]] sweep. Returns (left, right, count)
+    * in rank order; stops early when no pairs remain. */
+  def learnWithCounts(corpus: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String, Long)] = {
+    var words: Seq[(List[String], Long)] =
+      corpus.map { case (w, c) => (w.toList.map(_.toString), c) }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var n = 0
+    while (n < nMerges && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- words; Seq(a, b) <- syms.sliding(2) if syms.length > 1)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        words = words.map { case (syms, w) => (mergeAll(syms, a, b), w) }
+        n += 1
+      }
+    }
+    out.result()
+  }
+
   /** The learned merge table, in rank order. */
   lazy val merges: Seq[(String, String)] = learn(TRAIN, N_MERGES)
 

@@ -15,6 +15,53 @@ object TextSurface {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** text_bpe_train knobs: nMerges bounds the oracle's unrolled CTE
+    * chain (the KMEANS_ITERS precedent), vocabCap bounds the driver's
+    * model state (deterministic freq-desc/word-asc cut — at gate
+    * scale the 31-word vocab sits far inside it, so the cap is
+    * declared, not binding). */
+  private val BPE_TRAIN_MERGES = 16
+  private val BPE_TRAIN_VOCAB = 1000
+
+  /** The oracle replay of [[graft.ops.Tokenizer.bpeTrain]]: word
+    * frequencies in SQL, then nMerges unrolled greedy stages over a
+    * ' sym|'-encoded segmentation string. The '|' terminator makes
+    * symbol boundaries unambiguous ('b' cannot match inside 'bc') and
+    * DuckDB's left-to-right non-overlapping `replace` is then exactly
+    * BpeModel.mergeAll — e.g. merging (a,a) on ' a| a| a|' consumes
+    * the first two and leaves ' aa| a|'. Pair counts are
+    * frequency-weighted with overlapping pairs each counted
+    * (list_zip(syms, syms[2:])), ties break (cnt desc, a, b) — the
+    * learnWithCounts rule; an exhausted stage (no pairs) yields no
+    * row and passes segs through, matching the early stop. */
+  private def bpeTrainSql(nMerges: Int, vocabCap: Int): String = {
+    val init =
+      s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok WHERE word <> ''
+         |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabCap),
+         |w0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(
+         |    list_transform(regexp_extract_all(word, '.'), c -> c || '|'), ' ') AS seg
+         |  FROM vocab)""".stripMargin
+    val stages = (0 until nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(syms, syms[2:])) AS pr
+         |        FROM (SELECT freq, list_transform(
+         |            string_split(ltrim(seg, ' '), ' '), x -> rtrim(x, '|')) AS syms
+         |          FROM w$i))
+         |  WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT w.freq,
+         |    coalesce(replace(w.seg, ' ' || b.a || '| ' || b.b || '|',
+         |      ' ' || b.a || b.b || '|'), w.seg) AS seg
+         |  FROM w$i w LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    val union = (0 until nMerges).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a AS left_sym, " +
+        s"b AS right_sym, cnt AS pair_freq FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n${stages.mkString(",\n")}\n$union"
+  }
+
   // ---- Spark-side plans ----
 
   /** Per-document stats: token counts, character-class ratios (integer
@@ -187,6 +234,13 @@ object TextSurface {
       graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(col("doc_id"), expr("bpe_count(text)").as("n_bpe"))
     }),
+    // tokenizer TRAINING over the corpus (graft.ops.Tokenizer): the
+    // data-scale work is one word-frequency aggregation; the greedy
+    // merge loop folds the vocabCap-bounded vocab at the driver, and
+    // the oracle replays the SAME loop as nMerges unrolled CTE stages
+    "text_bpe_train" -> ((s, dir) =>
+      graft.ops.Tokenizer.bpeTrain(docs(s, dir), BPE_TRAIN_MERGES,
+        BPE_TRAIN_VOCAB)),
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
@@ -1469,6 +1523,7 @@ object TextSurface {
       }
       s"SELECT doc_id, CAST(len(regexp_extract_all($chain, '\\S+')) AS BIGINT) AS n_bpe FROM documents"
     },
+    "text_bpe_train" -> bpeTrainSql(BPE_TRAIN_MERGES, BPE_TRAIN_VOCAB),
     "dedup_exact" ->
       s"""SELECT md5($NORM) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
          |FROM documents GROUP BY 1""".stripMargin,

@@ -61,6 +61,27 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"divergence: ${bad.take(3).mkString(", ")}")
   }
 
+  test("learnWithCounts mirrors learn and records the selected pair's weighted count") {
+    // same merges as learn on the model fixture...
+    val fixture = BpeModel.TRAIN.map { case (w, c) => (w, c.toLong) }
+    val withCounts = BpeModel.learnWithCounts(fixture, BpeModel.N_MERGES)
+    assert(withCounts.map(m => (m._1, m._2)) ==
+      BpeModel.learn(BpeModel.TRAIN, BpeModel.N_MERGES))
+    // ...counts are the stage-time weighted pair frequencies: on a
+    // hand-checkable corpus, (a,a) in 'aaa' counts BOTH overlapping
+    // pairs (weight x2), the sliding(2) convention; the merge itself
+    // is then non-overlapping (aa + a), so stage 2's best pair is
+    // (aa, a) with the word's full weight
+    val tiny = Seq(("aaa", 5L), ("ab", 3L))
+    val m = BpeModel.learnWithCounts(tiny, 3)
+    assert(m.head == ("a", "a", 10L), s"stage 1: ${m.head}")
+    assert(m(1) == ("aa", "a", 5L), s"stage 2: ${m(1)}")
+    // early stop: 'ab' merges at stage 3, then no pairs remain
+    assert(m(2) == ("a", "b", 3L) && m.length == 3)
+    assert(BpeModel.learnWithCounts(tiny, 10).length == 3,
+      "must stop once every word is a single symbol")
+  }
+
   test("document counts sum per-word counts over the normalized text") {
     GraftFunctions.register(spark)
     val got = Seq("Scan, the WINDOW!  zq 42", "", "   ", "scan scan scan")
