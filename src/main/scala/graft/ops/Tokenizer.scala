@@ -44,7 +44,13 @@ object Tokenizer {
     val spark = docs.sparkSession
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+      // the '|' guard byte delimits symbols in the oracle's
+      // segmentation encoding; a word containing it would make that
+      // encoding ambiguous (a symbol ending in '|' blurs the
+      // boundary), so such words are excluded from training on BOTH
+      // sides — a pinned contract, not an oracle-only patch (the
+      // practical analog: BPE trainers routinely drop control bytes)
+      .filter(col("word") =!= "" && !col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabCap)

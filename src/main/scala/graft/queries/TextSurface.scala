@@ -37,7 +37,8 @@ object TextSurface {
   private def bpeTrainSql(nMerges: Int, vocabCap: Int): String = {
     val init =
       s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-         |vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok WHERE word <> ''
+         |vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok
+         |  WHERE word <> '' AND word NOT LIKE '%|%'
          |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabCap),
          |w0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(
          |    list_transform(regexp_extract_all(word, '.'), c -> c || '|'), ' ') AS seg

@@ -82,6 +82,18 @@ class BpeSpec extends AnyFunSuite {
       "must stop once every word is a single symbol")
   }
 
+  test("bpeTrain excludes words carrying the oracle's '|' guard byte (pinned contract)") {
+    import spark.implicits._
+    // 'sc|an' would make the oracle's ' sym|' segmentation encoding
+    // ambiguous — the pinned contract drops such words from training
+    // on BOTH sides, so the merge table must equal the clean corpus'
+    val clean = Seq("scan scan scan line line").toDF("text")
+    val dirty = Seq("scan scan scan line line sc|an sc|an sc|an sc|an").toDF("text")
+    val a = graft.ops.Tokenizer.bpeTrain(clean, nMerges = 4).collect().toSeq
+    val b = graft.ops.Tokenizer.bpeTrain(dirty, nMerges = 4).collect().toSeq
+    assert(a == b, s"guard-byte word leaked into training: $b vs $a")
+  }
+
   test("document counts sum per-word counts over the normalized text") {
     GraftFunctions.register(spark)
     val got = Seq("Scan, the WINDOW!  zq 42", "", "   ", "scan scan scan")
