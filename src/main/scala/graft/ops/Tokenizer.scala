@@ -44,14 +44,28 @@ object Tokenizer {
     val spark = docs.sparkSession
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
-      // the '|' guard byte delimits symbols in the oracle's
-      // segmentation encoding; a word containing it would make that
-      // encoding ambiguous (a symbol ending in '|' blurs the
-      // boundary), so such words are excluded from training on BOTH
-      // sides — a pinned contract, not an oracle-only patch (the
-      // practical analog: BPE trainers routinely drop control bytes)
-      .filter(col("word") =!= "" && !col("word").contains("|"))
+      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      // The pinned training contract (r14 + ADVICE r15), applied at
+      // VOCABULARY scale — the predicate is on the group key, so
+      // filtering distinct words after the count is identical to
+      // filtering every token before it, minus the per-token regex.
+      // Excluded from training on BOTH sides (the practical analog:
+      // BPE trainers routinely drop control bytes):
+      //  - '|' — the oracle's segmentation guard byte; a symbol
+      //    containing it blurs the encoding's boundaries;
+      //  - control characters (C0 + DEL) — the oracle segments via
+      //    RE2's '.', which silently skips '\n', so a newline-bearing
+      //    word would train DIFFERENT pair counts on the two sides;
+      //  - non-BMP code points and lone surrogates — Scala segments
+      //    into UTF-16 code units while the oracle segments into code
+      //    points, and the merge tie-break compares UTF-16 order vs
+      //    UTF-8 byte order; both diverge only above U+FFFF. (The
+      //    surrogate clause is Scala-only by construction: lone
+      //    surrogates cannot exist in the oracle's valid UTF-8.)
+      .filter(!col("word").contains("|") &&
+        !col("word").rlike(
+          "[\\x00-\\x1F\\x7F\\uD800-\\uDFFF]|[\\x{10000}-\\x{10FFFF}]"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabCap)
       .collect() // bounded by vocabCap — model state at the driver

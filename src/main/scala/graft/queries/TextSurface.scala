@@ -39,6 +39,7 @@ object TextSurface {
       s"""tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
          |vocab AS MATERIALIZED (SELECT word, count(*) AS freq FROM tok
          |  WHERE word <> '' AND word NOT LIKE '%|%'
+         |    AND NOT regexp_matches(word, '[\\x00-\\x1f\\x7f]|[\\x{10000}-\\x{10FFFF}]')
          |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabCap),
          |w0 AS MATERIALIZED (SELECT freq, ' ' || array_to_string(
          |    list_transform(regexp_extract_all(word, '.'), c -> c || '|'), ' ') AS seg

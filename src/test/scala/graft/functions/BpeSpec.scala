@@ -94,6 +94,25 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b, s"guard-byte word leaked into training: $b vs $a")
   }
 
+  test("bpeTrain excludes control-char and non-BMP words (ADVICE r14: RE2 '.' drops \\n; code-unit vs code-point segmentation)") {
+    import spark.implicits._
+    // A newline-bearing word would train DIFFERENT pair counts on the
+    // two sides (the oracle's regexp_extract_all(word, '.') silently
+    // skips '\n' while Scala's w.toList keeps it), and a non-BMP word
+    // segments into UTF-16 code units on one side vs code points on
+    // the other — the extended pinned contract drops both classes
+    // from training on BOTH sides, so the merge table must equal the
+    // clean corpus'. Text is split on ' ' only, so the \n stays
+    // inside its word.
+    val clean = Seq("scan scan scan line line").toDF("text")
+    val dirty = Seq("scan scan scan line line ab\ncd ab\ncd ab\ncd " +
+      "ab\tcd ab\u007Fcd a\uD83D\uDE00b a\uD83D\uDE00b a\uD83D\uDE00b")
+      .toDF("text")
+    val a = graft.ops.Tokenizer.bpeTrain(clean, nMerges = 4).collect().toSeq
+    val b = graft.ops.Tokenizer.bpeTrain(dirty, nMerges = 4).collect().toSeq
+    assert(a == b, s"control/non-BMP word leaked into training: $b vs $a")
+  }
+
   test("document counts sum per-word counts over the normalized text") {
     GraftFunctions.register(spark)
     val got = Seq("Scan, the WINDOW!  zq 42", "", "   ", "scan scan scan")
