@@ -114,7 +114,11 @@ object Bench {
     "agg_incremental_rollup_dict_col", "agg_sketch_rollup_col",
     // late-r14: corpus-trained BPE merge table (data-scale word count,
     // vocab-bounded driver fold, oracle replays the greedy loop)
-    "text_bpe_train")
+    "text_bpe_train",
+    // round-15: the INFERRED-dictionary kernels — the undeclared-corpus
+    // exit for the last >2x-at-1B generic forms (scan-time dictionary
+    // discovery off the parquet dictionary ids)
+    "agg_rollup_fold_inferred", "agg_incremental_rollup_inferred")
 
   /** One JVM telemetry snapshot as a JSON object string — the
     * fleet-drift instrumentation (r13 verdict #4): same-code fleets

@@ -55,13 +55,21 @@ object DictRollup {
 
   private val HourUs = 3600000000L
 
-  /** The 4-byte split salt "incr" as its little-endian int word:
+  /** The 4-byte split salt "incr" as its NATIVE-order int word:
     * XXH64.hashInt(word, seed) == XXH64.hashUnsafeBytes(bytes, seed)
-    * for any 4-byte input (the xxhash 4-byte-tail path IS hashInt;
+    * for any 4-byte input (the xxhash 4-byte-tail path IS hashInt —
+    * it reads the tail via native-order Platform.getInt;
     * HourlyRollupDictSpec locks the equivalence over random seeds),
-    * so the kernels skip the bounds-checked byte walk per row.
+    * so the kernels skip the bounds-checked byte walk per row. The
+    * word is derived once at class-load in the platform's own byte
+    * order (ADVICE r14: a hardcoded 0x72636e69 assumed little-endian;
+    * on a big-endian JVM it would flip split bits — the spec would
+    * fail loudly there, but the constant should not be conditional).
     * Package-visible for the spec. */
-  private[graft] val SaltIncrLE: Int = 0x72636e69 // 'i','n','c','r' LE
+  private[graft] val SaltIncrLE: Int =
+    java.nio.ByteBuffer.wrap("incr".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      .order(java.nio.ByteOrder.nativeOrder()).getInt
 
   private def micros6(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -145,6 +153,72 @@ object DictRollup {
         c += 1
       }
       dictU.length // quarantine (out-of-dictionary)
+    }
+
+    def reset(v: org.apache.spark.sql.vectorized.ColumnVector): Unit = {
+      ids = v match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary => w.getDictionaryIds
+        case _ => null
+      }
+      java.util.Arrays.fill(idCodes, -1)
+    }
+
+    def code(v: org.apache.spark.sql.vectorized.ColumnVector, i: Int): Int = {
+      if (ids == null) return codeOf(v.getUTF8String(i))
+      val id = ids.getDictId(i)
+      if (id < 0 || id >= idCodes.length) {
+        if (id < 0) return codeOf(v.getUTF8String(i)) // defensive: treat as plain
+        val grown = new Array[Int](math.max(id + 1, 16))
+        java.util.Arrays.fill(grown, -1)
+        System.arraycopy(idCodes, 0, grown, 0, idCodes.length)
+        idCodes = grown
+      }
+      var c = idCodes(id)
+      if (c < 0) { c = codeOf(v.getUTF8String(i)); idCodes(id) = c }
+      c
+    }
+  }
+
+  /** Per-batch OPEN-dictionary category decode for the INFERRED
+    * kernels (r15, verdict #1): same parquet-dictionary-id fast path
+    * as [[CategoryCodec]], but the dictionary is DISCOVERED from the
+    * data instead of declared — a first-seen value takes the next
+    * local code (code 0 is reserved for the NULL category, which the
+    * generic form keeps as its own group). Because inference happens
+    * inside the scan itself, it is exact by construction: there is no
+    * "out-of-inferred-set" value — a rogue category simply extends
+    * the local dictionary and keeps its own group, exactly like the
+    * generic HashAggregate. The price of openness is that the data,
+    * not a declaration, sizes the state: `catCap` bounds the local
+    * dictionary LOUDLY (a category column with data-scale cardinality
+    * belongs on the generic, spillable form — the kernel refuses
+    * rather than silently paging). */
+  private final class OpenCodec(catCap: Int) {
+    private val byValue = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer](64)
+    private val names = new scala.collection.mutable.ArrayBuffer[String](16)
+    names += null // code 0 = NULL category
+    private var ids: org.apache.spark.sql.execution.vectorized.WritableColumnVector = null
+    private var idCodes: Array[Int] = new Array[Int](0)
+
+    def name(code: Int): String = names(code)
+
+    private def codeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+      val got = byValue.get(s)
+      if (got != null) return got.intValue()
+      if (names.size > catCap) throw new IllegalArgumentException(
+        "inferred dictionary rollup: more than " + catCap +
+          " distinct categories in one partition " +
+          "(spark.graft.rollup.openCatCap) — declare a dictionary or " +
+          "use the generic form, whose aggregate state can spill")
+      val c = names.size
+      // the vector's bytes are batch-reused — intern a stable copy
+      val str = s.toString
+      byValue.put(org.apache.spark.unsafe.types.UTF8String.fromString(str),
+        Integer.valueOf(c))
+      names += str
+      c
     }
 
     def reset(v: org.apache.spark.sql.vectorized.ColumnVector): Unit = {
@@ -876,4 +950,235 @@ object DictRollup {
       graft.functions.GraftFunctions.register(raw.sparkSession)
       graft.ops.Approx.sketchRollup(microsProjection(raw), dayUs = dayUs)
     }
+
+  // ------------------------------------------------------------------
+  // INFERRED-dictionary kernels (r15, verdict #1): the fleet's only
+  // remaining >2x-at-1B keys were the GENERIC fold (2.76x) and
+  // incremental (3.31x) — the forms an undeclared corpus was routed
+  // to, because the columnar kernels required a declared dictionary.
+  // The r14 verdict proposed inferring the category set at plan time
+  // and quarantining out-of-inferred values; taking the "read it from
+  // the parquet dictionary pages the CategoryCodec already decodes"
+  // suggestion to its conclusion removes the inference pass AND the
+  // quarantine divergence: the dictionary is inferred INSIDE the scan
+  // itself (OpenCodec — first-seen value, next local code; parquet
+  // dictionary ids make the per-row cost the same int-array lookup as
+  // the declared codec), so inference is exact by construction and a
+  // rogue category keeps its own group exactly like the generic
+  // HashAggregate. NULL event_type stays its own group too (code 0) —
+  // unlike the declared kernels there is no closed value set to
+  // quarantine against, so the open kernels match the GENERIC null
+  // semantics, not the dict twins' (null timestamps still fail loudly
+  // — the kernel family's pinned contract).
+  //
+  // State honesty: per-task slots = hours-spanned x observed
+  // categories — the DATA sizes the state, where the declared kernels
+  // are declaration-bounded. spark.graft.rollup.openCatCap (default
+  // 2^20) bounds the local dictionary LOUDLY; past it the kernel
+  // refuses and names the generic (spillable) form — it never pages
+  // silently. 100 TB: same exchange story as the declared kernels
+  // (tasks x slots partial rows, zero data-scale shuffle), with the
+  // partials carrying the decoded category string instead of a
+  // packed code.
+  // ------------------------------------------------------------------
+
+  /** Packed open-kernel slot key: local category code (20 bits, the
+    * openCatCap ceiling) | trunc-hour index (42 bits, sign-carried —
+    * covers every representable micros timestamp at the 1-hour
+    * bucket) | split bit. */
+  private val OpenHourBits = 42
+  private val OpenHourMask = (1L << OpenHourBits) - 1
+  private val OpenMaxCat = 1 << 20
+
+  private def openCatCap(df: DataFrame): Int = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.rollup.openCatCap")
+      .flatMap(_.toIntOption).getOrElse(OpenMaxCat)
+    require(cap >= 1 && cap <= OpenMaxCat,
+      s"spark.graft.rollup.openCatCap must be in [1, $OpenMaxCat]: $cap")
+    cap
+  }
+
+  /** Shared body of [[foldRollupInferred]] / [[incrementalRollupInferred]]:
+    * one columnar kernel pass over the bare vectorized parquet scan,
+    * slots keyed by (local code, trunc-hour, split), partial rows
+    * carrying the DECODED category string — then a state-scale
+    * string-keyed merge (thousands of rows; the key shape no longer
+    * matters there) and the exact decimal recombination. The split
+    * path keeps one last-key memo PER SPLIT BIT: split bits alternate
+    * pseudo-randomly row to row, so a single memo would miss ~1/3 of
+    * rows and pay a LongMap probe each time — two memos keep both of
+    * an hour's slots hot (the r15 incremental-premium decomposition). */
+  private def sumRollupOpen(raw: DataFrame, hourUs: Long,
+      withSplit: Boolean): DataFrame = {
+    require(hourUs > 0, s"hourUs must be positive: $hourUs")
+    val spark = raw.sparkSession
+    val catCap = openCatCap(raw)
+    val cols = if (withSplit) Seq("ts", "event_id", "event_type", "value")
+      else Seq("ts", "event_type", "value")
+    val (scan, idx, tsNanos) = columnarScanOf(raw, cols)
+    val (iTs, iTy, iVal) = (idx(0), idx(if (withSplit) 2 else 1),
+      idx(if (withSplit) 3 else 2))
+    val iId = if (withSplit) idx(1) else -1
+    val partialSchema = StructType(
+      StructField("event_type", StringType, nullable = true) +:
+      StructField("hour_ts", LongType, nullable = false) +:
+      (if (withSplit) Seq(StructField("split", IntegerType, nullable = false))
+       else Nil) ++:
+      Seq(StructField("n", LongType, nullable = false),
+        StructField("h6", LongType, nullable = false),
+        StructField("l6", LongType, nullable = false)))
+    val partials = scan.executeColumnar().mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+      val codec = new OpenCodec(catCap)
+      // dual last-key memo (split 0 / split 1); the fold path only
+      // ever touches memo 0
+      var lastK0 = Long.MinValue; var lastSlot0: SumSlot = null
+      var lastK1 = Long.MinValue; var lastSlot1: SumSlot = null
+      var empty = true
+      while (it.hasNext) {
+        val batch = it.next()
+        val (vTs, vTy, vVal) =
+          (batch.column(iTs), batch.column(iTy), batch.column(iVal))
+        val vId = if (withSplit) batch.column(iId) else null
+        codec.reset(vTy)
+        var i = 0
+        val nRows = batch.numRows()
+        while (i < nRows) {
+          if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+            "dictionary rollup: null timestamp in input (a time-series " +
+              "point without a time is malformed; filter upstream if intended)")
+          val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
+          val code = if (vTy.isNullAt(i)) 0 else codec.code(vTy, i)
+          // trunc-hour: (ts - ts % h) / h — the Incremental.hourTs shape
+          val hourIdx = (ts - ts % hourUs) / hourUs
+          if (hourIdx > (OpenHourMask >> 1) || hourIdx < -(OpenHourMask >> 1))
+            throw new IllegalArgumentException(
+              s"inferred dictionary rollup: hour index $hourIdx overflows " +
+                s"the $OpenHourBits-bit packed key (hourUs=$hourUs)")
+          var split = 0
+          if (withSplit) {
+            // the gate's exact 80/20 split chain: xxhash64(event_id,
+            // 'incr') mod 100 < 20 — see sumRollupColumnar
+            var h = 42L
+            if (!vId.isNullAt(i))
+              h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(vId.getLong(i), h)
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(SaltIncrLE, h)
+            if (Math.floorMod(h, 100L) < 20L) split = 1
+          }
+          val k = (code.toLong << (OpenHourBits + 1)) |
+            ((hourIdx & OpenHourMask) << 1) | split
+          var slot =
+            if (split == 0) { if (!empty && k == lastK0) lastSlot0 else null }
+            else { if (!empty && k == lastK1) lastSlot1 else null }
+          if (slot == null) {
+            slot = slots.getOrNull(k)
+            if (slot == null) { slot = new SumSlot; slots.update(k, slot) }
+            if (split == 0) { lastK0 = k; lastSlot0 = slot }
+            else { lastK1 = k; lastSlot1 = slot }
+            empty = false
+          }
+          slot.n += 1
+          if (!vVal.isNullAt(i)) {
+            val x = vVal.getDouble(i)
+            if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+              val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.h6 += m6 / 1000000L
+              slot.l6 += m6 % 1000000L
+            }
+          }
+          i += 1
+        }
+      }
+      slots.iterator.map { case (k, s) =>
+        val code = (k >>> (OpenHourBits + 1)).toInt
+        // sign-extend the 42 hour bits back to the trunc-hour index
+        val hourIdx = (((k >>> 1) & OpenHourMask) <<
+          (64 - OpenHourBits)) >> (64 - OpenHourBits)
+        val base = Seq[Any](codec.name(code), hourIdx * hourUs)
+        val tail = Seq[Any](s.n, s.h6, s.l6)
+        Row.fromSeq(if (withSplit) base ++ Seq((k & 1L).toInt) ++ tail
+          else base ++ tail)
+      }
+    }
+    val partialsDf = spark.createDataFrame(partials, partialSchema)
+    val merged =
+      if (!withSplit)
+        partialsDf.groupBy("event_type", "hour_ts")
+          .agg(sum("n").cast("long").as("n"),
+            sum("h6").as("h6"), sum("l6").as("l6"))
+      else {
+        // per-(split, key) states first, then the REAL two-partial
+        // merge dropping the split — the generic gate's identity
+        val splitState = partialsDf.groupBy("event_type", "hour_ts", "split")
+          .agg(sum("n").cast("long").as("n"),
+            sum("h6").as("h6"), sum("l6").as("l6"))
+        splitState.groupBy("event_type", "hour_ts")
+          .agg(sum("n").cast("long").as("n"),
+            sum("h6").as("h6"), sum("l6").as("l6"))
+      }
+    val sv = (col("h6").cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+      col("l6").cast("decimal(20,0)")) *
+      lit(new java.math.BigDecimal("0.000001"))
+    merged.select(col("event_type"), col("hour_ts"), col("n"),
+      round(sv.cast("double"), 4).as("sum_value"))
+  }
+
+  /** INFERRED-dictionary columnar twin of the GENERIC
+    * [[graft.ops.Incremental]] fold (gate: agg_rollup_fold — same
+    * oracle) for corpora WITHOUT a declared dictionary: the category
+    * set is discovered inside the scan ([[OpenCodec]]), so the output
+    * matches the generic form exactly — rogue categories and NULL
+    * keep their own groups. Bare-scan guarded like every columnar
+    * kernel; the generic form remains the composable, spillable
+    * fallback. */
+  def foldRollupInferred(raw: DataFrame, hourUs: Long = HourUs): DataFrame =
+    sumRollupOpen(raw, hourUs, withSplit = false)
+
+  /** [[foldRollupInferred]] for the incremental (split-merge) family
+    * under the standard 80/20 xxhash64(event_id, 'incr') split — the
+    * inferred twin of agg_incremental_rollup (same oracle). */
+  def incrementalRollupInferred(raw: DataFrame,
+      hourUs: Long = HourUs): DataFrame =
+    sumRollupOpen(raw, hourUs, withSplit = true)
+
+  /** [[foldRollupAuto]] for a corpus WITHOUT a declared dictionary:
+    * the inferred columnar kernel when the input collapses to one
+    * bare vectorized parquet scan of the events schema, else the
+    * generic codegen'd fold (the composable, spillable form — an
+    * undeclared composed input has no row-kernel tier, because the
+    * row kernels' packed keys need the declaration). */
+  def foldRollupAuto(raw: DataFrame, hourUs: Long): DataFrame =
+    columnarOrElse(foldRollupInferred(raw, hourUs)) {
+      graft.functions.GraftFunctions.register(raw.sparkSession)
+      val proj = microsProjection(raw)
+      graft.ops.Incremental.merge(
+        if (hourUs == HourUs) graft.ops.Incremental.hourlyPartials(proj)
+        else throw new IllegalArgumentException(
+          "undeclared-corpus fold: only the 1-hour bucket has a generic " +
+            "fallback (Incremental.hourlyPartials pins it)"))
+    }
+
+  def foldRollupAuto(raw: DataFrame): DataFrame = foldRollupAuto(raw, HourUs)
+
+  /** [[incrementalRollupAuto]] for a corpus WITHOUT a declared
+    * dictionary — inferred columnar kernel on a bare scan, generic
+    * split-partials fold otherwise. */
+  def incrementalRollupAuto(raw: DataFrame, hourUs: Long): DataFrame =
+    columnarOrElse(incrementalRollupInferred(raw, hourUs)) {
+      graft.functions.GraftFunctions.register(raw.sparkSession)
+      require(hourUs == HourUs,
+        "undeclared-corpus incremental: only the 1-hour bucket has a " +
+          "generic fallback (Incremental.hourlyPartialsBy pins it)")
+      val isNew = pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20
+      graft.ops.Incremental.merge(
+        graft.ops.Incremental.hourlyPartialsBy(
+          microsProjection(raw), isNew).drop("split"))
+    }
+
+  def incrementalRollupAuto(raw: DataFrame): DataFrame =
+    incrementalRollupAuto(raw, HourUs)
 }

@@ -480,6 +480,18 @@ object AnalyticsSurface {
     "agg_incremental_rollup_dict_col" -> ((s, dir) =>
       graft.ops.DictRollup.incrementalRollupColumnar(Tables.load(s, dir, "events"),
         Seq("signup", "purchase", "view", "click", "error"))),
+    // the INFERRED-dictionary kernels (r15 verdict #1): the same
+    // columnar fold for corpora with NO declared dictionary — the
+    // category set is discovered inside the scan (OpenCodec over the
+    // parquet dictionary ids), so inference is exact by construction
+    // and the output matches the GENERIC forms on any corpus (rogue
+    // categories and NULL keep their own groups). Same oracles as the
+    // generic fold/incremental keys.
+    "agg_rollup_fold_inferred" -> ((s, dir) =>
+      graft.ops.DictRollup.foldRollupInferred(Tables.load(s, dir, "events"))),
+    "agg_incremental_rollup_inferred" -> ((s, dir) =>
+      graft.ops.DictRollup.incrementalRollupInferred(
+        Tables.load(s, dir, "events"))),
     // rolling z-score anomaly flags per user series (trailing-frame
     // causal verdict, exact decimal window partials — see
     // graft.ops.Anomaly)
@@ -1197,6 +1209,19 @@ object AnalyticsSurface {
         |  count(*) AS n, ${sumSql("value")} AS sum_value
         |FROM ev GROUP BY 1, 2""".stripMargin),
     "agg_incremental_rollup_dict_col" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    // IDENTICAL oracles for the INFERRED kernels too: inline inference
+    // only changes the plan (scan-time dictionary discovery); the
+    // rollup is the same exact aggregation as the generic forms
+    "agg_rollup_fold_inferred" ->
+      (EV + s"""SELECT event_type,
+        |  (timestamp - timestamp % 3600000000) AS hour_ts,
+        |  count(*) AS n, ${sumSql("value")} AS sum_value
+        |FROM ev GROUP BY 1, 2""".stripMargin),
+    "agg_incremental_rollup_inferred" ->
       (EV + s"""SELECT event_type,
         |  (timestamp - timestamp % 3600000000) AS hour_ts,
         |  count(*) AS n, ${sumSql("value")} AS sum_value

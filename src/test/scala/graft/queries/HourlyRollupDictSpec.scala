@@ -155,20 +155,155 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       assert(sorted(foldRowKernel, "hour_ts", "event_type") == foldRef)
     } finally spark.conf.unset("spark.graft.rollup.dictThresholdRows")
 
+    // ADVICE r14: the fold family had branch-SHAPE assertions but the
+    // incremental/sketch autos were value-checked only — a selection
+    // regression (always-generic) would have passed. Mirror them.
     val incrRef = sorted(AnalyticsSurface.queries("agg_incremental_rollup")(
       spark, dir.getAbsolutePath), "hour_ts", "event_type")
-    assert(sorted(graft.ops.DictRollup.incrementalRollupAuto(raw, dict),
-      "hour_ts", "event_type") == incrRef)
-    assert(sorted(graft.ops.DictRollup.incrementalRollupAuto(composedOf(raw), dict),
-      "hour_ts", "event_type") == incrRef)
+    val incrBare = graft.ops.DictRollup.incrementalRollupAuto(raw, dict)
+    assert(viaKernel(incrBare),
+      "incremental auto must take the columnar kernel on a bare scan")
+    assert(sorted(incrBare, "hour_ts", "event_type") == incrRef)
+    val incrComposed = graft.ops.DictRollup.incrementalRollupAuto(composedOf(raw), dict)
+    assert(!viaKernel(incrComposed),
+      "incremental auto must take the GENERIC form on a composed input under the 3e8 threshold")
+    assert(sorted(incrComposed, "hour_ts", "event_type") == incrRef)
+    spark.conf.set("spark.graft.rollup.dictThresholdRows", "1")
+    try {
+      val incrRowKernel = graft.ops.DictRollup.incrementalRollupAuto(composedOf(raw), dict)
+      assert(viaKernel(incrRowKernel),
+        "incremental auto must take the ROW kernel on a composed input past the threshold")
+      assert(sorted(incrRowKernel, "hour_ts", "event_type") == incrRef)
+    } finally spark.conf.unset("spark.graft.rollup.dictThresholdRows")
 
     val sketchRef = sorted(AnalyticsSurface.queries("agg_sketch_rollup")(
       spark, dir.getAbsolutePath), "event_type")
     val sketchBare = graft.ops.DictRollup.sketchRollupAuto(raw, dict)
     assert(viaKernel(sketchBare), "sketch auto must take the columnar kernel on a bare scan")
     assert(sorted(sketchBare, "event_type") == sketchRef)
-    assert(sorted(graft.ops.DictRollup.sketchRollupAuto(composedOf(raw), dict),
-      "event_type") == sketchRef)
+    val sketchComposed = graft.ops.DictRollup.sketchRollupAuto(composedOf(raw), dict)
+    assert(!viaKernel(sketchComposed),
+      "sketch auto must take the composable row form on a composed input")
+    assert(sorted(sketchComposed, "event_type") == sketchRef)
+  }
+
+  test("INFERRED kernels equal the GENERIC forms on an undeclared fuzz corpus (rogue + NULL categories, pre-1970 hours)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(47)
+    val hourUs = 3600000000L
+    // categories NO dictionary declares: the r14 verdict's
+    // "out-of-inferred-set fixture", which for inline inference means
+    // rogue values must keep their OWN groups (generic semantics) —
+    // plus NULL event_type, which the inferred kernels keep as its own
+    // group (code 0) where the DECLARED kernels would quarantine it
+    val cats = Seq("signup", "purchase", "rogue_a", "rogue_b", "zz_unseen")
+    val rows = (0 until 4000).map { i =>
+      val t = ((rnd.nextInt(6) - 3).toLong * hourUs) + (rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 1L
+        case 2 => hourUs - 1
+        case _ => rnd.nextInt(1000000).toLong
+      })
+      val v = math.round((rnd.nextDouble() * 200 - 50) * 1e6) / 1e6
+      val ty = if (rnd.nextInt(10) == 0) None else Some(cats(rnd.nextInt(cats.size)))
+      (i.toLong, t * 1000L, 1L + rnd.nextInt(40), ty, v, "{}")
+    }
+    val dir = Files.createTempDirectory("graft-hrdinf").toFile
+    dir.deleteOnExit()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    def rowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("hour_ts", "event_type").collect().toSeq
+    val gf = rowsOf("agg_rollup_fold")
+    val inf = rowsOf("agg_rollup_fold_inferred")
+    assert(gf == inf, s"generic vs INFERRED fold diverged:\n${gf.zip(inf).filter(p => p._1 != p._2).take(5)}")
+    val gi = rowsOf("agg_incremental_rollup")
+    val ii = rowsOf("agg_incremental_rollup_inferred")
+    assert(gi == ii, s"generic vs INFERRED incremental diverged:\n${gi.zip(ii).filter(p => p._1 != p._2).take(5)}")
+    // split invariance again: the inferred incremental's merged state
+    // must equal the inferred fold bit-identically
+    assert(inf == ii, s"inferred incremental != inferred fold (split variance)")
+    // and NULL event_type really is its own group here, not quarantined
+    assert(inf.exists(_.isNullAt(0)), "expected a NULL-category group")
+  }
+
+  test("inferred kernel auto selectors (no declared dictionary): kernel on a bare scan, generic on composed inputs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-hrdinfa").toFile
+    dir.deleteOnExit()
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong * 600000000L * 1000L, 1L + i % 9,
+        s"undeclared_${i % 11}", i * 0.25, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    def viaKernel(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("hour_ts", "event_type").collect().toSeq
+    val foldRef = sorted(AnalyticsSurface.queries("agg_rollup_fold")(
+      spark, dir.getAbsolutePath))
+    val bare = graft.ops.DictRollup.foldRollupAuto(raw)
+    assert(viaKernel(bare), "no-dict fold auto must take the inferred kernel on a bare scan")
+    assert(sorted(bare) == foldRef)
+    val composed = graft.ops.DictRollup.foldRollupAuto(
+      raw.filter(col("event_id") >= 0L))
+    assert(!viaKernel(composed),
+      "no-dict fold auto must take the GENERIC form on a composed input")
+    assert(sorted(composed) == foldRef)
+    val incrRef = sorted(AnalyticsSurface.queries("agg_incremental_rollup")(
+      spark, dir.getAbsolutePath))
+    val incrBare = graft.ops.DictRollup.incrementalRollupAuto(raw)
+    assert(viaKernel(incrBare), "no-dict incremental auto must take the inferred kernel on a bare scan")
+    assert(sorted(incrBare) == incrRef)
+    val incrComposed = graft.ops.DictRollup.incrementalRollupAuto(
+      raw.filter(col("event_id") >= 0L))
+    assert(!viaKernel(incrComposed),
+      "no-dict incremental auto must take the GENERIC form on a composed input")
+    assert(sorted(incrComposed) == incrRef)
+  }
+
+  test("inferred kernel refuses loudly past openCatCap instead of paging silently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hrdcap").toFile
+    dir.deleteOnExit()
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong * 3600000000L * 1000L, 1L + i % 9,
+        s"cat_$i", i * 0.25, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    spark.conf.set("spark.graft.rollup.openCatCap", "8")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        AnalyticsSurface.queries("agg_rollup_fold_inferred")(
+          spark, dir.getAbsolutePath).collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("openCatCap"), s"expected the loud cap refusal: $msg")
+    } finally spark.conf.unset("spark.graft.rollup.openCatCap")
+  }
+
+  test("inferred kernel guards the packed hour index for non-default hourUs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hrdhr").toFile
+    dir.deleteOnExit()
+    // at hourUs=1 the hour index IS the timestamp — far past 42 bits
+    Seq((1L, (1L << 55) * 1000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ops.DictRollup.foldRollupInferred(raw, hourUs = 1L).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("overflows"), s"expected the packed-key overflow guard: $msg")
   }
 
   test("the kernels' hashInt salt specialization equals the generic xxhash64 salt-bytes chain") {
@@ -221,6 +356,12 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     // sanity: the quarantine row absorbed all 135k rogue events
     val quarantine = colK.filter(_.isNullAt(0))
     assert(quarantine.map(_.getLong(2)).sum == (n - n / 10).toLong)
+    // the INFERRED kernel on the same corpus must instead match the
+    // GENERIC form exactly — every rogue type its own group, through
+    // the same mixed-encoding (dictionary-fallback) batches; this also
+    // exercises a ~135k-entry open dictionary under the default cap
+    assert(rowsOf("agg_rollup_fold_inferred") == rowsOf("agg_rollup_fold"),
+      "inferred fold diverged from the generic form on the dictionary-fallback corpus")
   }
 
   test("NaN/Infinity values: all four fold forms agree (counted in n, skipped in the sum)") {
@@ -247,6 +388,8 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     assert(g == rowsOf("agg_rollup_fold_dict"), "row kernel NaN/Inf divergence")
     assert(g == rowsOf("agg_rollup_fold_dict_col"), "columnar kernel NaN/Inf divergence")
     assert(g == rowsOf("agg_incremental_rollup_dict_col"), "incremental columnar NaN/Inf divergence")
+    assert(g == rowsOf("agg_rollup_fold_inferred"), "inferred fold NaN/Inf divergence")
+    assert(g == rowsOf("agg_incremental_rollup_inferred"), "inferred incremental NaN/Inf divergence")
     // and the counts really include the NaN/Inf rows
     val signup = g.find(_.getString(0) == "signup").get
     assert(signup.getLong(2) == 4L && math.abs(signup.getDouble(3) - 4.0) < 1e-9,
