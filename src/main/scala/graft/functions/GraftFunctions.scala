@@ -93,6 +93,14 @@ object GraftFunctions {
       NgramCounts(exprs.head, n.asInstanceOf[Number].intValue())
     }),
     ("sum_micro", classOf[SumMicro], exprs => SumMicro(exprs.head)),
+    ("capped_collect", classOf[CappedCollect], exprs => {
+      // the cap is a state bound, not data: require a plan-time constant
+      require(exprs.length == 2 && exprs(1).foldable,
+        "capped_collect(col, cap) requires a literal cap")
+      val cap = exprs(1).eval()
+      require(cap != null, "capped_collect(col, cap) requires a non-null literal cap")
+      CappedCollect(exprs.head, cap.asInstanceOf[Number].intValue())
+    }),
     ("bitmap_ndv", classOf[BitmapNdv], exprs => BitmapNdv(exprs.head)),
     ("bitmap_merge_ndv", classOf[BitmapMergeNdv],
       exprs => BitmapMergeNdv(exprs.head)),

@@ -96,21 +96,29 @@ object Dedup {
       maxDf: Long = 32, minShared: Long = 2): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val docsSh = TextFns.withShingles(docs)
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exploded relation feeds the df census AND the posting collect —
-    // persisted like Terms' feature relation (caller releases via
-    // clearCache). Pair emission is POSTING-LIST LOCAL, not a
-    // self-join (the similarDocsByRareFeatures shape): df filtered
-    // BEFORE the collect so no list exceeds maxDf, and the in-row
-    // expansion replaced a 2.5M-row shingle-equality SMJ (the r8
-    // profile's dominant stage) with one projection
-    val s = docsSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = s.groupBy("sh").agg(count(lit(1)).as("df"))
-    val postings = s.join(dfreq.filter(col("df").between(2, maxDf)), "sh")
-      .groupBy("sh").agg(collect_list(col("doc_id")).as("ds"))
+    // Pair emission is POSTING-LIST LOCAL, not a self-join (the
+    // similarDocsByRareFeatures shape): the in-row expansion replaced
+    // a 2.5M-row shingle-equality SMJ (the r8 profile's dominant
+    // stage) with one projection. The df ceiling is enforced INSIDE
+    // the collect (r15, verdict #5): capped_collect's partial state
+    // is bounded at maxDf+1 ids per key, so the census-then-join
+    // chain this shape used to need — count df per shingle, join the
+    // exploded relation against the in-ceiling keys, THEN collect,
+    // with the exploded relation persisted because census and collect
+    // both scanned it — collapses to ONE aggregation over one
+    // un-persisted explode. One data-scale exchange (capped partials,
+    // ≤ maxDf+1 longs each) instead of two plus a persist; a
+    // corpus-common shingle's group gives up at maxDf+1 collected ids
+    // and returns NULL, exactly the rows the census used to drop.
+    val postings = docsSh
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("sh")
+      .agg(expr(s"capped_collect(doc_id, $maxDf)").as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
     val cand = postings
       .select(explode(expr(
         "flatten(transform(ds, x -> " +

@@ -178,6 +178,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", normDec("embedding"))
+    bruteTopKOn(base, queryPred, k)
+  }
+
+  /** [[bruteForceTopK]] against an already-normed (vec_id, embedding,
+    * nrm) base — lets a multi-arm evaluator reuse one persisted
+    * population instead of re-deriving the norms per arm. */
+  private def bruteTopKOn(base: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val queries = base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val pairs = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -1229,6 +1236,54 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(col("hit")).as("n_hits"))
       .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
+  }
+
+  /** The staleness measurement of [[ivfTopKStale]] vs [[ivfTopK]] as
+    * ONE shared-harness pair (r15): composing two independent
+    * [[recallAtK]] arms made the placed-vs-rebuilt key pay every fixed
+    * cost twice — its own bounded-sample collect, its own exact
+    * brute-force referent, its own normed-corpus materialization —
+    * which at sf0.1 was most of the key's 4.24x ratio (the referent
+    * composes the arms as CTEs over shared scans and paid the fixed
+    * costs once). The pair shares ONE bounded query sample, ONE
+    * persisted normed population — searched by both arms, training
+    * the rebuilt book, and scanned by the referent — and ONE persisted
+    * brute-force referent; only the codebooks differ: the stale book
+    * trains on the `corpusPred` rows alone (the last rebuild — the
+    * arrivals never influence its centroids, exactly
+    * [[ivfTopKStale]]'s contract), the fresh book on the full
+    * population. Output: [[recallAtK]]'s schema + `variant`
+    * ('placed' | 'rebuilt') — value-identical to the two-arm
+    * composition, so the gate oracle is unchanged. */
+  def recallStalenessPair(embeddings: DataFrame, corpusPred: Column,
+      queryPred: Column, k: Int, maxQueries: Int,
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
+      trainPred: Column = expr("vec_id % 2 = 0"),
+      corpusCacheKey: Option[String] = None,
+      fullCacheKey: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNorm(embeddings).transform(persistTracked)
+    val qp = boundedQueryPred(base, queryPred, maxQueries)
+    val tag = s"coarse|$nCentroids|$kmeansIters|$trainPred"
+    val staleCents = memoized(corpusCacheKey, tag) {
+      trainCodebookOn(base.filter(corpusPred), nCentroids, kmeansIters, trainPred)
+    }
+    val freshCents = memoized(fullCacheKey, tag) {
+      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    }
+    val brute = bruteTopKOn(base, qp, k)
+      .select("query_id", "neighbor_id")
+      .transform(persistTracked)
+    def arm(cents: Seq[(Long, Array[Double])], name: String): DataFrame = {
+      val approx = ivfSearch(base, cents, qp, k, nProbe)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
+        .withColumn("variant", lit(name))
+    }
+    arm(staleCents, "placed").unionByName(arm(freshCents, "rebuilt"))
   }
 
   /** Contrastive-training triplet mining over ANY ranked top-k frame

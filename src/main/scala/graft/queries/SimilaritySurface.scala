@@ -132,21 +132,18 @@ object SimilaritySurface {
     // (corpus-trained) cells vs a fresh full REBUILD — the number that
     // decides how far a production deployment can stretch its rebuild
     // cadence before placement costs real neighbors
-    "sim_recall_incremental" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val corpus = e.filter(expr("vec_id % 10 < 8"))
-      val arrivals = e.filter(expr("vec_id % 10 >= 8"))
-      val placed = Similarity.recallAtK(e, expr(QPRED), K, MAXQ,
-        qp => Similarity.ivfTopKStale(corpus, arrivals, qp, K, NCENTROIDS,
-          NPROBE, KMEANS_ITERS, expr(TRAIN_SQL),
-          cacheKey = Some(s"$dir#embeddings%10lt8")))
-        .withColumn("variant", lit("placed"))
-      val rebuilt = Similarity.recallAtK(e, expr(QPRED), K, MAXQ,
-        qp => Similarity.ivfTopK(e, qp, K, NCENTROIDS, NPROBE,
-          KMEANS_ITERS, expr(TRAIN_SQL), cacheKey = Some(s"$dir#embeddings")))
-        .withColumn("variant", lit("rebuilt"))
-      placed.unionByName(rebuilt)
-    }),
+    // r15 (verdict #4): the two arms run on ONE shared harness — one
+    // bounded query sample, one persisted normed population, one
+    // persisted brute referent — instead of two independent recallAtK
+    // compositions that paid every fixed cost twice (the 4.24x sf0.1
+    // decomposition). Output and oracle unchanged; only the books
+    // differ between the arms, exactly as before (same memo keys).
+    "sim_recall_incremental" -> ((s, dir) =>
+      Similarity.recallStalenessPair(emb(s, dir),
+        expr("vec_id % 10 < 8"), expr(QPRED), K, MAXQ,
+        NCENTROIDS, NPROBE, KMEANS_ITERS, expr(TRAIN_SQL),
+        corpusCacheKey = Some(s"$dir#embeddings%10lt8"),
+        fullCacheKey = Some(s"$dir#embeddings"))),
   )
 
   private val NCENTROIDS = 8
@@ -184,7 +181,20 @@ object SimilaritySurface {
     * with corpus size; 64 covers the gate scales while staying far
     * under the first-k-vectors init's reach on the smallest fixture. */
   private val SEM_CENTROIDS = 64
-  private val NPROBE = 2
+  /** Probed cells per query for every IVF-family book. Overridable
+    * (like [[MAXQ]]/[[PQ_RERANK]]) via SPARK_GRAFT_SIM_NPROBE for the
+    * nprobe-sensitivity sweep — BOTH the Spark plan and the oracle SQL
+    * derive from this constant, so an override keeps the two sides
+    * paired. Gate default: see the r15 sweep note on [[PQ_RERANK]]. */
+  private val NPROBE = sys.env.get("SPARK_GRAFT_SIM_NPROBE") match {
+    case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+      System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_SIM_NPROBE='$v' " +
+          "(need a positive int); using default 2")
+      2
+    }
+    case None => 2
+  }
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
   private val RERANK = 50

@@ -525,6 +525,128 @@ object EventAggProfile {
     }
     time("d_columnar_scan_only")(columnarScanOnly)
 
+    // ---- r15 (verdict #2): decompose the incremental columnar twin's
+    // premium over the fold twin (1B bands 1.96-2.01x vs 1.35-1.38x;
+    // the residual was pinned as "event_id decode + split hash" but
+    // never split apart). Variants, all the 3-long SumSlot fold:
+    //   i_split_none        no split (the fold twin — baseline)
+    //   i_split_xxh_single  xxhash split, SINGLE last-key memo (the
+    //                       shipped r14 shape)
+    //   i_split_xxh_dual    xxhash split, one memo PER SPLIT BIT —
+    //                       split bits alternate pseudo-randomly row
+    //                       to row, so a single memo misses ~32% of
+    //                       rows (P[same bit twice] = .8²+.2² = .68)
+    //                       and pays a LongMap probe each miss
+    //   i_split_cheap_dual  event_id decoded, split by one multiply
+    //                       mix instead of the two-stage xxhash chain
+    //                       (isolates the hash arithmetic)
+    //   i_split_nodecode    split from the row INDEX (no event_id
+    //                       column read at all — isolates the decode)
+    def splitKernel(mode: Int): DataFrame = {
+      import org.apache.spark.sql.types._
+      val withId = mode != 4
+      val cols = if (withId) Seq("ts", "event_id", "event_type", "value")
+        else Seq("ts", "event_type", "value")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+        .select(cols.map(col): _*)
+      val scan = raw.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+      val names = scan.output.map(_.name)
+      val (iTs, iTy, iVal) = (names.indexOf("ts"),
+        names.indexOf("event_type"), names.indexOf("value"))
+      val iId = names.indexOf("event_id")
+      require(scan.output(iTs).dataType == TimestampNTZType)
+      val dictU = dictTypes.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+      val m = dictTypes.size + 1
+      val partialSchema = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("h6", LongType, nullable = false),
+        StructField("l6", LongType, nullable = false)))
+      final class SumSlot { var n = 0L; var h6 = 0L; var l6 = 0L }
+      val partials = scan.executeColumnar().mapPartitions { it =>
+        val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+        var lastK0 = Long.MinValue; var lastSlot0: SumSlot = null
+        var lastK1 = Long.MinValue; var lastSlot1: SumSlot = null
+        var empty = true
+        while (it.hasNext) {
+          val batch = it.next()
+          val (vTs, vTy, vVal) =
+            (batch.column(iTs), batch.column(iTy), batch.column(iVal))
+          val vId = if (withId) batch.column(iId) else null
+          var i = 0
+          val nRows = batch.numRows()
+          while (i < nRows) {
+            val ts = vTs.getLong(i)
+            var code = dictU.length
+            if (!vTy.isNullAt(i)) {
+              val s = vTy.getUTF8String(i)
+              var c = 0
+              while (c < dictU.length && code == dictU.length) {
+                if (dictU(c).equals(s)) code = c
+                c += 1
+              }
+            }
+            var k = (ts - ts % hourUs) / hourUs * m + code
+            var split = 0L
+            if (mode >= 1) {
+              mode match {
+                case 1 | 2 =>
+                  var h = 42L
+                  if (!vId.isNullAt(i))
+                    h = org.apache.spark.sql.catalyst.expressions.XXH64
+                      .hashLong(vId.getLong(i), h)
+                  h = org.apache.spark.sql.catalyst.expressions.XXH64
+                    .hashInt(graft.ops.DictRollup.SaltIncrLE, h)
+                  if (Math.floorMod(h, 100L) < 20L) split = 1L
+                case 3 =>
+                  if (!vId.isNullAt(i)) {
+                    var h = vId.getLong(i) * -7046029254386353131L
+                    h ^= h >>> 32
+                    if (Math.floorMod(h, 100L) < 20L) split = 1L
+                  }
+                case _ => split = i & 1L
+              }
+              k = k * 2 + split
+            }
+            var slot =
+              if (mode == 1) { if (!empty && k == lastK0) lastSlot0 else null }
+              else if (split == 0L) { if (!empty && k == lastK0) lastSlot0 else null }
+              else { if (!empty && k == lastK1) lastSlot1 else null }
+            if (slot == null) {
+              slot = slots.getOrNull(k)
+              if (slot == null) { slot = new SumSlot; slots.update(k, slot) }
+              if (mode == 1 || split == 0L) { lastK0 = k; lastSlot0 = slot }
+              else { lastK1 = k; lastSlot1 = slot }
+              empty = false
+            }
+            slot.n += 1
+            if (!vVal.isNullAt(i)) {
+              val x = vVal.getDouble(i)
+              if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+                val m6 = graft.functions.MicroSumOps.toMicros(x)
+                slot.h6 += m6 / 1000000L
+                slot.l6 += m6 % 1000000L
+              }
+            }
+            i += 1
+          }
+        }
+        slots.iterator.map { case (k, s) =>
+          org.apache.spark.sql.Row(k, s.n, s.h6, s.l6) }
+      }
+      spark.createDataFrame(partials, partialSchema)
+        .groupBy("k")
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"))
+    }
+    time("i_split_none")(splitKernel(0))
+    time("i_split_xxh_single")(splitKernel(1))
+    time("i_split_xxh_dual")(splitKernel(2))
+    time("i_split_cheap_dual")(splitKernel(3))
+    time("i_split_nodecode")(splitKernel(4))
+
     // ---- string-key tax at SMALL group counts (5 groups) ----
     time("g_string_5grp")(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
     time("g_code_5grp")(ev.groupBy(typeCode).agg(count(lit(1)).as("n")))
