@@ -609,15 +609,35 @@ object DictRollup {
     finalizeHourly(spark.createDataFrame(partials, partialSchema), dict, hourUs)
   }
 
+  /** The incremental kernels' 80/20 split of event_id (r15 verdict #2
+    * decomposition, BASELINE.md): the r14 kernels computed the exact
+    * xxhash64(event_id, 'incr') chain the GENERIC gate uses, which the
+    * 1B profile (EventAggProfile i_split_*) measured at ~0.5-0.9 ns/row
+    * of the incremental twin's ~2 ns/row premium over the fold. Any
+    * deterministic uniform split merges to the identical total (limb
+    * sums are associative — HourlyRollupDictSpec locks incremental ==
+    * fold), so the split function is a harness choice, not a semantics
+    * one: the kernels now default to ONE multiply-xorshift mix (the
+    * NdvBitmap Fibonacci scramble) of event_id — still deterministic
+    * per event, still ~80/20-uniform, ~5 ops instead of the two-stage
+    * xxhash chain. `spark.graft.rollup.splitHash=xxh64` restores the
+    * generic gate's chain for same-window A/B measurement. */
+  private def splitXxh64(raw: DataFrame): Boolean =
+    raw.sparkSession.conf.getOption("spark.graft.rollup.splitHash")
+      .contains("xxh64")
+
   /** Columnar twin of [[foldRollup]] / [[incrementalRollup]] over the
     * RAW events relation: `split = None` is the fold; `split = Some`
     * carries the 80/20 hash split in the packed key's low bit —
-    * computed IN the kernel from event_id with the exact xxhash64
-    * chain the generic gate uses (seed 42 over the long, then the
-    * "incr" salt; any deterministic split merges to the identical
-    * total — decimal associativity — so the split function is a
-    * harness choice, not a semantics one). Trunc-hour pack like the
-    * generic Incremental.hourTs. */
+    * computed IN the kernel from event_id (see [[splitXxh64]]; any
+    * deterministic split merges to the identical total — decimal
+    * associativity — so the split function is a harness choice, not a
+    * semantics one). Trunc-hour pack like the generic
+    * Incremental.hourTs. The split path keeps one last-key memo PER
+    * SPLIT BIT: split bits alternate pseudo-randomly row to row, so a
+    * single memo would miss ~32% of rows (P[same bit twice] =
+    * .8²+.2² = .68) and pay a LongMap probe each miss — the r15
+    * premium decomposition's third term. */
   private def sumRollupColumnar(raw: DataFrame, dict: Seq[String],
       hourUs: Long, withSplit: Boolean): DataFrame = {
     requireDict(dict)
@@ -637,11 +657,14 @@ object DictRollup {
       StructField("n", LongType, nullable = false),
       StructField("h6", LongType, nullable = false),
       StructField("l6", LongType, nullable = false)))
+    val xxh = withSplit && splitXxh64(raw)
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
       val codec = new CategoryCodec(dictU)
-      var lastK = Long.MinValue
-      var lastSlot: SumSlot = null
+      // dual last-key memo (split 0 / split 1); the fold path only
+      // ever touches memo 0 — see the [[sumRollupColumnar]] doc
+      var lastK0 = Long.MinValue; var lastSlot0: SumSlot = null
+      var lastK1 = Long.MinValue; var lastSlot1: SumSlot = null
       var empty = true
       while (it.hasNext) {
         val batch = it.next()
@@ -659,27 +682,38 @@ object DictRollup {
           val code = if (vTy.isNullAt(i)) dictU.length else codec.code(vTy, i)
           // trunc-hour: (ts - ts % h) / h — the Incremental.hourTs shape
           var k = (ts - ts % hourUs) / hourUs * m + code
+          var split = 0
           if (withSplit) {
-            // xxhash64(event_id, 'incr'): seed 42, fold the long, then
-            // the salt bytes — the generic gate's exact split chain.
-            // The 4-byte salt goes through hashInt of its LE word
-            // (0x72636e69 = "incr"): XXH64's 4-byte-tail path IS
-            // hashInt, spec-locked exhaustively over random seeds in
-            // HourlyRollupDictSpec — same value, no per-row
-            // bounds-checked byte walk
-            var h = 42L
-            if (!vId.isNullAt(i))
+            var h = 0L
+            if (xxh) {
+              // the generic gate's exact chain: xxhash64(event_id,
+              // 'incr') — seed 42, fold the long, then the 4-byte salt
+              // via hashInt of its native-order word (XXH64's
+              // 4-byte-tail path IS hashInt, spec-locked over random
+              // seeds in HourlyRollupDictSpec)
+              h = 42L
+              if (!vId.isNullAt(i))
+                h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(vId.getLong(i), h)
               h = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashLong(vId.getLong(i), h)
-            h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashInt(SaltIncrLE, h)
-            k = k * 2 + (if (Math.floorMod(h, 100L) < 20L) 1L else 0L)
+                .hashInt(SaltIncrLE, h)
+            } else if (!vId.isNullAt(i)) {
+              // the default kernel split: one multiply-xorshift mix
+              h = vId.getLong(i) * -7046029254386353131L
+              h ^= h >>> 32
+            }
+            if (Math.floorMod(h, 100L) < 20L) split = 1
+            k = k * 2 + split
           }
-          var slot = if (!empty && k == lastK) lastSlot else null
+          var slot =
+            if (split == 0) { if (!empty && k == lastK0) lastSlot0 else null }
+            else { if (!empty && k == lastK1) lastSlot1 else null }
           if (slot == null) {
             slot = slots.getOrNull(k)
             if (slot == null) { slot = new SumSlot; slots.update(k, slot) }
-            lastK = k; lastSlot = slot; empty = false
+            if (split == 0) { lastK0 = k; lastSlot0 = slot }
+            else { lastK1 = k; lastSlot1 = slot }
+            empty = false
           }
           slot.n += 1
           if (!vVal.isNullAt(i)) {
@@ -1028,6 +1062,7 @@ object DictRollup {
       Seq(StructField("n", LongType, nullable = false),
         StructField("h6", LongType, nullable = false),
         StructField("l6", LongType, nullable = false)))
+    val xxh = withSplit && splitXxh64(raw)
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
       val codec = new OpenCodec(catCap)
@@ -1058,14 +1093,19 @@ object DictRollup {
                 s"the $OpenHourBits-bit packed key (hourUs=$hourUs)")
           var split = 0
           if (withSplit) {
-            // the gate's exact 80/20 split chain: xxhash64(event_id,
-            // 'incr') mod 100 < 20 — see sumRollupColumnar
-            var h = 42L
-            if (!vId.isNullAt(i))
+            // the kernel 80/20 split — see [[splitXxh64]]
+            var h = 0L
+            if (xxh) {
+              h = 42L
+              if (!vId.isNullAt(i))
+                h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(vId.getLong(i), h)
               h = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashLong(vId.getLong(i), h)
-            h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashInt(SaltIncrLE, h)
+                .hashInt(SaltIncrLE, h)
+            } else if (!vId.isNullAt(i)) {
+              h = vId.getLong(i) * -7046029254386353131L
+              h ^= h >>> 32
+            }
             if (Math.floorMod(h, 100L) < 20L) split = 1
           }
           val k = (code.toLong << (OpenHourBits + 1)) |

@@ -78,6 +78,15 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       "columnar fold kernel diverged from the row kernel")
     assert(rowsOf("agg_incremental_rollup_dict_col") == di,
       "columnar incremental kernel diverged from the row kernel")
+    // split-function invariance (r15): the kernels' default
+    // multiply-mix split and the generic gate's xxhash64 chain are
+    // DIFFERENT partitions of the corpus, and the merged rollup must
+    // be bit-identical under both — the "split is a harness choice"
+    // claim, asserted rather than stated
+    spark.conf.set("spark.graft.rollup.splitHash", "xxh64")
+    try assert(rowsOf("agg_incremental_rollup_dict_col") == di,
+      "merged rollup changed under the xxh64 split (split-invariance broken)")
+    finally spark.conf.unset("spark.graft.rollup.splitHash")
   }
 
   test("hourlyRollupAuto picks the columnar kernel on a bare scan, the row kernel on a composed input") {
