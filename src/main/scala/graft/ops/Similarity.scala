@@ -121,18 +121,19 @@ object Similarity {
     * construct freely; books IN it are held to the threshold below. */
   val pinnedRecall: Map[String, Double] = Map(
     // r13 artifact (recall_maxq50_r13.json): the two vetoed books
+    // (measured at nprobe=2; signatures carry nprobe since r15 —
+    // recall is a property of the book AND its probe budget)
     "lsh:tables=1,planes=6" -> 0.076,
-    "ivfpq:nsub=4,ksub=4,rerank=50" -> 0.012,
-    // r14 artifacts (recall_maxq50_r14.json, _r14b.json): the raised
-    // defaults...
+    "ivfpq:nsub=4,ksub=4,rerank=50,nprobe=2" -> 0.012,
+    // r14 artifacts (recall_maxq50_r14.json, _r14b.json)
     "lsh:tables=8,planes=6" -> 0.478,
-    "ivfpq:nsub=8,ksub=8,rerank=1200" -> 0.394,
-    "ivfpq:nsub=8,ksub=8,rerank=600" -> 0.320,
+    "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=2" -> 0.394,
+    "ivfpq:nsub=8,ksub=8,rerank=600,nprobe=2" -> 0.320,
     // the late-r14 rerank-recall curve (rerank is a per-query
     // constant — its cost fraction shrinks with corpus scale — and is
-    // ceilinged by the 56.4% nprobe-2 cell coverage)
-    "ivfpq:nsub=8,ksub=8,rerank=900" -> 0.370,
-    "ivfpq:nsub=8,ksub=8,rerank=2000" -> 0.454,
+    // ceilinged by the cell coverage its nprobe buys)
+    "ivfpq:nsub=8,ksub=8,rerank=900,nprobe=2" -> 0.370,
+    "ivfpq:nsub=8,ksub=8,rerank=2000,nprobe=2" -> 0.454,
     // ...and the intermediate books measured on the way there —
     // honest provenance for anyone re-tuning the trade. 16 subspaces
     // measured BETTER (41.6% at rerank 300) but is not shipped as the
@@ -140,10 +141,20 @@ object Similarity {
     // DuckDB oracle's execution blow past the gate budget, and an
     // operator default the oracle can't affordably replay loses its
     // cross-engine verification.
-    "ivfpq:nsub=16,ksub=8,rerank=300" -> 0.416,
-    "ivfpq:nsub=16,ksub=8,rerank=100" -> 0.272,
-    "ivfpq:nsub=8,ksub=8,rerank=100" -> 0.126,
-    "ivfpq:nsub=8,ksub=8,rerank=300" -> 0.234)
+    "ivfpq:nsub=16,ksub=8,rerank=300,nprobe=2" -> 0.416,
+    "ivfpq:nsub=16,ksub=8,rerank=100,nprobe=2" -> 0.272,
+    "ivfpq:nsub=8,ksub=8,rerank=100,nprobe=2" -> 0.126,
+    "ivfpq:nsub=8,ksub=8,rerank=300,nprobe=2" -> 0.234,
+    // r15 nprobe sweep (recall_maxq50_r15.json): rerank stopped being
+    // the binding lever at nprobe=2 (39.4% → 45.4% from 1200 → 2000
+    // against the 56.4% two-cell coverage ceiling); doubling the
+    // probe budget moves the ceiling itself — IVF/q8 56.4% → 82.0%
+    // at nprobe=4 (100% at nprobe=8, which on an 8-cell book IS
+    // brute force), PQ@1200 39.4% → 46.2% → 48.0% (np 2/4/8; past
+    // nprobe=4 the book is rerank-bound again). The shipped default
+    // moved to nprobe=4.
+    "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=4" -> 0.462,
+    "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=8" -> 0.480)
 
   /** Construction-time bad-book guard (r13 verdict #3): a book whose
     * PINNED recall provenance sits below `spark.graft.sim.minRecall`
@@ -951,7 +962,8 @@ object Similarity {
       nSub: Int = 8, kSub: Int = 8, rerank: Int = 1200,
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    guardBook(embeddings.sparkSession, s"ivfpq:nsub=$nSub,ksub=$kSub,rerank=$rerank")
+    guardBook(embeddings.sparkSession,
+      s"ivfpq:nsub=$nSub,ksub=$kSub,rerank=$rerank,nprobe=$nProbe")
     val base = withNorm(embeddings)
       .transform(persistTracked)
     val (cents, books) = memoized(cacheKey,

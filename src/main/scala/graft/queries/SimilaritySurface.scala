@@ -181,19 +181,29 @@ object SimilaritySurface {
     * with corpus size; 64 covers the gate scales while staying far
     * under the first-k-vectors init's reach on the smallest fixture. */
   private val SEM_CENTROIDS = 64
-  /** Probed cells per query for every IVF-family book. Overridable
-    * (like [[MAXQ]]/[[PQ_RERANK]]) via SPARK_GRAFT_SIM_NPROBE for the
-    * nprobe-sensitivity sweep — BOTH the Spark plan and the oracle SQL
+  /** Probed cells per query for every IVF-family book. Gate default 4
+    * (r15, raised from 2 on the measured sweep — recall_maxq50_r15):
+    * at nprobe=2 the rerank curve had flattened into the 56.4%
+    * two-cell coverage ceiling (rerank 1200 → 2000 bought only
+    * 39.4% → 45.4%); doubling the probe budget moves the ceiling
+    * itself — IVF/q8 56.4% → 82.0% mean recall@10, PQ@1200
+    * 39.4% → 46.2% — for 2x the candidate work, where nprobe=8 on
+    * this 8-cell book IS brute force (100%) and buys PQ only +1.8pts
+    * more (rerank-bound again). On a production book the cell count
+    * is thousands, so nprobe=4 is sub-1% corpus coverage — the gate
+    * book's 50% is an artifact of its deliberately tiny NCENTROIDS.
+    * Overridable (like [[MAXQ]]/[[PQ_RERANK]]) via
+    * SPARK_GRAFT_SIM_NPROBE — BOTH the Spark plan and the oracle SQL
     * derive from this constant, so an override keeps the two sides
-    * paired. Gate default: see the r15 sweep note on [[PQ_RERANK]]. */
+    * paired. */
   private val NPROBE = sys.env.get("SPARK_GRAFT_SIM_NPROBE") match {
     case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
       System.err.println(
         s"[graft] ignoring malformed SPARK_GRAFT_SIM_NPROBE='$v' " +
-          "(need a positive int); using default 2")
-      2
+          "(need a positive int); using default 4")
+      4
     }
-    case None => 2
+    case None => 4
   }
   private val KMEANS_ITERS = 2
   private val TRAIN_SQL = "vec_id % 2 = 0"
