@@ -118,7 +118,8 @@ object Bench {
     // round-15: the INFERRED-dictionary kernels — the undeclared-corpus
     // exit for the last >2x-at-1B generic forms (scan-time dictionary
     // discovery off the parquet dictionary ids)
-    "agg_rollup_fold_inferred", "agg_incremental_rollup_inferred")
+    "agg_rollup_fold_inferred", "agg_incremental_rollup_inferred",
+    "agg_sketch_rollup_inferred")
 
   /** One JVM telemetry snapshot as a JSON object string — the
     * fleet-drift instrumentation (r13 verdict #4): same-code fleets

@@ -1204,6 +1204,111 @@ object DictRollup {
 
   def foldRollupAuto(raw: DataFrame): DataFrame = foldRollupAuto(raw, HourUs)
 
+  /** INFERRED-dictionary columnar twin of
+    * [[graft.ops.Approx.sketchRollup]] (gate: agg_sketch_rollup — same
+    * oracle) for corpora WITHOUT a declared dictionary: per-slot
+    * DataSketches HLL sketches fold off the batch vectors with the
+    * category set discovered inside the scan ([[OpenCodec]]), so —
+    * unlike [[sketchRollupColumnar]]'s quarantine — rogue categories
+    * and NULL keep their OWN groups, matching the composable row twin
+    * exactly on any corpus (HLL updates are duplicate-insensitive, so
+    * folding raw rows builds the identical registers the row twin's
+    * distinct-first pipeline does). State = days x OBSERVED categories
+    * sketches per task, the open kernels' [[openCatCap]] bound; like
+    * the dict sketch kernel, state never depends on VALUE cardinality
+    * — the row twin's degenerate-cardinality caveat is retired for
+    * undeclared corpora too. Null semantics: null timestamp fails
+    * loudly (kernel family), null user_id skipped (as hll_sketch_agg
+    * does), NULL event_type its own group (code 0 — generic
+    * semantics). Output: (event_type, n_days, est_band). */
+  def sketchRollupInferred(raw: DataFrame,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(dayUs > 0, s"dayUs must be positive: $dayUs")
+    val spark = raw.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val catCap = openCatCap(raw)
+    val (scan, idx, tsNanos) =
+      columnarScanOf(raw, Seq("ts", "event_type", "user_id"))
+    val (iTs, iTy, iUid) = (idx(0), idx(1), idx(2))
+    val partialSchema = StructType(Seq(
+      StructField("event_type", StringType, nullable = true),
+      StructField("day", LongType, nullable = false),
+      StructField("sk", BinaryType, nullable = false)))
+    val partials = scan.executeColumnar().mapPartitions { it =>
+      val slots = new scala.collection.mutable.LongMap[
+        org.apache.datasketches.hll.HllSketch](64)
+      val codec = new OpenCodec(catCap)
+      var lastK = Long.MinValue
+      var lastSlot: org.apache.datasketches.hll.HllSketch = null
+      var empty = true
+      while (it.hasNext) {
+        val batch = it.next()
+        val (vTs, vTy, vUid) =
+          (batch.column(iTs), batch.column(iTy), batch.column(iUid))
+        codec.reset(vTy)
+        var i = 0
+        val nRows = batch.numRows()
+        while (i < nRows) {
+          if (vTs.isNullAt(i)) throw new IllegalArgumentException(
+            "dictionary rollup: null timestamp in input (a time-series " +
+              "point without a time is malformed; filter upstream if intended)")
+          val ts = if (tsNanos) vTs.getLong(i) / 1000L else vTs.getLong(i)
+          val code = if (vTy.isNullAt(i)) 0 else codec.code(vTy, i)
+          // trunc-day mirrors the row twin's `timestamp div dayUs`
+          val dayIdx = ts / dayUs
+          if (dayIdx > (OpenHourMask >> 1) || dayIdx < -(OpenHourMask >> 1))
+            throw new IllegalArgumentException(
+              s"inferred dictionary rollup: day index $dayIdx overflows " +
+                s"the $OpenHourBits-bit packed key (dayUs=$dayUs)")
+          val k = (code.toLong << (OpenHourBits + 1)) |
+            ((dayIdx & OpenHourMask) << 1)
+          var slot = if (!empty && k == lastK) lastSlot else null
+          if (slot == null) {
+            slot = slots.getOrNull(k)
+            if (slot == null) {
+              // lgK 12 — hll_sketch_agg's default, so the state-scale
+              // hll_union_agg tail below unions same-shape sketches
+              slot = new org.apache.datasketches.hll.HllSketch(12)
+              slots.update(k, slot)
+            }
+            lastK = k; lastSlot = slot; empty = false
+          }
+          if (!vUid.isNullAt(i)) slot.update(vUid.getLong(i))
+          i += 1
+        }
+      }
+      slots.iterator.map { case (k, s) =>
+        val code = (k >>> (OpenHourBits + 1)).toInt
+        val dayIdx = (((k >>> 1) & OpenHourMask) <<
+          (64 - OpenHourBits)) >> (64 - OpenHourBits)
+        Row(codec.name(code), dayIdx, s.toCompactByteArray)
+      }
+    }
+    val partialsDf = spark.createDataFrame(partials, partialSchema)
+    // per-(key, day) union (state-scale), then the per-key
+    // union/estimate/band — the same tail every sketch twin shares
+    partialsDf.groupBy("event_type", "day")
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(col("event_type"), col("n_days"),
+        floor(log(greatest(col("est"), lit(1L)).cast("double")) /
+          lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
+  }
+
+  /** [[sketchRollupAuto]] for a corpus WITHOUT a declared dictionary —
+    * inferred columnar kernel on a bare scan, the composable
+    * (distinct-first) row form otherwise. */
+  def sketchRollupAuto(raw: DataFrame, dayUs: Long): DataFrame =
+    columnarOrElse(sketchRollupInferred(raw, dayUs)) {
+      graft.functions.GraftFunctions.register(raw.sparkSession)
+      graft.ops.Approx.sketchRollup(microsProjection(raw), dayUs = dayUs)
+    }
+
+  def sketchRollupAuto(raw: DataFrame): DataFrame =
+    sketchRollupAuto(raw, 86400000000L)
+
   /** [[incrementalRollupAuto]] for a corpus WITHOUT a declared
     * dictionary — inferred columnar kernel on a bare scan, generic
     * split-partials fold otherwise. */

@@ -816,6 +816,12 @@ object AnalyticsSurface {
     // the batch vectors — state bounded by days x (|dict|+1) per task
     // regardless of value cardinality (retires the row twin's
     // degenerate-cardinality caveat); same oracle
+    // the INFERRED sketch twin (r15): same oracle; unlike the declared
+    // columnar twin's quarantine, rogue/NULL categories keep their own
+    // groups — exact row-twin semantics for undeclared corpora, with
+    // the kernel's cardinality-independent state
+    "agg_sketch_rollup_inferred" -> ((s, dir) =>
+      graft.ops.DictRollup.sketchRollupInferred(Tables.load(s, dir, "events"))),
     "agg_sketch_rollup_col" -> ((s, dir) =>
       graft.ops.DictRollup.sketchRollupColumnar(Tables.load(s, dir, "events"),
         Seq("signup", "purchase", "view", "click", "error"))),
@@ -1535,6 +1541,12 @@ object AnalyticsSurface {
         |    / ${graft.ops.Approx.BandLn125} + 0.5) AS BIGINT) AS est_band
         |FROM events GROUP BY 1""".stripMargin,
     "agg_sketch_rollup_col" ->
+      s"""SELECT event_type,
+        |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+        |  CAST(floor(ln(CAST(greatest(approx_count_distinct(user_id), 1) AS DOUBLE))
+        |    / ${graft.ops.Approx.BandLn125} + 0.5) AS BIGINT) AS est_band
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_sketch_rollup_inferred" ->
       s"""SELECT event_type,
         |  count(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
         |  CAST(floor(ln(CAST(greatest(approx_count_distinct(user_id), 1) AS DOUBLE))

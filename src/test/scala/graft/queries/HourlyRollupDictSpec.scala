@@ -236,6 +236,33 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     assert(inf == ii, s"inferred incremental != inferred fold (split variance)")
     // and NULL event_type really is its own group here, not quarantined
     assert(inf.exists(_.isNullAt(0)), "expected a NULL-category group")
+
+    // the INFERRED sketch twin (r15): must equal the composable row
+    // twin (distinct-first + hll_sketch_agg) EXACTLY on this
+    // undeclared corpus — HLL register construction is
+    // duplicate-insensitive, and rogue/NULL categories keep their own
+    // groups on both sides (where the DECLARED sketch kernel would
+    // quarantine them)
+    def sketchRows(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("event_type").collect().toSeq
+    val gs = sketchRows("agg_sketch_rollup")
+    val is = sketchRows("agg_sketch_rollup_inferred")
+    assert(gs == is, s"row twin vs INFERRED sketch diverged:\n${gs.zip(is).filter(p => p._1 != p._2).take(5)}")
+    assert(is.exists(_.isNullAt(0)), "expected a NULL-category sketch group")
+    // no-dict auto: inferred kernel on the bare scan, row form on a
+    // composed input — same values either way
+    val raw = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    def viaKernelDf(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val sAutoBare = graft.ops.DictRollup.sketchRollupAuto(raw)
+    assert(viaKernelDf(sAutoBare), "no-dict sketch auto must take the inferred kernel on a bare scan")
+    assert(sAutoBare.orderBy("event_type").collect().toSeq == is)
+    val sAutoComposed = graft.ops.DictRollup.sketchRollupAuto(
+      raw.filter(col("event_id") >= 0L))
+    assert(!viaKernelDf(sAutoComposed), "no-dict sketch auto must take the row form on a composed input")
+    assert(sAutoComposed.orderBy("event_type").collect().toSeq == is)
   }
 
   test("inferred kernel auto selectors (no declared dictionary): kernel on a bare scan, generic on composed inputs") {
