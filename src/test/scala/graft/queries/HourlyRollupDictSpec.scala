@@ -398,6 +398,20 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     // exercises a ~135k-entry open dictionary under the default cap
     assert(rowsOf("agg_rollup_fold_inferred") == rowsOf("agg_rollup_fold"),
       "inferred fold diverged from the generic form on the dictionary-fallback corpus")
+    // the other two open kernels through the same fallback batches:
+    // the incremental twin adds the split path (event_id decode + dual
+    // memo) and the sketch twin the per-slot HLL fold — both must
+    // still match their generic/row referents when the codec is on
+    // the equality-walk (no-dictionary-ids) path
+    assert(rowsOf("agg_incremental_rollup_inferred") ==
+        rowsOf("agg_incremental_rollup"),
+      "inferred incremental diverged from the generic form on the dictionary-fallback corpus")
+    def sketchRowsOf(key: String) =
+      AnalyticsSurface.queries(key)(spark, dir.getAbsolutePath)
+        .orderBy("event_type").collect().toSeq
+    assert(sketchRowsOf("agg_sketch_rollup_inferred") ==
+        sketchRowsOf("agg_sketch_rollup"),
+      "inferred sketch diverged from the row twin on the dictionary-fallback corpus")
   }
 
   test("NaN/Infinity values: all four fold forms agree (counted in n, skipped in the sum)") {
