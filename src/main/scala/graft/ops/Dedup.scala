@@ -47,8 +47,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs (threshold on rounded
     * Jaccard). Candidate pairs = docs sharing at least one shingle. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val s = shingleRelation(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardPairsFrom(
+      TextFns.withShingles(docs).select(col("doc_id"), col("shingles")),
+      threshold)
+
+  /** [[ngramJaccardPairs]] over a pre-shingled (doc_id, shingles)
+    * relation — the composed recall gates persist ONE shingle relation
+    * and feed it to BOTH the exact oracle and the LSH candidate pass,
+    * so normalization+shingling runs once per corpus per rep instead
+    * of once per branch (r15 verdict #1: the un-shared twin was the
+    * fleet's most box-load-sensitive key). */
+  def ngramJaccardPairsFrom(docsSh: DataFrame, threshold: Double): DataFrame = {
+    val s = docsSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -263,9 +274,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16,
       maxBandGroup: Int = Int.MaxValue): DataFrame = {
-    val docsSh = TextFns.withShingles(docs)
-      .select(col("doc_id"), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsSh = graft.core.EscapedCaches.persistTracked(
+      TextFns.withShingles(docs).select(col("doc_id"), col("shingles")))
+    minhashLshPairsFrom(docsSh, threshold, k, bands, maxBandGroup)
+  }
+
+  /** [[minhashLshPairs]] over a caller-persisted (doc_id, shingles)
+    * relation — lets the composed recall gates share ONE shingle cache
+    * between this candidate pass and their exact-Jaccard oracle
+    * branch. The caller owns the persist lifecycle. */
+  def minhashLshPairsFrom(docsSh: DataFrame, threshold: Double,
+      k: Int = 64, bands: Int = 16,
+      maxBandGroup: Int = Int.MaxValue): DataFrame = {
     val cand = minhashBandCandidates(docsSh, k, bands, maxBandGroup)
 
     // exact-Jaccard verification restricted to candidates: intersect
@@ -320,19 +340,39 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       } else {
-        val gs = banded.groupBy("band", "key")
-          .agg(count(lit(1)).as("gn"), min("doc_id").as("hub"))
-        val bg = banded.join(gs, Seq("band", "key"))
-        val small = bg.filter(col("gn") <= maxBandGroup)
-          .select(col("band"), col("key"), col("doc_id"))
-        val smallPairs = small.as("x").join(small.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        val starPairs = bg
-          .filter(col("gn") > maxBandGroup && col("doc_id") > col("hub"))
-          .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-        smallPairs.union(starPairs)
+        // single-pass windowed shape (r16, verdict #1): the former
+        // census-aggregate + rejoin + small-group self-join scanned the
+        // banded signature relation three times and paid three
+        // data-scale exchanges; it was the fleet's most box-load-
+        // sensitive plan. One window partitioning on (band, key)
+        // attaches the group stats to every member row, a SECOND
+        // window (same partitioning — no re-exchange, distribution
+        // already satisfied) collects the member list ONLY for
+        // in-cap groups (the gn guard keeps oversized groups' lists
+        // empty, so window state stays ≤ cap ids per key — the
+        // capped_collect discipline expressed as a window), and pair
+        // emission is a row-local array expansion: member x emits
+        // (x, y) for every in-cap co-member y > x, and every oversized
+        // member emits its single hub pair. One signature scan, one
+        // exchange before the distinct — same pair set as the join
+        // shape by construction (DedupSkewSpec locks the counts).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
+        val withStats = banded
+          .withColumn("gn", count(lit(1)).over(w))
+          .withColumn("hub", min("doc_id").over(w))
+        val withList = withStats.withColumn("ds",
+          collect_list(when(col("gn") <= maxBandGroup, col("doc_id")))
+            .over(w))
+        withList.select(explode(when(col("gn") > maxBandGroup,
+            when(col("doc_id") > col("hub"),
+                array(struct(col("hub").as("doc_a"),
+                  col("doc_id").as("doc_b"))))
+              .otherwise(array().cast("array<struct<doc_a:bigint,doc_b:bigint>>")))
+          .otherwise(expr(
+            "transform(filter(ds, y -> y > doc_id), " +
+              "y -> named_struct('doc_a', doc_id, 'doc_b', y))"))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
       }
     cand.distinct()
   }

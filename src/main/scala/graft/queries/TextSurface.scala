@@ -259,9 +259,12 @@ object TextSurface {
     // twin; at k=64/b=16 the S-curve puts j=0.8 recall near 100%, and
     // THIS gate is what proves that instead of assuming it)
     "dedup_recall_minhash" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val exact = Dedup.ngramJaccardPairs(d, 0.8).select("doc_a", "doc_b")
-      val lsh = Dedup.minhashLshPairs(d, 0.8)
+      val docsSh = graft.core.EscapedCaches.persistTracked(
+        graft.ops.TextFns.withShingles(docs(s, dir))
+          .select(col("doc_id"), col("shingles")))
+      val exact = Dedup.ngramJaccardPairsFrom(docsSh, 0.8)
+        .select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLshPairsFrom(docsSh, 0.8)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       exact.join(lsh, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
@@ -292,9 +295,17 @@ object TextSurface {
     // cluster-level complement, dedup_clusters_skew, proves the star
     // preserves every family's connected component exactly
     "dedup_recall_minhash_capped" -> ((s, dir) => {
-      val d = skewedDocs(s, dir)
-      val exact = Dedup.ngramJaccardPairs(d, 0.8).select("doc_a", "doc_b")
-      val lsh = Dedup.minhashLshPairs(d, 0.8, maxBandGroup = SKEW_CAP)
+      // ONE shingle relation feeds the exact-Jaccard oracle AND the
+      // capped-LSH candidate pass (r16, verdict #1): shingling the
+      // planted-skew corpus twice — once per branch, the un-shared
+      // shape — made this the fleet's most box-load-sensitive key
+      val docsSh = graft.core.EscapedCaches.persistTracked(
+        graft.ops.TextFns.withShingles(skewedDocs(s, dir))
+          .select(col("doc_id"), col("shingles")))
+      val exact = Dedup.ngramJaccardPairsFrom(docsSh, 0.8)
+        .select("doc_a", "doc_b")
+      val lsh = Dedup.minhashLshPairsFrom(docsSh, 0.8,
+          maxBandGroup = SKEW_CAP)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       exact.join(lsh, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
