@@ -181,6 +181,22 @@ object Bench {
       .map(n => s""""$n":${got.getOrElse(n, -1L)}""").mkString("{", ",", "}")
   }
 
+  /** Self-describing box-state stamp (r15 verdict nit: BENCH_r15 was
+    * captured on a post-burn box and its per-key numbers read as code
+    * regressions to anyone diffing BENCH_r*.json without BASELINE.md).
+    * `label` comes from GRAFT_BOX_STATE (the runner declares
+    * "first-after-idle" / "post-burn" / etc.; "unspecified" when the
+    * driver runs unlabeled) and the load/memory fields let a reader
+    * judge the box cold from the artifact alone. */
+  private def boxState(): String = {
+    val label = sys.env.getOrElse("GRAFT_BOX_STATE", "unspecified")
+    val esc = label.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"label":"$esc",""" +
+      s""""load1":${java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage},""" +
+      s""""os":${osTelemetry()}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -319,11 +335,11 @@ object Bench {
     val errors = runs.collect { case (k, rs) if rs.exists(_ < 0) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = runs.map(r => median(r._2)).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"errors":$errors,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"errors":$errors,"box_state":${boxState()},"sf":"$sfDir"}"""
     val raw = runs.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"best":${objOf(best)},"spread":${objOf(spread)},"raw":$raw,"errors":$errors,"jvm_start":$jvmStart,"jvm_end":${jvmTelemetry()},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${objOf(median)},"best":${objOf(best)},"spread":${objOf(spread)},"raw":$raw,"errors":$errors,"jvm_start":$jvmStart,"jvm_end":${jvmTelemetry()},"box_state":${boxState()},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -79,6 +79,7 @@ object DictRollup {
   /** Per-slot kernel state (one open (hour, code) group). */
   private final class Slot {
     var n = 0L
+    var nv = 0L // finite values folded — 0 ⇒ the sum limbs render NULL
     var h6 = 0L
     var l6 = 0L
     val bm = new graft.functions.NdvBitmap
@@ -88,9 +89,23 @@ object DictRollup {
     * distinct-user bitmap, so the state is three longs). */
   private final class SumSlot {
     var n = 0L
+    var nv = 0L // finite values folded — 0 ⇒ the sum limbs render NULL
     var h6 = 0L
     var l6 = 0L
   }
+
+  // A slot that folded ZERO finite values must render sum_value NULL,
+  // exactly as the generic form does (SQL sum over an all-NULL micros6
+  // column is NULL, not 0 — NaN/Inf/null values all map to NULL). The
+  // limbs emit as boxed nulls; the state-scale sum-merge skips NULL
+  // partials, so a key is NULL iff EVERY partition's partial is
+  // (r16 — the gate fixtures never produce an all-null group, so this
+  // edge was latent in every kernel; StreamingSpec + the fuzz spec now
+  // pin it).
+  private def h6OrNull(nv: Long, h6: Long): Any =
+    if (nv == 0L) null else h6
+  private def l6OrNull(nv: Long, l6: Long): Any =
+    if (nv == 0L) null else l6
 
   private def requireDict(dict: Seq[String]): Unit =
     require(dict.nonEmpty && dict.distinct.size == dict.size,
@@ -254,8 +269,8 @@ object DictRollup {
     val partialSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
-      StructField("h6", LongType, nullable = false),
-      StructField("l6", LongType, nullable = false)))
+      StructField("h6", LongType, nullable = true),
+      StructField("l6", LongType, nullable = true)))
     val partials = proj.queryExecution.toRdd.mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
       var lastK = Long.MinValue
@@ -276,11 +291,13 @@ object DictRollup {
         s.n += 1
         if (!row.isNullAt(1)) {
           val m6 = row.getLong(1)
+          s.nv += 1
           s.h6 += m6 / 1000000L
           s.l6 += m6 % 1000000L
         }
       }
-      slots.iterator.map { case (k, s) => Row(k, s.n, s.h6, s.l6) }
+      slots.iterator.map { case (k, s) =>
+        Row(k, s.n, h6OrNull(s.nv, s.h6), l6OrNull(s.nv, s.l6)) }
     }
     proj.sparkSession.createDataFrame(partials, partialSchema)
   }
@@ -397,8 +414,8 @@ object DictRollup {
     val partialSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
-      StructField("h6", LongType, nullable = false),
-      StructField("l6", LongType, nullable = false),
+      StructField("h6", LongType, nullable = true),
+      StructField("l6", LongType, nullable = true),
       StructField("bm", BinaryType, nullable = false)))
     // the kernel reads the projected UnsafeRows directly (no
     // per-row object decode); rows are reused by the scan, but only
@@ -425,13 +442,15 @@ object DictRollup {
         s.n += 1
         if (!row.isNullAt(2)) {
           val m6 = row.getLong(2)
+          s.nv += 1
           s.h6 += m6 / 1000000L
           s.l6 += m6 % 1000000L
         }
         if (!row.isNullAt(1)) s.bm.add(row.getLong(1))
       }
       slots.iterator.map { case (k, s) =>
-        Row(k, s.n, s.h6, s.l6, s.bm.serialize())
+        Row(k, s.n, h6OrNull(s.nv, s.h6), l6OrNull(s.nv, s.l6),
+          s.bm.serialize())
       }
     }
     finalizeHourly(spark.createDataFrame(partials, partialSchema), dict, hourUs)
@@ -557,8 +576,8 @@ object DictRollup {
     val partialSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
-      StructField("h6", LongType, nullable = false),
-      StructField("l6", LongType, nullable = false),
+      StructField("h6", LongType, nullable = true),
+      StructField("l6", LongType, nullable = true),
       StructField("bm", BinaryType, nullable = false)))
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[Slot](64)
@@ -594,6 +613,7 @@ object DictRollup {
             val x = vVal.getDouble(i)
             if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
               val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.nv += 1
               slot.h6 += m6 / 1000000L
               slot.l6 += m6 % 1000000L
             }
@@ -603,7 +623,8 @@ object DictRollup {
         }
       }
       slots.iterator.map { case (k, s) =>
-        Row(k, s.n, s.h6, s.l6, s.bm.serialize())
+        Row(k, s.n, h6OrNull(s.nv, s.h6), l6OrNull(s.nv, s.l6),
+          s.bm.serialize())
       }
     }
     finalizeHourly(spark.createDataFrame(partials, partialSchema), dict, hourUs)
@@ -655,8 +676,8 @@ object DictRollup {
     val partialSchema = StructType(Seq(
       StructField("k", LongType, nullable = false),
       StructField("n", LongType, nullable = false),
-      StructField("h6", LongType, nullable = false),
-      StructField("l6", LongType, nullable = false)))
+      StructField("h6", LongType, nullable = true),
+      StructField("l6", LongType, nullable = true)))
     val xxh = withSplit && splitXxh64(raw)
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
@@ -720,6 +741,7 @@ object DictRollup {
             val x = vVal.getDouble(i)
             if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
               val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.nv += 1
               slot.h6 += m6 / 1000000L
               slot.l6 += m6 % 1000000L
             }
@@ -727,7 +749,8 @@ object DictRollup {
           i += 1
         }
       }
-      slots.iterator.map { case (k, s) => Row(k, s.n, s.h6, s.l6) }
+      slots.iterator.map { case (k, s) =>
+        Row(k, s.n, h6OrNull(s.nv, s.h6), l6OrNull(s.nv, s.l6)) }
     }
     val partialsDf = spark.createDataFrame(partials, partialSchema)
     if (!withSplit) {
@@ -1060,8 +1083,8 @@ object DictRollup {
       (if (withSplit) Seq(StructField("split", IntegerType, nullable = false))
        else Nil) ++:
       Seq(StructField("n", LongType, nullable = false),
-        StructField("h6", LongType, nullable = false),
-        StructField("l6", LongType, nullable = false)))
+        StructField("h6", LongType, nullable = true),
+        StructField("l6", LongType, nullable = true)))
     val xxh = withSplit && splitXxh64(raw)
     val partials = scan.executeColumnar().mapPartitions { it =>
       val slots = new scala.collection.mutable.LongMap[SumSlot](64)
@@ -1125,6 +1148,7 @@ object DictRollup {
             val x = vVal.getDouble(i)
             if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
               val m6 = graft.functions.MicroSumOps.toMicros(x)
+              slot.nv += 1
               slot.h6 += m6 / 1000000L
               slot.l6 += m6 % 1000000L
             }
@@ -1138,7 +1162,7 @@ object DictRollup {
         val hourIdx = (((k >>> 1) & OpenHourMask) <<
           (64 - OpenHourBits)) >> (64 - OpenHourBits)
         val base = Seq[Any](codec.name(code), hourIdx * hourUs)
-        val tail = Seq[Any](s.n, s.h6, s.l6)
+        val tail = Seq[Any](s.n, h6OrNull(s.nv, s.h6), l6OrNull(s.nv, s.l6))
         Row.fromSeq(if (withSplit) base ++ Seq((k & 1L).toInt) ++ tail
           else base ++ tail)
       }
@@ -1326,4 +1350,159 @@ object DictRollup {
 
   def incrementalRollupAuto(raw: DataFrame): DataFrame =
     incrementalRollupAuto(raw, HourUs)
+
+  // ------------------------------------------------------------------
+  // Streaming row-form twins (r16, verdict #7): the inferred kernels'
+  // per-partition dictionary-inference + packed-key fold, re-expressed
+  // over micro-batch ROWS so Structured Streaming can run it as a
+  // stateless transform. No flatMapGroupsWithState anywhere: the codec
+  // is per-partition and dies with the task — dictionary inference
+  // never becomes streaming state, and the stateful aggregation only
+  // ever sees (categories × buckets[, 2]) partial rows per task,
+  // never row-scale input. Partial rows carry the DECODED category
+  // string, so per-partition code assignment stays sound across tasks
+  // exactly as in the batch kernels.
+  // ------------------------------------------------------------------
+
+  /** Per-partition first-seen category table for the row-form folds —
+    * [[OpenCodec]] minus the columnar fast path: NULL is its own group
+    * (code 0), growth past `catCap` fails with the same loud refusal
+    * naming the spillable generic form. */
+  private final class OpenRowCodec(catCap: Int) {
+    private val byValue = new java.util.HashMap[String, Integer](64)
+    private val names = new scala.collection.mutable.ArrayBuffer[String](16)
+    names += null // code 0 = NULL category
+    def name(code: Int): String = names(code)
+    def code(s: String): Int = {
+      if (s == null) return 0
+      val got = byValue.get(s)
+      if (got != null) return got.intValue()
+      if (names.size > catCap) throw new IllegalArgumentException(
+        "inferred dictionary rollup: more than " + catCap +
+          " distinct categories in one partition " +
+          "(spark.graft.rollup.openCatCap) — declare a dictionary or " +
+          "use the generic form, whose aggregate state can spill")
+      val c = names.size
+      byValue.put(s, Integer.valueOf(c))
+      names += s
+      c
+    }
+  }
+
+  /** Row-form inferred-fold PARTIALS for streaming micro-batches:
+    * slots key on the packed (local code, trunc-hour, split) long
+    * exactly like [[sumRollupOpen]] (same overflow guards, same loud
+    * null-timestamp failure, same NaN/Inf-value skip), and the output
+    * decodes codes back to strings before the state-scale merge. The
+    * caller's stateful sum-merge over (event_type, hour_ts[, split])
+    * plus the shared decimal recombination reproduces the batch
+    * kernels bit-for-bit (micro-limb associativity: any micro-batch
+    * arrival order lands on the identical state).
+    *
+    * Input columns: (event_type string, timestamp epoch-micros long,
+    * value double[, split int 0/1 when `withSplit`]) — the split is a
+    * caller-side codegen'd projection (pmod(xxhash64(event_id,
+    * 'incr'), 100) < 20 for the gate family), so the streaming twin
+    * inherits the oracle's split function by construction instead of
+    * mirroring its hash arithmetic.
+    * Output: (event_type, hour_ts, split, n, h6, l6). */
+  def openSumPartialsRows(events: DataFrame, hourUs: Long = HourUs,
+      withSplit: Boolean = false): DataFrame = {
+    require(hourUs > 0, s"hourUs must be positive: $hourUs")
+    val catCap = openCatCap(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(col("event_type").cast("string"),
+        col("timestamp").cast("long"), col("value").cast("double"),
+        (if (withSplit) col("split") else lit(0)).cast("int").as("split"))
+      .as[(Option[String], Option[Long], Option[Double], Int)]
+    src.mapPartitions { it =>
+      val codec = new OpenRowCodec(catCap)
+      val slots = new scala.collection.mutable.LongMap[SumSlot](64)
+      while (it.hasNext) {
+        val (ty, tsOpt, vOpt, split) = it.next()
+        val ts = tsOpt.getOrElse(throw new IllegalArgumentException(
+          "dictionary rollup: null timestamp in input (a time-series " +
+            "point without a time is malformed; filter upstream if intended)"))
+        val code = codec.code(ty.orNull)
+        val hourIdx = (ts - ts % hourUs) / hourUs
+        if (hourIdx > (OpenHourMask >> 1) || hourIdx < -(OpenHourMask >> 1))
+          throw new IllegalArgumentException(
+            s"inferred dictionary rollup: hour index $hourIdx overflows " +
+              s"the $OpenHourBits-bit packed key (hourUs=$hourUs)")
+        val k = (code.toLong << (OpenHourBits + 1)) |
+          ((hourIdx & OpenHourMask) << 1) | split
+        var slot = slots.getOrNull(k)
+        if (slot == null) { slot = new SumSlot; slots.update(k, slot) }
+        slot.n += 1
+        vOpt.foreach { x =>
+          if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)) {
+            val m6 = graft.functions.MicroSumOps.toMicros(x)
+            slot.nv += 1
+            slot.h6 += m6 / 1000000L
+            slot.l6 += m6 % 1000000L
+          }
+        }
+      }
+      slots.iterator.map { case (k, s) =>
+        val code = (k >>> (OpenHourBits + 1)).toInt
+        val hourIdx = (((k >>> 1) & OpenHourMask) <<
+          (64 - OpenHourBits)) >> (64 - OpenHourBits)
+        (Option(codec.name(code)), hourIdx * hourUs, (k & 1L).toInt,
+          s.n, if (s.nv == 0L) None else Some(s.h6),
+          if (s.nv == 0L) None else Some(s.l6))
+      }
+    }.toDF("event_type", "hour_ts", "split", "n", "h6", "l6")
+  }
+
+  /** Row-form inferred-sketch PARTIALS for streaming micro-batches:
+    * per-partition DataSketches HLL registers keyed on the packed
+    * (local code, trunc-day) long exactly like [[sketchRollupInferred]]
+    * (lgK 12 so the caller's hll_union_agg state merge unions
+    * same-shape sketches; null user_id skipped, null timestamp loud).
+    * HLL updates are duplicate-insensitive, so ANY micro-batch replay
+    * or arrival order lands on the identical register state.
+    * Input: (event_type string, timestamp epoch-micros long,
+    * user_id long). Output: (event_type, day, sk binary). */
+  def openSketchPartialsRows(events: DataFrame,
+      dayUs: Long = 86400000000L): DataFrame = {
+    require(dayUs > 0, s"dayUs must be positive: $dayUs")
+    val catCap = openCatCap(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(col("event_type").cast("string"),
+        col("timestamp").cast("long"), col("user_id").cast("long"))
+      .as[(Option[String], Option[Long], Option[Long])]
+    src.mapPartitions { it =>
+      val codec = new OpenRowCodec(catCap)
+      val slots = new scala.collection.mutable.LongMap[
+        org.apache.datasketches.hll.HllSketch](64)
+      while (it.hasNext) {
+        val (ty, tsOpt, uidOpt) = it.next()
+        val ts = tsOpt.getOrElse(throw new IllegalArgumentException(
+          "dictionary rollup: null timestamp in input (a time-series " +
+            "point without a time is malformed; filter upstream if intended)"))
+        val code = codec.code(ty.orNull)
+        val dayIdx = ts / dayUs
+        if (dayIdx > (OpenHourMask >> 1) || dayIdx < -(OpenHourMask >> 1))
+          throw new IllegalArgumentException(
+            s"inferred dictionary rollup: day index $dayIdx overflows " +
+              s"the $OpenHourBits-bit packed key (dayUs=$dayUs)")
+        val k = (code.toLong << (OpenHourBits + 1)) |
+          ((dayIdx & OpenHourMask) << 1)
+        var slot = slots.getOrNull(k)
+        if (slot == null) {
+          slot = new org.apache.datasketches.hll.HllSketch(12)
+          slots.update(k, slot)
+        }
+        uidOpt.foreach(slot.update)
+      }
+      slots.iterator.map { case (k, s) =>
+        val code = (k >>> (OpenHourBits + 1)).toInt
+        val dayIdx = (((k >>> 1) & OpenHourMask) <<
+          (64 - OpenHourBits)) >> (64 - OpenHourBits)
+        (Option(codec.name(code)), dayIdx, s.toCompactByteArray)
+      }
+    }.toDF("event_type", "day", "sk")
+  }
 }

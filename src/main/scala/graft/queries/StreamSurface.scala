@@ -565,6 +565,99 @@ object StreamSurface {
           lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
   }
 
+  /** Shared sink render of the open-fold stream twins: merge the
+    * standing (event_type, hour_ts[, split]) micro-limb state and
+    * recombine the exact decimal exactly as the batch kernels' tail
+    * (and Incremental.finalizeRollup) do. */
+  private def renderOpenSum(state: DataFrame): DataFrame = {
+    val merged = state.groupBy("event_type", "hour_ts")
+      .agg(sum("n").cast("long").as("n"),
+        sum("h6").as("h6"), sum("l6").as("l6"))
+    val sv = (col("h6").cast("decimal(20,0)") *
+      lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+      col("l6").cast("decimal(20,0)")) *
+      lit(new java.math.BigDecimal("0.000001"))
+    merged.select(col("event_type"), col("hour_ts"), col("n"),
+      round(sv.cast("double"), 4).as("sum_value"))
+  }
+
+  /** The INFERRED-dictionary fold as a continuous query (r16 verdict
+    * #7 — the batch kernel family's last member without a streaming
+    * twin): [[graft.ops.DictRollup.openSumPartialsRows]] discovers
+    * the category set per micro-batch partition in a STATELESS
+    * transform (the codec dies with the task — dictionary inference
+    * never becomes streaming state, no flatMapGroupsWithState), so
+    * the stateful aggregation's input is partial rows at
+    * (categories × hours) scale per task, never row-scale, and its
+    * sum-merge IS the streaming state merge (micro-limb associativity
+    * makes any micro-batch arrival order land on the identical state
+    * table). Oracle: agg_rollup_fold's, verbatim — the same contract
+    * the batch inferred kernel gates against. */
+  private def streamRollupFoldInferred(s: SparkSession, dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_type"), Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("value"))
+    val partials = graft.ops.DictRollup.openSumPartialsRows(stream)
+    renderOpenSum(runToTable(s,
+      partials.groupBy("event_type", "hour_ts")
+        .agg(sum("n").as("n"), sum("h6").as("h6"), sum("l6").as("l6")),
+      "complete"))
+  }
+
+  /** [[streamRollupFoldInferred]] under the standard 80/20
+    * xxhash64(event_id, 'incr') split — the inferred incremental
+    * kernel's streaming twin. The split is a codegen'd projection
+    * BEFORE the stateless fold (the twin inherits the oracle's split
+    * function by construction), the standing state is kept PER SPLIT
+    * — the incremental family's real two-partial identity, live —
+    * and the sink render performs the split-dropping merge the batch
+    * gate performs. Oracle: agg_incremental_rollup's, verbatim. */
+  private def streamIncrementalRollupInferred(s: SparkSession,
+      dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_type"), Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("value"),
+        (pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20)
+          .cast("int").as("split"))
+    val partials = graft.ops.DictRollup.openSumPartialsRows(stream,
+      withSplit = true)
+    renderOpenSum(runToTable(s,
+      partials.groupBy("event_type", "hour_ts", "split")
+        .agg(sum("n").as("n"), sum("h6").as("h6"), sum("l6").as("l6")),
+      "complete"))
+  }
+
+  /** The INFERRED-dictionary sketch rollup as a continuous query:
+    * [[graft.ops.DictRollup.openSketchPartialsRows]] folds HLL
+    * registers per micro-batch partition (stateless, category set
+    * discovered in-task), hll_union_agg merges them into the standing
+    * per-(type, day) state — duplicate-insensitive registers make ANY
+    * replay or arrival order land on the identical state, the same
+    * argument [[streamSketchRollup]] rides — and the sink renders the
+    * shared union/estimate/band tail. State bounded by (observed
+    * categories × days) × lgK-12 sketch bytes, never by value
+    * cardinality. Oracle: agg_sketch_rollup's, verbatim. */
+  private def streamSketchRollupInferred(s: SparkSession,
+      dir: String): DataFrame = {
+    val (staged, tsType) = stagedEvents(s, dir)
+    val stream = s.readStream.schema(eventsSchema(tsType)).parquet(staged)
+      .select(col("event_type"), Tables.tsMicrosOf(tsType).as("timestamp"),
+        col("user_id"))
+    val partials = graft.ops.DictRollup.openSketchPartialsRows(stream)
+    val perDay = runToTable(s,
+      partials.groupBy("event_type", "day")
+        .agg(expr("hll_union_agg(sk)").as("sk")),
+      "complete")
+    perDay.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col("event_type"), col("n_days"),
+        floor(log(greatest(col("est"), lit(1L)).cast("double")) /
+          lit(graft.ops.Approx.BandLn125) + lit(0.5)).cast("long").as("est_band"))
+  }
+
   /** CDC keep-latest as a continuous query: the same grouped
     * struct-max as the batch gate — ONE struct of state per key,
     * order-independent merge (max is associative/commutative), so the
@@ -632,6 +725,9 @@ object StreamSurface {
     "stream_cdc_upsert" -> streamCdcUpsert,
     "stream_hourly_rollup" -> streamHourlyRollup,
     "stream_sketch_rollup" -> streamSketchRollup,
+    "stream_rollup_fold_inferred" -> streamRollupFoldInferred,
+    "stream_incremental_rollup_inferred" -> streamIncrementalRollupInferred,
+    "stream_sketch_rollup_inferred" -> streamSketchRollupInferred,
     "stream_warc_ingest" -> streamWarcIngest,
     "session_window_agg" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
@@ -878,6 +974,16 @@ object StreamSurface {
     // insensitive AND associative, so the batch sketch oracle applies
     // verbatim (the stream even skips the batch form's DISTINCT)
     "stream_sketch_rollup" -> AnalyticsSurface.oracleSql("agg_sketch_rollup"),
+    // the inferred kernels' stream twins (r16 verdict #7): dictionary
+    // inference is per-task and partials decode to strings before the
+    // state merge, so the batch oracles apply verbatim — the same
+    // contract the batch inferred kernels gate against
+    "stream_rollup_fold_inferred" ->
+      AnalyticsSurface.oracleSql("agg_rollup_fold"),
+    "stream_incremental_rollup_inferred" ->
+      AnalyticsSurface.oracleSql("agg_incremental_rollup"),
+    "stream_sketch_rollup_inferred" ->
+      AnalyticsSurface.oracleSql("agg_sketch_rollup"),
     // stateless record explode: stream ≡ batch, oracle verbatim
     "stream_warc_ingest" -> SourcesSurface.oracleSql("warc_extract"),
     // the batch M4 envelope on the unranged stream series

@@ -427,7 +427,12 @@ class HourlyRollupDictSpec extends AnyFunSuite {
       (1L, 1000L, 1L, "signup", 1.5), (2L, 2000L, 2L, "signup", Double.NaN),
       (3L, 3000L, 3L, "signup", Double.PositiveInfinity),
       (4L, 4000L, 4L, "signup", 2.5), (5L, 5000L, 5L, "view", Double.NegativeInfinity),
-      (6L, 6000L, 6L, "view", -0.75))
+      (6L, 6000L, 6L, "view", -0.75),
+      // an ALL-NaN/Inf group: the generic sum over all-NULL micros6 is
+      // NULL (not 0.0) — the kernels' nv guard must reproduce that
+      // (r16: this edge was latent in every kernel; no fixture hit it)
+      (7L, 7000L, 7L, "click", Double.NaN),
+      (8L, 8000L, 8L, "click", Double.NegativeInfinity))
     rows.map { case (i, ts, u, t, v) => (i, ts * 1000L, u, t, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
@@ -444,6 +449,10 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     val signup = g.find(_.getString(0) == "signup").get
     assert(signup.getLong(2) == 4L && math.abs(signup.getDouble(3) - 4.0) < 1e-9,
       s"signup must count 4 rows, sum only the finite 1.5+2.5: $signup")
+    // the all-NaN/Inf group renders a NULL sum with the full count
+    val click = g.find(_.getString(0) == "click").get
+    assert(click.getLong(2) == 2L && click.isNullAt(3),
+      s"click must count 2 rows with a NULL sum_value: $click")
   }
 
   test("columnar kernel fails loudly on a null timestamp read from parquet") {

@@ -518,6 +518,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("inferred-kernel stream twins match their batch forms (fold/incremental/sketch)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(key: String): Set[String] =
+      graft.SparkEntry.queries(key)(spark, dir)
+        .collect().map(_.mkString("|")).toSet
+    // fold + incremental: the stream twins' stateful sum-merge must
+    // land on the batch inferred kernels' exact output (which the
+    // generic-oracle gates already lock) — full differential of the
+    // row-form codec, the streaming plumbing, and the decimal render
+    val fold = rows("stream_rollup_fold_inferred")
+    assert(fold == rows("agg_rollup_fold") && fold.nonEmpty)
+    val incr = rows("stream_incremental_rollup_inferred")
+    assert(incr == rows("agg_incremental_rollup") && incr.nonEmpty)
+    // sketch: duplicate-insensitive registers — identical estimate band
+    val sk = rows("stream_sketch_rollup_inferred")
+    assert(sk == rows("agg_sketch_rollup") && sk.nonEmpty)
+  }
+
+  test("row-form open fold: NULL/rogue categories, NaN/Inf/null values, pre-1970 hours, split invariance") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_type", StringType, nullable = true),
+      StructField("timestamp", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = true),
+      StructField("event_id", LongType, nullable = false)))
+    val hourUs = 3600000000L
+    val rows = Seq(
+      Row(null, -7200000001L, 1.5, 1L),          // NULL category, pre-1970
+      Row(null, -7200000001L, Double.NaN, 2L),   // NaN skipped, n counted
+      Row("rogue-é", 0L, 2.25, 3L),         // non-ASCII rogue category
+      Row("view", hourUs + 1L, null, 4L),        // null value, n counted
+      Row("view", hourUs + 2L, Double.PositiveInfinity, 5L),
+      Row("view", 2 * hourUs, -3.0000005, 6L),   // sub-micro rounding
+      Row("rogue-é", 0L, 1.75, 7L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    def render(partials: org.apache.spark.sql.DataFrame): Set[String] = {
+      val sv = (col("h6").cast("decimal(20,0)") *
+        lit(new java.math.BigDecimal(1000000)).cast("decimal(7,0)") +
+        col("l6").cast("decimal(20,0)")) *
+        lit(new java.math.BigDecimal("0.000001"))
+      partials.groupBy("event_type", "hour_ts")
+        .agg(sum("n").cast("long").as("n"),
+          sum("h6").as("h6"), sum("l6").as("l6"))
+        .select(col("event_type"), col("hour_ts"), col("n"),
+          round(sv.cast("double"), 4).as("sum_value"))
+        .collect().map(_.mkString("|")).toSet
+    }
+    val viaFold = render(graft.ops.DictRollup.openSumPartialsRows(df))
+    val generic = graft.ops.Incremental.merge(
+        graft.ops.Incremental.hourlyPartials(df))
+      .collect().map(_.mkString("|")).toSet
+    assert(viaFold == generic && viaFold.nonEmpty)
+    // split invariance: ANY deterministic split merges identically
+    val withSplit = df.withColumn("split",
+      (pmod(xxhash64(col("event_id"), lit("incr")), lit(100L)) < 20)
+        .cast("int"))
+    val viaSplit = render(
+      graft.ops.DictRollup.openSumPartialsRows(withSplit, withSplit = true))
+    assert(viaSplit == generic)
+  }
+
   test("stream-stream interval join matches the batch self-join, boundaries closed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -132,6 +132,13 @@ def main() -> int:
         # in the OS fields (page cache, dirty, available) if anywhere
         "jvm_start": spark.get("jvm_start"),
         "jvm_end": spark.get("jvm_end"),
+        # r16 (verdict #2): self-describing box state — the runner
+        # declares the window's burn recency via GRAFT_BOX_STATE
+        # ("first-after-idle" / "post-burn" / ...); the benched JVM's
+        # own stamp rides in via Bench's box_state field
+        "box_state": {"label": os.environ.get("GRAFT_BOX_STATE",
+                                              "unspecified"),
+                      "bench": spark.get("box_state")},
     }
     Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
     # compact ratio table for the terminal
