@@ -119,7 +119,12 @@ object Bench {
     // exit for the last >2x-at-1B generic forms (scan-time dictionary
     // discovery off the parquet dictionary ids)
     "agg_rollup_fold_inferred", "agg_incremental_rollup_inferred",
-    "agg_sketch_rollup_inferred")
+    "agg_sketch_rollup_inferred",
+    // round-16: the composed-input tier — filter-only plans run ON the
+    // inferred kernels (FilterExec residual re-evaluated in the scan
+    // loop); the fixture filter is a ~63%-selective raw-ts range
+    "agg_rollup_fold_inferred_filtered",
+    "agg_sketch_rollup_inferred_filtered")
 
   /** One JVM telemetry snapshot as a JSON object string — the
     * fleet-drift instrumentation (r13 verdict #4): same-code fleets

@@ -509,17 +509,41 @@ object DictRollup {
     * TIMESTAMP(NANOS) read as epoch-nanos Long via nanosAsLong, or
     * TIMESTAMP(MICROS) read as NTZ — micros either way after decode,
     * matching Tables.tsMicros' trunc `ts div 1000`). */
+  /** A compiled residual row predicate over the scan's batches —
+    * (batch, rowIdx) → keep. Null ⟺ no filters (the bare-scan hot
+    * path pays nothing). */
+  private type BatchPred =
+    (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Boolean
+
   private def columnarScanOf(raw: DataFrame, cols: Seq[String]):
       (org.apache.spark.sql.execution.FileSourceScanExec, Seq[Int], Boolean) = {
+    val (scan, idx, tsNanos, pred) =
+      columnarScanOfFiltered(raw, cols, allowFilter = false)
+    assert(pred == null)
+    (scan, idx, tsNanos)
+  }
+
+  private def columnarScanOfFiltered(raw: DataFrame, cols: Seq[String],
+      allowFilter: Boolean):
+      (org.apache.spark.sql.execution.FileSourceScanExec, Seq[Int], Boolean,
+        BatchPred) = {
     val pruned = raw.select(cols.map(col): _*)
     // the kernel reads the SCAN's batches directly, so every plan node
     // above it would be silently skipped — require that nothing but
     // pass-through wrappers (column-pruning projects of bare
     // attributes, codegen adapters, the columnar-to-row boundary)
-    // sits between the root and the scan, and that the scan itself
-    // carries no filters. A filter or computed projection anywhere
-    // means the caller composed a plan — the row kernels are the
-    // composable forms.
+    // sits between the root and the scan. A computed projection
+    // anywhere means the caller composed a plan — the row kernels are
+    // the composable forms. FILTERS (r16, verdict #4 — the
+    // composed-input tier): when `allowFilter`, FilterExec residuals
+    // above the scan are COLLECTED and re-evaluated row-by-row inside
+    // the kernel via [[compileBatchPred]] — exact by construction
+    // regardless of what parquet's pushed copies pruned, because
+    // Spark itself keeps the FilterExec as the exact residual of
+    // every pushed data filter. Unsupported predicate shapes refuse
+    // loudly, naming the generic fallback.
+    val conditions = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.expressions.Expression]()
     def bareScanOf(p: org.apache.spark.sql.execution.SparkPlan):
         org.apache.spark.sql.execution.FileSourceScanExec = p match {
       case pr: org.apache.spark.sql.execution.ProjectExec =>
@@ -528,12 +552,22 @@ object DictRollup {
           "columnar dict kernel needs a bare parquet relation " +
             s"(computed projection: ${pr.projectList})")
         bareScanOf(pr.child)
+      case f: org.apache.spark.sql.execution.FilterExec if allowFilter =>
+        def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression):
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            splitAnd(l) ++ splitAnd(r)
+          case x => Seq(x)
+        }
+        conditions ++= splitAnd(f.condition)
+        bareScanOf(f.child)
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
         bareScanOf(w.child)
       case i: org.apache.spark.sql.execution.InputAdapter => bareScanOf(i.child)
       case c: org.apache.spark.sql.execution.ColumnarToRowExec => bareScanOf(c.child)
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        require(s.dataFilters.isEmpty && s.partitionFilters.isEmpty,
+        require(allowFilter ||
+            (s.dataFilters.isEmpty && s.partitionFilters.isEmpty),
           "columnar dict kernel needs a bare parquet relation " +
             s"(scan carries filters: ${s.dataFilters ++ s.partitionFilters})")
         s
@@ -556,7 +590,102 @@ object DictRollup {
       case other => throw new IllegalArgumentException(
         s"columnar dict kernel: unsupported ts type $other")
     }
-    (scan, idx, tsNanosLong)
+    (scan, idx, tsNanosLong,
+      if (conditions.isEmpty) null else compileBatchPred(conditions.toSeq, scan))
+  }
+
+  /** Compile the collected FilterExec residual conjuncts to ONE
+    * (batch, row) → keep function over the scan's vectors. Supported
+    * forms — a bare scan attribute against a same-typed literal under
+    * the six comparators, IS [NOT] NULL, and their AND-chains (split
+    * upstream) — cover the pushable-predicate language: exactly the
+    * filters a FileSourceScan would carry as PushedFilters. Anything
+    * else (casts, arithmetic, OR, UDFs) refuses LOUDLY naming the
+    * generic form — a silent partial evaluation would return wrong
+    * rows, the one unforgivable failure mode. SQL three-valued logic:
+    * a NULL operand makes the conjunct unknown → row dropped, exactly
+    * FilterExec's behavior. Double comparisons go through Spark's own
+    * total order (SQLOrderingUtil.compareDoubles: NaN largest,
+    * -0.0 = 0.0) — a primitive Java compare would silently diverge on
+    * NaN rows. */
+  private def compileBatchPred(
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      scan: org.apache.spark.sql.execution.FileSourceScanExec): BatchPred = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val byId = scan.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    def colIdx(a: AttributeReference): Int = byId.getOrElse(a.exprId,
+      throw new IllegalArgumentException(
+        s"columnar dict kernel filter: ${a.name} is not a scan attribute"))
+    def refuse(e: Expression): Nothing = throw new IllegalArgumentException(
+      "columnar dict kernel filter: unsupported predicate shape " +
+        s"$e — only bare-attribute comparisons with literals, IS [NOT] " +
+        "NULL and AND-chains run on the kernel; use the generic form " +
+        "for composed predicates (its aggregate state can spill)")
+    // one conjunct → (batch, row) → Boolean
+    def comp(e: Expression): BatchPred = e match {
+      case IsNotNull(a: AttributeReference) =>
+        val i = colIdx(a); (b, r) => !b.column(i).isNullAt(r)
+      case IsNull(a: AttributeReference) =>
+        val i = colIdx(a); (b, r) => b.column(i).isNullAt(r)
+      case cmp: BinaryComparison =>
+        val (attr, litRaw, flip) = (cmp.left, cmp.right) match {
+          case (a: AttributeReference, l: Literal) => (a, l, false)
+          case (l: Literal, a: AttributeReference) => (a, l, true)
+          case _ => refuse(e)
+        }
+        if (litRaw.value == null) return (_, _) => false // cmp NULL: unknown
+        val i = colIdx(attr)
+        // sign of compare(column, literal), NULL column → MinValue tag
+        val cmpOf: (org.apache.spark.sql.vectorized.ColumnarBatch, Int) => Int =
+          (attr.dataType, litRaw.dataType) match {
+            case (org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.TimestampNTZType |
+                  org.apache.spark.sql.types.TimestampType,
+                  org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.TimestampNTZType |
+                  org.apache.spark.sql.types.TimestampType) =>
+              val lv = litRaw.value.asInstanceOf[Long]
+              (b, r) => java.lang.Long.compare(b.column(i).getLong(r), lv)
+            case (org.apache.spark.sql.types.IntegerType,
+                  org.apache.spark.sql.types.IntegerType) =>
+              val lv = litRaw.value.asInstanceOf[Int]
+              (b, r) => Integer.compare(b.column(i).getInt(r), lv)
+            case (org.apache.spark.sql.types.DoubleType,
+                  org.apache.spark.sql.types.DoubleType) =>
+              val lv = litRaw.value.asInstanceOf[Double]
+              (b, r) => org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                .compareDoubles(b.column(i).getDouble(r), lv)
+            case (org.apache.spark.sql.types.StringType,
+                  org.apache.spark.sql.types.StringType) =>
+              val lv = litRaw.value
+                .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              (b, r) => b.column(i).getUTF8String(r).compareTo(lv)
+            case _ => refuse(e)
+          }
+        val keep: Int => Boolean = cmp match {
+          case _: EqualTo => s => s == 0
+          case _: LessThan => s => (if (flip) -s else s) < 0
+          case _: LessThanOrEqual => s => (if (flip) -s else s) <= 0
+          case _: GreaterThan => s => (if (flip) -s else s) > 0
+          case _: GreaterThanOrEqual => s => (if (flip) -s else s) >= 0
+          case _ => refuse(e)
+        }
+        (b, r) => !b.column(i).isNullAt(r) && keep(cmpOf(b, r))
+      case Not(EqualTo(a: AttributeReference, l: Literal)) =>
+        val inner = comp(EqualTo(a, l))
+        val i = colIdx(a)
+        (b, r) => !b.column(i).isNullAt(r) && l.value != null && !inner(b, r)
+      case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        (_, _) => true
+      case other => refuse(other)
+    }
+    val fns = conds.map(comp).toArray
+    (b, r) => {
+      var j = 0
+      var ok = true
+      while (ok && j < fns.length) { ok = fns(j)(b, r); j += 1 }
+      ok
+    }
   }
 
   /** Columnar twin of [[hourlyRollup]] over the RAW events relation
@@ -1073,7 +1202,11 @@ object DictRollup {
     val catCap = openCatCap(raw)
     val cols = if (withSplit) Seq("ts", "event_id", "event_type", "value")
       else Seq("ts", "event_type", "value")
-    val (scan, idx, tsNanos) = columnarScanOf(raw, cols)
+    // filter-only composed inputs run ON the kernel (r16, verdict #4):
+    // the FilterExec residual compiles to a per-row vector predicate —
+    // a pushed-filter scan is still one vectorized ColumnarBatch source
+    val (scan, idx, tsNanos, pred) =
+      columnarScanOfFiltered(raw, cols, allowFilter = true)
     val (iTs, iTy, iVal) = (idx(0), idx(if (withSplit) 2 else 1),
       idx(if (withSplit) 3 else 2))
     val iId = if (withSplit) idx(1) else -1
@@ -1103,6 +1236,11 @@ object DictRollup {
         var i = 0
         val nRows = batch.numRows()
         while (i < nRows) {
+          // composed-plan FilterExec semantics, evaluated here: a
+          // filtered-out row never reaches the rollup (nor its
+          // null-timestamp check — the filter runs FIRST in the plan)
+          if (pred != null && !pred(batch, i)) { i += 1 }
+          else {
           if (vTs.isNullAt(i)) throw new IllegalArgumentException(
             "dictionary rollup: null timestamp in input (a time-series " +
               "point without a time is malformed; filter upstream if intended)")
@@ -1154,6 +1292,7 @@ object DictRollup {
             }
           }
           i += 1
+          }
         }
       }
       slots.iterator.map { case (k, s) =>
@@ -1196,9 +1335,11 @@ object DictRollup {
     * oracle) for corpora WITHOUT a declared dictionary: the category
     * set is discovered inside the scan ([[OpenCodec]]), so the output
     * matches the generic form exactly — rogue categories and NULL
-    * keep their own groups. Bare-scan guarded like every columnar
-    * kernel; the generic form remains the composable, spillable
-    * fallback. */
+    * keep their own groups. Accepts a bare scan OR a filter-only
+    * composed plan (r16: FilterExec residuals re-evaluate inside the
+    * scan loop — see [[compileBatchPred]]); computed projections and
+    * unsupported predicate shapes still refuse loudly, and the
+    * generic form remains the composable, spillable fallback. */
   def foldRollupInferred(raw: DataFrame, hourUs: Long = HourUs): DataFrame =
     sumRollupOpen(raw, hourUs, withSplit = false)
 
@@ -1251,8 +1392,9 @@ object DictRollup {
     val spark = raw.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val catCap = openCatCap(raw)
-    val (scan, idx, tsNanos) =
-      columnarScanOf(raw, Seq("ts", "event_type", "user_id"))
+    // filter-only composed inputs run ON the kernel (r16, verdict #4)
+    val (scan, idx, tsNanos, pred) = columnarScanOfFiltered(raw,
+      Seq("ts", "event_type", "user_id"), allowFilter = true)
     val (iTs, iTy, iUid) = (idx(0), idx(1), idx(2))
     val partialSchema = StructType(Seq(
       StructField("event_type", StringType, nullable = true),
@@ -1273,6 +1415,9 @@ object DictRollup {
         var i = 0
         val nRows = batch.numRows()
         while (i < nRows) {
+          // composed-plan FilterExec semantics (see sumRollupOpen)
+          if (pred != null && !pred(batch, i)) { i += 1 }
+          else {
           if (vTs.isNullAt(i)) throw new IllegalArgumentException(
             "dictionary rollup: null timestamp in input (a time-series " +
               "point without a time is malformed; filter upstream if intended)")
@@ -1299,6 +1444,7 @@ object DictRollup {
           }
           if (!vUid.isNullAt(i)) slot.update(vUid.getLong(i))
           i += 1
+          }
         }
       }
       slots.iterator.map { case (k, s) =>

@@ -237,6 +237,26 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     // and NULL event_type really is its own group here, not quarantined
     assert(inf.exists(_.isNullAt(0)), "expected a NULL-category group")
 
+    // r16 (composed tier): a raw-ts RANGE filter over this same fuzz
+    // corpus (pre-1970 rows on both sides of the cut, NULL categories,
+    // NaN-free but negative values) runs ON the kernel and must equal
+    // the generic filtered fold exactly
+    val rawFz = graft.core.Tables.load(spark, dir.getAbsolutePath, "events")
+    val filteredKernel = graft.ops.DictRollup.foldRollupInferred(
+      rawFz.filter(graft.core.Tables.tsRawAtLeast(rawFz, -2 * hourUs) &&
+        graft.core.Tables.tsRawBelow(rawFz, 2 * hourUs)))
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    val filteredGeneric = graft.ops.Incremental.merge(
+      graft.ops.Incremental.hourlyPartials(
+        graft.core.Tables.eventSeries(spark, dir.getAbsolutePath)
+          .filter(col("timestamp") >= -2 * hourUs &&
+            col("timestamp") < 2 * hourUs)))
+      .orderBy("hour_ts", "event_type").collect().toSeq
+    assert(filteredKernel == filteredGeneric,
+      "filtered inferred fold diverged from the filtered generic fold")
+    assert(filteredKernel.nonEmpty && filteredKernel.size < inf.size,
+      "the fuzz range filter must be selective on both ends")
+
     // the INFERRED sketch twin (r15): must equal the composable row
     // twin (distinct-first + hll_sketch_agg) EXACTLY on this
     // undeclared corpus — HLL register construction is
@@ -259,9 +279,18 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     val sAutoBare = graft.ops.DictRollup.sketchRollupAuto(raw)
     assert(viaKernelDf(sAutoBare), "no-dict sketch auto must take the inferred kernel on a bare scan")
     assert(sAutoBare.orderBy("event_type").collect().toSeq == is)
-    val sAutoComposed = graft.ops.DictRollup.sketchRollupAuto(
+    // r16: a FILTER-ONLY composed input now runs ON the kernel (the
+    // FilterExec residual re-evaluates inside the scan loop)
+    val sAutoFiltered = graft.ops.DictRollup.sketchRollupAuto(
       raw.filter(col("event_id") >= 0L))
-    assert(!viaKernelDf(sAutoComposed), "no-dict sketch auto must take the row form on a composed input")
+    assert(viaKernelDf(sAutoFiltered),
+      "no-dict sketch auto must take the kernel on a filter-only composed input")
+    assert(sAutoFiltered.orderBy("event_type").collect().toSeq == is)
+    // an UNSUPPORTED predicate shape (OR) still routes to the row form
+    val sAutoComposed = graft.ops.DictRollup.sketchRollupAuto(
+      raw.filter(col("event_id") >= 0L || col("user_id") >= 0L))
+    assert(!viaKernelDf(sAutoComposed),
+      "no-dict sketch auto must take the row form on an unsupported composed input")
     assert(sAutoComposed.orderBy("event_type").collect().toSeq == is)
   }
 
@@ -287,21 +316,42 @@ class HourlyRollupDictSpec extends AnyFunSuite {
     val bare = graft.ops.DictRollup.foldRollupAuto(raw)
     assert(viaKernel(bare), "no-dict fold auto must take the inferred kernel on a bare scan")
     assert(sorted(bare) == foldRef)
-    val composed = graft.ops.DictRollup.foldRollupAuto(
+    // r16: filter-only composed inputs run ON the kernel (FilterExec
+    // residual re-evaluated in the scan loop); an unsupported
+    // predicate shape (OR / computed expression) still routes generic
+    val filtered = graft.ops.DictRollup.foldRollupAuto(
       raw.filter(col("event_id") >= 0L))
+    assert(viaKernel(filtered),
+      "no-dict fold auto must take the kernel on a filter-only composed input")
+    assert(sorted(filtered) == foldRef)
+    val composed = graft.ops.DictRollup.foldRollupAuto(
+      raw.filter(col("event_id") % 2L >= 0L))
     assert(!viaKernel(composed),
-      "no-dict fold auto must take the GENERIC form on a composed input")
+      "no-dict fold auto must take the GENERIC form on an unsupported composed input")
     assert(sorted(composed) == foldRef)
     val incrRef = sorted(AnalyticsSurface.queries("agg_incremental_rollup")(
       spark, dir.getAbsolutePath))
     val incrBare = graft.ops.DictRollup.incrementalRollupAuto(raw)
     assert(viaKernel(incrBare), "no-dict incremental auto must take the inferred kernel on a bare scan")
     assert(sorted(incrBare) == incrRef)
-    val incrComposed = graft.ops.DictRollup.incrementalRollupAuto(
+    val incrFiltered = graft.ops.DictRollup.incrementalRollupAuto(
       raw.filter(col("event_id") >= 0L))
+    assert(viaKernel(incrFiltered),
+      "no-dict incremental auto must take the kernel on a filter-only composed input")
+    assert(sorted(incrFiltered) == incrRef)
+    val incrComposed = graft.ops.DictRollup.incrementalRollupAuto(
+      raw.filter(col("event_id") % 2L >= 0L))
     assert(!viaKernel(incrComposed),
-      "no-dict incremental auto must take the GENERIC form on a composed input")
+      "no-dict incremental auto must take the GENERIC form on an unsupported composed input")
     assert(sorted(incrComposed) == incrRef)
+    // a SELECTIVE supported filter agrees with the generic form on
+    // values, not just membership: drop the hour-0 rows
+    val cut = graft.ops.DictRollup.foldRollupAuto(raw.filter(col("ts") > 0L))
+    assert(viaKernel(cut), "selective raw-ts filter must stay on the kernel")
+    assert(sorted(cut) ==
+      sorted(graft.ops.Incremental.merge(graft.ops.Incremental.hourlyPartials(
+        graft.core.Tables.eventSeries(spark, dir.getAbsolutePath)
+          .filter(col("timestamp") > 0L)))))
   }
 
   test("inferred kernel refuses loudly past openCatCap instead of paging silently") {
