@@ -1298,6 +1298,59 @@ object Similarity {
     arm(staleCents, "placed").unionByName(arm(freshCents, "rebuilt"))
   }
 
+  /** Dev-only falsification probe for [[recallStalenessPair]]'s sf0.1
+    * decomposition (r16, verdict #5) — NOT gate-keyed, never composed
+    * into a product query. The r15 decomposition attributed the key's
+    * >2x-vs-referent residual to "~19 job floors plus TWO real
+    * codebook trainings"; this probe makes that claim falsifiable by
+    * running controlled ablations of the SAME shared harness:
+    *
+    *  - `pair`:   the shipped two-arm measurement, verbatim.
+    *  - `onearm`: one training, one search arm — the irreducible cost
+    *    of measuring a SINGLE real index build on this harness. If
+    *    the residual claim holds, this reads ≳ half the pair.
+    *  - `memo`:   two arms, ONE training (both arms search the fresh
+    *    book). pair − memo isolates the second TRAINING's real cost;
+    *    memo − onearm isolates the second SEARCH arm's. If pair −
+    *    memo ≈ 0 the "two real trainings" half of the claim is
+    *    falsified (the delta would be plan waste, not training).
+    *
+    * No memo cache keys on purpose: every rep pays real training, the
+    * quantity under measurement. Output schema matches the pair's (the
+    * memo arms differ in VALUES from the shipped key — the probe
+    * measures cost structure, not staleness). */
+  def recallStalenessProbe(embeddings: DataFrame, corpusPred: Column,
+      queryPred: Column, k: Int, maxQueries: Int,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int,
+      trainPred: Column, mode: String): DataFrame = {
+    if (mode == "pair")
+      return recallStalenessPair(embeddings, corpusPred, queryPred, k,
+        maxQueries, nCentroids, nProbe, kmeansIters, trainPred)
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val base = withNorm(embeddings).transform(persistTracked)
+    val qp = boundedQueryPred(base, queryPred, maxQueries)
+    val freshCents = trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
+    val brute = bruteTopKOn(base, qp, k)
+      .select("query_id", "neighbor_id")
+      .transform(persistTracked)
+    def arm(cents: Seq[(Long, Array[Double])], name: String): DataFrame = {
+      val approx = ivfSearch(base, cents, qp, k, nProbe)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
+        .withColumn("variant", lit(name))
+    }
+    mode match {
+      case "onearm" => arm(freshCents, "rebuilt")
+      case "memo" =>
+        arm(freshCents, "placed").unionByName(arm(freshCents, "rebuilt"))
+      case other => throw new IllegalArgumentException(
+        s"recallStalenessProbe mode must be pair|onearm|memo, got '$other'")
+    }
+  }
+
   /** Contrastive-training triplet mining over ANY ranked top-k frame
     * (brute/LSH/IVF/PQ — backend-pluggable): the self-supervised
     * convention of dense-retrieval pipelines (DPR/ANCE class), with

@@ -146,6 +146,17 @@ object SimilaritySurface {
         fullCacheKey = Some(s"$dir#embeddings"))),
   )
 
+  /** Dev-only (r16 verdict #5): the staleness pair's falsification
+    * ablations on EXACTLY the gate key's constants — same corpus
+    * split, sample bound, book shape and probe budget as
+    * `sim_recall_incremental`, so the probe's deltas speak about that
+    * key and nothing else. Driven by [[graft.tools.SimRecallProbe]];
+    * never in [[queries]]. */
+  def stalenessProbe(s: SparkSession, dir: String, mode: String) =
+    Similarity.recallStalenessProbe(emb(s, dir), expr("vec_id % 10 < 8"),
+      expr(QPRED), K, MAXQ, NCENTROIDS, NPROBE, KMEANS_ITERS,
+      expr(TRAIN_SQL), mode)
+
   private val NCENTROIDS = 8
   /** Sampled-query bound for the recall evaluators — deliberately
     * BINDING at gate scale (4 of the 5 vec_id < 5 queries survive the
@@ -655,7 +666,38 @@ object SimilaritySurface {
        |GROUP BY 1""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = oracleSqlBase +
+  /** DuckDB CTE-materialization hint for the referent (r16, verdict
+    * #3): the k-means / LSH training chains reference each CTE level
+    * several times (cents$i feeds s$i AND both branches of
+    * cents$i+1), and DuckDB 1.0 inlines non-hinted CTEs per
+    * reference, re-running the chain prefix multiplicatively —
+    * `AS MATERIALIZED` evaluates each level once (the text_bpe_train
+    * precedent). Values are hint-invariant (verified equal at sf0.1
+    * and 600k); runtime measured per key at sf0.1, 3-rep best, and
+    * the hint is applied ONLY where the referent gets FASTER — the
+    * referent always runs its best formulation, our paired ratios can
+    * only get worse from this change: recall_pq 6.86→2.05 s,
+    * topk_ivf_pq 11.95→2.44, recall_q8 2.42→0.61, recall_incremental
+    * 2.64→0.99, recall_ivf 1.28→0.55, index_stats 0.84→0.33,
+    * hard_negatives 1.48→0.55, semantic 2.85→1.82 (same window;
+    * at 600k vectors recall_pq is 198→81 s). Kept PLAIN (hint
+    * measured neutral-to-slower): sim_topk_brute, sim_topk_mrl,
+    * sim_assign_incremental, dedup_embedding. */
+  private def matCtes(sql: String): String =
+    sql.replace("AS (SELECT", "AS MATERIALIZED (SELECT")
+  private val MAT_KEYS = Set(
+    "sim_recall_ivf", "sim_recall_pq", "sim_recall_q8", "sim_recall_lsh",
+    "sim_recall_incremental", "sim_topk_ivf", "sim_topk_ivf_q8",
+    "sim_topk_ivf_pq", "sim_topk_lsh", "sim_index_stats",
+    "sim_hard_negatives", "dedup_semantic", "dedup_embedding_lsh")
+
+  val oracleSql: Map[String, String] = (oracleSqlRaw.map { case (k, v) =>
+    k -> (if (MAT_KEYS(k)) matCtes(v) else v)
+  })
+
+  // lazy: referenced by oracleSql above its textual position — a
+  // plain val would still be null at oracleSql's initialization
+  private lazy val oracleSqlRaw: Map[String, String] = oracleSqlBase +
     ("sim_recall_ivf" -> recallSql(ivfTopkSql(SAMPLED_QPRED))) +
     // placed-vs-rebuilt staleness pair, each side composing the same
     // builders as its gated twin under the sampled-query bound
