@@ -154,7 +154,18 @@ object Similarity {
     // nprobe=4 the book is rerank-bound again). The shipped default
     // moved to nprobe=4.
     "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=4" -> 0.462,
-    "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=8" -> 0.480)
+    "ivfpq:nsub=8,ksub=8,rerank=1200,nprobe=8" -> 0.480,
+    // r16 (recall_maxq50_r16.json): the 16-subspace book, measurable
+    // end-to-end again now the oracle's k-means chains carry
+    // AS MATERIALIZED hints (the r14 "oracle budget" veto is obsolete
+    // — 16 materialized chains cost ~2x the 8-sub oracle, not
+    // exponential). The finer quantizer converts nprobe=4's cell
+    // coverage into recall far better than 8x8 ever could: 73.0% mean
+    // recall@10 at the shipped rerank/probe against 8x8's 46.2%, for
+    // ~2x PQ-stage cost on BOTH engines — the new gate default.
+    "ivfpq:nsub=16,ksub=8,rerank=1200,nprobe=4" -> 0.730,
+    "ivfpq:nsub=16,ksub=8,rerank=600,nprobe=4" -> 0.658,
+    "ivfpq:nsub=16,ksub=8,rerank=1200,nprobe=2" -> 0.528)
 
   /** Construction-time bad-book guard (r13 verdict #3): a book whose
     * PINNED recall provenance sits below `spark.graft.sim.minRecall`
@@ -959,7 +970,7 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int,
       nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 2,
       trainPred: Column = expr("vec_id % 2 = 0"),
-      nSub: Int = 8, kSub: Int = 8, rerank: Int = 1200,
+      nSub: Int = 16, kSub: Int = 8, rerank: Int = 1200,
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     guardBook(embeddings.sparkSession,

@@ -243,15 +243,43 @@ object SimilaritySurface {
     * default the oracle can't affordably replay loses its
     * cross-engine verification, so 16x8 stays a pinned non-gate
     * option (Similarity.pinnedRecall). */
-  private val NSUB = 8
+  /** PQ subspace count. Gate default 8; overridable (like [[MAXQ]] /
+    * [[PQ_RERANK]]) via SPARK_GRAFT_SIM_NSUB for book-shape recall
+    * measurement — BOTH the Spark plan and the oracle SQL derive from
+    * this constant, so an override keeps the two sides paired. Must
+    * divide DIM (the subspaces are equal slices).
+    *
+    * Gate default 16 since r16 (raised from 8): the 16-subspace
+    * book's r14 veto ("the oracle's 16 chained k-means CTE replays
+    * blow the gate budget") became obsolete when the chains gained
+    * AS MATERIALIZED hints (~2x the 8-sub oracle, not exponential),
+    * and the measured recall gap is decisive — the finer quantizer
+    * converts nprobe=4's cell coverage into 73.0% mean recall@10 at
+    * the shipped rerank (recall_maxq50_r16.json, 60k corpus,
+    * hash-green at every swept point) against 8x8's 46.2%, for ~2x
+    * PQ-stage cost on BOTH engines (sf0.1 same-window: Spark
+    * 2.96/4.15 s → 5.62/6.25 s, DuckDB 1.06/1.11 s → 2.54/2.53 s on
+    * topk/recall). A 46%-recall default is not deployable; 73% is
+    * within 9 pts of the nprobe-4 coverage ceiling (82.0%). */
+  private val NSUB = sys.env.get("SPARK_GRAFT_SIM_NSUB") match {
+    case Some(v) => v.toIntOption.filter(d => d >= 1 && DIM % d == 0)
+      .getOrElse {
+        System.err.println(
+          s"[graft] ignoring malformed SPARK_GRAFT_SIM_NSUB='$v' " +
+            s"(need a positive divisor of $DIM); using default 16")
+        16
+      }
+    case None => 16
+  }
   private val KSUB = 8
   /** Gate default 1200 (late r14, raised from 600): the measured
-    * rerank-recall curve on the 60k reference corpus is 600→32.0%,
-    * 900→37.0%, 1200→39.4%, 2000→45.4% mean recall@10, against the
-    * 56.4% ceiling the nprobe-2 cell coverage imposes (rerank can
-    * never exceed [[sim_recall_ivf]]'s number — closing the rest
-    * means a bigger book, and 16 subspaces is vetoed by the oracle
-    * budget). Rerank is a per-query CONSTANT: its cost fraction
+    * rerank-recall curve on the 60k reference corpus at the then-8x8
+    * book was 600→32.0%, 900→37.0%, 1200→39.4%, 2000→45.4% mean
+    * recall@10 against the nprobe-2 cell-coverage ceiling (rerank can
+    * never exceed [[sim_recall_ivf]]'s number); on the r16 16x8 gate
+    * book the same axis reads 600→65.8%, 1200→73.0% at nprobe=4
+    * (recall_maxq50_r16.json) — 1200 still takes the last cheap
+    * points. Rerank is a per-query CONSTANT: its cost fraction
     * shrinks as the corpus grows, so raising it is free at scale —
     * 1200 takes the last cheap +7.4 pts. Overridable (like [[MAXQ]])
     * via SPARK_GRAFT_SIM_PQ_RERANK for rerank-sensitivity
