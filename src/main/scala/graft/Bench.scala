@@ -126,6 +126,9 @@ object Bench {
     "agg_rollup_fold_inferred_filtered",
     "agg_sketch_rollup_inferred_filtered")
 
+  /** The bench fleet, for tooling (PlanDump) — same order as timed. */
+  def headlineKeys: Seq[String] = headline
+
   /** One JVM telemetry snapshot as a JSON object string — the
     * fleet-drift instrumentation (r13 verdict #4): same-code fleets
     * degraded monotonically Spark-side (1.097 → 1.315 over four
