@@ -70,6 +70,71 @@ object VecCodec {
     acc.doubleValue()
   }
 
+  /** [[dotDec]] of a CONTIGUOUS SLICE of a float/double array column
+    * against a constant double vector — bit-identical to
+    * `dot_dec(slice(a, off+1, c.length), c)`: same per-product
+    * toFix12 rounding, same exact long accumulation, same
+    * BigDecimal fallback on overflow (unreachable for unit-scale
+    * embeddings, kept for strict parity). Shared by the fused PQ
+    * kernel expressions (PqKernel.scala) so the subspace arithmetic
+    * stays THIS audited chain. */
+  def dotDecSliceConst(a: ArrayData, aFloat: Boolean, off: Int,
+      c: Array[Double]): Double = {
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < c.length) {
+        if (a.isNullAt(off + i))
+          throw new IllegalArgumentException(s"dot_dec: null element at ${off + i}")
+        val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+        acc = Math.addExact(acc, toFix12(x * c(i)))
+        i += 1
+      }
+      return java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    } catch { case _: ArithmeticException => () }
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < c.length) {
+      if (a.isNullAt(off + i))
+        throw new IllegalArgumentException(s"dot_dec: null element at ${off + i}")
+      val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+      acc = acc.add(java.math.BigDecimal.valueOf(x * c(i))
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** [[dotDec]] of a slice with ITSELF (the normDec(slice(...)) chain
+    * before the sqrt) — bit-identical to `dot_dec(pe, pe)` on the
+    * sliced column. */
+  def dotDecSliceSelf(a: ArrayData, aFloat: Boolean, off: Int,
+      len: Int): Double = {
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < len) {
+        if (a.isNullAt(off + i))
+          throw new IllegalArgumentException(s"dot_dec: null element at ${off + i}")
+        val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+        acc = Math.addExact(acc, toFix12(x * x))
+        i += 1
+      }
+      return java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    } catch { case _: ArithmeticException => () }
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(off + i))
+        throw new IllegalArgumentException(s"dot_dec: null element at ${off + i}")
+      val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+      acc = acc.add(java.math.BigDecimal.valueOf(x * x)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
   /** Same accumulation over driver-side constant vectors (for norms of
     * plan-time model state — inlined as literals, not computed per
     * row). */

@@ -977,47 +977,47 @@ object Similarity {
       s"ivfpq:nsub=$nSub,ksub=$kSub,rerank=$rerank,nprobe=$nProbe")
     val base = withNorm(embeddings)
       .transform(persistTracked)
+    val dbg = sys.env.contains("GRAFT_SIM_PHASE_DEBUG")
+    val tTrain0 = System.nanoTime()
     val (cents, books) = memoized(cacheKey,
         s"pq|$nCentroids|$nSub|$kSub|$kmeansIters|$trainPred") {
       trainIvfPqCodebooksOn(base, nCentroids, nSub, kSub, kmeansIters, trainPred)
     }
+    if (dbg) System.err.println(
+      f"[pq-phase] train ${(System.nanoTime() - tTrain0) / 1e9}%.3f s")
+    val tBuild0 = System.nanoTime()
     val subDim = books.head.head._2.length
 
     // corpus side: coarse cell + per-subspace codes, computed in one
-    // narrow scan; the join projection keeps only (vec_id, cell, nrm,
-    // codes) — the PQ compression is what the candidate stage reads
-    val centStructs = centroidStructs(cents)
-    var coded = base.withColumn("cell",
-      -greatest(cents.indices.map(i => centStructs.getItem(i)): _*).getField("ncid"))
-    for (m <- 0 until nSub) {
-      coded = coded
-        .withColumn(s"pe$m", slice(col("embedding"), m * subDim + 1, subDim))
-        .withColumn(s"pn$m", normDec(s"pe$m"))
-      val ss = centroidStructsOn(s"pe$m", s"pn$m", books(m))
-      coded = coded.withColumn(s"code$m",
-        -greatest(books(m).indices.map(i => ss.getItem(i)): _*).getField("ncid"))
-    }
+    // narrow scan by the fused native kernel (graft.functions.PqKernel
+    // — optimization r16): pqa = [cell, code_0..code_{nSub-1}]. The
+    // previous composed-builtin form (16 slices + 16 sliced norms + 16
+    // argmax-of-8-literal-struct chains) computed the same values out
+    // of ~7,000 expression nodes, and every DataFrame transformation
+    // below re-analyzed that tree — measured 1.5-1.9 s of driver-side
+    // plan construction per sf0.1 run (PqPhaseProfile; guide §1.2/
+    // §7.3). Values are bit-identical (same VecCodec chain, same
+    // greatest/tie semantics — see PqKernel's doc and SimilaritySpec).
+    val coded = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      graft.functions.PqKernel.codes(col("embedding"), cents, books).as("pqa"))
 
-    // query side: probe cells + one ADC table per subspace (arrays of
-    // exact-decimal dots against the sub-centroids, cid order)
-    val sortedCents = sort_array(centStructs, asc = false)
-    var probes = coded.filter(queryPred)
-      .withColumn("probe_cells",
-        array((0 until nProbe).map(i =>
-          -sortedCents.getItem(i).getField("ncid")): _*))
-    for (m <- 0 until nSub)
-      probes = probes.withColumn(s"adc$m",
-        array(books(m).map { case (_, ce) => dotLit(s"pe$m", ce) }: _*))
+    // query side: probe cells + the per-subspace ADC tables (exact-
+    // decimal dots against the sub-centroids, cid order), both from
+    // one-node kernels over the same embedding column
+    val qBase = base.filter(queryPred)
+    val probes = qBase.select(col("vec_id").as("query_id"),
+      col("nrm").as("qn"),
+      graft.functions.PqKernel.adcTables(col("embedding"), books).as("adcs"),
+      explode(graft.functions.PqKernel.probeCells(col("embedding"), cents,
+        nProbe)).as("pcell"))
 
-    val probeCols = Seq(col("vec_id").as("query_id"), col("nrm").as("qn")) ++
-      (0 until nSub).map(m => col(s"adc$m")) :+
-      explode(col("probe_cells")).as("pcell")
     // table-sum in fixed subspace order — the oracle adds left-to-right
     // in the same order, so the double sum is bit-identical
     val adcSum = (0 until nSub).map(m =>
-      element_at(col(s"adc$m"), col(s"c.code$m").cast("int") + 1)).reduceLeft(_ + _)
-    val scored = broadcast(probes.select(probeCols: _*))
-      .join(coded.as("c"), col("c.cell") === col("pcell") &&
+      element_at(element_at(col("adcs"), m + 1),
+        element_at(col("c.pqa"), m + 2).cast("int") + 1)).reduceLeft(_ + _)
+    val scored = broadcast(probes)
+      .join(coded.as("c"), element_at(col("c.pqa"), 1) === col("pcell") &&
         col("c.vec_id") =!= col("query_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         coalesce(round(adcSum / nullif(col("qn") * col("c.nrm"), lit(0.0)), 4),
@@ -1034,7 +1034,8 @@ object Similarity {
     val queriesFull = base.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    base.select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
+    val out = base
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("nrm"))
       .join(broadcast(cand), "neighbor_id")
       .join(broadcast(queriesFull), "query_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -1043,6 +1044,9 @@ object Similarity {
         Window.partitionBy("query_id")
           .orderBy(col("sim").desc, col("neighbor_id").asc)).cast("long"))
       .filter(col("rank") <= k)
+    if (dbg) System.err.println(
+      f"[pq-phase] df-build ${(System.nanoTime() - tBuild0) / 1e9}%.3f s")
+    out
   }
 
   /** Embedding near-duplicate pairs within label blocks: all same-label
