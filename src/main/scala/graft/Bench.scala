@@ -225,6 +225,25 @@ object Bench {
       // the openCost floor, so the many-small-files tables are packed
       // exactly as before — docs/SCALING.md records the sizing rule
       .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+      // AQE coalesce floor (optimization r16, guide §2.5/§7.1): the
+      // stage profile showed AQE coalescing small-but-EXPENSIVE
+      // post-shuffle stages to one partition (minPartitionSize=1MB vs
+      // e.g. dedup_containment's 1.7 MB posting-list shuffle whose
+      // rows each expand to up to C(maxDf,2) pairs — a 2.1 s 1-task
+      // stage, 3.3 s of the key's 4.0 s in 1-task stages overall).
+      // Shuffle SIZE is a bad proxy for downstream COST when rows fan
+      // out; 64 KB keeps tiny-but-hot shuffles parallel while real
+      // data still coalesces toward advisoryPartitionSizeInBytes.
+      // Env-overridable for cluster deployments where fetch efficiency
+      // argues for the 1 MB default. (An openCostInBytes floor was
+      // ALSO tried and reverted: every sf fixture file is a single
+      // parquet row group, so extra splits were 31 empty tasks paying
+      // footer reads — q1_pricing regressed +0.5 s. Scan-side
+      // parallelism for compute-heavy single-row-group scans is
+      // handled by explicit conditional repartitions at the operators
+      // instead.)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", s"${64 * 1024}"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

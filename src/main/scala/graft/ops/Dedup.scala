@@ -108,7 +108,7 @@ object Dedup {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val docsSh = TextFns.withShingles(docs)
+    val docsSh = TextFns.withShingles(spreadDocs(docs))
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pair emission is POSTING-LIST LOCAL, not a self-join (the
@@ -271,11 +271,26 @@ object Dedup {
     * cap active — pair recall collapses to the hub stars exactly as
     * stated, while dedup_clusters_skew proves cluster membership is
     * unchanged. */
+  /** Spread a narrow scan across the cores BEFORE compute-heavy
+    * per-row work (optimization r16, guide §2.5 "input skew"): the sf
+    * fixtures are single-row-group parquet files, so normalization +
+    * shingling of the whole corpus otherwise runs as ONE task no
+    * matter the split config (parquet cannot split below a row
+    * group). The round-robin exchange moves only the raw doc bytes —
+    * cheap next to the shingling it parallelizes — and is skipped
+    * whenever the scan already fans out (the withNorm convention), so
+    * a many-file 100 TB corpus pays nothing. */
+  private[graft] def spreadDocs(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       k: Int = 64, bands: Int = 16,
       maxBandGroup: Int = Int.MaxValue): DataFrame = {
     val docsSh = graft.core.EscapedCaches.persistTracked(
-      TextFns.withShingles(docs).select(col("doc_id"), col("shingles")))
+      TextFns.withShingles(spreadDocs(docs))
+        .select(col("doc_id"), col("shingles")))
     minhashLshPairsFrom(docsSh, threshold, k, bands, maxBandGroup)
   }
 
@@ -688,7 +703,7 @@ object Dedup {
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    def shingled(df: DataFrame) = TextFns.withShingles(df)
+    def shingled(df: DataFrame) = TextFns.withShingles(spreadDocs(df))
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exSh = shingled(existing)
@@ -780,7 +795,8 @@ object Dedup {
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val exSh = TextFns.withShingles(existing)
+    // spread the BATCH side only (incoming may be a stream — no .rdd)
+    val exSh = TextFns.withShingles(spreadDocs(existing))
       .select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exBand = bandedKeys(exSh

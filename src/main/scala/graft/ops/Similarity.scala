@@ -548,6 +548,116 @@ object Similarity {
     * max go to the smallest cid (strict-greater replacement over
     * ascending cids).
     */
+  /** Fused training of TWO coarse codebooks over one population — the
+    * staleness pair's books (optimization r16): the STALE book trains
+    * on the `corpusPred` rows only, the FRESH book on every row, and
+    * both share one init collect and ONE treeAggregate job per Lloyd
+    * round instead of two of each (at sf0.1 the saved collect + iters
+    * jobs were ~0.4 s of pure scheduler floor on a 25-job key —
+    * guide §1.2). Arithmetic per group is trainCodebookOn's chain
+    * verbatim (same toFix12/round4/Limbs accumulators, same tie and
+    * zero-norm rules, init = the vec_id < k rows OF THAT GROUP'S
+    * population), so each returned book is bit-identical to a
+    * separate [[trainCodebookOn]] call — SimilaritySpec locks the
+    * equivalence. */
+  private def trainCodebookPairOn(base: DataFrame, corpusPred: Column,
+      nCentroids: Int, iters: Int, trainPred: Column)
+      : (Seq[(Long, Array[Double])], Seq[(Long, Array[Double])]) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.functions.VecCodec.{round4, toFix12}
+    def round6(x: Double): Double = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+    // one init collect serves both groups: stale init = the vec_id < k
+    // rows satisfying corpusPred, fresh init = all vec_id < k rows
+    val initRows = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"), corpusPred.cast("boolean").as("inc"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getBoolean(2)))
+      .sortBy(_._1)
+    var books: Array[Seq[(Long, Array[Double])]] = Array(
+      initRows.filter(_._3).map(t => (t._1, t._2)).toSeq, // stale
+      initRows.map(t => (t._1, t._2)).toSeq)              // fresh
+    val dim = books(1).head._2.length
+    val sc = base.sparkSession.sparkContext
+    val trainRdd = base.filter(trainPred)
+      .select(col("embedding"), col("nrm"),
+        corpusPred.cast("boolean").as("inc")).rdd
+
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(books.map(_.map { case (cid, ce) =>
+        (cid, ce, math.sqrt(graft.functions.VecCodec.dotDecConst(ce, ce)))
+      }.toArray))
+      val ks = books.map(_.size)
+      val zero = (Array.tabulate(2)(g => new Array[Long](ks(g))),
+        Array.tabulate(2)(g => Array.fill(ks(g))(new Array[Long](dim))),
+        Array.tabulate(2)(g => Array.fill(ks(g))(new Array[Long](dim))))
+      val (counts, his, los) = trainRdd.treeAggregate(zero)(
+        seqOp = { case (acc, row) =>
+          val e = row.getSeq[Float](0)
+          val nrm = row.getDouble(1)
+          val inc = row.getBoolean(2)
+          var g = if (inc) 0 else 1 // stale group sees corpusPred rows only
+          while (g < 2) {
+            val cs = bc.value(g)
+            var bestIdx = -1; var bestCs = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cs.length) {
+              val (_, ce, cn) = cs(ci)
+              var dotFix = 0L
+              var d = 0
+              while (d < dim) {
+                dotFix = Math.addExact(dotFix, toFix12(e(d).toDouble * ce(d))); d += 1
+              }
+              val denom = cn * nrm
+              val sim = if (denom == 0.0) Double.NaN
+                else round4(JBD.valueOf(dotFix, 12).doubleValue() / denom)
+              if (sim > bestCs) { bestCs = sim; bestIdx = ci }
+              ci += 1
+            }
+            if (bestIdx < 0) bestIdx = 0
+            acc._1(g)(bestIdx) += 1
+            val hi = acc._2(g)(bestIdx); val lo = acc._3(g)(bestIdx)
+            var d = 0
+            while (d < dim) {
+              graft.functions.Limbs.addValue(hi, lo, d, toFix12(e(d).toDouble))
+              d += 1
+            }
+            g += 1
+          }
+          acc
+        },
+        combOp = { case ((c1, h1, l1), (c2, h2, l2)) =>
+          var g = 0
+          while (g < 2) {
+            var i = 0
+            while (i < ks(g)) {
+              c1(g)(i) += c2(g)(i)
+              var d = 0
+              while (d < dim) {
+                graft.functions.Limbs.addPair(h1(g)(i), l1(g)(i), d, h2(g)(i)(d), l2(g)(i)(d))
+                d += 1
+              }
+              i += 1
+            }
+            g += 1
+          }
+          (c1, h1, l1)
+        })
+      bc.destroy()
+      books = Array.tabulate(2) { g =>
+        books(g).zipWithIndex.map { case ((cid, old), i) =>
+          if (counts(g)(i) == 0) (cid, old)
+          else (cid, Array.tabulate(dim) { d =>
+            val sum = JBD.valueOf(his(g)(i)(d)).scaleByPowerOfTen(18)
+              .add(JBD.valueOf(los(g)(i)(d))).scaleByPowerOfTen(-12)
+            round6(sum.doubleValue() / counts(g)(i))
+          })
+        }
+      }
+    }
+    (books(0), books(1))
+  }
+
   private def trainCodebookOn(base: DataFrame, nCentroids: Int, iters: Int,
       trainPred: Column): Seq[(Long, Array[Double])] = {
     import java.math.{BigDecimal => JBD, RoundingMode}
@@ -1259,7 +1369,12 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val approx = approxOf(qp)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+    // the approx frame is ≤ maxQueries·k rows BY CONSTRUCTION (both
+    // sides run under the bounded sample), so broadcast it: the
+    // planner's size estimate picked a sort-merge join here — two
+    // exchanges + sorts of model-scale frames (guide §3.1; optimization
+    // r16). Values unchanged (same left join).
+    brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
       .agg(count(col("hit")).as("n_hits"))
       .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
@@ -1292,19 +1407,23 @@ object Similarity {
     val base = withNorm(embeddings).transform(persistTracked)
     val qp = boundedQueryPred(base, queryPred, maxQueries)
     val tag = s"coarse|$nCentroids|$kmeansIters|$trainPred"
-    val staleCents = memoized(corpusCacheKey, tag) {
-      trainCodebookOn(base.filter(corpusPred), nCentroids, kmeansIters, trainPred)
-    }
-    val freshCents = memoized(fullCacheKey, tag) {
-      trainCodebookOn(base, nCentroids, kmeansIters, trainPred)
-    }
+    // both books in ONE fused pass (one init collect + iters
+    // treeAggregate jobs for the pair — optimization r16); lazy so two
+    // memo hits skip training entirely, and a single miss computes the
+    // fused pass once and serves both lookups. Each book is
+    // bit-identical to its separate trainCodebookOn (spec-locked).
+    lazy val fused = trainCodebookPairOn(base, corpusPred, nCentroids,
+      kmeansIters, trainPred)
+    val staleCents = memoized(corpusCacheKey, tag) { fused._1 }
+    val freshCents = memoized(fullCacheKey, tag) { fused._2 }
     val brute = bruteTopKOn(base, qp, k)
       .select("query_id", "neighbor_id")
       .transform(persistTracked)
     def arm(cents: Seq[(Long, Array[Double])], name: String): DataFrame = {
       val approx = ivfSearch(base, cents, qp, k, nProbe)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      // bounded ≤ maxQueries·k rows — broadcast, as in recallAtK (r16)
+      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(col("hit")).as("n_hits"))
         .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
@@ -1351,7 +1470,8 @@ object Similarity {
     def arm(cents: Seq[(Long, Array[Double])], name: String): DataFrame = {
       val approx = ivfSearch(base, cents, qp, k, nProbe)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      // bounded ≤ maxQueries·k rows — broadcast, as in recallAtK (r16)
+      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(col("hit")).as("n_hits"))
         .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))

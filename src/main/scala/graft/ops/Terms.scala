@@ -326,25 +326,24 @@ object Terms {
       minShared: Long = 2): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    // the feature relation feeds BOTH the df aggregation and the
-    // posting-list grouping — persist so shingling+hashing runs once
-    // per corpus (caller releases via clearCache, the shared-relation
-    // convention). shingle_hashes3 emits the h60 longs directly, so
-    // the explode carries 8-byte keys and the per-shingle md5+conv
-    // projection never appears in the plan
+    // df ceiling INSIDE the aggregation (optimization r16 — the same
+    // capped_collect collapse dedup_containment got in r15): the
+    // census-aggregate + rejoin chain scanned the exploded feature
+    // relation twice and needed it persisted (a data-scale cache);
+    // capped_collect's partial state is bounded at maxDf+1 longs per
+    // key and returns NULL the moment a group exceeds maxDf, which is
+    // EXACTLY the groups the df-census filter dropped (df=1 can't
+    // pair, df>maxDf is the excluded Zipf head) — one aggregation over
+    // one un-persisted explode, one data-scale exchange instead of
+    // two plus a join. shingle_hashes3 emits the h60 longs directly,
+    // so the explode carries 8-byte keys and the per-shingle md5+conv
+    // projection never appears in the plan.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val features = docs
+    val postings = graft.ops.Dedup.spreadDocs(docs)
       .select(col("doc_id"),
         explode(call_function("shingle_hashes3", col("text"))).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = features.groupBy("th").agg(count(lit(1)).as("df"))
-    // rare-feature posting lists: df=1 can't pair, df>maxDf is the
-    // excluded head — filtered BEFORE the collect, so no list can
-    // exceed maxDf elements (a Zipf-head feature never reaches a
-    // collect buffer)
-    val postings = features
-      .join(dfreq.filter(col("df").between(2, maxDf)), "th")
-      .groupBy("th").agg(collect_list(col("doc_id")).as("docs"))
+      .groupBy("th").agg(expr(s"capped_collect(doc_id, $maxDf)").as("docs"))
+      .filter(col("docs").isNotNull && size(col("docs")) >= 2)
     postings
       .select(explode(expr(
         "flatten(transform(docs, x -> " +

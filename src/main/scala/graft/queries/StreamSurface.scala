@@ -142,14 +142,28 @@ object StreamSurface {
   }
 
   /** Run a finite stream into a uniquely-named memory sink; return the
-    * sink table. */
+    * sink table.
+    *
+    * GRAFT_STREAM_SHUFFLE (dev A/B knob): overrides
+    * spark.sql.shuffle.partitions FOR THE STREAMING QUERY ONLY (saved/
+    * restored around the eager run) — stateful operators create one
+    * state store per shuffle partition per micro-batch, a fixed cost
+    * independent of data volume. Aggregation results are partition-
+    * count-independent, so values are unchanged. */
   private def runToTable(s: SparkSession,
       stream: DataFrame, mode: String): DataFrame = {
     val sinkName = "graft_stream_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.outputMode(mode)
-      .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
+    val override_ = sys.env.get("GRAFT_STREAM_SHUFFLE")
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    override_.foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
+    try {
+      val q = stream.writeStream.outputMode(mode)
+        .format("memory").queryName(sinkName).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      if (override_.isDefined) s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sinkName)
   }
 

@@ -260,7 +260,8 @@ object TextSurface {
     // THIS gate is what proves that instead of assuming it)
     "dedup_recall_minhash" -> ((s, dir) => {
       val docsSh = graft.core.EscapedCaches.persistTracked(
-        graft.ops.TextFns.withShingles(docs(s, dir))
+        graft.ops.TextFns.withShingles(
+            graft.ops.Dedup.spreadDocs(docs(s, dir)))
           .select(col("doc_id"), col("shingles")))
       val exact = Dedup.ngramJaccardPairsFrom(docsSh, 0.8)
         .select("doc_a", "doc_b")
@@ -300,7 +301,8 @@ object TextSurface {
       // planted-skew corpus twice — once per branch, the un-shared
       // shape — made this the fleet's most box-load-sensitive key
       val docsSh = graft.core.EscapedCaches.persistTracked(
-        graft.ops.TextFns.withShingles(skewedDocs(s, dir))
+        graft.ops.TextFns.withShingles(
+            graft.ops.Dedup.spreadDocs(skewedDocs(s, dir)))
           .select(col("doc_id"), col("shingles")))
       val exact = Dedup.ngramJaccardPairsFrom(docsSh, 0.8)
         .select("doc_a", "doc_b")

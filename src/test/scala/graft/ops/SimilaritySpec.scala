@@ -398,6 +398,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.releaseEscapedCaches() >= 3)
   }
 
+  test("recallStalenessPair (fused dual-book training) ≡ the two-arm recallAtK composition") {
+    // the r16 fused trainer must leave the pair value-identical to two
+    // independent arms built from the PUBLIC operators: placed =
+    // recall of ivfTopKStale (book trained on corpusPred rows only),
+    // rebuilt = recall of ivfTopK (fresh full-population book)
+    val corpusPred = col("vec_id") < 25
+    val qp = col("vec_id") < 5
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val pair = Similarity.recallStalenessPair(emb, corpusPred, qp,
+        k = 5, maxQueries = 3, nCentroids = 4, nProbe = 2)
+      .collect().map(key).toSet
+    val placed = Similarity.recallAtK(emb, qp, 5, 3,
+        p => Similarity.ivfTopKStale(emb.filter(corpusPred),
+          emb.filter(!corpusPred), p, 5, nCentroids = 4, nProbe = 2))
+      .withColumn("variant", org.apache.spark.sql.functions.lit("placed"))
+      .collect().map(key).toSet
+    val rebuilt = Similarity.recallAtK(emb, qp, 5, 3,
+        p => Similarity.ivfTopK(emb, p, 5, nCentroids = 4, nProbe = 2))
+      .withColumn("variant", org.apache.spark.sql.functions.lit("rebuilt"))
+      .collect().map(key).toSet
+    assert(pair == (placed ++ rebuilt))
+    Similarity.releaseEscapedCaches()
+  }
+
   test("placeIntoBook: stateless placement equals the relational incremental assignment") {
     val corpus = emb.filter(col("vec_id") % 10 < 8)
     val arrivals = emb.filter(col("vec_id") % 10 >= 8)

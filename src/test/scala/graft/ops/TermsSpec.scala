@@ -87,17 +87,19 @@ class TermsSpec extends AnyFunSuite {
     // maxDf=3 admits it: (0,1) share 2 features, (0,2)/(1,2) share 1
     assert(pairs(3, 1) == Set((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 1L)))
     assert(pairs(3, 2) == Set((0L, 1L, 2L)))
-    // posting-list expansion: the rare-df filter join is the ONLY join
-    // in the plan (no postings self-join), and nothing degenerates to a
-    // cartesian/NLJ
+    // posting-list expansion over the capped_collect aggregation
+    // (optimization r16): the df ceiling lives INSIDE the collect, so
+    // the plan carries NO join at all (the census + rare-df rejoin is
+    // gone) and nothing degenerates to a cartesian/NLJ
     val plan = Terms.similarDocsByRareFeatures(d, 3, 1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
     val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
       .findAllIn(plan).size
-    assert(joins == 1, s"expected exactly one join (rare-df filter), got $joins:\n" +
+    assert(joins == 0, s"expected a join-free capped_collect plan, got $joins:\n" +
       plan.take(2000))
+    assert(plan.contains("capped_collect"), plan.take(2000))
   }
 
   test("unigram surprisal: whole-bit hand computation, band verdict, empty doc absent") {
