@@ -144,27 +144,63 @@ object StreamSurface {
   /** Run a finite stream into a uniquely-named memory sink; return the
     * sink table.
     *
-    * GRAFT_STREAM_SHUFFLE (dev A/B knob): overrides
-    * spark.sql.shuffle.partitions FOR THE STREAMING QUERY ONLY (saved/
-    * restored around the eager run) — stateful operators create one
-    * state store per shuffle partition per micro-batch, a fixed cost
-    * independent of data volume. Aggregation results are partition-
-    * count-independent, so values are unchanged. */
+    * State-store width is sized from the SOURCE BYTES (optimization
+    * r16, guide §2.2 "fewer, larger partitions"): a stateful operator
+    * creates one state store per shuffle partition per micro-batch —
+    * provider init, commit and snapshot are per-store fixed costs
+    * independent of data volume — so a few-MB staged fixture paying
+    * 32 stores per stage was pure overhead (measured: stream_top3
+    * 2.26 s at 32 partitions vs 1.65 s at 4, values identical; at
+    * cluster volumes the byte-derived count rises to the core count,
+    * so nothing changes at scale). Aggregation results are
+    * partition-count-independent. The conf override is scoped to the
+    * streaming query (a started stream snapshots its conf; saved/
+    * restored around the eager run). GRAFT_STREAM_SHUFFLE forces a
+    * specific width for A/B runs. */
   private def runToTable(s: SparkSession,
       stream: DataFrame, mode: String): DataFrame = {
     val sinkName = "graft_stream_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val override_ = sys.env.get("GRAFT_STREAM_SHUFFLE")
+    val widthOverride = sys.env.get("GRAFT_STREAM_SHUFFLE")
+      .orElse(byteSizedWidth(s, stream))
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    override_.foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
+    widthOverride.foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
     try {
       val q = stream.writeStream.outputMode(mode)
         .format("memory").queryName(sinkName).start()
       try q.processAllAvailable() finally q.stop()
     } finally {
-      if (override_.isDefined) s.conf.set("spark.sql.shuffle.partitions", saved)
+      if (widthOverride.isDefined)
+        s.conf.set("spark.sql.shuffle.partitions", saved)
     }
     s.table(sinkName)
+  }
+
+  /** Shuffle width from the file-stream sources' on-disk bytes:
+    * ceil(bytes / 16 MB) clamped to [1, defaultParallelism]. None when
+    * the source paths can't be read (leave the session width alone). */
+  private def byteSizedWidth(s: SparkSession,
+      stream: DataFrame): Option[String] = {
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(0L)
+    }
+    try {
+      val paths = stream.queryExecution.logical.collect {
+        case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+          sr.dataSource.options.get("path")
+      }.flatten
+      if (paths.isEmpty) None
+      else {
+        val bytes = paths.map(dirBytes).sum
+        val par = s.sparkContext.defaultParallelism
+        val w = math.max(1L, math.min(par.toLong,
+          (bytes + (16L << 20) - 1) / (16L << 20)))
+        Some(w.toString)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Stage the events file and probe its footer for the actual `ts`
