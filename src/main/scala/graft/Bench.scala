@@ -232,7 +232,7 @@ object Bench {
       // rows each expand to up to C(maxDf,2) pairs — a 2.1 s 1-task
       // stage, 3.3 s of the key's 4.0 s in 1-task stages overall).
       // Shuffle SIZE is a bad proxy for downstream COST when rows fan
-      // out; 64 KB keeps tiny-but-hot shuffles parallel while real
+      // out; 256 KB keeps tiny-but-hot shuffles parallel while real
       // data still coalesces toward advisoryPartitionSizeInBytes.
       // Env-overridable for cluster deployments where fetch efficiency
       // argues for the 1 MB default. (An openCostInBytes floor was
@@ -243,7 +243,7 @@ object Bench {
       // handled by explicit conditional repartitions at the operators
       // instead.)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", s"${64 * 1024}"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", s"${256 * 1024}"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

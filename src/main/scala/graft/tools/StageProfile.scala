@@ -32,7 +32,7 @@ object StageProfile {
     sys.env.get("GRAFT_OPEN_COST").foreach(v =>
       b.config("spark.sql.files.openCostInBytes", v))
     b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("GRAFT_MIN_PART_SIZE", s"${64 * 1024}"))
+      sys.env.getOrElse("GRAFT_MIN_PART_SIZE", s"${256 * 1024}"))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class St(name: String, tasks: Int, wallMs: Long, runMs: Long,
