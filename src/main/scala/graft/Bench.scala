@@ -217,7 +217,32 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // Adaptive execution derived from INPUT SIZE (optimization r17,
+      // verdict item 3 — "price the floor tail"): AQE re-optimizes
+      // from runtime shuffle stats at the cost of one driver
+      // stage-materialization round trip per exchange. On a fixture
+      // whose whole input fits inside a single advisory partition
+      // there is nothing to adapt — every round trip is pure per-query
+      // floor, measured at −11.9 s over the 101-key sf0.1 fleet in a
+      // single A/B window (bench_r17_aqe_{on,off}.json: 83.5 vs
+      // 71.6 s, the OFF half running on the MORE loaded end of the
+      // window). Cluster-scale inputs (the 1B-row scale fixtures and
+      // anything production-sized) keep AQE: coalescing/skew handling
+      // matter exactly when shuffles are big. Threshold 1 GiB of
+      // source bytes (SPARK_GRAFT_AQE_MIN_BYTES), hard override
+      // SPARK_GRAFT_AQE=true|false for A/B runs — same parameterized
+      // pattern as the r16 stream width and AQE floor.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", {
+        val minBytes = sys.env.get("SPARK_GRAFT_AQE_MIN_BYTES")
+          .flatMap(_.toLongOption).getOrElse(1L << 30)
+        val srcBytes = Option(new java.io.File(sfDir).listFiles())
+          .map(_.map(f =>
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+              .getOrElse(0L)).sum)
+          .getOrElse(Long.MaxValue)
+        (srcBytes >= minBytes).toString
+      }))
       // split big parquet files finer than the 128 MB default so a
       // single-file scale fixture still fans out across the 32 cores
       // (a 460 MB replicated lineitem read as 4 splits left 28 cores

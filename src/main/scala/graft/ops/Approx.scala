@@ -161,35 +161,45 @@ object Approx {
     // cardinality approaches row count the fine relation degenerates
     // to corpus size, and paying the exact referent at all is the
     // choice the verification harness makes, not the sketch.
-    val fineRaw = ev.select(col(key), expr(s"timestamp div $dayUs").as("day"),
+    val fine = ev.select(col(key), expr(s"timestamp div $dayUs").as("day"),
         col(value))
       .distinct() // a bufferless hash aggregate — no counts needed
-    // three independent downstream consumers with DIVERGENT column
-    // pruning (partials reads (key, day, value), direct and exact
-    // drop the day), so the three references do NOT canonicalize to
-    // one reused exchange (measured: 3 parquet scans, 0
-    // ReusedExchange) — the funnel/minhash persist discipline
-    // applies: cache the state-scale fine relation and materialize it
-    // EAGERLY so the independent branches can't double-compute the
-    // unpopulated partitions (docs/PLANS.md concurrency rule).
-    val fine = graft.core.EscapedCaches.persistTracked(fineRaw)
-    fine.count()
-    val partials = fine.groupBy(col(key), col("day"))
-      .agg(hll_sketch_agg(col(value)).as("sk"))
-    val merged = partials.groupBy(key)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"),
-        count(lit(1)).as("n_partials"))
-    val direct = fine.groupBy(key)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col(value))).as("n_direct"))
-    // Count only NON-NULL distinct values: count(DISTINCT v) and
-    // hll_sketch_agg both skip NULLs, so a NULL value group must not
-    // inflate exact_n (same pattern as Profile.profile's two-phase).
-    // The distinct-over-fine is state-scale (fine already deduped
-    // (key, day, value); this collapses days).
-    val exact = fine.groupBy(col(key), col(value)).agg(count(lit(1)))
-      .groupBy(key)
-      .agg(count(when(col(value).isNotNull, lit(1))).as("exact_n"))
-    merged.join(direct, Seq(key)).join(exact, Seq(key))
+    // ONE grouping-sets pass over fine (optimization r17, guide §2.4
+    // "remove shuffles outright"): the r13-r16 shape fed fine to THREE
+    // independent branches (per-day partials → union-merge; direct
+    // sketch; exact recount) joined back on the key — which forced an
+    // eager persist (divergent column pruning defeated exchange reuse)
+    // and put 18 Exchanges incl. AQE duplicates plus 2 joins in the
+    // plan for a 5-row result. GROUPING SETS ((key, day), (key))
+    // computes BOTH granularities in one Expand aggregation: day-level
+    // rows are the real per-day partial sketches, key-level rows carry
+    // the direct sketch and the exact distinct referent; one final
+    // key-level aggregation then runs the genuine register-max merge
+    // (hll_union_agg) over the day partials. Values identical:
+    //  - n_partials = count of day-level groups ≡ count of the old
+    //    partials rows (a NULL day is its own group in both shapes —
+    //    grouping() separates data-NULL from rollup-NULL);
+    //  - exact_n = count(DISTINCT value) at key level ≡ the old
+    //    distinct-then-count-non-null two-phase (count_distinct skips
+    //    NULLs);
+    //  - the sketches fold the identical distinct (key, day, value) /
+    //    (key, value) sets, so registers — and estimates — match.
+    // 3 Exchanges total, no persist, no joins, one corpus pass.
+    val gs = fine
+      .groupingSets(Seq(Seq(col(key), col("day")), Seq(col(key))),
+        col(key), col("day"))
+      .agg(hll_sketch_agg(col(value)).as("sk"),
+        count_distinct(col(value)).as("cd_value"),
+        grouping(col("day")).as("g_day"))
+    gs.groupBy(key)
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(when(col("g_day") === 0, col("sk")))).as("n_merged"),
+        count(when(col("g_day") === 0, lit(1))).as("n_partials"),
+        hll_sketch_estimate(
+          first(when(col("g_day") === 1, col("sk")), ignoreNulls = true))
+          .as("n_direct"),
+        max(when(col("g_day") === 1, col("cd_value"))).as("exact_n"))
       .select(col(key), col("exact_n"), col("n_partials"),
         (abs(col("n_merged") - col("exact_n")) * 100 <= col("exact_n") * 15)
           .cast("long").as("merged_ok"),

@@ -108,22 +108,33 @@ object Funnels {
         p
       } else f
     }
-    val n1 = stats.agg(count("f0").as("n"))
-      .select(explode(array(stepRow(0, col("n")))).as("r")).select("r.*")
-    val mids = (1 until m - 2).map { k =>
-      frontiers(k).agg(count(lit(1)).as("n"))
-        .select(explode(array(stepRow(k, col("n")))).as("r")).select("r.*")
+    // EVERY step count from ONE aggregation over a user-keyed chain of
+    // LEFT joins (optimization r17, guide §2.4): the r12 shape emitted
+    // each count as its own branch (n1 / per-mid / lastTwo) and
+    // union'd them — 3 independent actions' worth of plan (14
+    // Exchanges incl. AQE duplicates at m=3) re-reading the stats
+    // cache per branch. The frontiers are user-sized and only SHRINK
+    // by step, so left-joining them all onto stats costs one
+    // broadcast each and the counts fall out of a single global
+    // aggregate: count(f0) = |s1|, count(t_k) = |frontier k| (left
+    // join against a per-user-unique frame preserves stats rows), and
+    // the last step recounts from the stats maxima exactly as before
+    // (NULL frontier compares false, matching the old inner join).
+    // Same values, ONE action, no union.
+    val chain = (1 to m - 2).foldLeft(
+        stats.select(col("user_id"), col("f0"), col(s"mx${m - 1}"))) {
+      case (acc, k) =>
+        acc.join(frontiers(k).select(col("user_id"), col("t").as(s"t$k")),
+          Seq("user_id"), "left")
     }
-    // steps m-1 and m from ONE consumption of the last frontier: its
-    // row count, and how many of its rows the stats maxima outlive
-    val lastTwo = frontiers(m - 2)
-      .join(stats.select(col("user_id"), col(s"mx${m - 1}")), "user_id")
-      .agg(count(lit(1)).as("na"),
-        count(when(col(s"mx${m - 1}") > col("t"), 1L)).as("nb"))
-      .select(explode(array(stepRow(m - 2, col("na")),
-        stepRow(m - 1, col("nb")))).as("r"))
+    val counts =
+      count(col("f0")).as("n0") +:
+        (1 to m - 2).map(k => count(col(s"t$k")).as(s"n$k")) :+
+        count(when(col(s"mx${m - 1}") > col(s"t${m - 2}"), 1L)).as(s"n${m - 1}")
+    chain.agg(counts.head, counts.tail: _*)
+      .select(explode(array(
+        (0 until m).map(i => stepRow(i, col(s"n$i"))): _*)).as("r"))
       .select("r.*")
-    (n1 +: mids :+ lastTwo).reduce(_.unionByName(_))
   }
 
   /** [[funnel]] with a conversion WINDOW (ClickHouse windowFunnel's
@@ -162,9 +173,10 @@ object Funnels {
           col("ts") <= col("t0") + windowUs)
         .groupBy("user_id", "t0").agg(min("ts").as("t"))
     }
-    // every frontier but the LAST feeds two consumers (its own count
-    // + the next recount's build side): persist + materialize eagerly
-    // so the independent branches can't double-compute it
+    // every frontier but the LAST feeds two consumers (the next
+    // recount's build side + the count chain below): persist +
+    // materialize eagerly so the independent consumers can't
+    // double-compute it
     val cached = frontiers.zipWithIndex.map { case (f, i) =>
       if (i < m - 1) {
         val p = graft.core.EscapedCaches.persistTracked(f)
@@ -172,10 +184,29 @@ object Funnels {
         p
       } else f
     }
-    cached.zipWithIndex.map { case (f, i) =>
-      f.agg(count(lit(1)).as("n"))
-        .select(explode(array(stepRow(i, col("n")))).as("r")).select("r.*")
-    }.reduce(_.unionByName(_))
+    // EVERY step count from ONE aggregation over a user-keyed chain
+    // of LEFT joins (optimization r17, guide §2.4 — the funnel
+    // treatment): the r12 shape counted each frontier as its own
+    // branch and union'd m of them (26 Exchanges incl. AQE duplicates
+    // at m=3). Frontiers are user-unique and shrink by step, so the
+    // left joins preserve the seed's row-per-user and count(t_k) =
+    // |frontier k| exactly as the per-branch counts did. Same values,
+    // ONE action, no union.
+    val chain = (1 until m).foldLeft(
+        cached.head.select(col("user_id"), col("t").as("t0"))) {
+      case (acc, k) =>
+        acc.join(cached(k).select(col("user_id"), col("t").as(s"t$k")),
+          Seq("user_id"), "left")
+    }
+    // n0 = count(lit(1)) — the old branch counted seed ROWS (count(*)
+    // over s1, the oracle's contract), not non-null t; later steps'
+    // t_k is never NULL when the frontier row exists (min over the
+    // ts > prev_t filtered rows), so count(t_k) ≡ the old row count.
+    chain.agg(count(lit(1)).as("n0"),
+        (1 until m).map(k => count(col(s"t$k")).as(s"n$k")): _*)
+      .select(explode(array(
+        (0 until m).map(i => stepRow(i, col(s"n$i"))): _*)).as("r"))
+      .select("r.*")
   }
 
   /** Cohort retention: users grouped by their FIRST-ACTIVITY period

@@ -56,19 +56,40 @@ object Search {
     require(k >= 1 && queries.nonEmpty, s"need k >= 1 and queries, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = termFreq(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus constants as a 1-row broadcast attach (the sim_topk_brute
-    // constant-attach pattern)
-    val consts = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total"))
+    graft.functions.GraftFunctions.register(spark)
+    // Posting-list shape (optimization r17, guide §2.3 "shuffle fewer
+    // bytes" / §5): the old plan materialized the FULL (doc, term, tf)
+    // relation — vocabulary × corpus rows — into a MEMORY_AND_DISK
+    // cache and aggregated it three times (dl, df, consts) before the
+    // query-term filter ever ran. Only postings of the ~15 query
+    // terms score anything, and dl / n_docs / total are per-doc or
+    // global facts that never need the exploded relation:
+    //  - dl  = sum of the doc's norm_ngram_counts map values, computed
+    //    in-row on the SAME scan that explodes the map (identical to
+    //    the old sum(tf) group — the map IS the per-doc tf relation);
+    //  - df of a query term over the filtered postings ≡ its full-
+    //    corpus df (filtering by term keeps every doc containing it) —
+    //    a window count over the tiny filtered relation;
+    //  - n_docs / total from one map-only aggregation pass (a doc
+    //    enters the old dl relation iff its token map is non-empty).
+    // Two stateless corpus scans replace scan + vocab-scale cache +
+    // three passes; nothing data-scale is exchanged or persisted.
+    val qset = queries.flatMap(_._2).distinct
+    def counted(d: DataFrame) = d.select(col("doc_id"),
+      call_function("norm_ngram_counts", col("text"), lit(1)).as("m"))
+    val spread = graft.ops.Dedup.spreadDocs(docs)
+    val dlOf = expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+    val consts = counted(spread).agg(
+      count(when(size(col("m")) > 0, lit(1))).as("n_docs"),
+      sum(dlOf).as("total"))
+    val postings = counted(spread)
+      .select(col("doc_id"), dlOf.as("dl"), explode(col("m")).as(Seq("term", "tf")))
+      .filter(col("term").isin(qset: _*))
     val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "term")
-    val scored = tf
+    val scored = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .join(broadcast(qterms), "term")
-      .join(dfreq, "term")
-      .join(dl, "doc_id")
       .join(broadcast(consts))
       .withColumn("idf",
         (length(bin(expr("(n_docs + 1) div (df + 1)"))) - 1).cast("long"))

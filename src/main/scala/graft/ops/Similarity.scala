@@ -1416,20 +1416,63 @@ object Similarity {
       kmeansIters, trainPred)
     val staleCents = memoized(corpusCacheKey, tag) { fused._1 }
     val freshCents = memoized(fullCacheKey, tag) { fused._2 }
-    val brute = bruteTopKOn(base, qp, k)
-      .select("query_id", "neighbor_id")
-      .transform(persistTracked)
-    def arm(cents: Seq[(Long, Array[Double])], name: String): DataFrame = {
-      val approx = ivfSearch(base, cents, qp, k, nProbe)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      // bounded ≤ maxQueries·k rows — broadcast, as in recallAtK (r16)
-      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(col("hit")).as("n_hits"))
-        .withColumn("recall_bp", expr(s"n_hits * 10000 div $k"))
-        .withColumn("variant", lit(name))
+    // ONE scored frame serves the brute referent AND both search arms
+    // (optimization r17, guide §1.2/§2.4): the brute referent already
+    // scores every (sampled query, corpus vector) cosine, and each
+    // arm's IVF candidates are a SUBSET of those pairs (rows whose
+    // stale/fresh cell falls in the query's probed cells). Composing
+    // brute + two ivfSearch passes + two broadcast recall joins paid
+    // the query-broadcast corpus pass three times and collected two
+    // extra broadcasts (18 jobs); here the pass runs ONCE, carrying
+    // each side's cell under BOTH books, and the three rankings are
+    // row_number windows over the same frame — candidates sort before
+    // non-candidates, so a candidate's rank among its cohort is
+    // identical to ivfSearch's rank over the joined candidates. The
+    // recall count |approx∩brute| becomes a per-pair flag conjunction
+    // — no join at all. Assignment/probe/cosine expressions are
+    // verbatim ivfSearch/bruteTopKOn (bit-parity; SimilaritySpec locks
+    // the pair against the two-arm composition).
+    val sStale = centroidStructs(staleCents)
+    val sFresh = centroidStructs(freshCents)
+    def cellOf(structs: Column, cents: Seq[(Long, Array[Double])]): Column =
+      -greatest(cents.indices.map(i => structs.getItem(i)): _*).getField("ncid")
+    def probesOf(structs: Column): Column = {
+      val sorted = sort_array(structs, asc = false)
+      array((0 until nProbe).map(i =>
+        -sorted.getItem(i).getField("ncid")): _*)
     }
-    arm(staleCents, "placed").unionByName(arm(freshCents, "rebuilt"))
+    val queries = base.filter(qp).select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"),
+      probesOf(sStale).as("pc_s"), probesOf(sFresh).as("pc_f"))
+    val scored = base
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        cellOf(sStale, staleCents).as("cell_s"),
+        cellOf(sFresh, freshCents).as("cell_f"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("qe", "embedding", col("qn"), col("nrm")).as("sim"),
+        array_contains(col("pc_s"), col("cell_s")).as("cand_s"),
+        array_contains(col("pc_f"), col("cell_f")).as("cand_f"))
+    def rankW(cand: Option[String]) = Window.partitionBy("query_id")
+      .orderBy(cand.map(c => col(c).desc).toSeq ++
+        Seq(col("sim").desc, col("neighbor_id").asc): _*)
+    val per = scored
+      .withColumn("brank", row_number().over(rankW(None)))
+      .withColumn("srank", row_number().over(rankW(Some("cand_s"))))
+      .withColumn("frank", row_number().over(rankW(Some("cand_f"))))
+      .groupBy("query_id")
+      .agg(
+        count(when(col("brank") <= k && col("cand_s") && col("srank") <= k,
+          1L)).as("h_s"),
+        count(when(col("brank") <= k && col("cand_f") && col("frank") <= k,
+          1L)).as("h_f"))
+    per.select(col("query_id"), explode(array(
+        struct(col("h_s").as("n_hits"), lit("placed").as("variant")),
+        struct(col("h_f").as("n_hits"), lit("rebuilt").as("variant")))).as("r"))
+      .select(col("query_id"), col("r.n_hits").as("n_hits"),
+        expr(s"r.n_hits * 10000 div $k").as("recall_bp"),
+        col("r.variant").as("variant"))
   }
 
   /** Dev-only falsification probe for [[recallStalenessPair]]'s sf0.1
@@ -1502,15 +1545,26 @@ object Similarity {
     * Output: (query_id, pos_id, neg_id, neg_rank, margin_bp).
     */
   def hardNegatives(topk: DataFrame): DataFrame = {
-    val pos = topk.filter(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id").as("pos_id"),
-        col("sim").as("pos_sim"))
-    val negs = topk.filter(col("rank") >= 2)
-      .select(col("query_id"), col("neighbor_id").as("neg_id"),
-        col("sim").as("neg_sim"), col("rank").as("neg_rank"))
-    pos.join(negs, "query_id")
-      .select(col("query_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
-        round((col("pos_sim") - col("neg_sim")) * 10000).cast("long")
+    // attach the rank-1 row via a window over the ALREADY-RANKED frame
+    // instead of a positives⋈negatives self-join (optimization r17):
+    // the self-join planned the whole upstream search subtree TWICE
+    // (Catalyst does no cross-branch CSE), so the IVF candidate scan
+    // and its cell-probe broadcast both ran twice per action. The
+    // window partitions by query_id — the key the frame is already
+    // grouped on, ≤ k rows per partition — and first_value over
+    // (rank asc) is exactly the rank-1 row; rows with rank ≥ 2 then
+    // emit the same (pos, neg) pairs as the join did. Values
+    // identical: every query has a rank-1 row by construction
+    // (row_number from 1), so the inner join never dropped a query
+    // that had negatives.
+    val w = Window.partitionBy("query_id").orderBy(col("rank").asc)
+    topk
+      .withColumn("pos_id", first(col("neighbor_id")).over(w))
+      .withColumn("pos_sim", first(col("sim")).over(w))
+      .filter(col("rank") >= 2)
+      .select(col("query_id"), col("pos_id"),
+        col("neighbor_id").as("neg_id"), col("rank").as("neg_rank"),
+        round((col("pos_sim") - col("sim")) * 10000).cast("long")
           .as("margin_bp"))
   }
 }

@@ -179,6 +179,24 @@ class ApproxSpec extends AnyFunSuite {
     assert(got("c") == ((20L, 2L, 1L, 1L)), s"NULL fine group inflated exact_n: ${got("c")}")
   }
 
+  test("sketch merge: a NULL-day group is its own partial (r17 grouping-sets shape)") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // the r17 rewrite counts n_partials as the day-level grouping-set
+    // rows; grouping() must keep a data-NULL day distinct from the
+    // key-level rollup row — a NULL timestamp's partial counted as one
+    // group in the old groupBy(key, day) shape and must still
+    val rows =
+      (0 until 40).map(i => ("a", Option((i % 2).toLong * dayUs + i), Option((i % 10).toLong))) ++
+      (0 until 10).map(i => ("a", None: Option[Long], Option((i % 10 + 10).toLong)))
+    val ev = rows.toDF("event_type", "timestamp", "user_id")
+    val got = Approx.sketchMergeVerified(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 20 distinct users, 2 real days + 1 NULL-day partial = 3 partials
+    assert(got("a") == ((20L, 3L, 1L, 1L)), s"got ${got("a")}")
+  }
+
   test("sketch-only rollup: band equals the exact count's band in the sketch's exact range") {
     import spark.implicits._
     val dayUs = 86400000000L

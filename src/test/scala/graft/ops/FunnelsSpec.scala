@@ -55,6 +55,23 @@ class FunnelsSpec extends AnyFunSuite {
     assert(counts(1000000L) == plain)
   }
 
+  test("NULL-timestamp seeds: windowed step 1 counts the row, plain funnel doesn't (r17 chain)") {
+    // the r17 left-join count chain must preserve both legacy counting
+    // rules: funnelWithin's step 1 counted seed ROWS (count(*) over
+    // s1 — a user whose only signup ts is NULL still groups), while
+    // funnel's step 1 counted non-null f0.
+    val ev = Seq(
+      (1L, Option(10L), "signup"), (1L, Option(20L), "view"), (1L, Option(30L), "purchase"),
+      (9L, None: Option[Long], "signup") // NULL-ts signup: groups, can't chain
+    ).toDF("user_id", "timestamp", "event_type")
+    val within = Funnels.funnelWithin(ev, Seq("signup", "view", "purchase"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(within == Map(1L -> 2L, 2L -> 1L, 3L -> 1L), s"got $within")
+    val plain = Funnels.funnel(ev, Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(plain == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $plain")
+  }
+
   test("funnel edge arities: single step and two steps") {
     val ev = Seq(
       (1L, 10L, "signup"), (1L, 20L, "view"),

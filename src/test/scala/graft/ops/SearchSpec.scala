@@ -104,6 +104,28 @@ class SearchSpec extends AnyFunSuite {
     assert(dfOfScan.contains(2L))
   }
 
+  test("empty and NULL docs affect neither n_docs nor avgdl (r17 posting-filter shape)") {
+    // the r17 rewrite computes n_docs/total from a map-only scan
+    // (size(m) > 0) instead of counting the old dl relation's rows;
+    // both must exclude token-less docs, so adding them changes NO
+    // score. Differential: same corpus ± empty/null docs.
+    val base = Seq(
+      (0L, Option("spark join fast fast")),
+      (1L, Option("spark filler pad")),
+      (2L, Option("join pad pad pad"))).toDF("doc_id", "text")
+    val noisy = (Seq(
+      (0L, Option("spark join fast fast")),
+      (1L, Option("spark filler pad")),
+      (2L, Option("join pad pad pad")),
+      (3L, Option("")), (4L, None: Option[String]))).toDF("doc_id", "text")
+    val q = Seq(1L -> Seq("spark", "join", "fast"))
+    val a = Search.bm25TopK(base, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Search.bm25TopK(noisy, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("scores are partitioning- and order-independent") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Search.bm25TopK(docs).collect()
