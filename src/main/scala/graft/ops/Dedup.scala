@@ -59,15 +59,37 @@ object Dedup {
     * of once per branch (r15 verdict #1: the un-shared twin was the
     * fleet's most box-load-sensitive key). */
   def ngramJaccardPairsFrom(docsSh: DataFrame, threshold: Double): DataFrame = {
-    val s = docsSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = s.as("a").join(s.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Posting-list pair generation (optimization r17, guide §2.4 —
+    // the containmentPairs shape, UNCAPPED because this is the exact
+    // evaluator): the old plan self-joined the exploded shingle
+    // relation on shingle equality (an SMJ shuffling it twice, and on
+    // the unpersisted ngramJaccardPairs path computing the shingling
+    // twice) and then joined per-doc sizes back TWICE at pair scale.
+    // Grouping postings per shingle and expanding x<y pairs IN-ROW
+    // emits the identical pair multiset with map-side partial
+    // aggregation before the only pair-scale exchange, and carrying
+    // (doc_id, |shingles|) structs makes the size joins disappear —
+    // shingle arrays are distinct by construction, so size(shingles)
+    // ≡ the old per-doc explode count. Same quadratic blast radius as
+    // the self-join for a corpus-common shingle (C(d,2) pairs either
+    // way — the declared exact-evaluator semantics; the df-ceiling and
+    // hot-band-capped operators are the scale paths), with the one new
+    // per-task bound that a posting row holds its d (doc, size)
+    // structs in the collect state.
+    val s = docsSh.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n"),
+      explode(col("shingles")).as("sh"))
+    s.groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, x -> " +
+          "filter(transform(ds, y -> " +
+          "if(x.doc_id < y.doc_id, named_struct(" +
+          "'doc_a', x.doc_id, 'doc_b', y.doc_id, 'na', x.n, 'nb', y.n), " +
+          "null)), p -> p is not null)))")).as("pr"))
+      .groupBy(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.na").as("na"), col("pr.nb").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("i"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
